@@ -1,0 +1,594 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import QueryDsl._
+
+/** SURVEY §2 relational operator inventory (scans, projections, filters,
+  * scalar transforms, joins, aggregations, windows, sorts/limits/set ops)
+  * declared over the synthetic TPC-H-ish tables, each with a DuckDB
+  * oracle. Names reference the SURVEY §2 operator ids they exercise.
+  *
+  * Reference evidence for the shapes being mirrored is cited per query
+  * (file:line into /root/reference/).
+  */
+object RelationalQueries {
+
+  /** S4/P1/P4/P5/P9 — filtered, projected scan with casts.
+    * Mirrors the Mongo filtered+projected scan (F1_Data_PreProcessing.ipynb:31-46)
+    * and float downcasts (:128-131). Filters+projection reach the parquet scan. */
+  private val s4ScanProject: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_extendedprice").cast("float").as("price_f32"),
+        to_date(col("l_shipdate")).as("ship_date"))
+
+  private val s4ScanProjectSql =
+    """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS qty_int,
+      |CAST(l_extendedprice AS FLOAT) AS price_f32, CAST(l_shipdate AS DATE) AS ship_date
+      |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin
+
+  /** S11/O4 — recent-N scan: sort desc, limit, deterministic tiebreak.
+    * Mirrors find().sort(Timestamp,-1).limit(5000) (F1-25_analyze_my_session.py:31-38). */
+  private val s11RecentN: Q = (s, d) =>
+    events(s, d)
+      .orderBy(desc("ev_us"), desc("event_id"))
+      .limit(500)
+      .select(col("event_id"), col("user_id"), col("ev_us"))
+
+  private val s11RecentNSql =
+    s"""SELECT event_id, user_id, $evUsSql AS ev_us FROM events
+       |ORDER BY ev_us DESC, event_id DESC LIMIT 500""".stripMargin
+
+  /** P6/P7 — set membership + inequality filters.
+    * Mirrors Year.isin / Driver.isin (F1_Preprocessed_Data_test.ipynb:52, P1 ipynb:558). */
+  private val p6Isin: Q = (s, d) =>
+    table(s, d, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") &&
+        col("c_nationkey") =!= 3)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+
+  private val p6IsinSql =
+    """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+      |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND c_nationkey <> 3""".stripMargin
+
+  /** P10 — dictionary encode (string→int) with upper() normalization.
+    * Mirrors the compound map {SOFT:1..WET:5, else 0} (F1_Data_PreProcessing.ipynb:336-342). */
+  private val p10Encode: Q = (s, d) =>
+    table(s, d, "orders")
+      .withColumn("prio_code",
+        when(upper(col("o_orderpriority")) === "1-URGENT", 1)
+          .when(upper(col("o_orderpriority")) === "2-HIGH", 2)
+          .when(upper(col("o_orderpriority")) === "3-MEDIUM", 3)
+          .when(upper(col("o_orderpriority")) === "4-NOT SPECIFIED", 4)
+          .when(upper(col("o_orderpriority")) === "5-LOW", 5)
+          .otherwise(0))
+      .groupBy(col("prio_code")).agg(count(lit(1)).as("n"))
+
+  private val p10EncodeSql =
+    """SELECT CASE UPPER(o_orderpriority) WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+      |WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE 0 END
+      |AS prio_code, COUNT(*) AS n FROM orders GROUP BY 1""".stripMargin
+
+  /** P11 — string functions: upper, trim/lower, regexp_replace, split, concat.
+    * Mirrors F1_Data_PreProcessing.ipynb:341, train_by_circuit.py:187,194,
+    * F1_web_dashboard_app.py:197. */
+  private val p11Strings: Q = (s, d) =>
+    table(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        regexp_replace(col("c_name"), "[^A-Za-z0-9]", "").as("name_alnum"),
+        split_part(col("c_name"), lit("#"), lit(2)).cast("bigint").as("key_from_name"),
+        concat(lower(trim(col("c_mktsegment"))), lit(":"), col("c_nationkey")).as("seg_tag"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        length(col("c_name")).as("name_len"))
+
+  private val p11StringsSql =
+    """SELECT c_custkey, UPPER(c_name) AS name_upper,
+      |regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g') AS name_alnum,
+      |CAST(split_part(c_name, '#', 2) AS BIGINT) AS key_from_name,
+      |lower(trim(c_mktsegment)) || ':' || CAST(c_nationkey AS VARCHAR) AS seg_tag,
+      |substring(c_name, 1, 8) AS name_prefix, length(c_name) AS name_len
+      |FROM customer""".stripMargin
+
+  /** P12 — date/time scalars: year/month/day extraction, epoch seconds.
+    * Mirrors timedelta→seconds and date stringification (F1_Data_Collect.ipynb:146-148). */
+  private val p12Datetime: Q = (s, d) =>
+    events(s, d)
+      .select(
+        col("event_id"),
+        year(col("ev_ts")).as("y"),
+        month(col("ev_ts")).as("m"),
+        dayofmonth(col("ev_ts")).as("dom"),
+        hour(col("ev_ts")).as("h"),
+        expr("ev_us div 1000000").as("epoch_s"))
+
+  private val p12DatetimeSql =
+    s"""SELECT event_id, CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS y,
+       |CAST(month(CAST(ts AS TIMESTAMP)) AS INT) AS m,
+       |CAST(day(CAST(ts AS TIMESTAMP)) AS INT) AS dom,
+       |CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h,
+       |$evUsSql // 1000000 AS epoch_s FROM events""".stripMargin
+
+  /** P13 — math scalars: unit scale ×100, ×1.05 bias, sqrt, min-max scale
+    * with fixed bounds, delta subtraction. Per-row double ops are
+    * deterministic → no rounding needed.
+    * Mirrors F1-25_Telemetry_DB_Record.py:165-166, P3 ipynb:316, P1 ipynb:101,
+    * P2 ipynb:112-113. */
+  private val p13Math: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        (col("l_discount") * 100.0).as("disc_pct"),
+        (col("l_extendedprice") * 1.05).as("price_biased"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        ((col("l_quantity") - 1.0) / (50.0 - 1.0)).as("qty_scaled"),
+        (col("l_extendedprice") - col("l_tax") * col("l_extendedprice")).as("price_net"))
+
+  private val p13MathSql =
+    """SELECT l_orderkey, l_discount * 100.0 AS disc_pct,
+      |l_extendedprice * 1.05 AS price_biased, sqrt(l_quantity) AS qty_sqrt,
+      |(l_quantity - 1.0) / (50.0 - 1.0) AS qty_scaled,
+      |l_extendedprice - l_tax * l_extendedprice AS price_net
+      |FROM lineitem WHERE l_linenumber = 1""".stripMargin
+
+  /** P14 — conditional bucketing (when/when/otherwise advice rules).
+    * Mirrors the coaching advice thresholds (P3 ipynb:162-167). */
+  private val p14Buckets: Q = (s, d) =>
+    table(s, d, "orders")
+      .withColumn("band",
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("low"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+
+  private val p14BucketsSql =
+    s"""SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+       |WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS band,
+       |COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY 1""".stripMargin
+
+  /** J1/A5 — left join plan-vs-actual with zero-fill (the audit query).
+    * Mirrors merge(df_meta, df_actual, how='left') + fillna(0)
+    * (F1_Data_Test.ipynb:174-178). nation is the "plan", customer counts
+    * the "actual"; dims broadcast. */
+  private val j1LeftFill: Q = (s, d) => {
+    val nation = table(s, d, "nation")
+    val counts = table(s, d, "customer")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+    broadcast(nation)
+      .join(counts, nation("n_nationkey") === counts("c_nationkey"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("cnt"), lit(0L)).as("cust_cnt"))
+  }
+
+  private val j1LeftFillSql =
+    """SELECT n_nationkey, n_name, CAST(COALESCE(cnt, 0) AS BIGINT) AS cust_cnt
+      |FROM nation LEFT JOIN
+      |(SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY 1) c
+      |ON n_nationkey = c_nationkey""".stripMargin
+
+  /** J2 — keyed align self-join of two filtered branches + delta.
+    * Mirrors the per-lap pace-gap self join (P1 ipynb:605-614): two driver
+    * series joined on LapNumber → here two order-years joined on custkey. */
+  private val j2SelfAlign: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val a = o.filter(year(col("o_orderdate")) === 1995)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n95"))
+    val b = o.filter(year(col("o_orderdate")) === 1996)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n96"))
+    a.join(b, Seq("o_custkey"), "inner")
+      .select(col("o_custkey"), col("n95"), col("n96"),
+        (col("n96") - col("n95")).as("gap"))
+  }
+
+  private val j2SelfAlignSql =
+    """SELECT a.o_custkey, n95, n96, n96 - n95 AS gap FROM
+      |(SELECT o_custkey, COUNT(*) AS n95 FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1) a
+      |JOIN (SELECT o_custkey, COUNT(*) AS n96 FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1) b
+      |ON a.o_custkey = b.o_custkey""".stripMargin
+
+  /** J4/A2-style — multi-hop broadcast dimension join + exact agg.
+    * Mirrors the lookup/dimension joins (F1_web_dashboard_app.py:21-86):
+    * fact lineitem → supplier → nation → region, small dims broadcast. */
+  private val j4DimJoin: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val sup = broadcast(table(s, d, "supplier"))
+    val nat = broadcast(table(s, d, "nation"))
+    val reg = broadcast(table(s, d, "region"))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val j4DimJoinSql =
+    s"""SELECT r_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |COUNT(*) AS n_items
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name""".stripMargin
+
+  /** Left-semi join — customers having at least one order (EXISTS). */
+  private val jSemi: Q = (s, d) => {
+    val c = table(s, d, "customer")
+    val o = table(s, d, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  private val jSemiSql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** Left-anti join — customers with no orders (NOT EXISTS). */
+  private val jAnti: Q = (s, d) => {
+    val c = table(s, d, "customer")
+    val o = table(s, d, "orders").select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  private val jAntiSql =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** A1 — hash-agg, multiple functions per group, deterministic "first"
+    * via min_by. Mirrors the lap rollup (F1_Data_PreProcessing.ipynb:289-299)
+    * where pandas first → min_by(Compound, Distance). sum(l_quantity) is a
+    * sum of small integers in double → exact. */
+  private val a1MultiAgg: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).as("sum_qty"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_linestatus")).as("min_status"),
+        max(to_date(col("l_shipdate"))).as("last_ship"))
+
+  private val a1MultiAggSql =
+    """SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty,
+      |MAX(l_extendedprice) AS max_price,
+      |MIN(l_linestatus) AS min_status,
+      |MAX(CAST(l_shipdate AS DATE)) AS last_ship
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  /** A2 — per-year stats. Mirrors the Mongo $group per Year
+    * (F1_Data_Interactive_Analysis.ipynb:30-38). */
+  private val a2YearStats: Q = (s, d) =>
+    events(s, d)
+      .groupBy(year(col("ev_ts")).as("yr_raw"))
+      .agg(davg(col("value")).as("avg_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("data_points"))
+      .select(col("yr_raw").cast("int").as("yr"), col("avg_value"),
+        col("max_value"), col("data_points"))
+
+  private val a2YearStatsSql =
+    s"""SELECT CAST(year(CAST(ts AS TIMESTAMP)) AS INT) AS yr,
+       |${davgSql("value")} AS avg_value, MAX(value) AS max_value,
+       |COUNT(*) AS data_points FROM events GROUP BY 1""".stripMargin
+
+  /** A3 — filtered group stats ($match → $group).
+    * Mirrors F1_Data_Interactive_Analysis.ipynb:48-59. */
+  private val a3FilteredGroup: Q = (s, d) =>
+    events(s, d)
+      .filter(col("event_type").isin("click", "view", "purchase") && col("value") > 5.0)
+      .groupBy(col("event_type"))
+      .agg(davg(col("value")).as("avg_value"),
+        davg(col("user_id").cast("double")).as("avg_user"))
+
+  private val a3FilteredGroupSql =
+    s"""SELECT event_type, ${davgSql("value")} AS avg_value,
+       |${davgSql("CAST(user_id AS DOUBLE)")} AS avg_user
+       |FROM events WHERE event_type IN ('click','view','purchase') AND value > 5.0
+       |GROUP BY event_type""".stripMargin
+
+  /** A4 — distinct cardinality per group.
+    * Mirrors $addToSet + $size per (Year,Round) (F1_Data_Test.ipynb:150-167). */
+  private val a4DistinctCard: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  private val a4DistinctCardSql =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** A6/A9/A1 — group min/max + deterministic "first" via min_by over a
+    * unique ordering key (pandas 'first' → min_by, SURVEY §2.4 A1 caveat).
+    * Mirrors fastest-lap-per-driver (P3 ipynb:57) over order prices. */
+  private val a6GroupMin: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min_by(col("o_orderpriority"), col("o_orderkey")).as("first_prio"))
+
+  private val a6GroupMinSql =
+    """SELECT o_custkey, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |min_by(o_orderpriority, o_orderkey) AS first_prio
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** A7 — season rollup: two-level aggregation over an aggregate.
+    * Mirrors groupby('Year').agg(count, mean, sum) on the audit table
+    * (F1_Data_Test.ipynb:203-208). */
+  private val a7Rollup: Q = (s, d) => {
+    val perCust = table(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr_raw"), col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("cust_total"))
+    perCust.groupBy(col("yr_raw").cast("int").as("yr"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("n_orders")).as("n_orders"),
+        dsum(col("cust_total")).as("year_total"))
+  }
+
+  private val a7RollupSql =
+    s"""SELECT CAST(yr AS INT) AS yr, COUNT(*) AS n_custs, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       |${dsumSql("cust_total")} AS year_total FROM
+       |(SELECT year(o_orderdate) AS yr, o_custkey, COUNT(*) AS n_orders,
+       |${dsumSql("o_totalprice")} AS cust_total FROM orders GROUP BY 1, 2) t
+       |GROUP BY 1""".stripMargin
+
+  /** A8 — global scalar aggregates (single row).
+    * Mirrors Speed.max()/min()/nunique() (F1_web_dashboard_app.py:225-230). */
+  private val a8Global: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .agg(max(col("l_extendedprice")).as("max_price"),
+        min(to_date(col("l_shipdate"))).as("min_ship"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        count(lit(1)).as("n_rows"))
+
+  private val a8GlobalSql =
+    """SELECT MAX(l_extendedprice) AS max_price, MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+      |COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows FROM lineitem""".stripMargin
+
+  /** A9 — sorted unique value list.
+    * Mirrors sorted(df['Driver'].unique()) (F1_web_dashboard_app.py:252). */
+  private val a9Unique: Q = (s, d) =>
+    table(s, d, "orders")
+      .select(col("o_orderpriority")).distinct().orderBy(col("o_orderpriority"))
+
+  private val a9UniqueSql =
+    "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"
+
+  /** W1 — group-min broadcast back (analytic min over partition) + delta.
+    * Mirrors Session_Fastest = transform('min') + Pace_Ratio (P1 ipynb:262-267). */
+  private val w1RatioMin: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment"))
+    table(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        min(col("c_acctbal")).over(w).as("seg_min"),
+        (col("c_acctbal") - min(col("c_acctbal")).over(w)).as("bal_delta"))
+  }
+
+  private val w1RatioMinSql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |MIN(c_acctbal) OVER (PARTITION BY c_mktsegment) AS seg_min,
+      |c_acctbal - MIN(c_acctbal) OVER (PARTITION BY c_mktsegment) AS bal_delta
+      |FROM customer""".stripMargin
+
+  /** W2 — lag features over an ordered partition (unique order key).
+    * Mirrors Prev_Pace_Ratio shift(1) (P1 ipynb:456-460). */
+  private val w2Lag: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ev_us"), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ev_us"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lag(col("ev_us"), 1).over(w).as("prev_us"))
+  }
+
+  private val w2LagSql =
+    s"""SELECT event_id, user_id, $evUsSql AS ev_us, value,
+       |LAG(value, 1) OVER (PARTITION BY user_id ORDER BY $evUsSql, event_id) AS prev_value,
+       |LAG($evUsSql, 1) OVER (PARTITION BY user_id ORDER BY $evUsSql, event_id) AS prev_us
+       |FROM events""".stripMargin
+
+  /** W3 — running total with explicit ROWS frame; decimal-exact running sum.
+    * Mirrors Cumulative_Time cumsum (P1 ipynb:585). */
+  private val w3Running: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ev_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ev_us"),
+        sum(col("value").cast("decimal(38,6)")).over(w).cast("double").as("running_value"),
+        count(lit(1)).over(w).as("seq_no"))
+  }
+
+  private val w3RunningSql =
+    s"""SELECT event_id, user_id, $evUsSql AS ev_us,
+       |CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY $evUsSql, event_id
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       |COUNT(*) OVER (PARTITION BY user_id ORDER BY $evUsSql, event_id
+       |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq_no
+       |FROM events""".stripMargin
+
+  /** W4 — arg-min within group (top-1 per partition by row_number).
+    * Mirrors the fastest-lap idxmin (F1_Preprocessed_Data_test.ipynb:66-69). */
+  private val w4Argmin: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    table(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val w4ArgminSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM
+      |(SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |ORDER BY o_totalprice, o_orderkey) AS rn FROM orders) t
+      |WHERE rn = 1""".stripMargin
+
+  /** W7 — gaps-and-islands sessionization: new island when the gap to the
+    * previous event exceeds 30 min; per-island rollup.
+    * Mirrors the problem-zone segmentation (P3 ipynb:146-169). */
+  private val w7Islands: Q = (s, d) => {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ev_us"), col("event_id"))
+    val wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_us", lag(col("ev_us"), 1).over(wo))
+      .withColumn("new_island",
+        when(col("prev_us").isNull ||
+          col("ev_us") - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(wf))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ev_us")).as("start_us"),
+        max(col("ev_us")).as("end_us"),
+        dsum(col("value")).as("island_value"))
+  }
+
+  private val w7IslandsSql =
+    s"""SELECT user_id, island, COUNT(*) AS n_events, MIN(ev_us) AS start_us,
+       |MAX(ev_us) AS end_us, ${dsumSql("value")} AS island_value FROM
+       |(SELECT user_id, value, ev_us,
+       |  CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY ev_us, event_id
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM
+       |  (SELECT user_id, event_id, value, $evUsSql AS ev_us,
+       |   CASE WHEN LAG($evUsSql, 1) OVER (PARTITION BY user_id ORDER BY $evUsSql, event_id) IS NULL
+       |   OR $evUsSql - LAG($evUsSql, 1) OVER (PARTITION BY user_id ORDER BY $evUsSql, event_id)
+       |   > 1800 * 1000000 THEN 1 ELSE 0 END AS new_island FROM events) a) b
+       |GROUP BY user_id, island""".stripMargin
+
+  /** W8 — the 107% outlier rule: keep rows within 1.07× of the partition
+    * min and above an absolute floor (F1_Data_PreProcessing.ipynb:313-333). */
+  private val w8PctFilter: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+    table(s, d, "orders")
+      .withColumn("min_price", min(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") <= col("min_price") * 1.07 &&
+        col("o_totalprice") > 1000.0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("min_price"))
+  }
+
+  private val w8PctFilterSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, min_price FROM
+      |(SELECT o_custkey, o_orderkey, o_totalprice,
+      |MIN(o_totalprice) OVER (PARTITION BY o_custkey) AS min_price FROM orders) t
+      |WHERE o_totalprice <= min_price * 1.07 AND o_totalprice > 1000.0""".stripMargin
+
+  /** O4 — global top-k with deterministic tiebreak (TakeOrderedAndProject).
+    * Mirrors top-5 problem zones by loss (P3 ipynb:355-359). */
+  private val o4TopK: Q = (s, d) =>
+    table(s, d, "orders")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val o4TopKSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** O6 — union all of per-branch frames (concat).
+    * Mirrors pd.concat of per-lap frames (F1_Data_PreProcessing.ipynb:125). */
+  private val o6Union: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    val hi = o.filter(col("o_totalprice") > 350000)
+      .select(col("o_orderkey"), lit("high").as("src"))
+    val lo = o.filter(col("o_totalprice") < 5000)
+      .select(col("o_orderkey"), lit("low").as("src"))
+    hi.unionByName(lo)
+  }
+
+  private val o6UnionSql =
+    """SELECT o_orderkey, 'high' AS src FROM orders WHERE o_totalprice > 350000
+      |UNION ALL
+      |SELECT o_orderkey, 'low' AS src FROM orders WHERE o_totalprice < 5000""".stripMargin
+
+  /** O7 — dedup: full-row distinct on a projection.
+    * Mirrors drop_duplicates (F1_Data_PreProcessing.ipynb:70). */
+  private val o7Dedup: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  private val o7DedupSql =
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+  /** Set intersect — customers active in both 1995 and 1996. */
+  private val setIntersect: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+  }
+
+  private val setIntersectSql =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin
+
+  /** Set except — customers active in 1995 but not 1996. */
+  private val setExcept: Q = (s, d) => {
+    val o = table(s, d, "orders")
+    o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+  }
+
+  private val setExceptSql =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin
+
+  /** Tumbling-window (hourly) aggregation, batch form of the streaming
+    * windowed agg (SURVEY §2.8 extension). */
+  private val streamTumbling: Q = (s, d) =>
+    events(s, d)
+      .groupBy(expr("ev_us div 3600000000").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
+  private val streamTumblingSql =
+    s"""SELECT $evUsSql // 3600000000 AS hour_bucket, event_type,
+       |COUNT(*) AS n, ${dsumSql("value")} AS total_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s4_scan_project", s4ScanProject, Some(s4ScanProjectSql)),
+    ("s11_recent_n", s11RecentN, Some(s11RecentNSql)),
+    ("p6_isin", p6Isin, Some(p6IsinSql)),
+    ("p10_encode", p10Encode, Some(p10EncodeSql)),
+    ("p11_strings", p11Strings, Some(p11StringsSql)),
+    ("p12_datetime", p12Datetime, Some(p12DatetimeSql)),
+    ("p13_math", p13Math, Some(p13MathSql)),
+    ("p14_buckets", p14Buckets, Some(p14BucketsSql)),
+    ("j1_left_fill", j1LeftFill, Some(j1LeftFillSql)),
+    ("j2_self_align", j2SelfAlign, Some(j2SelfAlignSql)),
+    ("j4_dim_join", j4DimJoin, Some(j4DimJoinSql)),
+    ("j_semi", jSemi, Some(jSemiSql)),
+    ("j_anti", jAnti, Some(jAntiSql)),
+    ("a1_multi_agg", a1MultiAgg, Some(a1MultiAggSql)),
+    ("a2_year_stats", a2YearStats, Some(a2YearStatsSql)),
+    ("a3_filtered_group", a3FilteredGroup, Some(a3FilteredGroupSql)),
+    ("a4_distinct_card", a4DistinctCard, Some(a4DistinctCardSql)),
+    ("a6_group_min", a6GroupMin, Some(a6GroupMinSql)),
+    ("a7_rollup", a7Rollup, Some(a7RollupSql)),
+    ("a8_global", a8Global, Some(a8GlobalSql)),
+    ("a9_unique_sorted", a9Unique, Some(a9UniqueSql)),
+    ("w1_ratio_min", w1RatioMin, Some(w1RatioMinSql)),
+    ("w2_lag", w2Lag, Some(w2LagSql)),
+    ("w3_running", w3Running, Some(w3RunningSql)),
+    ("w4_argmin", w4Argmin, Some(w4ArgminSql)),
+    ("w7_islands", w7Islands, Some(w7IslandsSql)),
+    ("w8_pct_filter", w8PctFilter, Some(w8PctFilterSql)),
+    ("o4_topk", o4TopK, Some(o4TopKSql)),
+    ("o6_union", o6Union, Some(o6UnionSql)),
+    ("o7_dedup", o7Dedup, Some(o7DedupSql)),
+    ("set_intersect", setIntersect, Some(setIntersectSql)),
+    ("set_except", setExcept, Some(setExceptSql)),
+    ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql))
+  )
+}
