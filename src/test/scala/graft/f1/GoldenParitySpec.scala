@@ -1,0 +1,77 @@
+package graft.f1
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2 golden tests: the reference ships two warehouse
+  * partitions and the training table it built from the full warehouse.
+  * Rebuilding the training rows for those partitions with our engine
+  * must reproduce the shipped rows (float tolerance on means computed
+  * in float32 by pandas, exact on keys/strings/ints).
+  */
+class GoldenParitySpec extends AnyFunSuite {
+  private val whRoot = "/root/reference/f1_processed_warehouse"
+  private val trainingFile = "/root/reference/f1_training_dataset_v2.parquet"
+  private lazy val spark = graft.SparkTestBase.spark
+
+  private def partition(y: Int, r: Int) =
+    spark.read.parquet(s"$whRoot/year=$y/round=$r/telemetry.parquet")
+
+  test("measured invariants of the shipped 2022/R18 partition hold") {
+    val df = partition(2022, 18).cache()
+    assert(df.count() === 276209L)
+    assert(df.select(countDistinct(col("Driver"))).head.getLong(0) === 20L)
+    assert(df.select(countDistinct(col("Driver"), col("LapNumber"))).head.getLong(0) === 481L)
+    val grid = df.filter(col("Driver") === 1 && col("LapNumber") === 2)
+      .select(col("Distance").cast("double")).orderBy(col("Distance"))
+      .collect().map(_.getDouble(0))
+    assert(grid.head === 0.0)
+    // uniform 10 m spacing
+    grid.sliding(2).foreach { case Array(a, b) => assert(b - a === 10.0) }
+    df.unpersist()
+  }
+
+  test("trainingTable reproduces the shipped gold rows for both shipped partitions") {
+    val wh = partition(2022, 18).unionByName(partition(2021, 12))
+    val ours = LapAggregate.trainingTable(wh)
+    val golden = spark.read.parquet(trainingFile)
+      .filter((col("Year") === 2022 && col("Round") === 18) ||
+        (col("Year") === 2021 && col("Round") === 12))
+
+    val keys = Seq("Year", "Round", "Driver", "LapNumber")
+    assert(ours.count() === golden.count())
+
+    val joined = ours.as("o").join(golden.as("g"), keys, "full_outer")
+      .select(
+        col("o.Speed_mean").as("os"), col("g.Speed_mean").as("gs"),
+        col("o.Throttle_mean").as("ot"), col("g.Throttle_mean").as("gt"),
+        col("o.Brake_mean").as("ob"), col("g.Brake_mean").as("gb"),
+        col("o.TyreLife_max").as("oty"), col("g.TyreLife_max").as("gty"),
+        col("o.Compound").as("oc"), col("g.Compound").as("gc"),
+        col("o.LapTime_Sec").as("ol"), col("g.LapTime_Sec").as("gl"),
+        col("o.Compound_Encoded").as("oe"), col("g.Compound_Encoded").as("ge"))
+      .collect()
+
+    joined.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"key present on one side only: $r")
+      assert(math.abs(r.getFloat(0) - r.getFloat(1)) / math.max(1f, r.getFloat(1).abs) < 1e-4, s"Speed_mean: $r")
+      assert(math.abs(r.getFloat(2) - r.getFloat(3)) / math.max(1f, r.getFloat(3).abs) < 1e-4, s"Throttle_mean: $r")
+      assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-9, s"Brake_mean: $r")
+      assert(r.getDouble(6) === r.getDouble(7), s"TyreLife_max: $r")
+      assert(r.getString(8) === r.getString(9), s"Compound: $r")
+      assert(math.abs(r.getDouble(10) - r.getDouble(11)) < 1e-9, s"LapTime_Sec: $r")
+      assert(r.getLong(12) === r.getLong(13), s"Compound_Encoded: $r")
+    }
+  }
+
+  test("107% filter keeps only laps within threshold of the session-fastest") {
+    val wh = partition(2022, 18)
+    val laps = LapAggregate.lapRollup(wh)
+    val kept = LapAggregate.pct107Filter(laps)
+    val fastest = laps.agg(min("LapTime_Sec")).head.getDouble(0)
+    val maxKept = kept.agg(max("LapTime_Sec")).head.getDouble(0)
+    assert(maxKept <= fastest * 1.07)
+    assert(kept.agg(min("LapTime_Sec")).head.getDouble(0) > 50.0)
+    assert(kept.count() < laps.count())
+  }
+}
