@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.text.{MinHashLsh, Shingles, SimHash, TextAnalysis}
+import graft.sim.Knn
+import QueryDsl._
+
+/** LLM-training-data pipeline operators (dedup, similarity search, text
+  * analysis) declared over the `documents` and `embeddings` tables.
+  * SQL-expressible operators carry a full DuckDB oracle; the
+  * sketch-based ones (minhash/simhash/ann) are verified structurally in
+  * ScalaTest against their exact counterparts and enter the gate as
+  * rows-only checks — except minhash_lsh, whose exact-verification
+  * stage makes its output equal the exact-Jaccard query (the banding
+  * miss probability at the observed similarity levels is < 1e-7).
+  */
+object DocQueries {
+
+  private val jaccardThreshold = 0.5
+
+  /** Exact dedup: hash-groupBy on raw text (md5), keep-min doc id. */
+  private val dedupExact: Q = (s, d) =>
+    table(s, d, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |COUNT(*) AS n_copies FROM documents GROUP BY 1""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs (inverted-index join). */
+  private val dedupNgram: Q = (s, d) =>
+    Shingles.exactJaccardPairs(table(s, d, "documents"), jaccardThreshold)
+
+  /** MinHash + LSH banding + exact verify — same declared output. */
+  private val dedupMinhash: Q = (s, d) =>
+    MinHashLsh.nearDuplicates(table(s, d, "documents"), jaccardThreshold)
+
+  /** SimHash near-dup pairs (rows-only; structure tested in ScalaTest). */
+  private val dedupSimhash: Q = (s, d) =>
+    SimHash.nearDuplicates(table(s, d, "documents"), maxDist = 3)
+
+  /** Exact brute-force cosine top-k. */
+  private val knnBrute: Q = (s, d) =>
+    Knn.bruteForceTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+
+  /** LSH-bucketed approximate top-k (rows-only; recall tested). */
+  private val knnLsh: Q = (s, d) =>
+    Knn.lshTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+
+  private val textTokens: Q = (s, d) => TextAnalysis.tokenStats(table(s, d, "documents"))
+  private val textQuality: Q = (s, d) => TextAnalysis.qualityScore(table(s, d, "documents"))
+  private val textLangId: Q = (s, d) => TextAnalysis.langId(table(s, d, "documents"))
+  private val textFingerprint: Q = (s, d) => TextAnalysis.fingerprint(table(s, d, "documents"))
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_exact", dedupExact, Some(dedupExactSql)),
+    ("dedup_ngram_jaccard", dedupNgram, Some(Shingles.exactJaccardSql(jaccardThreshold))),
+    ("dedup_minhash_lsh", dedupMinhash, Some(Shingles.exactJaccardSql(jaccardThreshold))),
+    ("dedup_simhash", dedupSimhash, None),
+    ("knn_cosine_topk", knnBrute, Some(Knn.bruteForceTopKSql(5, 5))),
+    ("knn_lsh_topk", knnLsh, None),
+    ("text_tokens", textTokens, Some(TextAnalysis.tokenStatsSql)),
+    ("text_quality", textQuality, Some(TextAnalysis.qualityScoreSql)),
+    ("text_langid", textLangId, Some(TextAnalysis.langIdSql)),
+    ("text_fingerprint", textFingerprint, Some(TextAnalysis.fingerprintSql))
+  )
+}

@@ -1,0 +1,116 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Brute-force top-k is the exact baseline: broadcast the (small) query
+  * set against the full candidate table — scales linearly in corpus
+  * size with no shuffle of the big side, the right shape for "score a
+  * handful of probes against 100 TB of vectors".
+  *
+  * The dot product stays in whole-stage codegen via the higher-order
+  * functions zip_with + aggregate; ranking uses a value rounded to 6
+  * decimals with a doc-id tiebreak so results are reproducible across
+  * engines (floats summed in a fixed left-to-right order).
+  */
+object Knn {
+
+  /** Codegen'd dot product of two array<float> columns, accumulated in
+    * double, left-to-right. Embeddings here are unit-normalized, so
+    * this is cosine similarity. */
+  val dotExpr: String =
+    "aggregate(zip_with(qe, ne, (x, y) -> cast(x as double) * cast(y as double)), " +
+      "cast(0 as double), (acc, v) -> acc + v)"
+
+  /** Exact top-k neighbors for query vectors (vec_id < numQueries). */
+  def bruteForceTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(expr(dotExpr), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  /** DuckDB mirror of [[bruteForceTopK]]. */
+  def bruteForceTopKSql(numQueries: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id < $numQueries),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ne
+       |      FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROUND(list_dot_product(qe, ne), 6) AS cosine
+       |  FROM q, c WHERE query_id <> neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $k""".stripMargin
+
+  /** Approximate NN, the scale path: multi-table random-hyperplane LSH
+    * with 1-bit multiprobe. Each of `numTables` tables sketches a
+    * vector to a `planes`-bit bucket (sign of the dot product against
+    * deterministic ±1 hyperplanes, seeded by murmur3 of (table, plane,
+    * dim)); a query probes its own bucket plus every 1-bit flip in each
+    * table; candidates from any table are ranked exactly.
+    *
+    * Tuning intuition: per-bit agreement p = 1 − θ/π; per-table hit
+    * ≈ p^planes + planes·p^(planes−1)(1−p); recall = 1 − (1−hit)^tables.
+    * With planes=6, tables=8 this gives ~0.9 recall at cosine ≈ 0.33.
+    * NOTE: on corpora with near-orthogonal neighbors (like this
+    * synthetic table) candidate reduction is data-limited — LSH only
+    * beats brute force when the corpus has real cluster structure. At
+    * 100 TB the bucket table is written bucketed-by(table, bucket) so
+    * probes become partition-pruned scans instead of a full pass.
+    */
+  def lshTopK(emb: DataFrame, numQueries: Int, k: Int,
+      planes: Int = 6, numTables: Int = 8): DataFrame = {
+    // ±1 hyperplane sign from murmur3 hash(table, plane, dim); `t` and
+    // `p` are lambda variables bound below.
+    val planeDot =
+      "aggregate(sequence(0, size(embedding) - 1), cast(0 as double), " +
+        "(acc, i) -> acc + cast(embedding[i] as double) * " +
+        "cast(if(((hash(t * 65536 + p * 1024 + i) >> 2) & 1) = 1, 1, -1) as double))"
+    val bucketOfTable =
+      s"aggregate(sequence(0, $planes - 1), 0, " +
+        s"(acc, p) -> acc + if($planeDot > cast(0 as double), shiftleft(1, p), 0))"
+    val allBuckets =
+      s"transform(sequence(0, ${numTables - 1}), t -> $bucketOfTable)"
+
+    val withBuckets = emb.withColumn("buckets", expr(allBuckets))
+    val c = withBuckets.select(col("vec_id").as("neighbor_id"),
+      posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val q = withBuckets.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"),
+        posexplode(col("buckets")).as(Seq("tbl", "qbucket")))
+      .withColumn("bucket", explode(expr(
+        s"array_union(array(qbucket), transform(sequence(0, $planes - 1), " +
+          "b -> cast(qbucket ^ shiftleft(1, b) as int)))")))
+      .select("query_id", "tbl", "bucket")
+    val candidates = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+
+    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ne = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val scored = candidates
+      .join(broadcast(qe), "query_id")
+      .join(ne, "neighbor_id")
+      .withColumn("cosine", round(expr(dotExpr), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+}

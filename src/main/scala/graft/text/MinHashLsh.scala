@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MinHash signatures + LSH banding for near-duplicate candidate
+  * generation, with exact-Jaccard verification of candidates.
+  *
+  * Pipeline (shingle → minhash → band → bucket-join → verify):
+  *  1. 64 minhash values per doc via universal hashing over 61-bit
+  *     shingle hashes: h_i(x) = (a_i·x + b_i) mod (2^61−1), constants
+  *     derived deterministically from splitmix64 — no RNG state, so
+  *     signatures are reproducible on any executor.
+  *  2. Band the signature (numBands × rowsPerBand), hash each band,
+  *     group by (band, hash) → candidate pairs.
+  *  3. Verify candidates with exact Jaccard over shingle sets; keep
+  *     pairs ≥ threshold.
+  *
+  * Scale: signatures are one narrow row per doc (64 longs); the band
+  * explode is ×numBands; bucket join costs Σ f(bucket)² which the
+  * banding keeps tiny for non-duplicates. Verification touches only
+  * candidate pairs. This is the standard web-scale near-dup design.
+  */
+object MinHashLsh {
+
+  val NumHashes = 64
+  private val P61 = (1L << 61) - 1
+
+  /** splitmix64 — deterministic constant stream. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val hashA: Array[Long] =
+    Array.tabulate(NumHashes)(i => (splitmix64(2 * i) & P61) | 1L)
+  private val hashB: Array[Long] =
+    Array.tabulate(NumHashes)(i => splitmix64(2 * i + 1) & P61)
+
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** a·x mod 2^61−1 via the 128-bit product and the Mersenne identity
+    * 2^64 ≡ 8 (mod 2^61−1). a, x ∈ [0, 2^61) so hi < 2^58 and every
+    * intermediate stays below 2^63. */
+  private def mulmodP61(a: Long, x: Long): Long = {
+    val hi = Math.multiplyHigh(a, x) // unsigned == signed here (product < 2^122)
+    val lo = a * x
+    var r = (hi << 3) + (lo & P61) + (lo >>> 61)
+    r = (r & P61) + (r >>> 61)
+    if (r >= P61) r -= P61
+    r
+  }
+
+  /** 64-long minhash signature of a set of shingle hashes. */
+  def signature(shingleHashes: Iterator[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    shingleHashes.foreach { raw =>
+      val x = raw & P61
+      var i = 0
+      while (i < NumHashes) {
+        var v = mulmodP61(hashA(i), x) + hashB(i)
+        if (v >= P61) v -= P61
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Docs → (doc_id, signature array<long>). */
+  def signatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Shingles.shingleTable(docs)
+      .select(col("doc_id"), col("shingle"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroups((id: Long, it: Iterator[(Long, String)]) =>
+        (id, signature(it.map(t => fnv1a64(t._2)))))
+      .toDF("doc_id", "sig")
+  }
+
+  /** Candidate pairs from banding: docs sharing any band bucket. */
+  def candidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
+    val rows = NumHashes / numBands
+    val banded = sigs.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, ${numBands - 1}), b -> " +
+          s"hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify. */
+  def nearDuplicates(docs: DataFrame, threshold: Double,
+      numBands: Int = 16): DataFrame = {
+    val cands = candidatePairs(signatures(docs), numBands)
+    val exact = Shingles.exactJaccardPairs(docs, threshold = 0.0)
+    exact.join(cands, Seq("doc_a", "doc_b"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"),
+        col("size_b"), col("jaccard"))
+  }
+}

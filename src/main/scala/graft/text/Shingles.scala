@@ -1,0 +1,74 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Word n-gram shingling + exact Jaccard, the shared substrate for the
+  * dedup operators. All-pairs similarity is computed by JOINING ON THE
+  * SHINGLE (inverted-index pattern), never by cross-join — at 100 TB the
+  * shingle join scales with Σ f(shingle)², which stays bounded when
+  * high-document-frequency shingles are capped (maxShingleDF).
+  */
+object Shingles {
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). */
+  def shingleTable(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(words)-$n), i -> " +
+          (0 until n).map(j => s"words[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+      ))).as("shingle"))
+
+  /** Exact pairwise Jaccard over shingle sets for all pairs sharing at
+    * least one shingle, via inverted-index self-join. Shingles with
+    * document frequency above maxShingleDF are dropped from candidate
+    * GENERATION only (stop-shingle cap, standard at scale); sizes and
+    * common counts still use the full sets when cap is disabled (0). */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double,
+      maxShingleDF: Long = 0L): DataFrame = {
+    val sh = shingleTable(docs).cache()
+    val candidates0 =
+      if (maxShingleDF > 0) {
+        val rare = sh.groupBy("shingle").count()
+          .filter(col("count") <= maxShingleDF).select("shingle")
+        sh.join(broadcast(rare), Seq("shingle"))
+      } else sh
+    val a = candidates0.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = candidates0.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"),
+        col("size_b"), col("jaccard"))
+  }
+
+  /** DuckDB mirror of [[exactJaccardPairs]] (no DF cap), word 3-grams. */
+  def exactJaccardSql(threshold: Double): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i) s
+       |  WHERE len(words) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       |  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= $threshold""".stripMargin
+}

@@ -1,0 +1,129 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: token
+  * counting, quality scoring, language-ID heuristic, and document
+  * fingerprinting. All are pure column expressions (whole-stage
+  * codegen; no UDFs), each with an exact DuckDB mirror.
+  */
+object TextAnalysis {
+
+  /** Token statistics: whitespace tokens, BPE-ish subword count
+    * (runs of letters / digits / single punctuation — a common
+    * pre-tokenizer regex), distinct words, char count. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(expr(raw"regexp_extract_all(text, '\\S+', 0)")).as("n_tokens"),
+      size(expr(raw"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"))
+        .as("n_subwords"),
+      size(array_distinct(split(col("text"), " "))).as("n_distinct_words"),
+      length(col("text")).as("n_chars"))
+
+  val tokenStatsSql: String =
+    raw"""SELECT doc_id,
+         |CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_subwords,
+         |CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+         |CAST(length(text) AS INT) AS n_chars FROM documents""".stripMargin
+
+  /** Quality scoring: structural ratios + a bucketed verdict, in the
+    * style of pretraining-corpus quality filters (length, alpha ratio,
+    * mean word length, type-token ratio). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text")).cast("double")
+    val alphaChars = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
+    val nTokens = size(split(col("text"), " ")).cast("double")
+    val nDistinct = size(array_distinct(split(col("text"), " "))).cast("double")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars_d"),
+      (alphaChars / nChars).as("alpha_ratio"),
+      ((nChars - alphaChars) / nChars).as("non_alpha_ratio"),
+      (alphaChars / nTokens).as("mean_word_len"),
+      (nDistinct / nTokens).as("type_token_ratio"))
+      .withColumn("quality_bucket",
+        when(col("n_chars_d") < 100, "too_short")
+          .when(col("type_token_ratio") < 0.3, "repetitive")
+          .when(col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0, "suspicious")
+          .otherwise("ok"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_chars_d, alpha_ratio, non_alpha_ratio, mean_word_len,
+      |  type_token_ratio,
+      |  CASE WHEN n_chars_d < 100 THEN 'too_short'
+      |       WHEN type_token_ratio < 0.3 THEN 'repetitive'
+      |       WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'suspicious'
+      |       ELSE 'ok' END AS quality_bucket
+      |FROM (SELECT doc_id,
+      |  CAST(length(text) AS DOUBLE) AS n_chars_d,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |    / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+      |  (CAST(length(text) AS DOUBLE) - CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE))
+      |    / CAST(length(text) AS DOUBLE) AS non_alpha_ratio,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS type_token_ratio
+      |FROM documents) t""".stripMargin
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "mit"),
+    "es" -> Seq("el", "los", "las", "y", "para"))
+
+  private def markerCount(lang: String): Column = {
+    val words = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter(split(lower(text), ' '), w -> w in ($words)))")
+  }
+
+  /** Language-ID heuristic: CJK codepoint presence → zh, else argmax of
+    * per-language stopword-marker counts with a fixed tie order
+    * (en > fr > de > es). */
+  def langId(docs: DataFrame): DataFrame = {
+    val cjk = size(expr(raw"regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)"))
+    val Seq(en, fr, de, es) = Seq("en", "fr", "de", "es").map(markerCount)
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+      cjk.as("cjk"), en.as("s_en"), fr.as("s_fr"), de.as("s_de"), es.as("s_es"))
+      .withColumn("predicted_lang",
+        when(col("cjk") > 0, "zh")
+          .when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") &&
+            col("s_en") >= col("s_es"), "en")
+          .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), "fr")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es"))
+      .drop("cjk")
+  }
+
+  val langIdSql: String = {
+    def mc(lang: String): String = {
+      val words = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(lower(text), ' '), w -> w in ($words))) AS INT)"
+    }
+    raw"""SELECT doc_id, labeled_lang, s_en, s_fr, s_de, s_es,
+         |  CASE WHEN cjk > 0 THEN 'zh'
+         |       WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+         |       WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         |       WHEN s_de >= s_es THEN 'de'
+         |       ELSE 'es' END AS predicted_lang
+         |FROM (SELECT doc_id, lang AS labeled_lang,
+         |  CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS INT) AS cjk,
+         |  ${mc("en")} AS s_en, ${mc("fr")} AS s_fr,
+         |  ${mc("de")} AS s_de, ${mc("es")} AS s_es
+         |FROM documents) t""".stripMargin
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key (S-normalized variant of hash-groupBy dedup). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), raw"\s+", " ")
+        .cast("binary")).as("fp"))
+
+  val fingerprintSql: String =
+    raw"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents"
+}
