@@ -40,6 +40,10 @@ class GoldenParitySpec extends AnyFunSuite {
 
     val keys = Seq("Year", "Round", "Driver", "LapNumber")
     assert(ours.count() === golden.count())
+    // guard against a vacuous pass: both shipped partitions are wet
+    // races where the 107% rule keeps exactly one lap (2022/R18) and
+    // none (2021/R12) — the comparison must still see that row
+    assert(ours.count() === 1L)
 
     val joined = ours.as("o").join(golden.as("g"), keys, "full_outer")
       .select(
