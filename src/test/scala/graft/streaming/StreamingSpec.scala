@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import PacketCodec._
+import LiveMerge._
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  // --- codec ---
+
+  test("codec roundtrip: telemetry frame") {
+    val frame = telemetryFrame(playerIdx = 3, speed = 287, throttle01 = 0.75f,
+      brake01 = 0.25f, gear = 6, rpm = 11200)
+    assert(frame.length === TelemetryPacketSize)
+    val p = decode(1000000L, frame).get
+    assert(p.packetId === PacketIdTelemetry)
+    assert(p.speed.get === 287)
+    assert(math.abs(p.throttle.get - 75.0) < 1e-4)
+    assert(math.abs(p.brake.get - 25.0) < 1e-4)
+    assert(p.gear.get === 6)
+    assert(p.rpm.get === 11200)
+    assert(p.distance.isEmpty)
+  }
+
+  test("codec roundtrip: lap frame") {
+    val p = decode(2000000L, lapFrame(playerIdx = 0, lapDistance = 1234.5f,
+      lapNumber = 7)).get
+    assert(p.packetId === PacketIdLap)
+    assert(math.abs(p.distance.get - 1234.5) < 1e-3)
+    assert(p.lapNumber.get === 7)
+    assert(p.speed.isEmpty)
+  }
+
+  test("codec drops short, foreign, and mis-sized frames") {
+    assert(decode(0L, Array.fill[Byte](10)(0)).isEmpty) // < 24 bytes
+    val foreign = telemetryFrame(0, 100, 0f, 0f, 1, 5000)
+    foreign(5) = 9 // unknown packet id
+    assert(decode(0L, foreign).isEmpty)
+    val truncated = telemetryFrame(0, 100, 0f, 0f, 1, 5000).take(500)
+    assert(decode(0L, truncated).isEmpty) // id 6 but wrong size
+    assert(decode(0L, null).isEmpty)
+  }
+
+  test("negative gear (reverse) decodes as signed int8") {
+    val p = decode(0L, telemetryFrame(0, 5, 0f, 0f, -1, 3000)).get
+    assert(p.gear.get === -1)
+  }
+
+  // --- merge kernel ---
+
+  private def tel(tsUs: Long, speed: Int = 100): LivePacket =
+    decode(tsUs, telemetryFrame(0, speed, 0.5f, 0.0f, 4, 9000)).get
+  private def lap(tsUs: Long, dist: Float = 500f, lapNo: Int = 3): LivePacket =
+    decode(tsUs, lapFrame(0, dist, lapNo)).get
+
+  test("no emit until both packet types present (both orders)") {
+    val init = MergeState(None, None, LiveMerge.NeverEmitted)
+    val (out1, _) = processPackets(1, Iterator(tel(1), tel(200000)), init, 100000)
+    assert(out1.isEmpty)
+    val (out2, _) = processPackets(1, Iterator(lap(1), lap(200000)), init, 100000)
+    assert(out2.isEmpty)
+    val (out3, _) = processPackets(1, Iterator(tel(1), lap(200000)), init, 100000)
+    assert(out3.length === 1) // completes on the lap packet
+    val (out4, _) = processPackets(1, Iterator(lap(1), tel(200000)), init, 100000)
+    assert(out4.length === 1) // completes on the tel packet
+  }
+
+  test("throttle: bursts faster than 0.1s collapse to one emit") {
+    val init = MergeState(None, None, LiveMerge.NeverEmitted)
+    // 60 Hz burst: packets every ~16.6ms over 0.5s → ~5 emits, not 30
+    val packets = (0 until 30).map { i =>
+      val ts = i * 16667L
+      if (i % 2 == 0) tel(ts, speed = 100 + i) else lap(ts)
+    }
+    val (out, st) = processPackets(1, packets.iterator, init, 100000)
+    assert(out.length >= 3 && out.length <= 6, s"got ${out.length}")
+    // emitted samples carry the latest state at emit time
+    assert(out.last.Speed >= 100)
+    assert(st.tel.nonEmpty && st.lap.nonEmpty)
+  }
+
+  test("last-write-wins: the newest telemetry before the emit wins") {
+    val init = MergeState(None, None, LiveMerge.NeverEmitted)
+    val packets = Iterator(tel(1, speed = 50), tel(2, speed = 99), lap(200000))
+    val (out, _) = processPackets(1, packets, init, 100000)
+    assert(out.length === 1)
+    assert(out.head.Speed === 99)
+    assert(out.head.LapNumber === 3)
+  }
+
+  // --- streaming end-to-end ---
+
+  test("stateful merge over MemoryStream micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[LivePacket]
+    val q = LiveMerge.merged(input.toDS())
+      .writeStream.format("memory").queryName("live_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: telemetry only → nothing can emit
+      input.addData(tel(10000))
+      q.processAllAvailable()
+      assert(spark.table("live_out").count() === 0L)
+      // batch 2: lap arrives (state carried across batches) → emit
+      input.addData(lap(250000))
+      q.processAllAvailable()
+      assert(spark.table("live_out").count() === 1L)
+      val r = spark.table("live_out").head
+      assert(r.getAs[Int]("Speed") === 100)
+      assert(r.getAs[Int]("LapNumber") === 3)
+      // batch 3: out-of-order within the batch is sorted by ts; both
+      // packets clear the strict > 0.1s throttle → two emits in order
+      input.addData(tel(560000, speed = 200), tel(400000, speed = 150))
+      q.processAllAvailable()
+      val rows = spark.table("live_out").collect().sortBy(_.getAs[Double]("Timestamp"))
+      assert(rows.length === 3)
+      assert(rows.map(_.getAs[Int]("Speed")).toSeq === Seq(100, 150, 200))
+    } finally q.stop()
+  }
+}
