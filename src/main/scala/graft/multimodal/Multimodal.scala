@@ -1,0 +1,188 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for the training-data pipeline: image/audio/video
+  * as opaque binary payloads with typed metadata, plus the
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * The Spark-side plumbing is real — schemas, partition-size control,
+  * typed mapPartitions batching (the Scala-native equivalent of
+  * mapInPandas: one JVM pass per partition, zero per-row UDF setup) —
+  * while the actual media codec is a clearly marked STUB behind
+  * [[StubCodec]]: this container has no image/audio libraries, so the
+  * "decode" parses a deterministic fake header instead of JPEG/PCM.
+  * Swapping in a real codec changes only that object.
+  *
+  * Scale notes: payloads never pass through a shuffle — operators are
+  * narrow mapPartitions; when a shuffle is unavoidable upstream,
+  * repartition by media_id FIRST and rely on
+  * spark.sql.files.maxPartitionBytes to bound scan-partition memory
+  * (payload rows are MBs, not KBs — size partitions by bytes, not rows).
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every payload. */
+  case class MediaMeta(width: Int, height: Int, channels: Int,
+      sampleRate: Int, durationMs: Int, format: String)
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      meta: MediaMeta)
+
+  case class DecodedImage(media_id: Long, width: Int, height: Int,
+      channels: Int, pixels: Array[Byte])
+
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      mean: Array[Float], std: Array[Float])
+
+  case class VideoFrame(media_id: Long, frameIndex: Int, pixels: Array[Byte])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("sampleRate", IntegerType, nullable = false),
+      StructField("durationMs", IntegerType, nullable = false),
+      StructField("format", StringType, nullable = false))), nullable = false)))
+
+  /** STUB codec — deterministic fake media format standing in for real
+    * image/audio libraries (absent in this container). Layout:
+    * [magic 'G' 'M'][width i32 LE][height i32 LE][channels u8][pixel bytes…]
+    * where pixel (x, y, c) = splitmix-style mix of (media-id-free)
+    * coordinates, so decode is reproducible anywhere. A real deployment
+    * replaces encode/decode with e.g. javax.imageio / ffmpeg bindings.
+    */
+  object StubCodec {
+    def encode(width: Int, height: Int, channels: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(11 + width * height * channels)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('G'.toByte).put('M'.toByte)
+      out.putInt(width).putInt(height).put(channels.toByte)
+      var i = 0
+      val n = width * height * channels
+      while (i < n) {
+        out.put((((i * 2654435761L) >>> 24) & 0xff).toByte)
+        i += 1
+      }
+      out.array()
+    }
+
+    def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (payload == null || payload.length < 11 ||
+        payload(0) != 'G'.toByte || payload(1) != 'M'.toByte) return None
+      val b = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = b.getInt(2); val h = b.getInt(6); val c = payload(10).toInt
+      if (w <= 0 || h <= 0 || c <= 0 || payload.length < 11 + w * h * c) None
+      else Some((w, h, c, java.util.Arrays.copyOfRange(payload, 11, 11 + w * h * c)))
+    }
+  }
+
+  /** Decode operator: batch-per-partition, malformed payloads dropped
+    * (corrupt media must never kill a 100 TB job). */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions(_.flatMap { row =>
+        StubCodec.decode(row.payload).map { case (w, h, c, px) =>
+          DecodedImage(row.media_id, w, h, c, px)
+        }
+      })
+  }
+
+  /** Nearest-neighbor resize — a real kernel over the (stub-decoded)
+    * pixel grid. */
+  def resize(images: Dataset[DecodedImage], outW: Int, outH: Int): Dataset[DecodedImage] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { img =>
+      val out = new Array[Byte](outW * outH * img.channels)
+      var y = 0
+      while (y < outH) {
+        val sy = y * img.height / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * img.width / outW
+          var c = 0
+          while (c < img.channels) {
+            out((y * outW + x) * img.channels + c) =
+              img.pixels((sy * img.width + sx) * img.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(img.media_id, outW, outH, img.channels, out)
+    })
+  }
+
+  /** Per-channel mean/std feature extraction (real math, stub pixels) —
+    * the embedding column for downstream similarity search. */
+  def imageFeatures(images: Dataset[DecodedImage]): Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { img =>
+      val c = img.channels
+      val n = img.width * img.height
+      val sum = new Array[Double](c); val sq = new Array[Double](c)
+      var i = 0
+      while (i < n * c) {
+        val v = (img.pixels(i) & 0xff).toDouble
+        sum(i % c) += v; sq(i % c) += v * v
+        i += 1
+      }
+      val mean = Array.tabulate(c)(j => (sum(j) / n).toFloat)
+      val std = Array.tabulate(c)(j =>
+        math.sqrt(math.max(0.0, sq(j) / n - (sum(j) / n) * (sum(j) / n))).toFloat)
+      ImageFeatures(img.media_id, img.width, img.height, mean, std)
+    })
+  }
+
+  /** Frame sampling for video payloads: every Nth frame, where the stub
+    * video is a stack of stub images of equal size. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions(_.flatMap { row =>
+        StubCodec.decode(row.payload) match {
+          case Some((w, h, c, px)) =>
+            // stub video: height = frameH * numFrames, square frames
+            val frameH = w
+            val numFrames = h / math.max(frameH, 1)
+            val frameBytes = w * frameH * c
+            (0 until numFrames by everyN).iterator.map { f =>
+              VideoFrame(row.media_id, f,
+                java.util.Arrays.copyOfRange(px, f * frameBytes, (f + 1) * frameBytes))
+            }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Fixture generator: a deterministic media table with images and
+    * videos (used by tests; doubles as the schema reference). */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val i = id.toInt
+      if (i % 3 != 2) {
+        val w = 16 + (i % 4) * 8; val h = 16 + (i % 3) * 8
+        MediaRow(i.toLong, "image", StubCodec.encode(w, h, 3),
+          MediaMeta(w, h, 3, 0, 0, "stub-img"))
+      } else {
+        val w = 8; val frames = 4 + i % 3
+        MediaRow(i.toLong, "video", StubCodec.encode(w, w * frames, 3),
+          MediaMeta(w, w, 3, 0, frames * 40, "stub-vid"))
+      }
+    }
+  }
+}

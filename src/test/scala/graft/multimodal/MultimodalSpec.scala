@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import Multimodal._
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  test("stub codec roundtrip + malformed payload rejection") {
+    val enc = StubCodec.encode(4, 3, 2)
+    val Some((w, h, c, px)) = StubCodec.decode(enc)
+    assert((w, h, c) === (4, 3, 2))
+    assert(px.length === 24)
+    assert(StubCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(StubCodec.decode(enc.take(12)).isEmpty) // truncated pixels
+    assert(StubCodec.decode(null).isEmpty)
+  }
+
+  test("decode drops corrupt rows instead of failing the job") {
+    import spark.implicits._
+    val good = syntheticMedia(spark, 9)
+    val corrupt = Seq(MediaRow(99L, "image", Array[Byte](0, 1, 2),
+      MediaMeta(0, 0, 0, 0, 0, "broken"))).toDS()
+    val decoded = decodeImages(good.unionByName(corrupt))
+    val ids = decoded.collect().map(_.media_id).toSet
+    assert(!ids.contains(99L))
+    assert(ids.nonEmpty)
+  }
+
+  test("decode → resize → features pipeline shapes") {
+    val media = syntheticMedia(spark, 9)
+    val images = decodeImages(media)
+    val n = images.count()
+    assert(n === media.filter(col("kind") === "image").count())
+    val small = resize(images, 8, 8)
+    small.collect().foreach { img =>
+      assert(img.width === 8 && img.height === 8)
+      assert(img.pixels.length === 8 * 8 * img.channels)
+    }
+    val feats = imageFeatures(small)
+    feats.collect().foreach { f =>
+      assert(f.mean.length === 3 && f.std.length === 3)
+      f.mean.foreach(m => assert(m >= 0f && m <= 255f))
+      f.std.foreach(s => assert(s >= 0f))
+    }
+    // deterministic: same pipeline twice → identical features
+    val a = feats.collect().map(f => (f.media_id, f.mean.toSeq)).toMap
+    val b = imageFeatures(resize(decodeImages(media), 8, 8))
+      .collect().map(f => (f.media_id, f.mean.toSeq)).toMap
+    assert(a === b)
+  }
+
+  test("video frame sampling: every Nth frame, correct frame bytes") {
+    val media = syntheticMedia(spark, 9)
+    val all = sampleFrames(media, everyN = 1).collect()
+    val sampled = sampleFrames(media, everyN = 2).collect()
+    assert(all.nonEmpty)
+    assert(sampled.length < all.length)
+    sampled.foreach { f =>
+      assert(f.frameIndex % 2 === 0)
+      assert(f.pixels.length === 8 * 8 * 3)
+    }
+  }
+
+  test("media schema matches the declared StructType after a parquet roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    syntheticMedia(spark, 6).toDF().write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema.fieldNames.toSeq === mediaSchema.fieldNames.toSeq)
+    assert(back.schema("payload").dataType === org.apache.spark.sql.types.BinaryType)
+    assert(back.count() === 6L)
+  }
+}
