@@ -30,7 +30,11 @@ object Bench {
           try fn(spark, sfDir).count()
           catch { case _: Throwable => () }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop per-query cached tables (dedup pipelines cache shingle
+      // sets) so later queries don't inherit GC pressure
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -72,21 +72,50 @@ object Knn {
     * 100 TB the bucket table is written bucketed-by(table, bucket) so
     * probes become partition-pruned scans instead of a full pass.
     */
+  /** Deterministic ±1 sign for (table, plane, dim) via splitmix64. */
+  private def planeSign(t: Int, p: Int, i: Int): Double = {
+    var z = (t.toLong * 4096 + p * 64 + i) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    if (((z >>> 17) & 1L) == 1L) 1.0 else -1.0
+  }
+
   def lshTopK(emb: DataFrame, numQueries: Int, k: Int,
       planes: Int = 6, numTables: Int = 8): DataFrame = {
-    // ±1 hyperplane sign from murmur3 hash(table, plane, dim); `t` and
-    // `p` are lambda variables bound below.
-    val planeDot =
-      "aggregate(sequence(0, size(embedding) - 1), cast(0 as double), " +
-        "(acc, i) -> acc + cast(embedding[i] as double) * " +
-        "cast(if(((hash(t * 65536 + p * 1024 + i) >> 2) & 1) = 1, 1, -1) as double))"
-    val bucketOfTable =
-      s"aggregate(sequence(0, $planes - 1), 0, " +
-        s"(acc, p) -> acc + if($planeDot > cast(0 as double), shiftleft(1, p), 0))"
-    val allBuckets =
-      s"transform(sequence(0, ${numTables - 1}), t -> $bucketOfTable)"
-
-    val withBuckets = emb.withColumn("buckets", expr(allBuckets))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // Bucket sketches in one tight JVM pass (mapPartitions) with the
+    // sign matrix precomputed once per partition — ~dims×planes×tables
+    // fused multiply-adds per vector, no per-element expression eval.
+    val withBuckets = emb
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val buffered = it.buffered
+        if (!buffered.hasNext) Iterator.empty
+        else {
+          val dims = buffered.head._2.length
+          val signs = Array.tabulate(numTables, planes, dims)(planeSign)
+          buffered.map { case (id, vec) =>
+            val buckets = Array.tabulate(numTables) { t =>
+              var bucket = 0
+              var p = 0
+              while (p < planes) {
+                var dot = 0.0
+                var i = 0
+                while (i < vec.length) { dot += vec(i) * signs(t)(p)(i); i += 1 }
+                if (dot > 0) bucket |= (1 << p)
+                p += 1
+              }
+              bucket
+            }
+            (id, buckets)
+          }
+        }
+      }
+      .toDF("vec_id", "buckets")
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
     val c = withBuckets.select(col("vec_id").as("neighbor_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     val q = withBuckets.filter(col("vec_id") < numQueries)

@@ -108,12 +108,29 @@ object MinHashLsh {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify. */
+  /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify,
+    * computed ONLY on candidate pairs (the whole point of LSH: the
+    * all-pairs shingle join is replaced by candidate-pair lookups, so
+    * verification cost scales with duplicates found, not corpus²). */
   def nearDuplicates(docs: DataFrame, threshold: Double,
       numBands: Int = 16): DataFrame = {
+    val sh = Shingles.shingleTable(docs).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cands = candidatePairs(signatures(docs), numBands)
-    val exact = Shingles.exactJaccardPairs(docs, threshold = 0.0)
-    exact.join(cands, Seq("doc_a", "doc_b"))
+    val common = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"),
         col("size_b"), col("jaccard"))
