@@ -18,15 +18,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Knn {
 
-  /** Codegen'd dot product of two array<float> columns, accumulated in
-    * double, left-to-right. Embeddings here are unit-normalized, so
-    * this is cosine similarity. */
-  val dotExpr: String =
-    "aggregate(zip_with(qe, ne, (x, y) -> cast(x as double) * cast(y as double)), " +
-      "cast(0 as double), (acc, v) -> acc + v)"
+  /** Dot product of the qe/ne array<float> columns, accumulated in
+    * double, left-to-right — the native codegen'd
+    * [[graft.functions.VecDotFloat]] expression (bit-identical to the
+    * zip_with+aggregate fold it replaced). Embeddings here are
+    * unit-normalized, so this is cosine similarity. */
+  val dotExpr: String = "vec_dot(qe, ne)"
 
   /** Exact top-k neighbors for query vectors (vec_id < numQueries). */
   def bruteForceTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    graft.functions.VecDotFloat.register(emb.sparkSession)
     val q = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
@@ -85,6 +86,7 @@ object Knn {
       planes: Int = 6, numTables: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    graft.functions.VecDotFloat.register(spark)
     // Bucket sketches in one tight JVM pass (mapPartitions) with the
     // sign matrix precomputed once per partition — ~dims×planes×tables
     // fused multiply-adds per vector, no per-element expression eval.

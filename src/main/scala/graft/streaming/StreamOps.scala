@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming building blocks beyond the latest-merge: watermarked
+  * tumbling windows (the natural extension the reference lacks —
+  * SURVEY §2.8 "Windows: none") and the S10 throttled sink.
+  */
+object StreamOps {
+
+  /** Tumbling-window aggregation with a watermark: counts + value sums
+    * per (window, event_type). The watermark bounds state: at 100 TB/day
+    * rates, state is windows×types, and late rows beyond `lateness` are
+    * dropped deterministically instead of growing state forever. */
+  def windowedCounts(events: DataFrame, tsCol: String = "ev_ts",
+      window_ : String = "1 hour", lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** S10: the reference's ≥0.1 s write throttle, expressed as a
+    * ProcessingTime trigger + foreachBatch
+    * (F1-25_Telemetry_DB_Record.py:181-191). The batchFn receives each
+    * micro-batch; idempotence across retries is the caller's contract
+    * (append with batchId dedup, or overwrite-by-partition). */
+  def throttledSink(df: DataFrame, intervalMs: Long)(
+      batchFn: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+      .foreachBatch(batchFn)
+
+  /** Convenience: run a stream of decoded packets through the merge and
+    * into a parquet session log (the live_race_data equivalent). */
+  def recordSession(merged: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    merged.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .outputMode("append")
+      .start()
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  private case class Ev(ev_ts: java.sql.Timestamp, event_type: String, value: Double)
+  private def ts(minute: Int) = new java.sql.Timestamp(
+    java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli + minute * 60000L)
+
+  test("watermarked tumbling windows: finalized windows emit; late rows beyond watermark are dropped") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDS().toDF("ev_ts", "event_type", "value")
+    val q = StreamOps.windowedCounts(df, "ev_ts", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(5), "click", 1.0), (ts(20), "click", 2.0))
+      q.processAllAvailable()
+      // watermark hasn't passed the window end → nothing finalized
+      assert(spark.table("win_out").count() === 0L)
+      // event at 01:30 pushes watermark to 01:20 → hour-0 window closes
+      input.addData((ts(90), "click", 5.0))
+      q.processAllAvailable()
+      // a late row for hour 0 arriving after the close must be dropped
+      input.addData((ts(7), "click", 99.0))
+      q.processAllAvailable()
+      input.addData((ts(200), "view", 1.0)) // push watermark past hour 1
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      val hour0 = rows.filter(_.getAs[java.sql.Timestamp]("window_start")
+        .toInstant.toString.startsWith("2024-01-01T00:"))
+      assert(hour0.length === 1)
+      assert(hour0.head.getAs[Long]("n") === 2L) // late 99.0 row excluded
+      assert(math.abs(hour0.head.getAs[Double]("total_value") - 3.0) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("throttled parquet session recording end-to-end") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("session").toString
+    val input = MemoryStream[PacketCodec.LivePacket]
+    val q = StreamOps.recordSession(
+      LiveMerge.merged(input.toDS()).toDF(), s"$dir/data", s"$dir/ckpt")
+    try {
+      input.addData(
+        PacketCodec.decode(10000L, PacketCodec.telemetryFrame(0, 250, 0.9f, 0.1f, 7, 11000)).get,
+        PacketCodec.decode(250000L, PacketCodec.lapFrame(0, 2500f, 12)).get)
+      q.processAllAvailable()
+      val recorded = spark.read.parquet(s"$dir/data")
+      assert(recorded.count() === 1L)
+      val r = recorded.head
+      assert(r.getAs[Int]("Speed") === 250)
+      assert(r.getAs[Int]("LapNumber") === 12)
+    } finally q.stop()
+  }
+
+  test("inference hook: batched predictions over sequence windows") {
+    val wh = spark.read.parquet(
+      "/root/reference/f1_processed_warehouse/year=2021/round=12/telemetry.parquet")
+      .filter(col("Driver") === 44)
+    val scaled = graft.f1.SequenceWindows.scaled(wh, 7004.0)
+    val wins = graft.f1.SequenceWindows.windows(scaled, 20, 5)
+    val preds = graft.ml.InferenceHook.withPredictions(
+      wins, graft.ml.InferenceHook.MeanSpeedStub)
+    val rows = preds.collect()
+    assert(rows.nonEmpty)
+    // stub predicts the window-mean of scaled speed: bounded like input
+    rows.foreach { r =>
+      val p = r.getAs[Float]("prediction")
+      assert(p >= 0f && p <= 1.0f)
+    }
+  }
+}
