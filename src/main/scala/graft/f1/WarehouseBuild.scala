@@ -109,12 +109,22 @@ object WarehouseBuild {
   }
 
   /** S5 partitioned sink: year=/round= layout, snappy (reference
-    * F1_Data_PreProcessing.ipynb:133-139). Lower-case partition columns
-    * coexist with the authoritative in-file Year/Round (SURVEY §1.2). */
+    * F1_Data_PreProcessing.ipynb:133-139).
+    *
+    * Deliberate deviation from the reference's file shape: the
+    * reference stores Year/Round BOTH in-file and as directory names
+    * (a pandas artifact — SURVEY §1.2 note); Spark's case-insensitive
+    * analyzer cannot even read such a tree with partition discovery
+    * ("duplicate column" year vs Year). We store the keys once, as the
+    * partition columns, and [[readWarehouse]] reconstructs the
+    * canonical capitalized schema — same queries, same semantics, no
+    * redundant bytes. */
   def writeWarehouse(points: Dataset[TelemetryPoint], root: String): Unit =
     points
-      .withColumn("year", col("Year").cast("int"))
-      .withColumn("round", col("Round").cast("int"))
+      .withColumnRenamed("Year", "year")
+      .withColumnRenamed("Round", "round")
+      .withColumn("year", col("year").cast("int"))
+      .withColumn("round", col("round").cast("int"))
       .write
       .partitionBy("year", "round")
       .option("compression", "snappy")
@@ -122,9 +132,24 @@ object WarehouseBuild {
       .parquet(root)
 
   /** S6/S7 scan: full-tree read with partition discovery; Catalyst
-    * prunes `year=`/`round=` directories on filter. */
-  def readWarehouse(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(root)
+    * prunes `year=`/`round=` directories on filter (upcast comparisons
+    * on the reconstructed bigint Year/Round are unwrapped back onto
+    * the int partition attributes, so pruning survives the rename).
+    * Also accepts reference-shaped single-partition files that carry
+    * in-file Year/Round. */
+  def readWarehouse(spark: SparkSession, root: String): DataFrame = {
+    val df = spark.read.parquet(root)
+    val names = df.schema.fieldNames.toSet
+    val (yearCol, roundCol) =
+      if (names.contains("Year")) (col("Year"), col("Round")) // reference-shaped
+      else (col("year").cast("long").as("Year"),
+        col("round").cast("long").as("Round"))
+    df.select(
+      col("Distance"), col("Speed"), col("RPM"), col("Throttle"),
+      col("Brake"), col("nGear"), col("DRS"), yearCol, roundCol,
+      col("Driver"), col("LapNumber"), col("Compound"), col("TyreLife"),
+      col("LapTime_Sec"))
+  }
 
   /** End-to-end E1: raw → clean → resample (typed). */
   def build(spark: SparkSession, raw: DataFrame): Dataset[TelemetryPoint] = {

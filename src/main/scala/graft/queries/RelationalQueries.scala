@@ -556,8 +556,21 @@ object RelationalQueries {
        |COUNT(*) AS n, ${dsumSql("value")} AS total_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** A4 at 100 TB: exact countDistinct replaced with HLL sketches —
+    * one pass, mergeable, no distinct shuffle. Rows-only in the gate
+    * (HLL implementations differ across engines); the ScalaTest
+    * tolerance check against the exact counts is the correctness
+    * evidence. */
+  private val a4Approx: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("n_parts_approx"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"),
+        count(lit(1)).as("n_rows"))
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s4_scan_project", s4ScanProject, Some(s4ScanProjectSql)),
+    ("a4_approx_distinct", a4Approx, None),
     ("s11_recent_n", s11RecentN, Some(s11RecentNSql)),
     ("p6_isin", p6Isin, Some(p6IsinSql)),
     ("p10_encode", p10Encode, Some(p10EncodeSql)),

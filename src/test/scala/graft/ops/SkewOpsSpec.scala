@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SkewOpsSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("salted aggregation equals direct groupBy on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one key — the salting target
+    val skewed = (1 to 10000).map { i =>
+      val k = if (i % 10 != 0) "hot" else s"cold${i % 7}"
+      (k, i.toLong, i.toDouble)
+    }.toDF("k", "n", "v")
+    val direct = skewed.groupBy("k")
+      .agg(count(col("n")).as("cnt"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"), sum(col("n")).as("total"),
+        avg(col("n")).as("mean"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    val salted = SkewOps.saltedAgg(skewed, Seq("k"), buckets = 16,
+      Map("cnt" -> ("n", "count"), "lo" -> ("v", "min"),
+        "hi" -> ("v", "max"), "total" -> ("n", "sum"), "mean" -> ("n", "avg")))
+      .collect().map { r =>
+        r.getAs[String]("k") -> (r.getAs[Long]("cnt"), r.getAs[Double]("lo"),
+          r.getAs[Double]("hi"), r.getAs[Long]("total"), r.getAs[Double]("mean"))
+      }.toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (cnt, lo, hi, total, mean)) =>
+      val (dc, dl, dh, dt, dm) = direct(k)
+      assert(cnt === dc && lo === dl && hi === dh && total === dt)
+      assert(math.abs(mean - dm) < 1e-9)
+    }
+  }
+
+  test("approx_count_distinct within rsd tolerance of exact") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.1, s"$k: approx=$a exact=$e")
+    }
+  }
+}
