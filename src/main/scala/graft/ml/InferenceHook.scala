@@ -39,7 +39,7 @@ object InferenceHook {
     val spark = windows.sparkSession
     import spark.implicits._
     val in = windows.select(col("Driver"), col("LapNumber"),
-      col("Distance"), col("window"), col("target"))
+      col("Distance").cast("float").as("Distance"), col("window"), col("target"))
       .as[(Long, Long, Float, Array[Array[Float]], Float)]
     in.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
