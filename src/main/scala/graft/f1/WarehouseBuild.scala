@@ -131,6 +131,23 @@ object WarehouseBuild {
       .mode("overwrite")
       .parquet(root)
 
+  /** Idempotent single-round rebuild — the reference's delete-then-
+    * insert (F1_Data_Collect.ipynb:122) as dynamic partition overwrite:
+    * only the partitions present in `points` are replaced; the rest of
+    * the warehouse is untouched. Re-running a failed round is safe. */
+  def overwriteRounds(points: Dataset[TelemetryPoint], root: String): Unit =
+    points
+      .withColumnRenamed("Year", "year")
+      .withColumnRenamed("Round", "round")
+      .withColumn("year", col("year").cast("int"))
+      .withColumn("round", col("round").cast("int"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "round")
+      .option("compression", "snappy")
+      .mode("overwrite")
+      .parquet(root)
+
   /** S6/S7 scan: full-tree read with partition discovery; Catalyst
     * prunes `year=`/`round=` directories on filter (upcast comparisons
     * on the reconstructed bigint Year/Round are unwrapped back onto

@@ -81,16 +81,17 @@ object MinHashLsh {
     sig
   }
 
-  /** Docs → (doc_id, signature array<long>). */
+  /** Docs → (doc_id, signature array<long>). Consumes the 64-bit
+    * shingle hashes directly, so the groupByKey shuffles longs, never
+    * shingle strings. */
   def signatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Shingles.shingleTable(docs)
-      .select(col("doc_id"), col("shingle"))
-      .as[(Long, String)]
+    Shingles.shingleHashTable(docs)
+      .as[(Long, Long)]
       .groupByKey(_._1)
-      .mapGroups((id: Long, it: Iterator[(Long, String)]) =>
-        (id, signature(it.map(t => fnv1a64(t._2)))))
+      .mapGroups((id: Long, it: Iterator[(Long, Long)]) =>
+        (id, signature(it.map(_._2))))
       .toDF("doc_id", "sig")
   }
 
@@ -114,7 +115,7 @@ object MinHashLsh {
     * verification cost scales with duplicates found, not corpus²). */
   def nearDuplicates(docs: DataFrame, threshold: Double,
       numBands: Int = 16): DataFrame = {
-    val sh = Shingles.shingleTable(docs).cache()
+    val sh = Shingles.shingleHashTable(docs).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val cands = candidatePairs(signatures(docs), numBands)
     val common = cands

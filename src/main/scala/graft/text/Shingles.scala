@@ -21,6 +21,14 @@ object Shingles {
           (0 until n).map(j => s"words[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
       ))).as("shingle"))
 
+  /** [[shingleTable]] with shingles replaced by 64-bit hashes — the
+    * join/shuffle currency at scale (8 bytes instead of ~20-char
+    * strings; collision probability ~n²/2^64, irrelevant below ~10^8
+    * distinct shingles). Counts are unchanged modulo collisions, so
+    * the DuckDB string-shingle oracle still matches exactly. */
+  def shingleHashTable(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleTable(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
   /** Exact pairwise Jaccard over shingle sets for all pairs sharing at
     * least one shingle, via inverted-index self-join. Shingles with
     * document frequency above maxShingleDF are dropped from candidate
@@ -28,7 +36,7 @@ object Shingles {
     * common counts still use the full sets when cap is disabled (0). */
   def exactJaccardPairs(docs: DataFrame, threshold: Double,
       maxShingleDF: Long = 0L): DataFrame = {
-    val sh = shingleTable(docs).cache()
+    val sh = shingleHashTable(docs).cache()
     val candidates0 =
       if (maxShingleDF > 0) {
         val rare = sh.groupBy("shingle").count()

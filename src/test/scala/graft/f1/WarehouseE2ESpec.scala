@@ -52,6 +52,23 @@ class WarehouseE2ESpec extends AnyFunSuite {
     assert(rows.length === 2) // drivers 1 and 44 in round 1
   }
 
+  test("dynamic partition overwrite replaces only the rewritten round") {
+    val dir = java.nio.file.Files.createTempDirectory("wh3").toString
+    val all = WarehouseBuild.build(spark, rawFixture)
+    WarehouseBuild.writeWarehouse(all, dir)
+    val before = WarehouseBuild.readWarehouse(spark, dir)
+    // materialize BEFORE the overwrite replaces the underlying files
+    val r1CountBefore = before.where(col("Round") === 1).count()
+    val r2CountBefore = before.where(col("Round") === 2).count()
+    // rebuild only round 2 (idempotent re-run of a failed round)
+    import spark.implicits._
+    val round2 = all.filter(col("Round") === 2).as[TelemetryPoint]
+    WarehouseBuild.overwriteRounds(round2, dir)
+    val after = WarehouseBuild.readWarehouse(spark, dir)
+    assert(after.where(col("Round") === 1).count() === r1CountBefore) // untouched
+    assert(after.where(col("Round") === 2).count() === r2CountBefore) // replaced identically
+  }
+
   test("read-back schema preserves measured column types") {
     val dir = java.nio.file.Files.createTempDirectory("wh2").toString
     WarehouseBuild.writeWarehouse(WarehouseBuild.build(spark, rawFixture), dir)
