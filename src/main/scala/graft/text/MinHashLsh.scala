@@ -81,18 +81,41 @@ object MinHashLsh {
     sig
   }
 
-  /** Docs → (doc_id, signature array<long>). Consumes the 64-bit
-    * shingle hashes directly, so the groupByKey shuffles longs, never
-    * shingle strings. */
+  /** Docs → (doc_id, signature array<long>). A doc's shingles are a
+    * row-local computation, so signatures need NO shuffle at all: one
+    * narrow mapPartitions pass shingles, hashes (xxhash64 via Spark's
+    * XxHash64Function, identical to the shingle-table column), and
+    * folds the minhash in-line. */
   def signatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Shingles.shingleHashTable(docs)
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapGroups((id: Long, it: Iterator[(Long, Long)]) =>
-        (id, signature(it.map(_._2))))
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val words = text.split(" ", -1)
+        val shingles = new java.util.HashSet[Long]()
+        var i = 0
+        while (i + 2 < words.length) {
+          val s = words(i) + " " + words(i + 1) + " " + words(i + 2)
+          shingles.add(xxhash64String(s))
+          i += 1
+        }
+        val it = new Iterator[Long] {
+          private val inner = shingles.iterator()
+          def hasNext: Boolean = inner.hasNext
+          def next(): Long = inner.next()
+        }
+        (id, signature(it))
+      })
       .toDF("doc_id", "sig")
+  }
+
+  /** Spark's xxhash64(string) with the default seed 42 — matches the
+    * `xxhash64` column function used by Shingles.shingleHashTable. */
+  def xxhash64String(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(bytes),
+      org.apache.spark.sql.types.StringType, 42L)
   }
 
   /** Candidate pairs from banding: docs sharing any band bucket. */
