@@ -29,6 +29,9 @@ object Analytics {
       .filter(col("Compound").isin(compounds: _*) && col("Speed") > 100)
       .groupBy(col("Compound"))
       .agg(avg(col("Speed")).as("Avg_Speed"), avg(col("RPM")).as("Avg_RPM"))
+      // O3 custom categorical order: SOFT < MEDIUM < HARD < INTER < WET
+      // (pd.Categorical — F1_Data_Interactive_Analysis.ipynb:66-68)
+      .orderBy(LapAggregate.encodeCompound(col("Compound")))
 
   /** A4+J1+A7 data-completeness audit (F1_Data_Test.ipynb:135-240):
     * planned races LEFT JOIN actual per-round driver/point counts,

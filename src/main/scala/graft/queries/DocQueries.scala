@@ -59,6 +59,10 @@ object DocQueries {
     ("dedup_minhash_lsh", dedupMinhash, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_simhash", dedupSimhash, None),
     ("knn_cosine_topk", knnBrute, Some(Knn.bruteForceTopKSql(5, 5))),
+    ("dedup_embedding_cosine",
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        Knn.cosineNearDupPairs(table(s, d, "embeddings"), 0.4),
+      Some(Knn.cosineNearDupSql(0.4))),
     ("knn_lsh_topk", knnLsh, None),
     ("text_tokens", textTokens, Some(TextAnalysis.tokenStatsSql)),
     ("text_quality", textQuality, Some(TextAnalysis.qualityScoreSql)),

@@ -73,6 +73,32 @@ object Knn {
     * 100 TB the bucket table is written bucketed-by(table, bucket) so
     * probes become partition-pruned scans instead of a full pass.
     */
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with
+    * round-6 cosine ≥ threshold. The exact baseline for embedding
+    * dedup; at scale the candidate generation goes through [[lshTopK]]
+    * style bucketing instead of the quadratic pair space (this form
+    * broadcasts one side, so it is O(n²/cores) compute with no
+    * shuffle of the big side). */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.VecDotFloat.register(emb.sparkSession)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("ne"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cosine", round(expr(dotExpr), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** DuckDB mirror of [[cosineNearDupPairs]]. */
+  def cosineNearDupSql(threshold: Double): String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |  CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+       |FROM embeddings a, embeddings b
+       |WHERE a.vec_id < b.vec_id
+       |AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |  CAST(b.embedding AS DOUBLE[])), 6) >= $threshold""".stripMargin
+
   /** Deterministic ±1 sign for (table, plane, dim) via splitmix64. */
   private def planeSign(t: Int, p: Int, i: Int): Double = {
     var z = (t.toLong * 4096 + p * 64 + i) + 0x9e3779b97f4a7c15L
