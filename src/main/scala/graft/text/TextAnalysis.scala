@@ -117,6 +117,61 @@ object TextAnalysis {
          |FROM documents) t""".stripMargin
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    * rolling Rabin-Karp hashes over character k-grams, keeping the
+    * minimum hash of each sliding window of size w — guarantees any
+    * shared substring of length ≥ w+k−1 produces a shared fingerprint.
+    * One narrow mapPartitions pass; output (doc_id, fingerprint) rows
+    * feed the same inverted-index join as the shingle pipelines. */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        winnow(text, k, w).iterator.map(h => (id, h))
+      })
+      .toDF("doc_id", "fingerprint")
+      .distinct()
+  }
+
+  /** Pure winnowing kernel: Rabin-Karp base-257 rolling hash over
+    * k-grams, min-of-window selection (rightmost min on ties, per the
+    * original algorithm's robust-winnowing variant). */
+  private[text] def winnow(text: String, k: Int, w: Int): Set[Long] = {
+    val n = text.length
+    if (n < k) return Set.empty
+    val B = 257L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - text.charAt(i - 1) * pow) * B + text.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    if (m <= w) return Set(hashes.min)
+    val out = scala.collection.mutable.Set.empty[Long]
+    var start = 0
+    while (start + w <= m) {
+      var minIdx = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      out += hashes(minIdx)
+      start += 1
+    }
+    out.toSet
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key (S-normalized variant of hash-groupBy dedup). */
   def fingerprint(docs: DataFrame): DataFrame =
