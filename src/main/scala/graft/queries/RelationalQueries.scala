@@ -255,13 +255,17 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"),
         sum(col("l_quantity")).as("sum_qty"),
         max(col("l_extendedprice")).as("max_price"),
-        min(col("l_linestatus")).as("min_status"),
+        // chr(min(ascii(..))) == min over 1-char strings, but keeps the
+        // agg buffer fixed-width so Spark plans HashAggregate instead
+        // of falling back to a sort-based aggregate (string buffers are
+        // not hash-agg capable)
+        chr(min(ascii(col("l_linestatus")))).as("min_status"),
         max(to_date(col("l_shipdate"))).as("last_ship"))
 
   private val a1MultiAggSql =
     """SELECT l_orderkey, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty,
       |MAX(l_extendedprice) AS max_price,
-      |MIN(l_linestatus) AS min_status,
+      |CHR(CAST(MIN(ASCII(l_linestatus)) AS INT)) AS min_status,
       |MAX(CAST(l_shipdate AS DATE)) AS last_ship
       |FROM lineitem GROUP BY l_orderkey""".stripMargin
 
