@@ -80,13 +80,37 @@ object Knn {
     * broadcasts one side, so it is O(n²/cores) compute with no
     * shuffle of the big side). */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    graft.functions.VecDotFloat.register(emb.sparkSession)
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("ne"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .withColumn("cosine", round(expr(dotExpr), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // Broadcast the comparison set as plain JVM arrays and stream the
+    // left side through one typed pass: a BroadcastNestedLoopJoin here
+    // would materialize n² joined rows (copying both 64-float arrays
+    // per pair) before the filter; this kernel touches only the pairs
+    // and allocates only for survivors. Same left-to-right double
+    // accumulation as vec_dot → identical rounded values.
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bcast = spark.sparkContext.broadcast(vecs)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val all = bcast.value
+        it.flatMap { case (ida, va) =>
+          all.iterator
+            .filter(_._1 > ida)
+            .map { case (idb, vb) =>
+              var acc = 0.0
+              var i = 0
+              val n = math.min(va.length, vb.length)
+              while (i < n) { acc += va(i).toDouble * vb(i).toDouble; i += 1 }
+              // same rounding as Spark's round()/DuckDB's ROUND:
+              // half away from zero on the decimal representation
+              (ida, idb, java.math.BigDecimal.valueOf(acc)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+            }
+            .filter(_._3 >= threshold)
+        }
+      }
+      .toDF("vec_a", "vec_b", "cosine")
   }
 
   /** DuckDB mirror of [[cosineNearDupPairs]]. */
