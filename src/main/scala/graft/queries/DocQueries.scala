@@ -48,6 +48,11 @@ object DocQueries {
   private val knnLsh: Q = (s, d) =>
     Knn.lshTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
 
+  /** IVF/k-means approximate top-k (rows-only; exactness anchor and
+    * recall tested in KnnSpec). */
+  private val knnIvf: Q = (s, d) =>
+    Knn.ivfTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+
   private val textTokens: Q = (s, d) => TextAnalysis.tokenStats(table(s, d, "documents"))
   private val textQuality: Q = (s, d) => TextAnalysis.qualityScore(table(s, d, "documents"))
   private val textLangId: Q = (s, d) => TextAnalysis.langId(table(s, d, "documents"))
@@ -64,6 +69,7 @@ object DocQueries {
         Knn.cosineNearDupPairs(table(s, d, "embeddings"), 0.4),
       Some(Knn.cosineNearDupSql(0.4))),
     ("knn_lsh_topk", knnLsh, None),
+    ("knn_ivf_topk", knnIvf, None),
     ("text_tokens", textTokens, Some(TextAnalysis.tokenStatsSql)),
     ("text_quality", textQuality, Some(TextAnalysis.qualityScoreSql)),
     ("text_langid", textLangId, Some(TextAnalysis.langIdSql)),

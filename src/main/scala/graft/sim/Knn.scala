@@ -123,6 +123,62 @@ object Knn {
        |AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
        |  CAST(b.embedding AS DOUBLE[])), 6) >= $threshold""".stripMargin
 
+  /** IVF (inverted-file) approximate NN — the other standard scale
+    * path: k-means centroids partition the corpus into cells; a query
+    * scans only its `nprobe` nearest cells, ranked exactly inside.
+    * With nprobe = cells this degenerates to exact brute force (the
+    * test's correctness anchor). At 100 TB the cell assignment is a
+    * bucketed write, so probes are partition-pruned scans and the
+    * centroid table (cells × dims floats) broadcasts everywhere.
+    */
+  def ivfTopK(emb: DataFrame, numQueries: Int, k: Int,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = emb.select(array_to_vector(
+      col("embedding").cast("array<double>")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(cells).setSeed(42L).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def nearestCells(vec: Array[Float], n: Int): Array[Int] = {
+      val cs = bc.value
+      cs.indices.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < vec.length) {
+          val diff = vec(i) - cs(c)(i); d += diff * diff; i += 1
+        }
+        (c, d)
+      }.sortBy(_._2).take(n).map(_._1).toArray
+    }
+
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearestCells(v, 1)(0)) }
+      .toDF("neighbor_id", "ne", "cell")
+    val probes = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCells(v, nprobe).iterator.map(c => (id, v, c))
+      }
+      .toDF("query_id", "qe", "cell")
+
+    graft.functions.VecDotFloat.register(spark)
+    val scored = assigned.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(expr(dotExpr), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
   /** Deterministic ±1 sign for (table, plane, dim) via splitmix64. */
   private def planeSign(t: Int, p: Int, i: Int): Double = {
     var z = (t.toLong * 4096 + p * 64 + i) + 0x9e3779b97f4a7c15L

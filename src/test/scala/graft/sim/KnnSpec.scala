@@ -33,6 +33,27 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("IVF with nprobe = cells equals brute force exactly") {
+    val exact = Knn.bruteForceTopK(emb, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val full = Knn.ivfTopK(emb, 5, 5, cells = 8, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(full === exact)
+  }
+
+  test("IVF with partial probing returns k ranked rows per query with real similarities") {
+    val part = Knn.ivfTopK(emb, 5, 5, cells = 8, nprobe = 2).collect()
+    assert(part.length === 25)
+    val exact = Knn.bruteForceTopK(emb, 5, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = part.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // structureless corpus: probing 2/8 cells ≈ 25% of the corpus → at
+    // least a handful of true neighbors must appear (floor guards the
+    // wiring, not the data)
+    assert(recall >= 0.1, s"recall@5 = $recall")
+  }
+
   test("LSH candidate set is far smaller than brute force") {
     val n = emb.count()
     val approxRows = Knn.lshTopK(emb, 5, 5).count()
