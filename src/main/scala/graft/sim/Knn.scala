@@ -135,12 +135,14 @@ object Knn {
       cells: Int = 16, nprobe: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = emb.select(array_to_vector(
-      col("embedding").cast("array<double>")).as("features"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(42L).setMaxIter(10).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+    // train centroids on a deterministic sample — at corpus scale the
+    // k-means fit always runs on a sample, never the full table. The
+    // sample (≤4096 × dims doubles) fits driver memory, so Lloyd's
+    // iterations run in-JVM: no per-iteration Spark jobs.
+    val sample = emb.orderBy(col("vec_id")).limit(4096)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val centroids = lloydKMeans(sample, cells, iters = 10)
     val bc = spark.sparkContext.broadcast(centroids)
 
     def nearestCells(vec: Array[Float], n: Int): Array[Int] = {
@@ -177,6 +179,53 @@ object Knn {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Plain Lloyd's k-means over an in-memory sample: deterministic
+    * (evenly-spaced initialization over the sorted sample), empty
+    * cells keep their previous centroid. */
+  private[sim] def lloydKMeans(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dims = sample(0).length
+    val kk = math.min(k, sample.length)
+    val centroids = Array.tabulate(kk)(c => sample((c * sample.length) / kk).clone())
+    val assign = new Array[Int](sample.length)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var j = 0
+          while (j < dims) {
+            val diff = sample(i)(j) - centroids(c)(j); d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, dims)
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < sample.length) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < dims) { sums(c)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dims) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    centroids
   }
 
   /** Deterministic ±1 sign for (table, plane, dim) via splitmix64. */
