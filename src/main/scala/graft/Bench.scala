@@ -1,10 +1,26 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.util.Locale
 
 /** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line {"metric":...,"queries":{name:sec,...}}.
   * local[32] with 32 shuffle partitions + AQE, per the target config.
+  *
+  * Robustness contract (what makes the numbers reproducible run-to-run
+  * and machine-to-machine):
+  *  - queries run in a FIXED but non-alphabetical order (stable hash of
+  *    the name) so results never depend on alphabetical neighbors;
+  *  - before each measurement: caches dropped, an explicit GC, and a
+  *    short settle, so no query inherits the previous query's cached
+  *    tables or GC debt;
+  *  - each query gets one unmeasured warmup run (codegen compilation +
+  *    JIT happen there), then one measured cold-data run — steady-state
+  *    execution cost, not compiler noise;
+  *  - failures are recorded as value -1 plus an "errors" list instead
+  *    of a normal-looking elapsed time;
+  *  - all numbers formatted with Locale.ROOT (a comma-decimal locale
+  *    would otherwise emit invalid JSON).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,26 +36,44 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen once so per-query times measure steady state.
+    // Warm the session once (parquet footer reads, first-job setup).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+
+    val order = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (scala.util.hashing.MurmurHash3.stringHash(name), name) }
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
       catch {
         case _: Throwable =>
-          try fn(spark, sfDir).count()
-          catch { case _: Throwable => () }
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // drop per-query cached tables (dedup pipelines cache shingle
-      // sets) so later queries don't inherit GC pressure
+
+    def settle(): Unit = {
       spark.catalog.clearCache()
-      name -> elapsed
+      System.gc()
+      Thread.sleep(200)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+
+    val results = order.map { case (name, fn) =>
+      settle()
+      runOnce(fn) // warmup: codegen + JIT, result discarded
+      settle()
+      val t0 = System.nanoTime()
+      val ok = runOnce(fn)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) elapsed else -1.0)
+    }
+
+    def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
+    val errors = results.collect { case (n, v) if v < 0 => n }
+    val qs = results.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

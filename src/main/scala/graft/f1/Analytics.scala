@@ -95,7 +95,12 @@ object Analytics {
       .select(col("LapNumber"), col("LapTime_Sec").as("t1"))
     val d2 = laps.filter(col("Driver") === driver2)
       .select(col("LapNumber"), col("LapTime_Sec").as("t2"))
-    val w = Window.orderBy(col("LapNumber"))
+    // bounded-frame invariant: the input is ONE driver pair's aligned
+    // laps (≤ ~80 rows — a race has that many laps), so a single
+    // window partition is the semantics, not a scale hazard; the
+    // constant partition key states that explicitly (and keeps the
+    // "no partition defined" warning out of 100×-scale triage)
+    val w = Window.partitionBy(lit(0)).orderBy(col("LapNumber"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d1.join(d2, Seq("LapNumber"))
       .withColumn("gap", col("t2") - col("t1"))
@@ -125,7 +130,11 @@ object Analytics {
     * with P14 advice buckets. Input: alignLaps output. */
   def problemZones(aligned: DataFrame, k: Double = 15.0,
       minLength: Double = 50.0, topN: Int = 5): DataFrame = {
-    val wo = Window.orderBy(col("Distance"))
+    // bounded-frame invariant: input is ONE aligned lap pair on the
+    // 10 m grid (≤ ~700 rows for a ~7 km circuit) — single-partition
+    // ordering IS the gaps-and-islands semantics for one lap; the
+    // constant key documents it and silences the WindowExec warning
+    val wo = Window.partitionBy(lit(0)).orderBy(col("Distance"))
     val wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     aligned
       .withColumn("flag", (col("delta") > k).cast("int"))
@@ -168,6 +177,36 @@ object Analytics {
       .orderBy(col("LapTime_Sec"), col("LapNumber"))
     laps.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Reference-compat quirk layer (SURVEY §1.3): expose the dashboard's
+    * expected column spellings over the engine's canonical schema, so a
+    * reference user's queries run unchanged. Renames only when the
+    * target name is not already taken — idempotent on any frame. */
+  def compatView(df: DataFrame): DataFrame = {
+    val renames = Seq("LapTime_Sec" -> "LapTimeSeconds", "nGear" -> "Gear")
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from) && !d.columns.contains(to))
+        d.withColumnRenamed(from, to)
+      else d
+    }
+  }
+
+  /** The dashboard's guarded base-lap-time
+    * (F1_web_dashboard_app.py:318-329): 90.0 fallback when the frame is
+    * empty, the LapTimeSeconds column is missing entirely, or the
+    * minimum is implausible (≤ 10 s) — the reference guards instead of
+    * crashing on a partial warehouse, and so do we. */
+  def baseLapTime(df: DataFrame, fallback: Double = 90.0): Double = {
+    if (!df.columns.contains("LapTimeSeconds")) fallback
+    else {
+      val row = df.agg(min(col("LapTimeSeconds").cast("double"))).collect()(0)
+      if (row.isNullAt(0)) fallback
+      else {
+        val m = row.getDouble(0)
+        if (m > 10.0) m else fallback
+      }
+    }
   }
 
   /** P13 strategy simulator (F1_web_dashboard_app.py:339-389): pure

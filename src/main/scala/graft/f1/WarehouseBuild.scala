@@ -32,7 +32,10 @@ object WarehouseBuild {
     * whole-stage codegen, pushed to the scan where possible. */
   def clean(raw: DataFrame): DataFrame =
     raw
-      .na.drop(Seq("Speed", "Distance", "LapNumber"))
+      // Time/Throttle/Brake feed non-nullable CleanSample doubles — a
+      // null there must drop the ROW, not kill the task at encoding
+      // time (the malformed-lap isolation contract)
+      .na.drop(Seq("Speed", "Distance", "LapNumber", "Time", "Throttle", "Brake"))
       .select(
         col("Year").cast("long").as("Year"),
         col("Round").cast("long").as("Round"),

@@ -32,16 +32,22 @@ object AsofJoin {
   def latestAsOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, payloadCols: Seq[String],
       rightTimeAs: String = "asof_time"): DataFrame = {
-    val leftCols = left.columns.filterNot(c => keys.contains(c) || c == timeCol)
+    // payload names that also exist on the left would otherwise emit
+    // ambiguous duplicate columns — the right-side payload wins
+    val leftCols = left.columns
+      .filterNot(c => keys.contains(c) || c == timeCol || payloadCols.contains(c))
+    // the matched right time keeps the right side's own time dtype
+    // (timestamp stays timestamp; a long cast would corrupt it)
+    val rtType = right.schema(timeCol).dataType
     val l2 = left.select(
       keys.map(col) ++ Seq(col(timeCol), lit(1).as("_side")) ++
         leftCols.map(col) ++
-        Seq(lit(null).cast("long").as("_rt")) ++
+        Seq(lit(null).cast(rtType).as("_rt")) ++
         payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val r2 = right.select(
       keys.map(col) ++ Seq(col(timeCol), lit(0).as("_side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col(timeCol).cast("long").as("_rt")) ++
+        Seq(col(timeCol).cast(rtType).as("_rt")) ++
         payloadCols.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol), col("_side"))

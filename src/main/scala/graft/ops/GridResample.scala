@@ -31,7 +31,11 @@ object GridResample {
       if (first || s.x != lastX) { xsB += s.x; ysB += s.y; lastX = s.x; first = false }
     }
     val xs = xsB.result(); val ys = ysB.result()
-    if (xs.length < 2) return Iterator.empty
+    if (xs.isEmpty) return Iterator.empty
+    // a key with a single distinct x yields its one grid point (the
+    // SQL-oracle's no-next-sample branch does the same), so both sides
+    // agree if a scale factor ever produces a single-sample series
+    if (xs.length == 1) return Iterator.single(GridPoint(key, xs(0), ys(0)))
     val x0 = xs(0); val xn = xs(xs.length - 1)
     val n = ((xn - x0) / step).toInt + 1
     var j = 0

@@ -32,6 +32,22 @@ object DocQueries {
   private val dedupNgram: Q = (s, d) =>
     Shingles.exactJaccardPairs(table(s, d, "documents"), jaccardThreshold)
 
+  /** The scale path of the same operator: stop-shingle DF cap ON, so
+    * candidate-join cost stays Σf² over rare shingles only. The cap
+    * value (12) is above the near-dup cluster sizes in this corpus —
+    * chosen so the capped query still surfaces the true near-dups at
+    * every tested SF — while exercising the capped plan end-to-end. */
+  private val maxShingleDF = 12L
+  private val dedupNgramCapped: Q = (s, d) =>
+    Shingles.exactJaccardPairs(table(s, d, "documents"), jaccardThreshold,
+      maxShingleDF)
+
+  /** Winnowing fingerprints (SWA rolling-hash min-sampling) — custom
+    * kernel, not SQL-expressible → rows-only gate + WinnowingSpec's
+    * shared-substring guarantee tests. */
+  private val textWinnowing: Q = (s, d) =>
+    TextAnalysis.winnowingFingerprints(table(s, d, "documents"))
+
   /** MinHash + LSH banding + exact verify — same declared output. */
   private val dedupMinhash: Q = (s, d) =>
     MinHashLsh.nearDuplicates(table(s, d, "documents"), jaccardThreshold)
@@ -61,6 +77,8 @@ object DocQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_exact", dedupExact, Some(dedupExactSql)),
     ("dedup_ngram_jaccard", dedupNgram, Some(Shingles.exactJaccardSql(jaccardThreshold))),
+    ("dedup_ngram_capped", dedupNgramCapped,
+      Some(Shingles.cappedJaccardSql(jaccardThreshold, maxShingleDF))),
     ("dedup_minhash_lsh", dedupMinhash, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_simhash", dedupSimhash, None),
     ("knn_cosine_topk", knnBrute, Some(Knn.bruteForceTopKSql(5, 5))),
@@ -83,6 +101,7 @@ object DocQueries {
     ("text_tokens", textTokens, Some(TextAnalysis.tokenStatsSql)),
     ("text_quality", textQuality, Some(TextAnalysis.qualityScoreSql)),
     ("text_langid", textLangId, Some(TextAnalysis.langIdSql)),
-    ("text_fingerprint", textFingerprint, Some(TextAnalysis.fingerprintSql))
+    ("text_fingerprint", textFingerprint, Some(TextAnalysis.fingerprintSql)),
+    ("text_winnowing", textWinnowing, None)
   )
 }

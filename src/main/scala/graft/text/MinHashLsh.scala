@@ -109,6 +109,19 @@ object MinHashLsh {
       .toDF("doc_id", "sig")
   }
 
+  /** Signatures derived from an already-computed (and typically cached)
+    * [[Shingles.shingleSets]] frame — the single-scan variant: when a
+    * pipeline needs both the shingle table and the signatures, sharing
+    * the one shingling pass halves the text-scan work. Narrow map, no
+    * shuffle. */
+  def signaturesFromSets(sets: DataFrame): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
+    sets.select(col("doc_id"), col("shingles")).as[(Long, Array[Long])]
+      .mapPartitions(_.map { case (id, arr) => (id, signature(arr.iterator)) })
+      .toDF("doc_id", "sig")
+  }
+
   /** Spark's xxhash64(string) with the default seed 42 — matches the
     * `xxhash64` column function used by Shingles.shingleHashTable. */
   def xxhash64String(s: String): Long = {
@@ -138,9 +151,13 @@ object MinHashLsh {
     * verification cost scales with duplicates found, not corpus²). */
   def nearDuplicates(docs: DataFrame, threshold: Double,
       numBands: Int = 16): DataFrame = {
-    val sh = Shingles.shingleHashTable(docs).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val cands = candidatePairs(signatures(docs), numBands)
+    // ONE shingling scan feeds everything: the exploded shingle table
+    // (candidate verification), the set sizes (narrow array length, no
+    // groupBy shuffle), and the minhash signatures (narrow fold).
+    val sets = Shingles.shingleSets(docs).cache()
+    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+    val cands = candidatePairs(signaturesFromSets(sets), numBands)
     val common = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),

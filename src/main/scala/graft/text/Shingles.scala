@@ -11,7 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
-  /** Distinct word 3-gram shingles per doc: (doc_id, shingle). */
+  /** THE one shingling pass: per doc, the distinct word n-gram shingles
+    * as an array of 64-bit xxhash64 values (the join/shuffle currency at
+    * scale — 8 bytes instead of ~20-char strings; collision probability
+    * ~n²/2^64, irrelevant below ~10^8 distinct shingles). Everything
+    * downstream (exploded shingle table, per-doc set sizes, minhash
+    * signatures) derives from this one narrow scan — cache it when a
+    * pipeline uses more than one derivation. */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), expr(
+        s"transform(array_distinct(transform(sequence(0, size(words)-$n), i -> " +
+          (0 until n).map(j => s"words[i+$j]").mkString("concat_ws(' ', ", ", ", ")") +
+          ")), s -> xxhash64(s))"
+      ).as("shingles"))
+
+  /** Distinct word 3-gram shingles per doc: (doc_id, shingle string).
+    * Kept for oracle-parity inspection; the pipelines use hashes. */
   def shingleTable(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
@@ -21,22 +39,22 @@ object Shingles {
           (0 until n).map(j => s"words[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")"
       ))).as("shingle"))
 
-  /** [[shingleTable]] with shingles replaced by 64-bit hashes — the
-    * join/shuffle currency at scale (8 bytes instead of ~20-char
-    * strings; collision probability ~n²/2^64, irrelevant below ~10^8
-    * distinct shingles). Counts are unchanged modulo collisions, so
-    * the DuckDB string-shingle oracle still matches exactly. */
+  /** Exploded (doc_id, shingle hash) rows — [[shingleSets]] unnested. */
   def shingleHashTable(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleTable(docs, n).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    shingleSets(docs, n).select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   /** Exact pairwise Jaccard over shingle sets for all pairs sharing at
     * least one shingle, via inverted-index self-join. Shingles with
-    * document frequency above maxShingleDF are dropped from candidate
-    * GENERATION only (stop-shingle cap, standard at scale); sizes and
-    * common counts still use the full sets when cap is disabled (0). */
+    * document frequency above maxShingleDF are dropped (stop-shingle
+    * cap, standard at scale: one high-DF shingle makes the candidate
+    * join Σf² quadratic). With the cap on, `common` counts only rare
+    * shingles while sizes stay exact — so reported jaccard is a lower
+    * bound that converges to exact as the cap rises; with cap 0 the
+    * result is exact Jaccard. */
   def exactJaccardPairs(docs: DataFrame, threshold: Double,
       maxShingleDF: Long = 0L): DataFrame = {
-    val sh = shingleHashTable(docs).cache()
+    val sets = shingleSets(docs).cache()
+    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val candidates0 =
       if (maxShingleDF > 0) {
         val rare = sh.groupBy("shingle").count()
@@ -49,7 +67,8 @@ object Shingles {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // set sizes come straight off the cached arrays — no extra shuffle
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
@@ -61,18 +80,38 @@ object Shingles {
         col("size_b"), col("jaccard"))
   }
 
+  private def shingleCte: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t,
+      |  LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i) s
+      |  WHERE len(words) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+
   /** DuckDB mirror of [[exactJaccardPairs]] (no DF cap), word 3-grams. */
   def exactJaccardSql(threshold: Double): String =
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id,
-       |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS shingle
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t,
-       |  LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i) s
-       |  WHERE len(words) >= 3),
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    s"""$shingleCte,
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       |  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= $threshold""".stripMargin
+
+  /** DuckDB mirror of [[exactJaccardPairs]] WITH the DF cap: common
+    * counts come from the rare-shingle table, sizes stay exact. */
+  def cappedJaccardSql(threshold: Double, maxShingleDF: Long): String =
+    s"""$shingleCte,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING COUNT(*) <= $maxShingleDF),
+       |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
        |  CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard

@@ -127,6 +127,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(n5 - n1 / 5.0) <= n1 * 0.05 + 20)
   }
 
+  test("compat view exposes reference column names; base lap time guards like the dashboard") {
+    import spark.implicits._
+    // rename quirks: LapTime_Sec -> LapTimeSeconds, nGear -> Gear
+    val compat = Analytics.compatView(laps.toDF())
+    assert(compat.columns.contains("LapTimeSeconds"))
+    assert(!compat.columns.contains("LapTime_Sec"))
+    // idempotent: applying twice changes nothing
+    assert(Analytics.compatView(compat).columns.toSeq === compat.columns.toSeq)
+
+    // guard 1: column present with plausible minimum → use it
+    val base = Analytics.baseLapTime(compat)
+    assert(base > 10.0 && base < 300.0)
+    // guard 2: column missing entirely → fallback, no crash
+    // (F1_web_dashboard_app.py:322-327 behavior)
+    assert(Analytics.baseLapTime(compat.drop("LapTimeSeconds")) === 90.0)
+    // guard 3: empty frame → fallback
+    assert(Analytics.baseLapTime(compat.filter(lit(false))) === 90.0)
+    // guard 4: implausible (≤ 10 s) minimum → fallback
+    val bogus = Seq(1.0, 5.0).toDF("LapTimeSeconds")
+    assert(Analytics.baseLapTime(bogus) === 90.0)
+  }
+
   test("strategy curve: monotone degradation and strict bias") {
     val c = Analytics.strategyCurve(spark, baseTime = 90.0, laps = 10,
       compoundFactor = 2.0).collect()

@@ -23,8 +23,11 @@ class GridResampleSpec extends AnyFunSuite {
     assert(out.find(_.x == 0).get.y === 10.0)
   }
 
-  test("single distinct point yields nothing; empty input yields nothing") {
-    assert(resampleSeries(1L, Array(s(5, 1.0), s(5, 2.0, 1)), 10).isEmpty)
+  test("single distinct point yields its one grid point; empty input yields nothing") {
+    // matches the SQL oracle's no-next-sample branch: one grid row at
+    // the sample itself (keep-first on duplicate x)
+    val single = resampleSeries(1L, Array(s(5, 1.0), s(5, 2.0, 1)), 10).toArray
+    assert(single.toSeq === Seq(GridPoint(1L, 5L, 1.0)))
     assert(resampleSeries(1L, Array.empty[Sample], 10).isEmpty)
   }
 
