@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import QueryDsl.Q
+
+/** Multimodal gate queries: a deterministic binary-payload parquet
+  * fixture (StubCodec media — the documented seam where a real
+  * image/audio codec drops in, Multimodal.scala) is materialized once
+  * into the local tmp area, then the declared queries run the REAL
+  * pipeline over a REAL parquet scan: binary column + typed metadata →
+  * narrow decode → resize/features/frame-sample. Rows-only gate
+  * (pixel math is not SQL-expressible); kernel exactness is covered by
+  * MultimodalSpec.
+  */
+object MultimodalQueries {
+
+  private val FixtureRows = 300
+
+  /** Write-once deterministic media table (payload binary + meta
+    * struct). A _SUCCESS marker guards against half-written leftovers;
+    * content depends only on (n) so re-reads are stable across runs. */
+  def mediaTable(spark: SparkSession, n: Int = FixtureRows): DataFrame = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-media-$n.parquet")
+    val ok = new java.io.File(dir, "_SUCCESS")
+    if (!ok.exists()) {
+      Multimodal.syntheticMedia(spark, n)
+        .repartition(4) // fixture-size files; real tables size by bytes
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
+  /** decode → per-channel mean/std features, one row per (media,
+    * channel) — flat deterministic schema for the gate dump. */
+  private val features: Q = (s, _) => {
+    import Multimodal._
+    val media = mediaTable(s).as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
+    imageFeatures(decodeImages(media)).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        posexplode(arrays_zip(col("mean"), col("std"))).as(Seq("channel", "ms")))
+      .select(col("media_id"), col("width"), col("height"), col("channel"),
+        round(col("ms.mean").cast("double"), 4).as("mean_px"),
+        round(col("ms.std").cast("double"), 4).as("std_px"))
+      .orderBy(col("media_id"), col("channel"))
+  }
+
+  /** decode → nearest-neighbor resize to 8×8 → payload checksum, one
+    * row per image (the resize kernel under a scan, not a unit test). */
+  private val resized: Q = (s, _) => {
+    import Multimodal._
+    val media = mediaTable(s).as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
+    resize(decodeImages(media), 8, 8).toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        crc32(col("pixels")).as("pixel_crc"), length(col("pixels")).as("n_bytes"))
+      .orderBy(col("media_id"))
+  }
+
+  /** video frame-sampling: every 2nd frame, with per-frame checksums. */
+  private val frames: Q = (s, _) => {
+    import Multimodal._
+    val media = mediaTable(s).as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
+    sampleFrames(media, everyN = 2).toDF()
+      .select(col("media_id"), col("frameIndex").as("frame_index"),
+        crc32(col("pixels")).as("pixel_crc"), length(col("pixels")).as("n_bytes"))
+      .orderBy(col("media_id"), col("frame_index"))
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("multimodal_features", features, None),
+    ("multimodal_resize", resized, None),
+    ("multimodal_frames", frames, None)
+  )
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.net.{DatagramPacket, DatagramSocket, SocketException}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Dataset, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import PacketCodec.LivePacket
+
+/** The live ingestion bridge: a real UDP socket → `Dataset[LivePacket]`
+  * stream, the piece that turns the reference's 60 Hz recorder loop
+  * (F1-25_Telemetry_DB_Record.py:139-191 — bind, poll, decode, stamp)
+  * into a Structured Streaming source. Datagrams are received on a
+  * daemon thread, stamped by the injectable `clock` (wall-clock micros
+  * by default; a deterministic counter in replay tests), decoded by
+  * [[PacketCodec]] (short/foreign frames silently dropped, like the
+  * reference), and pushed into the stream. Downstream is the normal
+  * pipeline: [[LiveMerge.merged]] → [[StreamOps.recordSession]].
+  *
+  * The in-memory buffer is the single-process form; at fleet scale the
+  * same decode+merge plan runs unchanged behind a durable bus source
+  * (Kafka/Kinesis) — the bridge is the documented seam, the query is
+  * identical. State downstream is O(drivers), so one 22-car session is
+  * trivially one executor; sharding is by the driver key. */
+class UdpBridge(spark: SparkSession, port: Int = 0, driver: Long = 1L,
+    clock: () => Long = () => System.currentTimeMillis() * 1000L) {
+
+  private implicit val sqlCtx: SQLContext = spark.sqlContext
+  private implicit val enc: org.apache.spark.sql.Encoder[LivePacket] =
+    org.apache.spark.sql.Encoders.product[LivePacket]
+  private val stream = MemoryStream[LivePacket]
+  private val socket = new DatagramSocket(port)
+  socket.setReceiveBufferSize(1 << 20)
+  @volatile private var running = false
+  private val decoded = new AtomicLong(0)
+  private var thread: Thread = _
+
+  /** Actual bound port (pass port 0 for an ephemeral one). */
+  def boundPort: Int = socket.getLocalPort
+
+  /** The live packet stream — feed to [[LiveMerge.merged]]. */
+  def packets: Dataset[LivePacket] = stream.toDS()
+
+  /** Packets successfully decoded so far (dropped frames not counted). */
+  def packetsDecoded: Long = decoded.get()
+
+  def start(): Unit = {
+    require(thread == null, "bridge already started")
+    running = true
+    thread = new Thread(() => {
+      val buf = new Array[Byte](4096)
+      while (running) {
+        val dg = new DatagramPacket(buf, buf.length)
+        try {
+          socket.receive(dg)
+          val bytes = java.util.Arrays.copyOf(dg.getData, dg.getLength)
+          PacketCodec.decode(clock(), bytes, driver).foreach { p =>
+            stream.addData(p)
+            decoded.incrementAndGet()
+          }
+        } catch {
+          case _: SocketException if !running => () // closed by stop()
+        }
+      }
+    }, s"udp-bridge-$boundPort")
+    thread.setDaemon(true)
+    thread.start()
+  }
+
+  def stop(): Unit = {
+    running = false
+    socket.close()
+    if (thread != null) thread.join(2000)
+  }
+}
