@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.text.{MinHashLsh, Shingles, SimHash, TextAnalysis}
+import graft.text.{DedupClusters, MinHashLsh, Shingles, SimHash, TextAnalysis}
 import graft.sim.Knn
 import QueryDsl._
 
@@ -42,6 +42,12 @@ object DocQueries {
     Shingles.exactJaccardPairs(table(s, d, "documents"), jaccardThreshold,
       maxShingleDF)
 
+  /** Near-dup pairs → transitive clusters with one canonical doc per
+    * cluster (iterative min-label CC; DuckDB oracle does the same via
+    * a recursive-CTE transitive closure). */
+  private val dedupClusters: Q = (s, d) =>
+    DedupClusters.fromDocuments(table(s, d, "documents"), jaccardThreshold)
+
   /** Winnowing fingerprints (SWA rolling-hash min-sampling) — custom
     * kernel, not SQL-expressible → rows-only gate + WinnowingSpec's
     * shared-substring guarantee tests. */
@@ -73,12 +79,19 @@ object DocQueries {
   private val textQuality: Q = (s, d) => TextAnalysis.qualityScore(table(s, d, "documents"))
   private val textLangId: Q = (s, d) => TextAnalysis.langId(table(s, d, "documents"))
   private val textFingerprint: Q = (s, d) => TextAnalysis.fingerprint(table(s, d, "documents"))
+  private val textRepetition: Q = (s, d) => TextAnalysis.repetitionScore(table(s, d, "documents"))
+  /** PII scrub over the deterministically dirtied corpus (the raw
+    * synthetic docs contain zero PII-shaped tokens — measured). */
+  private val textPiiScrub: Q = (s, d) =>
+    TextAnalysis.piiScrub(TextAnalysis.dirtyDocs(table(s, d, "documents")))
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_exact", dedupExact, Some(dedupExactSql)),
     ("dedup_ngram_jaccard", dedupNgram, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_ngram_capped", dedupNgramCapped,
       Some(Shingles.cappedJaccardSql(jaccardThreshold, maxShingleDF))),
+    ("dedup_clusters", dedupClusters,
+      Some(DedupClusters.clustersSql(jaccardThreshold))),
     ("dedup_minhash_lsh", dedupMinhash, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_simhash", dedupSimhash, None),
     ("knn_cosine_topk", knnBrute, Some(Knn.bruteForceTopKSql(5, 5))),
@@ -102,6 +115,8 @@ object DocQueries {
     ("text_quality", textQuality, Some(TextAnalysis.qualityScoreSql)),
     ("text_langid", textLangId, Some(TextAnalysis.langIdSql)),
     ("text_fingerprint", textFingerprint, Some(TextAnalysis.fingerprintSql)),
+    ("text_repetition", textRepetition, Some(TextAnalysis.repetitionScoreSql)),
+    ("text_pii_scrub", textPiiScrub, Some(TextAnalysis.piiScrubSql)),
     ("text_winnowing", textWinnowing, None)
   )
 }

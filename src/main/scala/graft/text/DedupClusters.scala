@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERS from near-duplicate PAIRS: the step a real
+  * training-data pipeline needs after any pair generator (ngram /
+  * minhash / embedding) — transitive grouping plus one canonical doc
+  * per group (min doc_id), so "drop all but the canonical" is a join.
+  *
+  * Connected components via iterative min-label propagation over the
+  * undirected edge list: each round every vertex takes the minimum of
+  * its own label and its neighbors' labels; convergence in
+  * O(component diameter) rounds. Near-dup components are tiny dense
+  * clusters, so 3-4 rounds is typical; `maxIters` bounds pathological
+  * chains and the loop exits early on a converged round (checked with
+  * a cheap changed-count). Every round is two shuffles on the vertex
+  * id (join + min-agg) over the EDGE LIST ONLY — corpus size never
+  * enters; `localCheckpoint` truncates the growing lineage so round N
+  * doesn't replay rounds 1..N-1. This is the plain-DataFrame form of
+  * the large-star/small-star CC algorithm's contraction idea.
+  */
+object DedupClusters {
+
+  /** @param pairs (doc_a, doc_b) undirected near-dup pairs, a < b.
+    * @return (doc_id, cluster_id, is_canonical, cluster_size) — one
+    *         row per doc that has at least one near-dup edge;
+    *         cluster_id = min doc_id reachable, canonical = that doc. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("label").as("vlabel")), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min(col("vlabel")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"),
+        col("cluster_size"))
+  }
+
+  /** Clusters straight from documents: exact n-gram Jaccard pairs at
+    * `threshold` → connected components. */
+  def fromDocuments(docs: DataFrame, threshold: Double): DataFrame =
+    connectedComponents(
+      Shingles.exactJaccardPairs(docs, threshold).select("doc_a", "doc_b"))
+
+  /** DuckDB mirror: same jaccard pairs, transitive closure via a
+    * recursive CTE, min reachable id as the cluster label. */
+  def clustersSql(threshold: Double): String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i) s
+       |  WHERE len(words) >= 3),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+       |jp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |good AS (
+       |  SELECT doc_a, doc_b FROM jp
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= $threshold),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+       |          UNION SELECT doc_b, doc_a FROM good),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t0
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical,
+       |  cs.cluster_size
+       |FROM lab
+       |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1) cs
+       |USING (cluster_id)""".stripMargin
+}

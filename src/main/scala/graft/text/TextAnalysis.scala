@@ -172,6 +172,96 @@ object TextAnalysis {
     out.toSet
   }
 
+  /** Intra-document repetition score (pretraining-corpus filter in the
+    * style of the Gopher/MassiveText rules): duplicate word-, 2-gram-
+    * and 3-gram fractions, all pure column expressions (one pass, full
+    * codegen, no shuffle — at 100 TB this is a map over the scan). */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    def ngrams(n: Int): Column =
+      if (n == 1) col("words")
+      else expr(s"transform(sequence(0, size(words)-$n), i -> " +
+        (0 until n).map(j => s"words[i+$j]").mkString("concat_ws(' ', ", ", ", ")") + ")")
+    def dupFrac(n: Int): Column =
+      // CASE guards evaluation: ANSI array indexing would throw on
+      // docs shorter than n words (degenerate rows score 0)
+      when(size(col("words")) >= n,
+        lit(1.0) - size(array_distinct(ngrams(n))).cast("double") /
+          size(ngrams(n)).cast("double"))
+        .otherwise(0.0)
+    docs.withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("words")).as("n_words"),
+        dupFrac(1).as("dup_word_frac"),
+        dupFrac(2).as("dup_2gram_frac"),
+        dupFrac(3).as("dup_3gram_frac"))
+  }
+
+  val repetitionScoreSql: String = {
+    def ngramsSql(n: Int): String =
+      if (n == 1) "words"
+      else s"list_transform(generate_series(1, len(words)-${n - 1}), i -> " +
+        (0 until n).map(j => s"words[CAST(i AS INT)+$j]").mkString(" || ' ' || ") + ")"
+    def dupFracSql(n: Int): String =
+      s"CASE WHEN len(words) >= $n THEN 1.0 - " +
+        s"CAST(len(list_distinct(${ngramsSql(n)})) AS DOUBLE) / " +
+        s"CAST(len(${ngramsSql(n)}) AS DOUBLE) ELSE 0.0 END"
+    s"""SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+       |  ${dupFracSql(1)} AS dup_word_frac,
+       |  ${dupFracSql(2)} AS dup_2gram_frac,
+       |  ${dupFracSql(3)} AS dup_3gram_frac
+       |FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents) t""".stripMargin
+  }
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+
+  /** Deterministic "dirty" corpus for gating the scrubber: the synthetic
+    * documents contain no PII-shaped tokens at all (measured), so docs
+    * with id % 7 == 0 get an appended email and id % 11 == 0 a URL —
+    * pure string concat, bit-identical in DuckDB. */
+  def dirtyDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(""),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" see https://docs.example.org/p/"),
+          col("doc_id").cast("string"))).otherwise("")).as("text"))
+
+  /** PII-style scrub: count and redact email/URL tokens (regex kept to
+    * the Java-regex ∩ RE2 common dialect so the DuckDB oracle matches).
+    * One projection pass — the 100 TB shape is a map over the scan. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    // Spark SQL string literals process backslash escapes; the Java
+    // regex needs its backslashes doubled there (the column-function
+    // calls below take the raw pattern unchanged)
+    def sqlLit(re: String): String = re.replace("\\", "\\\\")
+    docs.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '${sqlLit(EmailRe)}', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '${sqlLit(UrlRe)}', 0)")).as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>").as("clean_text"))
+  }
+
+  val piiScrubSql: String = {
+    val dirty =
+      """SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0
+        |    THEN ' see https://docs.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS text
+        |FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS INT) AS n_urls,
+       |  regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$UrlRe', '<URL>', 'g') AS clean_text
+       |FROM ($dirty) t""".stripMargin
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key (S-normalized variant of hash-groupBy dedup). */
   def fingerprint(docs: DataFrame): DataFrame =
