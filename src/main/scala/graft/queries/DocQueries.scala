@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.text.{DedupClusters, MinHashLsh, Shingles, SimHash, TextAnalysis}
+import graft.text.{CorpusPipeline, DedupClusters, MinHashLsh, Shingles, SimHash, TextAnalysis}
 import graft.sim.Knn
 import QueryDsl._
 
@@ -92,6 +92,12 @@ object DocQueries {
       Some(Shingles.cappedJaccardSql(jaccardThreshold, maxShingleDF))),
     ("dedup_clusters", dedupClusters,
       Some(DedupClusters.clustersSql(jaccardThreshold))),
+    // the flagship composition: quality gate + keep-canonical dedup +
+    // token accounting — the whole training-data pipeline in one plan
+    ("pipeline_filtered_corpus",
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        CorpusPipeline.filteredCorpus(table(s, d, "documents"), jaccardThreshold),
+      Some(CorpusPipeline.filteredCorpusSql(jaccardThreshold))),
     ("dedup_minhash_lsh", dedupMinhash, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_simhash", dedupSimhash, None),
     ("knn_cosine_topk", knnBrute, Some(Knn.bruteForceTopKSql(5, 5))),

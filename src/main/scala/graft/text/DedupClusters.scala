@@ -40,13 +40,15 @@ object DedupClusters {
         .join(labels.select(col("doc_id").as("v"), col("label").as("vlabel")), "v")
         .groupBy(col("u").as("doc_id"))
         .agg(min(col("vlabel")).as("nbr_min"))
+      // the convergence flag rides along in the same projection — no
+      // extra join against the previous labels
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (coalesce(col("nbr_min"), col("label")) < col("label")).as("chg"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
       iter += 1
     }
@@ -65,9 +67,10 @@ object DedupClusters {
     connectedComponents(
       Shingles.exactJaccardPairs(docs, threshold).select("doc_a", "doc_b"))
 
-  /** DuckDB mirror: same jaccard pairs, transitive closure via a
-    * recursive CTE, min reachable id as the cluster label. */
-  def clustersSql(threshold: Double): String =
+  /** The recursive CTE chain up to the label table `lab(doc_id,
+    * cluster_id)` — shared by [[clustersSql]] and the corpus-pipeline
+    * oracle. */
+  def labCtes(threshold: Double): String =
     s"""WITH RECURSIVE sh AS (
        |  SELECT DISTINCT doc_id,
        |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS shingle
@@ -90,7 +93,12 @@ object DedupClusters {
        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t0
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-       |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY 1)
+       |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+
+  /** DuckDB mirror: same jaccard pairs, transitive closure via a
+    * recursive CTE, min reachable id as the cluster label. */
+  def clustersSql(threshold: Double): String =
+    s"""${labCtes(threshold)}
        |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical,
        |  cs.cluster_size
        |FROM lab
