@@ -560,6 +560,46 @@ object RelationalQueries {
        |COUNT(*) AS n, ${dsumSql("value")} AS total_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Session windows (gap-based), batch form of the streaming
+    * sessionization — Spark's native session_window (a session closes
+    * when no event lands within the gap; an event at exactly last+gap
+    * starts a NEW session). Oracle: gaps-and-islands with the same
+    * >= gap boundary. */
+  private val streamSession: Q = (s, d) =>
+    graft.streaming.StreamOps.sessionCounts(events(s, d), watermarked = false)
+
+  private val streamSessionSql = {
+    val gapUs = 1800000000L // 30 minutes
+    s"""WITH e AS (SELECT event_type, $evUsSql AS us, value FROM events),
+       |f AS (SELECT *, CASE WHEN us - lag(us) OVER
+       |  (PARTITION BY event_type ORDER BY us) >= $gapUs
+       |  THEN 1 ELSE 0 END AS new_s FROM e),
+       |g AS (SELECT *, SUM(new_s) OVER (PARTITION BY event_type ORDER BY us
+       |  ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+       |SELECT MIN(us) AS session_start_us, MAX(us) + $gapUs AS session_end_us,
+       |  event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+       |FROM g GROUP BY event_type, sid""".stripMargin
+  }
+
+  /** Exact multi-percentile aggregation (type-7 linear interpolation in
+    * both engines — Spark `percentile`, DuckDB `quantile_cont`). */
+  private val aPercentiles: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        count(lit(1)).as("n_rows"))
+
+  private val aPercentilesSql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.25) AS p25,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   /** A4 at 100 TB: exact countDistinct replaced with HLL sketches —
     * one pass, mergeable, no distinct shuffle. Rows-only in the gate
     * (HLL implementations differ across engines); the ScalaTest
@@ -606,6 +646,8 @@ object RelationalQueries {
     ("o7_dedup", o7Dedup, Some(o7DedupSql)),
     ("set_intersect", setIntersect, Some(setIntersectSql)),
     ("set_except", setExcept, Some(setExceptSql)),
-    ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql))
+    ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
+    ("stream_session_window", streamSession, Some(streamSessionSql)),
+    ("a_percentiles", aPercentiles, Some(aPercentilesSql))
   )
 }

@@ -25,6 +25,25 @@ object StreamOps {
         col("window.end").as("window_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Session-window aggregation (gap-based): events closer than `gap`
+    * merge into one session per key; a session closes when no event
+    * arrives within the gap. Runs identically in batch and streaming
+    * (state-store-backed merging sessions with the watermark bounding
+    * state). Windows are emitted as epoch-micros longs so the batch
+    * form is engine-comparable. */
+  def sessionCounts(events: DataFrame, tsCol: String = "ev_ts",
+      gap: String = "30 minutes", lateness: String = "10 minutes",
+      watermarked: Boolean = true): DataFrame = {
+    val in = if (watermarked) events.withWatermark(tsCol, lateness) else events
+    in
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(expr("unix_micros(sw.start)").as("session_start_us"),
+        expr("unix_micros(sw.end)").as("session_end_us"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
   /** S10: the reference's ≥0.1 s write throttle, expressed as a
     * ProcessingTime trigger + foreachBatch
     * (F1-25_Telemetry_DB_Record.py:181-191). The batchFn receives each

@@ -41,6 +41,43 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: streaming merge across micro-batches equals the batch form") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDS().toDF("ev_ts", "event_type", "value")
+    val q = StreamOps.sessionCounts(df, "ev_ts", gap = "30 minutes",
+      lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // one session split across micro-batches (gaps < 30 min), then a
+    // ≥30-min gap opens a second session; a far-future event closes both
+    val batch1 = Seq((ts(0), "click", 1.0), (ts(10), "click", 2.0))
+    val batch2 = Seq((ts(25), "click", 3.0)) // merges into session 1
+    val batch3 = Seq((ts(60), "click", 4.0)) // 35-min gap → session 2
+    val batch4 = Seq((ts(600), "view", 1.0)) // watermark push
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      input.addData(batch3); q.processAllAvailable()
+      input.addData(batch4); q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .filter(col("event_type") === "click").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+        .toSet
+      // batch form over the union of all events must agree
+      val all = (batch1 ++ batch2 ++ batch3 ++ batch4).toDF("ev_ts", "event_type", "value")
+      val expected = StreamOps.sessionCounts(all, "ev_ts", gap = "30 minutes",
+        watermarked = false)
+        .filter(col("event_type") === "click").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(streamed === expected)
+      assert(streamed.size === 2) // the cross-batch merge actually merged
+      assert(streamed.map(_._3) === Set(3L, 1L))
+    } finally q.stop()
+  }
+
   test("throttled parquet session recording end-to-end") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
