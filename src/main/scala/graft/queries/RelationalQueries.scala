@@ -581,6 +581,28 @@ object RelationalQueries {
        |FROM g GROUP BY event_type, sid""".stripMargin
   }
 
+  /** Interval (attribution) join, batch form of the stream-stream
+    * join: purchases within 2 h after a view, per user. */
+  private val streamIntervalJoin: Q = (s, d) => {
+    val e = events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ev_ts").as("view_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ev_ts").as("purchase_ts"), col("value").as("purchase_value"))
+    graft.streaming.StreamOps.attributionJoin(v, p, watermarked = false)
+  }
+
+  private val streamIntervalJoinSql =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |  $evUsSql AS us, value FROM events)
+       |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       |  p.us - v.us AS lag_us, p.value AS purchase_value
+       |FROM e v JOIN e p ON v.user_id = p.user_id
+       |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+       |AND p.us >= v.us AND p.us <= v.us + 7200000000""".stripMargin
+
   /** Exact multi-percentile aggregation (type-7 linear interpolation in
     * both engines — Spark `percentile`, DuckDB `quantile_cont`). */
   private val aPercentiles: Q = (s, d) =>
@@ -648,6 +670,7 @@ object RelationalQueries {
     ("set_except", setExcept, Some(setExceptSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
+    ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
     ("a_percentiles", aPercentiles, Some(aPercentilesSql))
   )
 }

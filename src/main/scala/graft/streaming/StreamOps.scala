@@ -44,6 +44,30 @@ object StreamOps {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Stream-stream interval (attribution) join: each view matched to
+    * the purchases of the same user within `maxLag` after it — the
+    * canonical Structured Streaming two-stream join, with watermarks on
+    * BOTH sides so the state store can expire unmatched rows (state is
+    * bounded by lateness + maxLag, not stream length). Contract:
+    * views(user_id, view_id, view_ts), purchases(user_id, purchase_id,
+    * purchase_ts, purchase_value). Batch form (watermarked = false) is
+    * the same plan — an equi-join on user_id with a range predicate,
+    * which Spark executes as a key-partitioned join with the range as
+    * a post-filter: one shuffle on the key at any scale. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      maxLag: String = "2 hours", lateness: String = "10 minutes",
+      watermarked: Boolean = true): DataFrame = {
+    val v = if (watermarked) views.withWatermark("view_ts", lateness) else views
+    val p0 = purchases.withColumnRenamed("user_id", "p_user")
+    val p = if (watermarked) p0.withWatermark("purchase_ts", lateness) else p0
+    v.join(p, expr(
+      s"user_id = p_user AND purchase_ts >= view_ts " +
+        s"AND purchase_ts <= view_ts + interval $maxLag"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("lag_us"),
+        col("purchase_value"))
+  }
+
   /** S10: the reference's ≥0.1 s write throttle, expressed as a
     * ProcessingTime trigger + foreachBatch
     * (F1-25_Telemetry_DB_Record.py:181-191). The batchFn receives each

@@ -78,6 +78,48 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val vDf = vIn.toDS().toDF("user_id", "view_id", "view_ts")
+    val pDf = pIn.toDS().toDF("user_id", "purchase_id", "purchase_ts", "purchase_value")
+    val q = StreamOps.attributionJoin(vDf, pDf, maxLag = "2 hours")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // views and purchases arrive in different micro-batches; purchase
+      // 201 (150 min after view 100) is outside the 2 h window, user
+      // 2's purchase has no prior view
+      vIn.addData((1L, 100L, ts(0)), (3L, 101L, ts(30)))
+      q.processAllAvailable()
+      pIn.addData((1L, 200L, ts(60), 9.5), (1L, 201L, ts(150), 1.0),
+        (2L, 202L, ts(10), 3.0))
+      q.processAllAvailable()
+      vIn.addData((3L, 102L, ts(90))) // second view also catches p 203
+      pIn.addData((3L, 203L, ts(95), 7.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      val allV = Seq((1L, 100L, ts(0)), (3L, 101L, ts(30)), (3L, 102L, ts(90)))
+        .toDF("user_id", "view_id", "view_ts")
+      val allP = Seq((1L, 200L, ts(60), 9.5), (1L, 201L, ts(150), 1.0),
+        (2L, 202L, ts(10), 3.0), (3L, 203L, ts(95), 7.0))
+        .toDF("user_id", "purchase_id", "purchase_ts", "purchase_value")
+      val expected = StreamOps.attributionJoin(allV, allP, maxLag = "2 hours",
+        watermarked = false).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(streamed === expected)
+      // 100→200 (60 min), 101→203 (65 min), 102→203 (5 min);
+      // 201 out-of-window, 202 orphan
+      assert(streamed.map(t => (t._2, t._3)) ===
+        Set((100L, 200L), (101L, 203L), (102L, 203L)))
+    } finally q.stop()
+  }
+
   test("throttled parquet session recording end-to-end") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
