@@ -16,7 +16,7 @@ import org.apache.spark.sql.expressions.Window
   * decimals with a doc-id tiebreak so results are reproducible across
   * engines (floats summed in a fixed left-to-right order).
   */
-object Knn {
+object Knn extends Serializable {
 
   /** Dot product of the qe/ne array<float> columns, accumulated in
     * double, left-to-right — the native codegen'd
@@ -251,17 +251,8 @@ object Knn {
     val centroids = lloydKMeans(sample, cells, iters = 10)
     val bc = spark.sparkContext.broadcast(centroids)
 
-    def nearestCells(vec: Array[Float], n: Int): Array[Int] = {
-      val cs = bc.value
-      cs.indices.map { c =>
-        var d = 0.0
-        var i = 0
-        while (i < vec.length) {
-          val diff = vec(i) - cs(c)(i); d += diff * diff; i += 1
-        }
-        (c, d)
-      }.sortBy(_._2).take(n).map(_._1).toArray
-    }
+    def nearestCells(vec: Array[Float], n: Int): Array[Int] =
+      nearestCellsTo(bc.value, vec, n)
 
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
@@ -286,6 +277,76 @@ object Knn {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
+
+  /** Materialized IVF store: the cell assignment written cell-PARTITIONED
+    * to parquet (plus the centroid table alongside), so probe queries
+    * become partition-pruned scans — at 100 TB a probe touches
+    * nprobe/cells of the corpus ON DISK, not just in compute. The
+    * centroid fit is the same deterministic sample-based Lloyd's as
+    * [[ivfTopK]], so store results are identical to the in-memory form. */
+  def buildIvfStore(emb: DataFrame, path: String, cells: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.orderBy(col("vec_id")).limit(4096)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val centroids = lloydKMeans(sample, cells, iters = 10)
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, nearestCellsTo(bc.value, v, 1)(0)) }
+      .toDF("vec_id", "embedding", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Probe the materialized store: nearest `nprobe` cells per query are
+    * computed against the (tiny) centroid table, and the vector scan is
+    * FILTERED ON THE PARTITION COLUMN — the parquet source prunes the
+    * non-probed cell directories before reading a byte. */
+  def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).as[(Int, Array[Double])].collect().map(_._2)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probes = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        nearestCellsTo(bc.value, v, nprobe).iterator.map(c => (id, v, c))
+      }
+      .toDF("query_id", "qe", "cell")
+    val probedCells = probes.select("cell").distinct()
+      .as[Int].collect().sorted
+    graft.functions.VecDotFloat.register(spark)
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("cell"))
+    val scored = corpus.join(broadcast(probes), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(expr(dotExpr), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Nearest `n` cells of `vec` by squared L2 against `cs`. */
+  private def nearestCellsTo(cs: Array[Array[Double]], vec: Array[Float],
+      n: Int): Array[Int] =
+    cs.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      while (i < vec.length) {
+        val diff = vec(i) - cs(c)(i); d += diff * diff; i += 1
+      }
+      (c, d)
+    }.sortBy(_._2).take(n).map(_._1).toArray
 
   /** Plain Lloyd's k-means over an in-memory sample: deterministic
     * (evenly-spaced initialization over the sorted sample), empty

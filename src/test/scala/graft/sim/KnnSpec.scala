@@ -113,6 +113,33 @@ class KnnSpec extends AnyFunSuite {
       s"candidates $candPairs vs pair space ${n * (n - 1) / 2}")
   }
 
+  test("IVF store: partition-pruned probes equal the in-memory IVF exactly") {
+    val path = java.nio.file.Files.createTempDirectory("ivf-store").toString
+    Knn.buildIvfStore(emb, path, cells = 8)
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val fromStore = Knn.ivfStoreTopK(spark, path, queries, k = 5, nprobe = 2)
+    // pruning is real: the cell filter reaches the scan as a PARTITION
+    // filter and the selected file set shrinks (inputFiles ignores
+    // pruning, so assert on the scan node itself)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prunedQe = spark.read.parquet(s"$path/vectors")
+      .filter(org.apache.spark.sql.functions.col("cell").isin(0, 1))
+      .queryExecution
+    val scan = prunedQe.executedPlan
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    assert(scan.partitionFilters.nonEmpty, "cell filter not a partition filter")
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).map(_.files.size).sum
+    val allFiles = spark.read.parquet(s"$path/vectors").inputFiles.length
+    assert(selected < allFiles, s"pruned $selected vs total $allFiles")
+    // same centroids, same probes → store result ≡ in-memory result
+    val inMem = Knn.ivfTopK(emb, 5, 5, cells = 8, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val stored = fromStore.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(stored === inMem)
+  }
+
   test("LSH candidate set is far smaller than brute force") {
     val n = emb.count()
     val approxRows = Knn.lshTopK(emb, 5, 5).count()
