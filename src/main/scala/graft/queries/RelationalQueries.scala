@@ -658,6 +658,20 @@ object RelationalQueries {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Percentiles at unbounded value cardinality: the GK-sketch
+    * approx_percentile — one pass, mergeable, bounded memory regardless
+    * of distinct-value count (the exact pre-aggregated form needs the
+    * distinct values to fit the agg hash table). Rows-only in the gate
+    * (sketch internals differ across engines); PercentileSpec bounds
+    * the error against the exact values. */
+  private val aPercentilesApprox: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000)")
+          .as("pcts_approx"),
+        count(lit(1)).as("n_rows"))
+
   /** A4 at 100 TB: exact countDistinct replaced with HLL sketches —
     * one pass, mergeable, no distinct shuffle. Rows-only in the gate
     * (HLL implementations differ across engines); the ScalaTest
@@ -707,6 +721,7 @@ object RelationalQueries {
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
-    ("a_percentiles", aPercentiles, Some(aPercentilesSql))
+    ("a_percentiles", aPercentiles, Some(aPercentilesSql)),
+    ("a_percentiles_approx", aPercentilesApprox, None)
   )
 }

@@ -27,6 +27,23 @@ class PercentileSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(v === ref(k), s"group $k") }
   }
 
+  test("approx percentile sketch stays within tolerance of the exact values") {
+    val exact = SparkEntry.queries("a_percentiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = SparkEntry.queries("a_percentiles_approx")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (g, es) =>
+      es.zip(approx(g)).foreach { case (e, a) =>
+        // GK sketch with accuracy 1000 → rank error <= 0.1%; prices
+        // span ~1k..100k so value error stays well under 2%
+        assert(math.abs(a - e) / e < 0.02, s"group $g: exact $e approx $a")
+      }
+    }
+  }
+
   test("interpolation handles duplicate values and tiny groups") {
     import spark.implicits._
     // group "a": values with duplicates; group "b": a single row
