@@ -15,8 +15,9 @@ import java.util.Locale
   *    short settle, so no query inherits the previous query's cached
   *    tables or GC debt;
   *  - each query gets one unmeasured warmup run (codegen compilation +
-  *    JIT happen there), then one measured cold-data run — steady-state
-  *    execution cost, not compiler noise;
+  *    JIT happen there), then TWO measured cold-data runs of which the
+  *    MINIMUM is reported — the standard steady-state estimator, robust
+  *    to transient host load landing on one run;
   *  - failures are recorded as value -1 plus an "errors" list instead
   *    of a normal-looking elapsed time;
   *  - all numbers formatted with Locale.ROOT (a comma-decimal locale
@@ -59,11 +60,14 @@ object Bench {
     val results = order.map { case (name, fn) =>
       settle()
       runOnce(fn) // warmup: codegen + JIT, result discarded
-      settle()
-      val t0 = System.nanoTime()
-      val ok = runOnce(fn)
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) elapsed else -1.0)
+      val measured = (1 to 2).map { _ =>
+        settle()
+        val t0 = System.nanoTime()
+        val ok = runOnce(fn)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        if (ok) elapsed else -1.0
+      }
+      name -> (if (measured.exists(_ < 0)) -1.0 else measured.min)
     }
 
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
