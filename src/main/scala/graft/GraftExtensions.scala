@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VecDotFloat
+import graft.functions.{NormalizeNfc, VecDotFloat}
 
 /** The engine's `SparkSessionExtensions` injector — the deployment-grade
   * registration path: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotFloat].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDotFloat(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
   }
 }

@@ -122,6 +122,10 @@ object DocQueries {
     ("text_langid", textLangId, Some(TextAnalysis.langIdSql)),
     ("text_fingerprint", textFingerprint, Some(TextAnalysis.fingerprintSql)),
     ("text_repetition", textRepetition, Some(TextAnalysis.repetitionScoreSql)),
+    ("text_nfc_normalize",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        TextAnalysis.nfcNormalize(table(s, d, "documents"))): Q,
+      Some(TextAnalysis.nfcNormalizeSql)),
     ("text_pii_scrub", textPiiScrub, Some(TextAnalysis.piiScrubSql)),
     ("text_winnowing", textWinnowing, None)
   )

@@ -262,6 +262,34 @@ object TextAnalysis {
        |FROM ($dirty) t""".stripMargin
   }
 
+  /** Decomposed Unicode tail planted on every doc (the raw corpus is
+    * pure ASCII — measured), so the NFC op has real combining sequences
+    * to compose: "e" + U+0301 → é, "A" + U+030A → Å. The same literal
+    * bytes go into the DuckDB oracle, so both engines normalize
+    * identical input. */
+  private val DirtyUnicodeTail = " cafe\u0301 A\u030Angstro\u0308m"
+
+  /** Unicode NFC normalization over the planted-decomposition corpus:
+    * the native [[graft.functions.NormalizeNfc]] expression (codegen,
+    * UAX #15), with before/after codepoint counts proving composition
+    * actually happened. */
+  def nfcNormalize(docs: DataFrame): DataFrame = {
+    graft.functions.NormalizeNfc.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(DirtyUnicodeTail)).as("dirty"))
+      .select(col("doc_id"),
+        expr("nfc_normalize(dirty)").as("norm_text"),
+        length(col("dirty")).as("n_before"),
+        length(expr("nfc_normalize(dirty)")).as("n_after"))
+  }
+
+  val nfcNormalizeSql: String =
+    s"""SELECT doc_id,
+       |  nfc_normalize(text || '$DirtyUnicodeTail') AS norm_text,
+       |  CAST(length(text || '$DirtyUnicodeTail') AS INT) AS n_before,
+       |  CAST(length(nfc_normalize(text || '$DirtyUnicodeTail')) AS INT) AS n_after
+       |FROM documents""".stripMargin
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
     * the exact-dedup key (S-normalized variant of hash-groupBy dedup). */
   def fingerprint(docs: DataFrame): DataFrame =

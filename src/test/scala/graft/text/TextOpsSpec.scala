@@ -40,6 +40,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) === ((0, 0, "no pii here at all")))
   }
 
+  test("nfc normalization composes combining sequences and shortens codepoint count") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.nfcNormalize(docs(
+      (1L, "plain ascii"))).collect().head
+    val norm = out.getString(1)
+    // tail " café Ångström" composes to " café Ångström"
+    assert(norm === "plain ascii caf\u00e9 \u00c5ngstr\u00f6m")
+    assert(out.getInt(2) === out.getInt(3) + 3) // 3 combining marks absorbed
+    // idempotent: normalizing already-NFC text is identity
+    graft.functions.NormalizeNfc.register(spark)
+    val again = spark.sql(s"SELECT nfc_normalize('${norm.replace("'", "")}') AS t")
+      .collect().head.getString(0)
+    assert(again === norm.replace("'", ""))
+  }
+
   test("dirty-corpus derivation plants pii deterministically by id") {
     val base = docs((7L, "t7"), (8L, "t8"), (77L, "t77"))
     val dirty = TextAnalysis.dirtyDocs(base).collect()
