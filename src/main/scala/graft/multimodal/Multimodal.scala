@@ -39,6 +39,11 @@ object Multimodal {
 
   case class VideoFrame(media_id: Long, frameIndex: Int, pixels: Array[Byte])
 
+  case class DecodedAudio(media_id: Long, sampleRate: Int, samples: Array[Short])
+
+  case class AudioFeatures(media_id: Long, sampleRate: Int, nSamples: Int,
+      durationMs: Double, rms: Double, peak: Int, zeroCrossings: Int)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -71,6 +76,36 @@ object Multimodal {
         i += 1
       }
       out.array()
+    }
+
+    /** Audio layout: [magic 'G' 'A'][sampleRate i32 LE][numSamples i32
+      * LE][PCM16 LE samples…], sample(i) = deterministic mix of i. */
+    def encodeAudio(sampleRate: Int, numSamples: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(10 + numSamples * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('G'.toByte).put('A'.toByte)
+      out.putInt(sampleRate).putInt(numSamples)
+      var i = 0
+      while (i < numSamples) {
+        out.putShort((((i * 2654435761L) >>> 16) & 0xffff).toShort)
+        i += 1
+      }
+      out.array()
+    }
+
+    def decodeAudio(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (payload == null || payload.length < 10 ||
+        payload(0) != 'G'.toByte || payload(1) != 'A'.toByte) return None
+      val b = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val rate = b.getInt(2); val n = b.getInt(6)
+      if (rate <= 0 || n < 0 || payload.length < 10 + n * 2) None
+      else {
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) { samples(i) = b.getShort(10 + i * 2); i += 1 }
+        Some((rate, samples))
+      }
     }
 
     def decode(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
@@ -146,6 +181,42 @@ object Multimodal {
     })
   }
 
+  /** Audio decode: batch-per-partition, malformed payloads dropped —
+    * same narrow shape as image decode. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions(_.flatMap { row =>
+        StubCodec.decodeAudio(row.payload).map { case (rate, samples) =>
+          DecodedAudio(row.media_id, rate, samples)
+        }
+      })
+  }
+
+  /** Waveform features (real math over stub PCM): RMS, peak amplitude,
+    * zero-crossing count, duration — the audio analog of
+    * [[imageFeatures]]. */
+  def audioFeatures(audio: Dataset[DecodedAudio]): Dataset[AudioFeatures] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.map { a =>
+      val n = a.samples.length
+      var sq = 0.0; var peak = 0; var zc = 0
+      var i = 0
+      while (i < n) {
+        val v = a.samples(i).toInt
+        sq += v.toDouble * v.toDouble
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && ((a.samples(i - 1) < 0) != (v < 0))) zc += 1
+        i += 1
+      }
+      AudioFeatures(a.media_id, a.sampleRate, n,
+        if (a.sampleRate > 0) n * 1000.0 / a.sampleRate else 0.0,
+        if (n > 0) math.sqrt(sq / n) else 0.0, peak, zc)
+    })
+  }
+
   /** Frame sampling for video payloads: every Nth frame, where the stub
     * video is a stack of stub images of equal size. */
   def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[VideoFrame] = {
@@ -178,6 +249,10 @@ object Multimodal {
         val w = 16 + (i % 4) * 8; val h = 16 + (i % 3) * 8
         MediaRow(i.toLong, "image", StubCodec.encode(w, h, 3),
           MediaMeta(w, h, 3, 0, 0, "stub-img"))
+      } else if (i % 6 == 5) {
+        val rate = 16000; val samples = 256 + i
+        MediaRow(i.toLong, "audio", StubCodec.encodeAudio(rate, samples),
+          MediaMeta(0, 0, 1, rate, samples * 1000 / rate, "stub-pcm"))
       } else {
         val w = 8; val frames = 4 + i % 3
         MediaRow(i.toLong, "video", StubCodec.encode(w, w * frames, 3),

@@ -17,13 +17,16 @@ import QueryDsl.Q
 object MultimodalQueries {
 
   private val FixtureRows = 300
+  // bump when syntheticMedia's generation changes — the fixture is
+  // cached by path, so content changes need a fresh directory
+  private val FixtureVersion = 2
 
   /** Write-once deterministic media table (payload binary + meta
     * struct). A _SUCCESS marker guards against half-written leftovers;
-    * content depends only on (n) so re-reads are stable across runs. */
+    * content depends only on (version, n) so re-reads are stable. */
   def mediaTable(spark: SparkSession, n: Int = FixtureRows): DataFrame = {
     val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-media-$n.parquet")
+      sys.props("java.io.tmpdir"), s"graft-media-v$FixtureVersion-$n.parquet")
     val ok = new java.io.File(dir, "_SUCCESS")
     if (!ok.exists()) {
       Multimodal.syntheticMedia(spark, n)
@@ -68,9 +71,23 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("frame_index"))
   }
 
+  /** audio decode → waveform features (RMS/peak/zero-crossings). */
+  private val audio: Q = (s, _) => {
+    import Multimodal._
+    val media = mediaTable(s).as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
+    audioFeatures(decodeAudio(media)).toDF()
+      .select(col("media_id"), col("sampleRate").as("sample_rate"),
+        col("nSamples").as("n_samples"),
+        round(col("durationMs"), 3).as("duration_ms"),
+        round(col("rms"), 4).as("rms"), col("peak"),
+        col("zeroCrossings").as("zero_crossings"))
+      .orderBy(col("media_id"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("multimodal_features", features, None),
     ("multimodal_resize", resized, None),
-    ("multimodal_frames", frames, None)
+    ("multimodal_frames", frames, None),
+    ("multimodal_audio", audio, None)
   )
 }

@@ -63,6 +63,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio decode + waveform features over stub PCM") {
+    // codec roundtrip
+    val enc = StubCodec.encodeAudio(16000, 100)
+    val Some((rate, samples)) = StubCodec.decodeAudio(enc)
+    assert(rate === 16000 && samples.length === 100)
+    assert(StubCodec.decodeAudio(Array[Byte]('G', 'A', 0)).isEmpty)
+    assert(StubCodec.decodeAudio(enc.take(50)).isEmpty) // truncated
+    // pipeline over the synthetic table (ids with i % 6 == 5)
+    val media = syntheticMedia(spark, 12)
+    val feats = audioFeatures(decodeAudio(media)).collect()
+    assert(feats.map(_.media_id).toSet === Set(5L, 11L))
+    feats.foreach { f =>
+      assert(f.sampleRate === 16000)
+      assert(f.nSamples === 256 + f.media_id.toInt)
+      assert(f.rms > 0.0 && f.peak > 0 && f.zeroCrossings > 0)
+      assert(math.abs(f.durationMs - f.nSamples * 1000.0 / 16000) < 1e-9)
+    }
+  }
+
   test("media schema matches the declared StructType after a parquet roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     syntheticMedia(spark, 6).toDF().write.mode("overwrite").parquet(dir)
