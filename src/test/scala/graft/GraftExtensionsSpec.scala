@@ -25,6 +25,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()
       assert(out.length === 1)
       assert(out.head.getDouble(0) === 32.0)
+
+      // nfc_normalize injected too, and the idempotence optimizer rule
+      // collapses the nested call to one expression (a non-foldable
+      // parquet column — literals would constant-fold away entirely)
+      val nested = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("nfc_normalize(nfc_normalize(text)) AS t")
+      assert(nested.limit(1).collect().head.getString(0).nonEmpty)
+      val occurrences = nested.queryExecution.optimizedPlan.expressions
+        .map(_.collect { case n: graft.functions.NormalizeNfc => n }.size).sum
+      assert(occurrences === 1, s"expected collapsed plan, got $occurrences")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
