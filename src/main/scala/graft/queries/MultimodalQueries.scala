@@ -22,18 +22,29 @@ object MultimodalQueries {
   private val FixtureVersion = 2
 
   /** Write-once deterministic media table (payload binary + meta
-    * struct). A _SUCCESS marker guards against half-written leftovers;
-    * content depends only on (version, n) so re-reads are stable. */
+    * struct). Safe across concurrent JVMs (bench + correctness driver
+    * can race here): each process writes to a PID-unique staging dir,
+    * then atomically renames into the shared path — the loser of the
+    * rename discards its staging copy and reads the winner's (content
+    * depends only on (version, n), so both copies are identical). */
   def mediaTable(spark: SparkSession, n: Int = FixtureRows): DataFrame = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-media-v$FixtureVersion-$n.parquet")
+    val base = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(base, s"graft-media-v$FixtureVersion-$n.parquet")
     val ok = new java.io.File(dir, "_SUCCESS")
     if (!ok.exists()) {
+      val staging = new java.io.File(base,
+        s"graft-media-v$FixtureVersion-$n.staging-${ProcessHandle.current().pid()}")
       Multimodal.syntheticMedia(spark, n)
         .repartition(4) // fixture-size files; real tables size by bytes
-        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+        .write.mode("overwrite").parquet(staging.getAbsolutePath)
+      if (!staging.renameTo(dir)) deleteRecursively(staging)
     }
     spark.read.parquet(dir.getAbsolutePath)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** decode → per-channel mean/std features, one row per (media,

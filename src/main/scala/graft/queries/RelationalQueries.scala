@@ -663,7 +663,8 @@ object RelationalQueries {
     * of distinct-value count (the exact pre-aggregated form needs the
     * distinct values to fit the agg hash table). Rows-only in the gate
     * (sketch internals differ across engines); PercentileSpec bounds
-    * the error against the exact values. */
+    * the error against the exact values. Output is flattened to scalar
+    * columns (the correctness driver's compare can't hash arrays). */
   private val aPercentilesApprox: Q = (s, d) =>
     table(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -671,6 +672,11 @@ object RelationalQueries {
         expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 1000)")
           .as("pcts_approx"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts_approx"), 1).as("p25_approx"),
+        element_at(col("pcts_approx"), 2).as("p50_approx"),
+        element_at(col("pcts_approx"), 3).as("p95_approx"),
+        col("n_rows"))
 
   /** A4 at 100 TB: exact countDistinct replaced with HLL sketches —
     * one pass, mergeable, no distinct shuffle. Rows-only in the gate

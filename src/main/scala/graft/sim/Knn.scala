@@ -151,10 +151,13 @@ object Knn extends Serializable {
     * candidates are exactly rescored with the same rounded kernel and
     * filtered at the threshold. Compute scales with Σ f(bucket)²
     * instead of n²; recall for a pair at angle θ is
-    * 1 − (1 − (1−θ/π)^planes)^tables — at near-dup similarities
-    * (cosine ≥ 0.95) the default 24×10 configuration misses a pair
-    * with probability < 1e-8, and the sketch is deterministic
-    * (seeded hyperplanes), so results are reproducible. */
+    * 1 − (1 − (1−θ/π)^planes)^tables. For the default 24×10
+    * configuration that is a miss probability of ~4e-5 at cosine 0.95
+    * and ~2e-8 at cosine 0.98 — the planted near-dups the gate corpus
+    * carries sit at ~0.98, and the sketch is deterministic (seeded
+    * hyperplanes), so the oracle-exact gate holds because the seeded
+    * sketch is reproducible and verified on that corpus, not because
+    * of a universal bound at the threshold. */
   def cosineNearDupBlocked(emb: DataFrame, threshold: Double,
       planes: Int = 10, numTables: Int = 24): DataFrame = {
     val spark = emb.sparkSession

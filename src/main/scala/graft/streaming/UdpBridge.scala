@@ -33,6 +33,7 @@ class UdpBridge(spark: SparkSession, port: Int = 0, driver: Long = 1L,
   socket.setReceiveBufferSize(1 << 20)
   @volatile private var running = false
   private val decoded = new AtomicLong(0)
+  private val errors = new AtomicLong(0)
   private var thread: Thread = _
 
   /** Actual bound port (pass port 0 for an ephemeral one). */
@@ -43,6 +44,9 @@ class UdpBridge(spark: SparkSession, port: Int = 0, driver: Long = 1L,
 
   /** Packets successfully decoded so far (dropped frames not counted). */
   def packetsDecoded: Long = decoded.get()
+
+  /** Receive/decode errors survived so far (the loop keeps running). */
+  def receiveErrors: Long = errors.get()
 
   def start(): Unit = {
     require(thread == null, "bridge already started")
@@ -60,6 +64,14 @@ class UdpBridge(spark: SparkSession, port: Int = 0, driver: Long = 1L,
           }
         } catch {
           case _: SocketException if !running => () // closed by stop()
+          case scala.util.control.NonFatal(e) =>
+            // A transient receive error or a decode throw must not kill
+            // ingestion silently: count it, log once in a while, go on.
+            val n = errors.incrementAndGet()
+            if (n == 1 || n % 1000 == 0) {
+              System.err.println(
+                s"udp-bridge-$boundPort: survived error #$n: $e")
+            }
         }
       }
     }, s"udp-bridge-$boundPort")

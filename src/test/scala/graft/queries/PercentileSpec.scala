@@ -33,7 +33,7 @@ class PercentileSpec extends AnyFunSuite {
         Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val approx = SparkEntry.queries("a_percentiles_approx")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
-        r.getSeq[Double](1)).toMap
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     assert(approx.keySet === exact.keySet)
     exact.foreach { case (g, es) =>
       es.zip(approx(g)).foreach { case (e, a) =>
