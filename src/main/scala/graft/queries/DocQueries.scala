@@ -62,6 +62,20 @@ object DocQueries {
   private val dedupSimhash: Q = (s, d) =>
     SimHash.nearDuplicates(table(s, d, "documents"), maxDist = 3)
 
+  /** The same simhash pipeline on the md5-60 word hash — oracle-exact:
+    * DuckDB recomputes the signatures in pure SQL and brute-forces all
+    * pairs, so the hash-match also proves the pigeonhole blocked join
+    * loses nothing. */
+  private val dedupSimhashMd5: Q = (s, d) =>
+    SimHash.nearDuplicates(table(s, d, "documents"), maxDist = 3,
+      wordHash = graft.text.MinHashLsh.md5Hash60)
+
+  /** Winnowing on md5-60 k-gram hashes — oracle-exact (the fingerprint
+    * SET equals the distinct window minima, pure window SQL). */
+  private val textWinnowingMd5: Q = (s, d) =>
+    TextAnalysis.winnowingFingerprints(table(s, d, "documents"),
+      useMd5Grams = true)
+
   /** Exact brute-force cosine top-k. */
   private val knnBrute: Q = (s, d) =>
     Knn.bruteForceTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
@@ -100,6 +114,7 @@ object DocQueries {
       Some(CorpusPipeline.filteredCorpusSql(jaccardThreshold))),
     ("dedup_minhash_lsh", dedupMinhash, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_simhash", dedupSimhash, None),
+    ("dedup_simhash_md5", dedupSimhashMd5, Some(SimHash.md5OracleSql(3))),
     ("knn_cosine_topk", knnBrute, Some(Knn.bruteForceTopKSql(5, 5))),
     ("dedup_embedding_cosine",
       (s: org.apache.spark.sql.SparkSession, d: String) =>
@@ -127,6 +142,8 @@ object DocQueries {
         TextAnalysis.nfcNormalize(table(s, d, "documents"))): Q,
       Some(TextAnalysis.nfcNormalizeSql)),
     ("text_pii_scrub", textPiiScrub, Some(TextAnalysis.piiScrubSql)),
-    ("text_winnowing", textWinnowing, None)
+    ("text_winnowing", textWinnowing, None),
+    ("text_winnowing_md5", textWinnowingMd5,
+      Some(TextAnalysis.winnowingMd5Sql()))
   )
 }

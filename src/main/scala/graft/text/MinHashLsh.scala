@@ -53,6 +53,27 @@ object MinHashLsh {
     h
   }
 
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Cross-engine-checkable 60-bit hash: the first 15 hex chars of
+    * md5(s) as an unsigned value (= big-endian first 8 digest bytes
+    * >>> 4). Equals DuckDB's `CAST('0x' || substr(md5(s),1,15) AS
+    * BIGINT)` and Spark SQL's `conv(substring(md5(s),1,15),16,10)`
+    * bit-for-bit, which is what lets sketch operators built on it be
+    * gated oracle-exact instead of rows-only. Production paths keep
+    * [[fnv1a64]] (full 64 bits, ~20× cheaper); the hash is a pluggable
+    * parameter, this one is the verification instance. */
+  def md5Hash60(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
   /** a·x mod 2^61−1 via the 128-bit product and the Mersenne identity
     * 2^64 ≡ 8 (mod 2^61−1). a, x ∈ [0, 2^61) so hi < 2^58 and every
     * intermediate stays below 2^63. */

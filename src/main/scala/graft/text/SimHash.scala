@@ -34,8 +34,14 @@ object SimHash {
     sig
   }
 
-  /** Docs → (doc_id, simhash). Features are words with tf weights. */
-  def signatures(docs: DataFrame): DataFrame = {
+  /** Docs → (doc_id, simhash). Features are words with tf weights.
+    * `wordHash` is pluggable: fnv1a64 is the production default,
+    * [[MinHashLsh.md5Hash60]] the cross-engine verification instance
+    * (its top 4 bits are always 0, so those bit-counters are all
+    * negative and the signature's top 4 bits are 0 — the pigeonhole
+    * blocking below still holds unchanged). */
+  def signatures(docs: DataFrame,
+      wordHash: String => Long = MinHashLsh.fnv1a64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -44,7 +50,7 @@ object SimHash {
       .as[(Long, String, Int)]
       .groupByKey(_._1)
       .mapGroups((id: Long, it: Iterator[(Long, String, Int)]) =>
-        (id, simhash(it.map(t => (MinHashLsh.fnv1a64(t._2), t._3)))))
+        (id, simhash(it.map(t => (wordHash(t._2), t._3)))))
       .toDF("doc_id", "simhash")
   }
 
@@ -70,6 +76,38 @@ object SimHash {
   }
 
   /** Full pipeline: signatures → blocked pairs ≤ maxDist. */
-  def nearDuplicates(docs: DataFrame, maxDist: Int = 3): DataFrame =
-    nearPairs(signatures(docs), maxDist)
+  def nearDuplicates(docs: DataFrame, maxDist: Int = 3,
+      wordHash: String => Long = MinHashLsh.fnv1a64): DataFrame =
+    nearPairs(signatures(docs, wordHash), maxDist)
+
+  /** DuckDB oracle for `nearDuplicates(_, maxDist, md5Hash60)`: the
+    * same 60-bit-md5-word-hash simhash computed in pure SQL (per-bit
+    * signed tf sums → sign bits → integer reassembly), then BRUTE-FORCE
+    * all-pairs Hamming — so the hash-match also proves the pigeonhole
+    * blocked join loses no pair. */
+  def md5OracleSql(maxDist: Int): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, w AS word, CAST(COUNT(*) AS INT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents) t
+       |  GROUP BY doc_id, w
+       |), hashed AS (
+       |  SELECT doc_id, tf,
+       |         CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h
+       |  FROM words
+       |), bits AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+       |  FROM hashed, (SELECT unnest(generate_series(0, 59)) AS b) bs
+       |  GROUP BY doc_id, b
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+       |             ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
 }

@@ -123,23 +123,25 @@ object TextAnalysis {
     * shared substring of length ≥ w+k−1 produces a shared fingerprint.
     * One narrow mapPartitions pass; output (doc_id, fingerprint) rows
     * feed the same inverted-index join as the shingle pipelines. */
-  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 16): DataFrame = {
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 16,
+      useMd5Grams: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
-        winnow(text, k, w).iterator.map(h => (id, h))
+        val hashes =
+          if (useMd5Grams) md5GramHashes(text, k) else rkGramHashes(text, k)
+        selectWindowMins(hashes, w).iterator.map(h => (id, h))
       })
       .toDF("doc_id", "fingerprint")
       .distinct()
   }
 
-  /** Pure winnowing kernel: Rabin-Karp base-257 rolling hash over
-    * k-grams, min-of-window selection (rightmost min on ties, per the
-    * original algorithm's robust-winnowing variant). */
-  private[text] def winnow(text: String, k: Int, w: Int): Set[Long] = {
+  /** Rabin-Karp base-257 rolling hash over k-grams — the production
+    * gram hash (O(n) per doc, no allocation). */
+  private[text] def rkGramHashes(text: String, k: Int): Array[Long] = {
     val n = text.length
-    if (n < k) return Set.empty
+    if (n < k) return Array.emptyLongArray
     val B = 257L
     var pow = 1L
     var i = 0
@@ -156,6 +158,33 @@ object TextAnalysis {
       hashes(i) = h
       i += 1
     }
+    hashes
+  }
+
+  /** md5-60-bit hash of each k-gram — the cross-engine verification
+    * gram hash (matches DuckDB's md5 on the same substring, so the
+    * fingerprint set can be oracle-checked; see winnowingMd5Sql). */
+  private[text] def md5GramHashes(text: String, k: Int): Array[Long] = {
+    val n = text.length
+    if (n < k) return Array.emptyLongArray
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hashes(i) = MinHashLsh.md5Hash60(text.substring(i, i + k))
+      i += 1
+    }
+    hashes
+  }
+
+  /** Winnowing selection: minimum of each sliding window of w hashes
+    * (rightmost min on ties, per the original robust-winnowing
+    * variant). The returned SET equals { min(h[s..s+w-1]) : s } — the
+    * tie rule affects selected positions, never the value set, which
+    * is what makes the md5 variant expressible as window SQL. */
+  private[text] def selectWindowMins(hashes: Array[Long], w: Int): Set[Long] = {
+    val m = hashes.length
+    if (m == 0) return Set.empty
     if (m <= w) return Set(hashes.min)
     val out = scala.collection.mutable.Set.empty[Long]
     var start = 0
@@ -171,6 +200,37 @@ object TextAnalysis {
     }
     out.toSet
   }
+
+  /** Back-compat alias for the production kernel. */
+  private[text] def winnow(text: String, k: Int, w: Int): Set[Long] =
+    selectWindowMins(rkGramHashes(text, k), w)
+
+  /** DuckDB oracle for `winnowingFingerprints(_, k, w, useMd5Grams =
+    * true)`: per-position md5-60 k-gram hashes, then the distinct
+    * min-of-each-w-window via a window frame. Positions beyond
+    * m−w+1 are excluded so windows are always full; for docs with
+    * m ≤ w the single pos-1 frame covers the whole doc (= the
+    * kernel's global-min case). Text is ASCII (measured), so
+    * character and UTF-16 substring semantics agree. */
+  def winnowingMd5Sql(k: Int = 8, w: Int = 16): String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(text) - $k + 1)) AS p
+       |  FROM documents
+       |), grams AS (
+       |  SELECT d.doc_id, pos.p,
+       |         CAST('0x' || substr(md5(substr(d.text, pos.p, $k)), 1, 15)
+       |              AS BIGINT) AS h,
+       |         len(d.text) - $k + 1 AS m
+       |  FROM documents d JOIN pos ON d.doc_id = pos.doc_id
+       |), wmins AS (
+       |  SELECT doc_id, p, m,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+       |           AS fp
+       |  FROM grams
+       |)
+       |SELECT DISTINCT doc_id, fp AS fingerprint FROM wmins
+       |WHERE p <= greatest(m - $w + 1, 1)""".stripMargin
 
   /** Intra-document repetition score (pretraining-corpus filter in the
     * style of the Gopher/MassiveText rules): duplicate word-, 2-gram-

@@ -28,6 +28,18 @@ class WinnowingSpec extends AnyFunSuite {
     assert(tiny.size === 1)
   }
 
+  test("md5Hash60 matches the DuckDB hex-prefix value and the md5-gram kernel honors edge cases") {
+    // DuckDB: CAST('0x' || substr(md5('hello'),1,15) AS BIGINT)
+    assert(MinHashLsh.md5Hash60("hello") === 419982666956583591L)
+    assert(MinHashLsh.md5Hash60("") === MinHashLsh.md5Hash60(""))
+    assert(TextAnalysis.md5GramHashes("short", 8).isEmpty)
+    val hs = TextAnalysis.md5GramHashes("exactly eight!", 8)
+    assert(hs.length === 7)
+    assert(hs(0) === MinHashLsh.md5Hash60("exactly "))
+    // selection is hash-agnostic: same set rules for both gram hashes
+    assert(TextAnalysis.selectWindowMins(hs, 16) === Set(hs.min))
+  }
+
   test("distributed fingerprints find the corpus near-dups via inverted-index join") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
