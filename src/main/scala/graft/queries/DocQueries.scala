@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.text.{CorpusPipeline, DedupClusters, MinHashLsh, Shingles, SimHash, TextAnalysis}
+import graft.text.{CorpusPipeline, DedupClusters, FuzzyDedup, MinHashLsh, Shingles, SimHash, TextAnalysis}
 import graft.sim.Knn
 import QueryDsl._
 
@@ -76,6 +76,19 @@ object DocQueries {
     TextAnalysis.winnowingFingerprints(table(s, d, "documents"),
       useMd5Grams = true)
 
+  /** Blocked edit-distance near-dup pairs: rare-gram inverted-index
+    * candidates + exact levenshtein rescore (never all-pairs). */
+  private val dedupFuzzy: Q = (s, d) =>
+    FuzzyDedup.levenshteinPairs(table(s, d, "documents"))
+
+  /** Deterministic hash-based train/test split (repartition-stable). */
+  private val pipelineSplit: Q = (s, d) =>
+    CorpusPipeline.trainTestSplit(table(s, d, "documents"))
+
+  /** Test-vs-train n-gram contamination audit over the split. */
+  private val pipelineContamination: Q = (s, d) =>
+    CorpusPipeline.contamination(table(s, d, "documents"))
+
   /** Exact brute-force cosine top-k. */
   private val knnBrute: Q = (s, d) =>
     Knn.bruteForceTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
@@ -144,6 +157,12 @@ object DocQueries {
     ("text_pii_scrub", textPiiScrub, Some(TextAnalysis.piiScrubSql)),
     ("text_winnowing", textWinnowing, None),
     ("text_winnowing_md5", textWinnowingMd5,
-      Some(TextAnalysis.winnowingMd5Sql()))
+      Some(TextAnalysis.winnowingMd5Sql())),
+    ("dedup_fuzzy_levenshtein", dedupFuzzy,
+      Some(FuzzyDedup.levenshteinPairsSql())),
+    ("pipeline_train_test_split", pipelineSplit,
+      Some(CorpusPipeline.trainTestSplitSql())),
+    ("pipeline_contamination", pipelineContamination,
+      Some(CorpusPipeline.contaminationSql()))
   )
 }

@@ -74,9 +74,122 @@ object ExtendedQueries {
       |CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices) with
+    * GROUPING() markers to disambiguate real NULLs from subtotal rows. */
+  private val groupingSetsQ: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"))
+
+  private val groupingSetsSql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin
+
+  /** The ranking-function suite over one window (rank / dense_rank /
+    * percent_rank / ntile). The ordering carries a unique tie-break
+    * (c_custkey) so every function is deterministic cross-engine;
+    * percent_rank's (rank−1)/(n−1) is per-row double math, which
+    * matches bit-for-bit. */
+  private val rankSuiteQ: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    table(s, d, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        percent_rank().over(w).as("prk"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  private val rankSuiteSql =
+    """SELECT c_nationkey, c_custkey,
+      |  CAST(rank() OVER w AS BIGINT) AS rk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      |  percent_rank() OVER w AS prk,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
+  /** P15 (array scalars, "free from Spark"): build a sorted distinct
+    * array per group, then element access / size / membership — the
+    * construct-and-consume array lifecycle under the oracle. */
+  private val arrayOpsQ: Q = (s, d) =>
+    table(s, d, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sort_array(collect_set(col("o_orderpriority"))).as("l"))
+      .select(col("c_custkey"), size(col("l")).as("n_prios"),
+        element_at(col("l"), 1).as("first_prio"),
+        element_at(col("l"), -1).as("last_prio"),
+        array_contains(col("l"), "1-URGENT").cast("int").as("has_urgent"))
+
+  private val arrayOpsSql =
+    """SELECT c_custkey, CAST(len(l) AS INT) AS n_prios, l[1] AS first_prio,
+      |       l[-1] AS last_prio,
+      |       CAST(list_contains(l, '1-URGENT') AS INT) AS has_urgent
+      |FROM (SELECT o_custkey AS c_custkey,
+      |             list(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS l
+      |      FROM orders GROUP BY 1) t""".stripMargin
+
+  /** P15 (JSON scalars): path extraction from the events props column
+    * + typed aggregation — get_json_object stays codegen'd, no UDF. */
+  private val jsonOpsQ: Q = (s, d) =>
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+
+  private val jsonOpsSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Binned range join (ops.RangeJoin): orders landing inside each
+    * sampled lineitem's 30-day post-ship window — an equi-join on
+    * 32-day bins + exact filter, never a nested-loop plan. */
+  private val rangeJoinQ: Q = (s, d) => {
+    val points = table(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+    val intervals = table(s, d, "lineitem")
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        expr("timestampadd(DAY, 30, l_shipdate)").as("l_shipend"))
+    graft.ops.RangeJoin.binned(points, col("o_orderdate"),
+        intervals, col("l_shipdate"), col("l_shipend"),
+        graft.ops.RangeJoin.timestampBins(32))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n_orders"), min(col("o_orderdate")).as("first_order"))
+  }
+
+  private val rangeJoinSql =
+    """SELECT l.l_orderkey, l.l_linenumber, CAST(count(*) AS BIGINT) AS n_orders,
+      |       min(o.o_orderdate) AS first_order
+      |FROM lineitem l JOIN orders o
+      |  ON o.o_orderdate >= l.l_shipdate
+      | AND o.o_orderdate <= l.l_shipdate + INTERVAL 30 DAY
+      |WHERE l.l_orderkey % 97 = 0
+      |GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("rollup_year_prio", rollupQ, Some(rollupSql)),
     ("cube_flags", cubeQ, Some(cubeSql)),
+    ("a_grouping_sets", groupingSetsQ, Some(groupingSetsSql)),
+    ("w_rank_suite", rankSuiteQ, Some(rankSuiteSql)),
+    ("p15_arrays", arrayOpsQ, Some(arrayOpsSql)),
+    ("p15_json", jsonOpsQ, Some(jsonOpsSql)),
+    ("j_range_binned", rangeJoinQ, Some(rangeJoinSql)),
     ("except_all", exceptAllQ, Some(exceptAllSql)),
     ("intersect_all", intersectAllQ, Some(intersectAllSql)),
     ("pivot_event_counts", pivotQ, Some(pivotSql))

@@ -47,4 +47,82 @@ object CorpusPipeline {
        |JOIN quality_ok USING (doc_id)
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM non_canonical)""".stripMargin
   }
+
+  private val Pow60 = 1152921504606846976L // 2^60
+
+  private def splitThreshold(trainFrac: Double): Long =
+    (trainFrac * Pow60).toLong
+
+  /** Deterministic, leakage-free document-level train/test split: the
+    * md5-60 hash of the doc id maps to a uniform 60-bit value; ids
+    * below `trainFrac`·2⁶⁰ are train. Hash-based (not row_number or
+    * rand()) so the assignment is stable under repartitioning, joins,
+    * and incremental corpus growth — the property a 100 TB pipeline
+    * needs so yesterday's test docs never drift into today's train
+    * set. Pure column expressions, no shuffle. */
+  def trainTestSplit(docs: DataFrame, trainFrac: Double = 0.9): DataFrame =
+    docs.select(col("doc_id"),
+      when(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long") < splitThreshold(trainFrac), "train")
+        .otherwise("test").as("split"))
+
+  def trainTestSplitSql(trainFrac: Double = 0.9): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+       |            AS BIGINT) < ${splitThreshold(trainFrac)}
+       |       THEN 'train' ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
+  /** Benchmark-contamination check (the GPT-3/C4-style n-gram overlap
+    * audit): for every TEST document, the fraction of its distinct
+    * word `n`-grams that also occur anywhere in the TRAIN split.
+    * Grams are md5-hashed, so the join currency is 16 bytes regardless
+    * of text width; the train side is a DISTINCT gram set (bounded by
+    * corpus vocabulary, shuffled once); the test side joins on the
+    * gram hash — at 100 TB this is one hash-join between two
+    * gram-hash tables, never a doc×doc comparison. */
+  def contamination(docs: DataFrame, n: Int = 8,
+      trainFrac: Double = 0.9): DataFrame = {
+    val withSplit = docs.join(trainTestSplit(docs, trainFrac), "doc_id")
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("split"),
+        explode(when(size(col("ws")) >= n,
+          expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(ws, i, $n)))"))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .select(col("doc_id"), col("split"),
+        md5(col("gram").cast("binary")).as("g"))
+      .distinct()
+    // cached: the train-set and test-set branches both read this table
+    val all = grams(withSplit).cache()
+    val trainG = all.filter(col("split") === "train").select("g").distinct()
+      .withColumn("hit", lit(1))
+    all.filter(col("split") === "test")
+      .join(trainG, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams_distinct"),
+        count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_grams_distinct"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") /
+          col("n_grams_distinct")).as("contamination_frac"))
+  }
+
+  def contaminationSql(n: Int = 8, trainFrac: Double = 0.9): String =
+    s"""WITH split AS (${trainTestSplitSql(trainFrac)}),
+       |words AS (SELECT d.doc_id, s.split, string_split(d.text, ' ') AS ws
+       |          FROM documents d JOIN split s USING (doc_id)),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, split,
+       |         md5(array_to_string(ws[i:i+${n - 1}], ' ')) AS g
+       |  FROM words, unnest(generate_series(1, len(ws) - ${n - 1})) t(i)
+       |),
+       |train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train')
+       |SELECT t.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams_distinct,
+       |  CAST(count(tg.g) AS BIGINT) AS n_contaminated,
+       |  CAST(count(tg.g) AS DOUBLE) / count(*) AS contamination_frac
+       |FROM (SELECT doc_id, g FROM grams WHERE split = 'test') t
+       |LEFT JOIN train_g tg USING (g)
+       |GROUP BY 1""".stripMargin
 }

@@ -123,11 +123,20 @@ object TextAnalysis {
     * shared substring of length ≥ w+k−1 produces a shared fingerprint.
     * One narrow mapPartitions pass; output (doc_id, fingerprint) rows
     * feed the same inverted-index join as the shingle pipelines. */
+  /** Spread a narrow kernel's input across the cluster when the source
+    * arrived in fewer splits than there are cores (a single small
+    * parquet file = one partition = one busy core). At real scale
+    * inputs come in thousands of splits and this is a no-op. */
+  private[text] def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 16,
       useMd5Grams: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    balanced(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val hashes =
           if (useMd5Grams) md5GramHashes(text, k) else rkGramHashes(text, k)

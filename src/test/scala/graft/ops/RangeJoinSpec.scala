@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def frames() = {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val points = orders.select(col("o_orderkey"), col("o_orderdate"))
+    val intervals = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") % 31 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        expr("timestampadd(DAY, 45, l_shipdate)").as("l_shipend"))
+    (points, intervals)
+  }
+
+  test("binned range join equals the naive non-equi join") {
+    val (points, intervals) = frames()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    val naive = points.join(intervals,
+        col("o_orderdate") >= col("l_shipdate") &&
+          col("o_orderdate") <= col("l_shipend"))
+      .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(key).toSeq.sorted
+    val binned = RangeJoin.binned(points, col("o_orderdate"), intervals,
+        col("l_shipdate"), col("l_shipend"), RangeJoin.timestampBins(32))
+      .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"))
+      .collect().map(key).toSeq.sorted
+    assert(naive.nonEmpty)
+    assert(binned === naive)
+  }
+
+  test("binned plan is an equi-join, not a nested loop") {
+    val (points, intervals) = frames()
+    val naivePlan = points.join(intervals,
+        col("o_orderdate") >= col("l_shipdate") &&
+          col("o_orderdate") <= col("l_shipend"))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin")) // what we avoid
+    val binnedPlan = RangeJoin.binned(points, col("o_orderdate"), intervals,
+        col("l_shipdate"), col("l_shipend"), RangeJoin.timestampBins(32))
+      .queryExecution.executedPlan.toString
+    assert(!binnedPlan.contains("BroadcastNestedLoopJoin"))
+    assert(!binnedPlan.contains("CartesianProduct"))
+  }
+
+  test("intervals spanning many bins and points on bin edges join exactly once") {
+    import spark.implicits._
+    // point exactly on lo, on hi, and a 5-bin-wide interval
+    val points = Seq((1L, 0L), (2L, 100L), (3L, 500L), (4L, 501L))
+      .toDF("pid", "v")
+    val intervals = Seq((10L, 0L, 100L), (11L, 100L, 500L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.binned(points, col("v"), intervals, col("lo"),
+        col("hi"), c => floor(c / 100).cast("long"))
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
+  }
+}
