@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.text.{CorpusPipeline, DedupClusters, FuzzyDedup, MinHashLsh, Shingles, SimHash, TextAnalysis}
+import graft.text.{Bm25, CorpusPipeline, DedupClusters, FuzzyDedup, MinHashLsh, Shingles, SimHash, TextAnalysis}
 import graft.sim.Knn
 import QueryDsl._
 
@@ -89,6 +89,11 @@ object DocQueries {
   private val pipelineContamination: Q = (s, d) =>
     CorpusPipeline.contamination(table(s, d, "documents"))
 
+  /** BM25 lexical retrieval: top-10 docs for a fixed 3-term query. */
+  private val bm25Terms = Seq("hash", "join", "scan")
+  private val textBm25: Q = (s, d) =>
+    Bm25.topDocs(table(s, d, "documents"), bm25Terms)
+
   /** Exact brute-force cosine top-k. */
   private val knnBrute: Q = (s, d) =>
     Knn.bruteForceTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
@@ -163,6 +168,7 @@ object DocQueries {
     ("pipeline_train_test_split", pipelineSplit,
       Some(CorpusPipeline.trainTestSplitSql())),
     ("pipeline_contamination", pipelineContamination,
-      Some(CorpusPipeline.contaminationSql()))
+      Some(CorpusPipeline.contaminationSql())),
+    ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms)))
   )
 }

@@ -182,7 +182,30 @@ object ExtendedQueries {
       |WHERE l.l_orderkey % 97 = 0
       |GROUP BY 1, 2""".stripMargin
 
+  /** Per-group top-k via the bounded-buffer typed Aggregator
+    * (functions.TopKAgg) — map-side combine keeps ≤ k rows per group
+    * per task; the oracle recomputes it as the window row_number
+    * form, so the hash-match proves the Aggregator ≡ the sort-based
+    * semantics. */
+  private val topkAggQ: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKAgg.topK(5)(col("value"), col("event_id"))
+        .as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "vk")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rnk"),
+        col("vk.value").as("value"), col("vk.id").as("event_id"))
+
+  private val topkAggSql =
+    """SELECT event_type, CAST(rnk AS INT) AS rnk, value, event_id
+      |FROM (SELECT event_type, value, event_id,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY value DESC, event_id) AS rnk
+      |      FROM events) t
+      |WHERE rnk <= 5""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("a_topk_agg", topkAggQ, Some(topkAggSql)),
     ("rollup_year_prio", rollupQ, Some(rollupSql)),
     ("cube_flags", cubeQ, Some(cubeSql)),
     ("a_grouping_sets", groupingSetsQ, Some(groupingSetsSql)),

@@ -550,6 +550,28 @@ object RelationalQueries {
 
   /** Tumbling-window (hourly) aggregation, batch form of the streaming
     * windowed agg (SURVEY §2.8 extension). */
+  /** Exactly-once restoration over an at-least-once source: a
+    * deterministic 10% of events is "redelivered" (unioned back in),
+    * then StreamOps.exactlyOnce drops the duplicates by id — counts
+    * and sums return to the original table's. The streaming form
+    * (dropDuplicatesWithinWatermark, bounded state) is exercised in
+    * StreamOpsSpec. */
+  private val streamDedup: Q = (s, d) => {
+    val ev = events(s, d)
+    graft.streaming.StreamOps.exactlyOnce(
+        ev.unionByName(ev.filter(col("event_id") % 10 === 0)),
+        watermarked = false)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+  }
+
+  private val streamDedupSql =
+    s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+       |FROM (SELECT DISTINCT * FROM
+       |  (SELECT * FROM events UNION ALL
+       |   SELECT * FROM events WHERE event_id % 10 = 0) u) t
+       |GROUP BY 1""".stripMargin
+
   private val streamTumbling: Q = (s, d) =>
     events(s, d)
       .groupBy(expr("ev_us div 3600000000").as("hour_bucket"), col("event_type"))
@@ -724,6 +746,7 @@ object RelationalQueries {
     ("o7_dedup", o7Dedup, Some(o7DedupSql)),
     ("set_intersect", setIntersect, Some(setIntersectSql)),
     ("set_except", setExcept, Some(setExceptSql)),
+    ("stream_dedup_exactly_once", streamDedup, Some(streamDedupSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),

@@ -68,6 +68,23 @@ object StreamOps {
         col("purchase_value"))
   }
 
+  /** At-least-once → exactly-once: drop redelivered events by id.
+    * Streaming form uses `dropDuplicatesWithinWatermark`, so the
+    * dedup state store holds only ids younger than the watermark
+    * horizon (bounded by rate × lateness — at 100 TB/day the
+    * unbounded `dropDuplicates` state would grow forever; this one
+    * can't). Batch form is a plain id-dedup: redelivered copies are
+    * byte-identical, so keep-any is deterministic in content. */
+  def exactlyOnce(events: DataFrame, idCol: String = "event_id",
+      tsCol: String = "ev_ts", lateness: String = "10 minutes",
+      watermarked: Boolean = true): DataFrame =
+    if (watermarked) {
+      events.withWatermark(tsCol, lateness)
+        .dropDuplicatesWithinWatermark(idCol)
+    } else {
+      events.dropDuplicates(idCol)
+    }
+
   /** S10: the reference's ≥0.1 s write throttle, expressed as a
     * ProcessingTime trigger + foreachBatch
     * (F1-25_Telemetry_DB_Record.py:181-191). The batchFn receives each

@@ -156,4 +156,25 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(p >= 0f && p <= 1.0f)
     }
   }
+
+  test("exactly-once dedup drops cross-batch redeliveries within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = input.toDS().toDF("event_id", "ev_ts", "event_type", "value")
+    val q = StreamOps.exactlyOnce(df)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "click", 1.0), (2L, ts(1), "click", 2.0))
+      q.processAllAvailable()
+      // same ids redelivered in a LATER micro-batch → must be dropped
+      input.addData((1L, ts(0), "click", 1.0), (3L, ts(2), "view", 3.0))
+      q.processAllAvailable()
+      input.addData((2L, ts(1), "click", 2.0), (2L, ts(1), "click", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id"))
+      assert(ids.sorted === Array(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
