@@ -35,6 +35,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val occurrences = nested.queryExecution.optimizedPlan.expressions
         .map(_.collect { case n: graft.functions.NormalizeNfc => n }.size).sum
       assert(occurrences === 1, s"expected collapsed plan, got $occurrences")
+
+      // levenshtein bound predicates rewrite to the banded 3-arg form
+      import org.apache.spark.sql.catalyst.expressions.Levenshtein
+      val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50).select("doc_id", "text")
+      val a = docs.toDF("ida", "ta")
+      val b = docs.toDF("idb", "tb")
+      val q = a.crossJoin(b).filter("ida < idb AND levenshtein(ta, tb) <= 30")
+      val thresholds = q.queryExecution.optimizedPlan.expressions.flatMap(
+        _.collect { case Levenshtein(_, _, t) => t })
+      assert(thresholds.nonEmpty && thresholds.forall(_.isDefined),
+        s"expected banded levenshtein, got $thresholds")
+      // equivalence: the rewritten predicate returns the same pairs as
+      // an un-extended session's plain form
+      val got = q.select("ida", "idb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = base.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50).select("doc_id", "text")
+      val ref = plain.toDF("ida", "ta").crossJoin(plain.toDF("idb", "tb"))
+        .filter("ida < idb AND levenshtein(ta, tb) <= 30")
+        .select("ida", "idb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === ref)
+      // negative literal bound is not rewritten (and stays correct)
+      assert(a.crossJoin(b).filter("levenshtein(ta, tb) <= -1").count() === 0L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
