@@ -572,6 +572,60 @@ object RelationalQueries {
        |   SELECT * FROM events WHERE event_id % 10 = 0) u) t
        |GROUP BY 1""".stripMargin
 
+  /** RANGE window frame (value-based, not row-count-based): per
+    * customer, the trailing-90-day order count and decimal-exact spend
+    * on the epoch-day axis. RANGE frames include order-key peers (two
+    * same-day orders sit in each other's frame), so the result is
+    * deterministic without a unique tie-break — the property ROWS
+    * frames don't have. */
+  private val wRangeFrame: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-90, Window.currentRow)
+    table(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .as("d"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).over(w)
+          .cast("double").as("sum_trailing"))
+  }
+
+  private val wRangeFrameSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+      |    AS sum_trailing
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             datediff('day', DATE '1970-01-01', o_orderdate) AS d
+      |      FROM orders) t
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+      |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Hopping (sliding) event-time windows: 1-hour windows every 15
+    * minutes — each event lands in exactly 4 windows. Batch form of
+    * the streaming `window(ts, "1 hour", "15 minutes")` aggregation;
+    * the oracle enumerates the 4 hop offsets per event. */
+  private val streamHopping: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ev_ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"))
+
+  private val streamHoppingSql =
+    s"""WITH e AS (SELECT event_type, $evUsSql AS us FROM events),
+       |hops AS (
+       |  SELECT event_type,
+       |         (us // 900000000 - h.i) * 900000000 AS win_start_us
+       |  FROM e, (SELECT unnest(generate_series(0, 3)) AS i) h
+       |  WHERE (us // 900000000 - h.i) * 900000000 + 3600000000 > us
+       |    AND (us // 900000000 - h.i) * 900000000 <= us
+       |)
+       |SELECT win_start_us, event_type, CAST(count(*) AS BIGINT) AS n
+       |FROM hops GROUP BY 1, 2""".stripMargin
+
   private val streamTumbling: Q = (s, d) =>
     events(s, d)
       .groupBy(expr("ev_us div 3600000000").as("hour_bucket"), col("event_type"))
@@ -746,7 +800,9 @@ object RelationalQueries {
     ("o7_dedup", o7Dedup, Some(o7DedupSql)),
     ("set_intersect", setIntersect, Some(setIntersectSql)),
     ("set_except", setExcept, Some(setExceptSql)),
+    ("w_range_frame", wRangeFrame, Some(wRangeFrameSql)),
     ("stream_dedup_exactly_once", streamDedup, Some(streamDedupSql)),
+    ("stream_hopping_window", streamHopping, Some(streamHoppingSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
