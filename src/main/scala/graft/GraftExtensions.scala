@@ -75,5 +75,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
     ext.injectOptimizerRule(_ => CollapseNfcNormalize)
     ext.injectOptimizerRule(_ => BandLevenshteinPredicate)
+    ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin)
   }
 }

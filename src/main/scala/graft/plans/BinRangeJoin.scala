@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, Cast, Divide, EqualTo, Explode, Expression, Floor,
+  GreaterThanOrEqual, LessThanOrEqual, Literal, Sequence}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan,
+  Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Optimizer rule: an inner join whose ONLY predicate is a range
+  * containment `p >= lo AND p <= hi` (point from one side, interval
+  * from the other) has no equi keys, so Spark plans a
+  * BroadcastNestedLoopJoin — O(n·m) compares and a broadcast of a
+  * whole side. With a bin width configured
+  * (`spark.graft.rangeJoin.binWidth`, in axis units), this rule
+  * rewrites the logical join into the binned form of
+  * [[graft.ops.RangeJoin]]: the interval side explodes to the bins it
+  * overlaps, the point side maps to its single bin, and the join
+  * becomes a shuffled equi-join on the bin id with the exact range
+  * predicate kept as a post-condition. Same rows, no nested loop —
+  * the rewrite Databricks ships as "range join optimization", here as
+  * a ~60-line injected rule.
+  *
+  * Scope guards: inner joins; integral (int/long) axis; the rule
+  * leaves joins that already have an equi predicate alone (Spark
+  * hash-joins those with the range as a post-filter) and never fires
+  * on its own output (the `__graft_bin` marker). Intervals with
+  * lo > hi or null bounds match nothing, exactly as before the
+  * rewrite (a descending bin sequence explodes to bins the point
+  * side can't equal... and the kept exact predicate is authoritative
+  * regardless).
+  */
+object BinRangeJoin extends Rule[LogicalPlan] {
+
+  val WidthConf = "spark.graft.rangeJoin.binWidth"
+  private val BinL = "__graft_bin_l"
+  private val BinR = "__graft_bin_r"
+
+  private def width: Long =
+    try conf.getConfString(WidthConf, "0").toLong catch {
+      case _: NumberFormatException => 0L
+    }
+
+  private def integral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  private def bin(e: Expression, w: Long): Expression =
+    Cast(Floor(Divide(Cast(e, DoubleType), Literal(w.toDouble))), LongType)
+
+  /** (point, lo, hi) if cond is exactly the containment conjunction
+    * with point from `left` and bounds from `right`. */
+  private def containment(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Expression)] =
+    cond match {
+      case And(GreaterThanOrEqual(p1, lo), LessThanOrEqual(p2, hi))
+          if p1.semanticEquals(p2) &&
+            p1.references.subsetOf(left.outputSet) &&
+            lo.references.subsetOf(right.outputSet) &&
+            hi.references.subsetOf(right.outputSet) &&
+            lo.references.nonEmpty && hi.references.nonEmpty &&
+            p1.references.nonEmpty &&
+            Seq(p1, lo, hi).forall(integral) =>
+        Some((p1, lo, hi))
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val w = width
+    if (w <= 0) return plan
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if !cond.exists(_.isInstanceOf[EqualTo]) &&
+            j.output.forall(a => a.name != BinL && a.name != BinR) =>
+        containment(cond, left, right) match {
+          case Some((p, lo, hi)) =>
+            val binAlias = Alias(bin(p, w), BinL)()
+            val newLeft = Project(left.output :+ binAlias, left)
+            val binR = AttributeReference(BinR, LongType, nullable = false)()
+            val newRight = Generate(
+              // Sequence is timezone-aware: unresolved until tz is set
+              Explode(Sequence(bin(lo, w), bin(hi, w), None,
+                Some(conf.sessionLocalTimeZone))),
+              unrequiredChildIndex = Nil, outer = false, qualifier = None,
+              generatorOutput = Seq(binR), child = right)
+            val newCond = And(EqualTo(binAlias.toAttribute, binR), cond)
+            Project(j.output,
+              Join(newLeft, newRight, Inner, Some(newCond), hint))
+          case None => j
+        }
+    }
+  }
+}
