@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.text.{Bm25, CorpusPipeline, DedupClusters, FuzzyDedup, MinHashLsh, Shingles, SimHash, TextAnalysis}
-import graft.sim.Knn
+import graft.sim.{Knn, Pq}
 import QueryDsl._
 
 /** LLM-training-data pipeline operators (dedup, similarity search, text
@@ -107,6 +107,11 @@ object DocQueries {
   private val knnIvf: Q = (s, d) =>
     Knn.ivfTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
 
+  /** Product-quantized ADC + exact rerank (rows-only; rerank≥corpus ≡
+    * brute anchor and recall floor tested in PqSpec). */
+  private val knnPq: Q = (s, d) =>
+    Pq.pqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+
   private val textTokens: Q = (s, d) => TextAnalysis.tokenStats(table(s, d, "documents"))
   private val textQuality: Q = (s, d) => TextAnalysis.qualityScore(table(s, d, "documents"))
   private val textLangId: Q = (s, d) => TextAnalysis.langId(table(s, d, "documents"))
@@ -150,6 +155,7 @@ object DocQueries {
       Some(Knn.plantedNearDupBlockedSql(0.95, 0.02, 1000000L))),
     ("knn_lsh_topk", knnLsh, None),
     ("knn_ivf_topk", knnIvf, None),
+    ("knn_pq_topk", knnPq, None),
     ("text_tokens", textTokens, Some(TextAnalysis.tokenStatsSql)),
     ("text_quality", textQuality, Some(TextAnalysis.qualityScoreSql)),
     ("text_langid", textLangId, Some(TextAnalysis.langIdSql)),

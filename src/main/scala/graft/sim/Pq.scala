@@ -1,0 +1,122 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantized ANN (Jégou et al.'s PQ): the memory-scale path of
+  * the similarity family. Vectors are split into `subspaces`
+  * subvectors; each subspace gets its own small k-means codebook (fit
+  * on the same bounded deterministic sample as IVF — never a
+  * full-table pass); a vector is stored as one small code per
+  * subspace. At 64 dims / 8 subspaces / ≤256 centroids that is 8
+  * bytes per vector instead of 256 — a 32× smaller corpus
+  * representation, which is what makes billion-vector search fit a
+  * cluster's memory at all.
+  *
+  * Query path is ADC (asymmetric distance computation): per query,
+  * one lookup table of dot(query_sub, centroid) per subspace
+  * (subspaces × centroids doubles, broadcast); a candidate's
+  * approximate cosine is `subspaces` table lookups + adds — no float
+  * vector is touched. The top `rerank` candidates per query are then
+  * exactly rescored against their true embeddings (the standard
+  * ADC + rerank design), with the same rounded kernel and tie-break
+  * as brute force, so with `rerank` ≥ corpus the result EQUALS
+  * [[Knn.bruteForceTopK]] (the PqSpec anchor).
+  *
+  * Scale shape: codes table is narrow (id + bytes) and shuffles
+  * nothing; scoring is a map over the codes with broadcast tables;
+  * only ≤ rerank×queries rows join back to the fat embedding table.
+  */
+object Pq {
+
+  /** (query_id, neighbor_id, cosine, rnk) top-k per query. */
+  def pqTopK(emb: DataFrame, numQueries: Int, k: Int, subspaces: Int = 8,
+      centroidsPerSub: Int = 256, rerank: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.orderBy(col("vec_id")).limit(4096)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val dims = sample(0).length
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    // per-subspace codebooks from the shared sample (deterministic)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(subspaces) {
+      s => Knn.lloydKMeans(sample.map(_.slice(s * sub, (s + 1) * sub)),
+        centroidsPerSub, iters = 10)
+    }
+    val bc = spark.sparkContext.broadcast(codebooks)
+
+    def encode(v: Array[Float]): Array[Int] = {
+      val cbs = bc.value
+      Array.tabulate(cbs.length) { s =>
+        val cb = cbs(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var d = 0.0; var j = 0
+          while (j < cb(c).length) {
+            val diff = v(s * cb(c).length + j) - cb(c)(j)
+            d += diff * diff; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+
+    val codes = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, encode(v)) }
+      .toDF("neighbor_id", "codes")
+
+    // per-query ADC lookup tables, broadcast with the query set
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val luts: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, q) =>
+      qid -> Array.tabulate(subspaces) { s =>
+        codebooks(s).map { cent =>
+          var d = 0.0; var j = 0
+          while (j < cent.length) { d += q(s * sub + j) * cent(j); j += 1 }
+          d
+        }
+      }
+    }
+    val bcLuts = spark.sparkContext.broadcast(luts)
+
+    val approx = codes.as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bcLuts.value
+        it.flatMap { case (nid, cs) =>
+          qs.iterator.filter(_._1 != nid).map { case (qid, lut) =>
+            var s = 0.0; var i = 0
+            while (i < cs.length) { s += lut(i)(cs(i)); i += 1 }
+            (qid, nid, s)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val candidates = approx.withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // exact rescore of candidates only — same kernel as brute force
+    graft.functions.VecDotFloat.register(spark)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(q), "query_id")
+      .join(n, "neighbor_id")
+      .withColumn("cosine", round(expr(Knn.dotExpr), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+}
