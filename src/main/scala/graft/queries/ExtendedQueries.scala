@@ -204,8 +204,27 @@ object ExtendedQueries {
       |      FROM events) t
       |WHERE rnk <= 5""".stripMargin
 
+  /** Per-type frequent users via the Misra–Gries Aggregator
+    * (functions.HeavyHittersAgg). Gate capacity (4096) exceeds the
+    * distinct-user count at every tested SF, where MG counts are
+    * provably exact — so the oracle is a plain GROUP BY count; the
+    * bounded-capacity approximation guarantee is spec-tested. */
+  private val heavyHittersQ: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HeavyHittersAgg.heavyHitters(4096)(
+        col("user_id").cast("string")).as("hh"))
+      .select(col("event_type"), explode(col("hh")).as(Seq("user_id", "cnt")))
+      .select(col("event_type"), col("user_id").cast("long").as("user_id"),
+        col("cnt"))
+
+  private val heavyHittersSql =
+    """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("a_topk_agg", topkAggQ, Some(topkAggSql)),
+    ("a_heavy_hitters", heavyHittersQ, Some(heavyHittersSql)),
     ("rollup_year_prio", rollupQ, Some(rollupSql)),
     ("cube_flags", cubeQ, Some(cubeSql)),
     ("a_grouping_sets", groupingSetsQ, Some(groupingSetsSql)),
