@@ -19,7 +19,9 @@ object PlanAudit {
     val d = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("s4_scan_project", "j4_dim_join", "a1_multi_agg", "w7_islands",
-        "knn_cosine_topk", "asof_latest")
+        "knn_cosine_topk", "asof_latest", "j_range_binned", "a_topk_agg",
+        "a_heavy_hitters", "text_bm25", "w_range_frame",
+        "dedup_fuzzy_levenshtein")
     names.foreach { n =>
       println(s"===== $n =====")
       SparkEntry.queries(n)(spark, d).explain("formatted")
