@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing is real — schemas, partition-size control,
   * typed mapPartitions batching (the Scala-native equivalent of
   * mapInPandas: one JVM pass per partition, zero per-row UDF setup) —
-  * while the actual media codec is a clearly marked STUB behind
-  * [[StubCodec]]: this container has no image/audio libraries, so the
-  * "decode" parses a deterministic fake header instead of JPEG/PCM.
-  * Swapping in a real codec changes only that object.
+  * and so is the codec for the formats the JDK itself ships:
+  * [[JdkCodec]] decodes real PNG (ImageIO, also JPEG/BMP) and real
+  * PCM16 WAV (javax.sound) payloads, dispatched by magic bytes.
+  * [[StubCodec]] remains the clearly marked seam for codecs the JDK
+  * lacks (H.264 video, MP3, …) — swapping in e.g. ffmpeg bindings
+  * changes only that object.
   *
   * Scale notes: payloads never pass through a shuffle — operators are
   * narrow mapPartitions; when a shuffle is unavoidable upstream,
@@ -119,6 +121,116 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for the formats the JDK ships: PNG (and JPEG/BMP)
+    * through `javax.imageio`, WAV PCM16 through `javax.sound.sampled`.
+    * No external libraries — this is a genuine decode of genuine
+    * container formats, dispatched by magic bytes; [[StubCodec]]
+    * remains the seam for codecs the JDK lacks (H.264, MP3, …). */
+  object JdkCodec {
+    private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+
+    def isPng(p: Array[Byte]): Boolean =
+      p != null && p.length >= 4 && p.take(4).sameElements(PngMagic)
+
+    def isWav(p: Array[Byte]): Boolean =
+      p != null && p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
+        p(2) == 'F' && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' &&
+        p(10) == 'V' && p(11) == 'E'
+
+    /** PNG/JPEG/BMP → (w, h, 3, RGB row-major bytes); None on corrupt. */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val i = (y * w + x) * 3
+              out(i) = ((rgb >> 16) & 0xff).toByte
+              out(i + 1) = ((rgb >> 8) & 0xff).toByte
+              out(i + 2) = (rgb & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, 3, out))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** WAV → (sampleRate, PCM16 samples); None on corrupt/non-PCM16. */
+    def decodeWav(payload: Array[Byte]): Option[(Int, Array[Short])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) { in.close(); None }
+        else {
+          val bytes = in.readAllBytes(); in.close()
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val samples = new Array[Short](bytes.length / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = bb.getShort(i * 2); i += 1 }
+          Some((fmt.getSampleRate.toInt, samples))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Deterministic-content PNG (same pixel mix as the stub). */
+    def encodePng(width: Int, height: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val base = (y * width + x) * 3
+          def px(i: Int): Int = (((i * 2654435761L) >>> 24) & 0xff).toInt
+          img.setRGB(x, y, (px(base) << 16) | (px(base + 1) << 8) | px(base + 2))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Deterministic-content PCM16 WAV (same sample mix as the stub). */
+    def encodeWav(sampleRate: Int, numSamples: Int): Array[Byte] = {
+      val pcm = new Array[Byte](numSamples * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < numSamples) {
+        bb.putShort((((i * 2654435761L) >>> 16) & 0xffff).toShort)
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1,
+        true, false)
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, numSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** Magic-byte dispatch: real JDK codecs for PNG/WAV payloads, the
+    * stub for its own format, None (dropped) otherwise. */
+  private[multimodal] def decodeAnyImage(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    if (JdkCodec.isPng(p)) JdkCodec.decodeImage(p) else StubCodec.decode(p)
+
+  private[multimodal] def decodeAnyAudio(p: Array[Byte]): Option[(Int, Array[Short])] =
+    if (JdkCodec.isWav(p)) JdkCodec.decodeWav(p) else StubCodec.decodeAudio(p)
+
   /** Decode operator: batch-per-partition, malformed payloads dropped
     * (corrupt media must never kill a 100 TB job). */
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
@@ -126,7 +238,7 @@ object Multimodal {
     import spark.implicits._
     media.filter(col("kind") === "image").as[MediaRow]
       .mapPartitions(_.flatMap { row =>
-        StubCodec.decode(row.payload).map { case (w, h, c, px) =>
+        decodeAnyImage(row.payload).map { case (w, h, c, px) =>
           DecodedImage(row.media_id, w, h, c, px)
         }
       })
@@ -188,7 +300,7 @@ object Multimodal {
     import spark.implicits._
     media.filter(col("kind") === "audio").as[MediaRow]
       .mapPartitions(_.flatMap { row =>
-        StubCodec.decodeAudio(row.payload).map { case (rate, samples) =>
+        decodeAnyAudio(row.payload).map { case (rate, samples) =>
           DecodedAudio(row.media_id, rate, samples)
         }
       })
@@ -239,20 +351,33 @@ object Multimodal {
       })
   }
 
-  /** Fixture generator: a deterministic media table with images and
-    * videos (used by tests; doubles as the schema reference). */
+  /** Fixture generator: a deterministic media table mixing REAL
+    * containers (PNG via ImageIO, WAV via javax.sound — decoded by the
+    * real JDK codecs in the gate) with stub-format rows (the seam for
+    * codecs the JDK lacks). Used by tests; doubles as the schema
+    * reference. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
       val i = id.toInt
       if (i % 3 != 2) {
         val w = 16 + (i % 4) * 8; val h = 16 + (i % 3) * 8
-        MediaRow(i.toLong, "image", StubCodec.encode(w, h, 3),
-          MediaMeta(w, h, 3, 0, 0, "stub-img"))
+        if (i % 2 == 0) {
+          MediaRow(i.toLong, "image", JdkCodec.encodePng(w, h),
+            MediaMeta(w, h, 3, 0, 0, "png"))
+        } else {
+          MediaRow(i.toLong, "image", StubCodec.encode(w, h, 3),
+            MediaMeta(w, h, 3, 0, 0, "stub-img"))
+        }
       } else if (i % 6 == 5) {
         val rate = 16000; val samples = 256 + i
-        MediaRow(i.toLong, "audio", StubCodec.encodeAudio(rate, samples),
-          MediaMeta(0, 0, 1, rate, samples * 1000 / rate, "stub-pcm"))
+        if (i % 12 == 5) {
+          MediaRow(i.toLong, "audio", JdkCodec.encodeWav(rate, samples),
+            MediaMeta(0, 0, 1, rate, samples * 1000 / rate, "wav"))
+        } else {
+          MediaRow(i.toLong, "audio", StubCodec.encodeAudio(rate, samples),
+            MediaMeta(0, 0, 1, rate, samples * 1000 / rate, "stub-pcm"))
+        }
       } else {
         val w = 8; val frames = 4 + i % 3
         MediaRow(i.toLong, "video", StubCodec.encode(w, w * frames, 3),

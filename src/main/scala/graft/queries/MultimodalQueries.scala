@@ -6,20 +6,20 @@ import graft.multimodal.Multimodal
 import QueryDsl.Q
 
 /** Multimodal gate queries: a deterministic binary-payload parquet
-  * fixture (StubCodec media — the documented seam where a real
-  * image/audio codec drops in, Multimodal.scala) is materialized once
-  * into the local tmp area, then the declared queries run the REAL
-  * pipeline over a REAL parquet scan: binary column + typed metadata →
-  * narrow decode → resize/features/frame-sample. Rows-only gate
-  * (pixel math is not SQL-expressible); kernel exactness is covered by
-  * MultimodalSpec.
+  * fixture mixing REAL PNG/WAV containers (decoded by the JDK codecs)
+  * with stub-format rows (the seam for codecs the JDK lacks) is
+  * materialized once into the local tmp area, then the declared
+  * queries run the REAL pipeline over a REAL parquet scan: binary
+  * column + typed metadata → narrow decode →
+  * resize/features/frame-sample. Rows-only gate (pixel math is not
+  * SQL-expressible); kernel exactness is covered by MultimodalSpec.
   */
 object MultimodalQueries {
 
   private val FixtureRows = 300
   // bump when syntheticMedia's generation changes — the fixture is
   // cached by path, so content changes need a fresh directory
-  private val FixtureVersion = 2
+  private val FixtureVersion = 3
 
   /** Write-once deterministic media table (payload binary + meta
     * struct). Safe across concurrent JVMs (bench + correctness driver

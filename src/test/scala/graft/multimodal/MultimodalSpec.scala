@@ -17,6 +17,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(StubCodec.decode(null).isEmpty)
   }
 
+  test("JDK codecs decode real PNG and WAV containers, pixel/sample-exact") {
+    // PNG is lossless and both encoders use the same deterministic
+    // pattern, so the REAL container roundtrip must equal the stub's
+    // raw content exactly
+    val Some((pw, ph, pc, png)) = JdkCodec.decodeImage(JdkCodec.encodePng(16, 24))
+    val Some((_, _, _, stub)) = StubCodec.decode(StubCodec.encode(16, 24, 3))
+    assert((pw, ph, pc) === (16, 24, 3))
+    assert(png === stub)
+    val Some((rate, wav)) = JdkCodec.decodeWav(JdkCodec.encodeWav(16000, 300))
+    val Some((_, stubPcm)) = StubCodec.decodeAudio(StubCodec.encodeAudio(16000, 300))
+    assert(rate === 16000)
+    assert(wav === stubPcm)
+    // corrupt containers are rejected, not thrown
+    assert(JdkCodec.decodeImage("not a png".getBytes).isEmpty)
+    assert(JdkCodec.decodeWav("RIFFxxxxWAVEbroken".getBytes).isEmpty)
+    // magic dispatch: a PNG payload in the pipeline decodes via ImageIO
+    assert(JdkCodec.isPng(JdkCodec.encodePng(8, 8)))
+    assert(JdkCodec.isWav(JdkCodec.encodeWav(8000, 10)))
+    assert(!JdkCodec.isPng(StubCodec.encode(8, 8, 3)))
+  }
+
   test("decode drops corrupt rows instead of failing the job") {
     import spark.implicits._
     val good = syntheticMedia(spark, 9)
