@@ -572,6 +572,54 @@ object RelationalQueries {
        |   SELECT * FROM events WHERE event_id % 10 = 0) u) t
        |GROUP BY 1""".stripMargin
 
+  /** Second-moment aggregates made cross-engine bit-exact: built-in
+    * var_samp/stddev/corr sum doubles in partition order (never
+    * comparable across engines). Here the decimal(38,6) sums are
+    * EXACT (inputs carry ≤2 decimals so squares carry ≤4), and —
+    * the subtle part — the chosen columns (quantity ≤ 50, discount
+    * ≤ 0.1) keep every scaled sum inside double's 2⁵³ exact-integer
+    * range at ANY corpus size, so the decimal→double cast is lossless
+    * on both engines and the closed-form moments are identical double
+    * expression trees. (With wide columns like extendedprice the
+    * exact Σx² needs ~17 significant digits and the two engines'
+    * decimal→double ROUNDING can differ by 1 ULP — measured; that is
+    * a representability limit, not a summation-order one.) */
+  private val aMoments: Q = (s, d) => {
+    val m = table(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("s1"),
+        dsum(col("l_quantity") * col("l_quantity")).as("s2"),
+        dsum(col("l_discount")).as("t1"),
+        dsum(col("l_discount") * col("l_discount")).as("t2"),
+        dsum(col("l_quantity") * col("l_discount")).as("s11"))
+    m.select(col("l_returnflag"), col("n"),
+      (col("s1") / col("n")).as("mean_qty"),
+      ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        .as("var_qty"),
+      sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        .as("stddev_qty"),
+      ((col("s11") - col("s1") * col("t1") / col("n")) /
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) *
+          (col("t2") - col("t1") * col("t1") / col("n"))))
+        .as("corr_qty_disc"))
+  }
+
+  private val aMomentsSql =
+    s"""SELECT l_returnflag, n,
+       |  s1 / n AS mean_qty,
+       |  (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+       |  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev_qty,
+       |  (s11 - s1 * t1 / n) /
+       |    sqrt((s2 - s1 * s1 / n) * (t2 - t1 * t1 / n)) AS corr_qty_disc
+       |FROM (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |  ${dsumSql("l_quantity")} AS s1,
+       |  ${dsumSql("l_quantity * l_quantity")} AS s2,
+       |  ${dsumSql("l_discount")} AS t1,
+       |  ${dsumSql("l_discount * l_discount")} AS t2,
+       |  ${dsumSql("l_quantity * l_discount")} AS s11
+       |FROM lineitem GROUP BY 1) m""".stripMargin
+
   /** RANGE window frame (value-based, not row-count-based): per
     * customer, the trailing-90-day order count and decimal-exact spend
     * on the epoch-day axis. RANGE frames include order-key peers (two
@@ -800,6 +848,7 @@ object RelationalQueries {
     ("o7_dedup", o7Dedup, Some(o7DedupSql)),
     ("set_intersect", setIntersect, Some(setIntersectSql)),
     ("set_except", setExcept, Some(setExceptSql)),
+    ("a_moments", aMoments, Some(aMomentsSql)),
     ("w_range_frame", wRangeFrame, Some(wRangeFrameSql)),
     ("stream_dedup_exactly_once", streamDedup, Some(streamDedupSql)),
     ("stream_hopping_window", streamHopping, Some(streamHoppingSql)),
