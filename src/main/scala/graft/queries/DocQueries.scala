@@ -89,6 +89,10 @@ object DocQueries {
   private val pipelineContamination: Q = (s, d) =>
     CorpusPipeline.contamination(table(s, d, "documents"))
 
+  /** Per-language rebalance via deterministic hash acceptance. */
+  private val pipelineDomainMix: Q = (s, d) =>
+    CorpusPipeline.domainMix(table(s, d, "documents"))
+
   /** BM25 lexical retrieval: top-10 docs for a fixed 3-term query. */
   private val bm25Terms = Seq("hash", "join", "scan")
   private val textBm25: Q = (s, d) =>
@@ -175,6 +179,8 @@ object DocQueries {
       Some(CorpusPipeline.trainTestSplitSql())),
     ("pipeline_contamination", pipelineContamination,
       Some(CorpusPipeline.contaminationSql())),
-    ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms)))
+    ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
+    ("pipeline_domain_mix", pipelineDomainMix,
+      Some(CorpusPipeline.domainMixSql()))
   )
 }

@@ -73,6 +73,42 @@ object CorpusPipeline {
        |       THEN 'train' ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** Domain (language) mixing — the C4/Pile-style rebalance step:
+    * downsample each language to ≈ `targetPerLang` docs by
+    * deterministic hash acceptance (keep doc iff hash(doc_id) <
+    * target/actual · 2⁶⁰). Selection is per-doc and hash-based, so it
+    * is stable under repartitioning and incremental growth, needs no
+    * global sort or limit, and composes with the train/test split
+    * (both read the same uniform hash axis... deliberately the same
+    * function, so mixing before or after splitting keeps both
+    * properties). Counts land within binomial noise of the target —
+    * the standard practice at corpus scale, where exact-N sampling
+    * would need a global sort. */
+  def domainMix(docs: DataFrame, targetPerLang: Long = 60L): DataFrame = {
+    val rates = docs.groupBy("lang").agg(count(lit(1)).as("actual"))
+      .select(col("lang"),
+        floor(least(lit(1.0), lit(targetPerLang.toDouble) / col("actual")) *
+          lit(Pow60.toDouble)).as("cut"))
+    docs.join(broadcast(rates), "lang")
+      .filter(conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 15), 16, 10).cast("long") < col("cut"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  def domainMixSql(targetPerLang: Long = 60L): String =
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS actual
+       |  FROM documents GROUP BY 1),
+       |rates AS (
+       |  SELECT lang,
+       |    CAST(FLOOR(least(1.0, ${targetPerLang.toDouble} / actual) *
+       |               ${Pow60.toDouble}) AS BIGINT) AS cut
+       |  FROM counts)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN rates r USING (lang)
+       |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+       |           AS BIGINT) < r.cut""".stripMargin
+
   /** Benchmark-contamination check (the GPT-3/C4-style n-gram overlap
     * audit): for every TEST document, the fraction of its distinct
     * word `n`-grams that also occur anywhere in the TRAIN split.

@@ -54,6 +54,27 @@ class FuzzyDedupSpec extends AnyFunSuite {
     assert(again === split)
   }
 
+  test("domain mix rebalances languages deterministically, never upsamples") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = CorpusPipeline.domainMix(docs, targetPerLang = 60L)
+    val after = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet === before.keySet)
+    after.foreach { case (lang, n) =>
+      assert(n <= before(lang), s"$lang upsampled")
+      // binomial noise around the target for downsampled langs;
+      // small langs (< target) keep everything
+      if (before(lang) <= 60) assert(n === before(lang))
+      else assert(math.abs(n - 60) < 30, s"$lang kept $n, target 60")
+    }
+    // hash acceptance → stable under repartitioning
+    val again = CorpusPipeline.domainMix(docs.repartition(13), 60L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === mixed.collect().map(_.getLong(0)).toSet)
+  }
+
   test("contamination flags test docs whose near-dup partner landed in train") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val split = CorpusPipeline.trainTestSplit(docs)
