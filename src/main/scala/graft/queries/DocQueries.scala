@@ -89,6 +89,10 @@ object DocQueries {
   private val pipelineContamination: Q = (s, d) =>
     CorpusPipeline.contamination(table(s, d, "documents"))
 
+  /** Concat-then-chunk packing offsets, sharded per language. */
+  private val pipelinePack: Q = (s, d) =>
+    CorpusPipeline.packSequences(table(s, d, "documents"))
+
   /** Per-language rebalance via deterministic hash acceptance. */
   private val pipelineDomainMix: Q = (s, d) =>
     CorpusPipeline.domainMix(table(s, d, "documents"))
@@ -181,6 +185,8 @@ object DocQueries {
       Some(CorpusPipeline.contaminationSql())),
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
     ("pipeline_domain_mix", pipelineDomainMix,
-      Some(CorpusPipeline.domainMixSql()))
+      Some(CorpusPipeline.domainMixSql())),
+    ("pipeline_pack_sequences", pipelinePack,
+      Some(CorpusPipeline.packSequencesSql()))
   )
 }

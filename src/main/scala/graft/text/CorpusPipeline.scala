@@ -109,6 +109,37 @@ object CorpusPipeline {
        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
        |           AS BIGINT) < r.cut""".stripMargin
 
+  /** Sequence packing — the pretraining batch-prep step: documents are
+    * concatenated in a deterministic order and split into fixed
+    * token-budget chunks, so each doc gets a byte/token OFFSET and the
+    * CHUNK its first token lands in (concat-then-chunk, the GPT-style
+    * packing that wastes no padding). Packing is sharded by language
+    * (each shard is an independent stream), so the running-total
+    * window parallelizes across shards — the realistic sharded form;
+    * a global single stream would serialize, which is exactly why
+    * real pipelines pack per shard. */
+  def packSequences(docs: DataFrame, chunkTokens: Long = 256L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("chunk_id", (col("offset") / chunkTokens).cast("long"))
+      .select("doc_id", "lang", "n_tokens", "offset", "chunk_id")
+  }
+
+  def packSequencesSql(chunkTokens: Long = 256L): String =
+    s"""SELECT doc_id, lang, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER w - n_tokens, 0) AS BIGINT) AS offset,
+       |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER w - n_tokens, 0) /
+       |             $chunkTokens.0) AS BIGINT) AS chunk_id
+       |FROM (SELECT doc_id, lang,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |      FROM documents) t
+       |WINDOW w AS (PARTITION BY lang ORDER BY doc_id)""".stripMargin
+
   /** Benchmark-contamination check (the GPT-3/C4-style n-gram overlap
     * audit): for every TEST document, the fraction of its distinct
     * word `n`-grams that also occur anywhere in the TRAIN split.
