@@ -132,6 +132,16 @@ object Multimodal {
     def isPng(p: Array[Byte]): Boolean =
       p != null && p.length >= 4 && p.take(4).sameElements(PngMagic)
 
+    def isJpeg(p: Array[Byte]): Boolean =
+      p != null && p.length >= 2 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte
+
+    def isBmp(p: Array[Byte]): Boolean =
+      p != null && p.length >= 2 && p(0) == 'B' && p(1) == 'M'
+
+    /** Any container ImageIO can open here (PNG always; JPEG/BMP ship
+      * with every JDK). */
+    def isJdkImage(p: Array[Byte]): Boolean = isPng(p) || isJpeg(p) || isBmp(p)
+
     def isWav(p: Array[Byte]): Boolean =
       p != null && p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
         p(2) == 'F' && p(3) == 'F' && p(8) == 'W' && p(9) == 'A' &&
@@ -223,10 +233,10 @@ object Multimodal {
     }
   }
 
-  /** Magic-byte dispatch: real JDK codecs for PNG/WAV payloads, the
-    * stub for its own format, None (dropped) otherwise. */
+  /** Magic-byte dispatch: real JDK codecs for PNG/JPEG/BMP/WAV
+    * payloads, the stub for its own format, None (dropped) otherwise. */
   private[multimodal] def decodeAnyImage(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
-    if (JdkCodec.isPng(p)) JdkCodec.decodeImage(p) else StubCodec.decode(p)
+    if (JdkCodec.isJdkImage(p)) JdkCodec.decodeImage(p) else StubCodec.decode(p)
 
   private[multimodal] def decodeAnyAudio(p: Array[Byte]): Option[(Int, Array[Short])] =
     if (JdkCodec.isWav(p)) JdkCodec.decodeWav(p) else StubCodec.decodeAudio(p)

@@ -29,13 +29,31 @@ object RangeJoin {
     * `lo <= point <= hi`, all three being timestamp/numeric columns
     * mapped to bins by `bin` (a monotone long-valued mapping; the same
     * function is applied to point, lo, and hi). Input frames must have
-    * disjoint column names. */
+    * disjoint column names.
+    *
+    * Generator guards: an inverted interval (lo > hi) explodes to an
+    * EMPTY bin array — a bare `sequence(binLo, binHi)` would default
+    * its step to -1 and materialize the full descending array (correct
+    * rows after the exact filter, but arbitrarily large). An interval
+    * spanning ≥ `maxBins` bins (a sentinel bound like year-9999 on a
+    * day grid) raises a clear error naming the span and the fix,
+    * instead of silently building a per-row gigabyte array. */
   def binned(points: DataFrame, pointCol: Column,
       intervals: DataFrame, loCol: Column, hiCol: Column,
-      bin: Column => Column): DataFrame = {
+      bin: Column => Column, maxBins: Long = 65536L): DataFrame = {
     val p = points.withColumn("__bin", bin(pointCol))
-    val iv = intervals
-      .withColumn("__bin", explode(sequence(bin(loCol), bin(hiCol))))
+    val binLo = bin(loCol)
+    val binHi = bin(hiCol)
+    val guarded =
+      when(binLo > binHi, array().cast("array<bigint>"))
+        .when(binHi - binLo >= maxBins,
+          raise_error(concat(
+            lit("graft RangeJoin.binned: interval explodes to "),
+            (binHi - binLo).cast("string"),
+            lit(s"+1 bins > maxBins=$maxBins; widen the bin or raise the cap")))
+            .cast("array<bigint>"))
+        .otherwise(sequence(binLo, binHi))
+    val iv = intervals.withColumn("__bin", explode(guarded))
     p.join(iv, "__bin")
       .filter(pointCol >= loCol && pointCol <= hiCol)
       .drop("__bin")

@@ -1,13 +1,15 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
-  AttributeReference, Cast, Divide, EqualTo, Explode, Expression, Floor,
-  GreaterThanOrEqual, LessThanOrEqual, Literal, Sequence}
+  AttributeReference, CaseWhen, Cast, Concat, CreateMap, Divide, EqualTo,
+  Explode, Expression, Floor, GreaterThan, GreaterThanOrEqual,
+  LessThanOrEqual, Literal, RaiseError, Sequence, Subtract}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType,
+  LongType, StringType}
 
 /** Optimizer rule: an inner join whose ONLY predicate is a range
   * containment `p >= lo AND p <= hi` (point from one side, interval
@@ -26,21 +28,35 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * Scope guards: inner joins; integral (int/long) axis; the rule
   * leaves joins that already have an equi predicate alone (Spark
   * hash-joins those with the range as a post-filter) and never fires
-  * on its own output (the `__graft_bin` marker). Intervals with
-  * lo > hi or null bounds match nothing, exactly as before the
-  * rewrite (a descending bin sequence explodes to bins the point
-  * side can't equal... and the kept exact predicate is authoritative
-  * regardless).
+  * on its own output (the `__graft_bin` marker).
+  *
+  * Runtime guards on the generator (an unguarded
+  * `Sequence(bin(lo), bin(hi))` is a landmine): an interval with
+  * lo > hi would make Spark's Sequence default its step to -1 and
+  * materialize the full DESCENDING bin array — correct rows (the
+  * retained exact predicate rejects them) but arbitrarily large — so
+  * inverted intervals now explode to an EMPTY array (matching
+  * nothing, same semantics, zero bytes). And an interval spanning
+  * more than `spark.graft.rangeJoin.maxBins` bins (default 65536 —
+  * a sentinel bound like year-9999 over a day-grid) raises a clear
+  * error naming the span and the fix (wider bins) instead of silently
+  * OOM-ing an executor on a per-row gigabyte array.
   */
 object BinRangeJoin extends Rule[LogicalPlan] {
 
   val WidthConf = "spark.graft.rangeJoin.binWidth"
+  val MaxBinsConf = "spark.graft.rangeJoin.maxBins"
   private val BinL = "__graft_bin_l"
   private val BinR = "__graft_bin_r"
 
   private def width: Long =
     try conf.getConfString(WidthConf, "0").toLong catch {
       case _: NumberFormatException => 0L
+    }
+
+  private def maxBins: Long =
+    try conf.getConfString(MaxBinsConf, "65536").toLong catch {
+      case _: NumberFormatException => 65536L
     }
 
   private def integral(e: Expression): Boolean =
@@ -78,10 +94,28 @@ object BinRangeJoin extends Rule[LogicalPlan] {
             val binAlias = Alias(bin(p, w), BinL)()
             val newLeft = Project(left.output :+ binAlias, left)
             val binR = AttributeReference(BinR, LongType, nullable = false)()
-            val newRight = Generate(
+            val binLo = bin(lo, w)
+            val binHi = bin(hi, w)
+            val mb = maxBins
+            val overflowMsg = Concat(Seq(
+              Literal("graft BinRangeJoin: interval explodes to "),
+              Cast(Subtract(binHi, binLo), StringType),
+              Literal(s"+1 bins > $MaxBinsConf=$mb; widen $WidthConf " +
+                "or raise the cap")))
+            val guardedBins = CaseWhen(Seq(
+              // inverted interval → empty (Sequence would DESCEND)
+              (GreaterThan(binLo, binHi),
+                Literal.create(Array.empty[Long],
+                  ArrayType(LongType, containsNull = false))),
+              // absurd span → fail loudly instead of a per-row OOM
+              (GreaterThanOrEqual(Subtract(binHi, binLo), Literal(mb)),
+                new RaiseError(Literal("USER_RAISED_EXCEPTION"),
+                  CreateMap(Seq(Literal("errorMessage"), overflowMsg)),
+                  ArrayType(LongType, containsNull = false)))),
               // Sequence is timezone-aware: unresolved until tz is set
-              Explode(Sequence(bin(lo, w), bin(hi, w), None,
-                Some(conf.sessionLocalTimeZone))),
+              Sequence(binLo, binHi, None, Some(conf.sessionLocalTimeZone)))
+            val newRight = Generate(
+              Explode(guardedBins),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(binR), child = right)
             val newCond = And(EqualTo(binAlias.toAttribute, binR), cond)

@@ -35,6 +35,11 @@ class UdpBridge(spark: SparkSession, port: Int = 0, driver: Long = 1L,
   private val decoded = new AtomicLong(0)
   private val errors = new AtomicLong(0)
   private var thread: Thread = _
+  private val MaxConsecutiveErrors = 1000
+
+  /** False once stop() was called or the bridge gave up after
+    * MaxConsecutiveErrors straight receive failures. */
+  def isRunning: Boolean = running
 
   /** Actual bound port (pass port 0 for an ephemeral one). */
   def boundPort: Int = socket.getLocalPort
@@ -53,10 +58,16 @@ class UdpBridge(spark: SparkSession, port: Int = 0, driver: Long = 1L,
     running = true
     thread = new Thread(() => {
       val buf = new Array[Byte](4096)
-      while (running) {
+      // A persistent socket failure (closed/broken outside stop())
+      // must not busy-spin at full CPU: back off on consecutive
+      // errors and give up once the socket is clearly dead. A single
+      // successful receive resets the streak.
+      var consecutive = 0
+      while (running && consecutive < MaxConsecutiveErrors) {
         val dg = new DatagramPacket(buf, buf.length)
         try {
           socket.receive(dg)
+          consecutive = 0
           val bytes = java.util.Arrays.copyOf(dg.getData, dg.getLength)
           PacketCodec.decode(clock(), bytes, driver).foreach { p =>
             stream.addData(p)
@@ -68,12 +79,19 @@ class UdpBridge(spark: SparkSession, port: Int = 0, driver: Long = 1L,
             // A transient receive error or a decode throw must not kill
             // ingestion silently: count it, log once in a while, go on.
             val n = errors.incrementAndGet()
-            if (n == 1 || n % 1000 == 0) {
+            consecutive += 1
+            if (n == 1 || n % 1000 == 0 ||
+                consecutive == MaxConsecutiveErrors) {
               System.err.println(
-                s"udp-bridge-$boundPort: survived error #$n: $e")
+                s"udp-bridge-$boundPort: survived error #$n: $e" +
+                  (if (consecutive == MaxConsecutiveErrors)
+                    s" — $consecutive consecutive failures, stopping bridge"
+                  else ""))
             }
+            Thread.sleep(math.min(200L, 2L * consecutive))
         }
       }
+      if (consecutive >= MaxConsecutiveErrors) running = false
     }, s"udp-bridge-$boundPort")
     thread.setDaemon(true)
     thread.start()

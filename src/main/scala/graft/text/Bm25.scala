@@ -54,7 +54,9 @@ object Bm25 {
     * parenthesization — float math is not associative). */
   def topDocsSql(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 10): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // SQL-escape embedded quotes so a term like "don't" can't break
+    // (or silently change) the oracle query vs the Spark side's isin().
+    val termList = terms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     s"""WITH words AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
        |), tf AS (

@@ -48,12 +48,20 @@ object FuzzyDedup {
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxGramDF).select("g")
     val rareGrams = grams.join(rare, "g")
+    // Materialize the (small — bounded by near-dups found, not n²)
+    // candidate pair list eagerly, then drop the gram cache: without
+    // this the cached gram table leaks executor storage memory for the
+    // life of the session every time the operator runs. localCheckpoint
+    // keeps the pairs as in-memory blocks (fine: pairs are tiny, and a
+    // lost executor re-runs the query, not the cluster's week).
     val candidates = rareGrams.select(col("g"), col("doc_id").as("doc_a"))
       .join(rareGrams.select(col("g"), col("doc_id").as("doc_b")), "g")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minSharedGrams)
       .select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    grams.unpersist(false)
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     candidates.join(ta, "doc_a").join(tb, "doc_b")

@@ -178,13 +178,20 @@ object MinHashLsh {
     val sets = Shingles.shingleSets(docs).cache()
     val sh = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+      .localCheckpoint(true)
     val cands = candidatePairs(signaturesFromSets(sets), numBands)
+    // Pin the (small: candidates × shared shingles → per-pair counts)
+    // verification result and the per-doc sizes eagerly, then drop the
+    // shingle cache — otherwise it leaks executor storage memory for
+    // the rest of the session on every call.
     val common = cands
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
+      .localCheckpoint(true)
+    sets.unpersist(false)
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("sz", "size_a"), "doc_a")

@@ -63,12 +63,20 @@ object Shingles {
       } else sh
     val a = candidates0.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = candidates0.select(col("doc_id").as("doc_b"), col("shingle"))
+    // Both small derivations of the cached shingle pass are pinned
+    // eagerly (pairs sharing a shingle; one size row per doc), then
+    // the big cache is dropped — a cached-and-never-unpersisted
+    // shingle table would leak executor storage memory for the rest
+    // of the session on every call.
     val common = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
+      .localCheckpoint(true)
     // set sizes come straight off the cached arrays — no extra shuffle
     val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+      .localCheckpoint(true)
+    sets.unpersist(false)
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")

@@ -38,6 +38,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!JdkCodec.isPng(StubCodec.encode(8, 8, 3)))
   }
 
+  test("JPEG and BMP payloads dispatch to the JDK codec, not the stub") {
+    import spark.implicits._
+    // re-encode the deterministic pattern as real JPEG/BMP containers
+    def reencode(fmt: String): Array[Byte] = {
+      val Some((w, h, _, px)) = StubCodec.decode(StubCodec.encode(10, 6, 3))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8) |
+          (px(i + 2) & 0xff))
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val jpeg = reencode("jpg")
+    val bmp = reencode("bmp")
+    assert(JdkCodec.isJpeg(jpeg) && !JdkCodec.isPng(jpeg) && !JdkCodec.isBmp(jpeg))
+    assert(JdkCodec.isBmp(bmp) && !JdkCodec.isJpeg(bmp))
+    // before the magic fix these fell through to the stub and were
+    // dropped as "corrupt"; now they decode through the pipeline
+    val rows = Seq(
+      MediaRow(1L, "image", jpeg, MediaMeta(10, 6, 3, 0, 0, "jpeg")),
+      MediaRow(2L, "image", bmp, MediaMeta(10, 6, 3, 0, 0, "bmp"))).toDS()
+    val decoded = decodeImages(rows).collect().sortBy(_.media_id)
+    assert(decoded.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(decoded.forall(d => d.width === 10 && d.height === 6 && d.channels === 3))
+    // BMP is lossless → bit-exact vs the stub pattern; JPEG is lossy →
+    // decoded, with the right shape, is the contract
+    val Some((_, _, _, stubPx)) = StubCodec.decode(StubCodec.encode(10, 6, 3))
+    assert(decoded.find(_.media_id == 2L).get.pixels === stubPx)
+  }
+
   test("decode drops corrupt rows instead of failing the job") {
     import spark.implicits._
     val good = syntheticMedia(spark, 9)

@@ -61,4 +61,29 @@ class RangeJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)))
   }
+
+  test("inverted interval (lo > hi) matches nothing — not a descending bin explosion") {
+    import spark.implicits._
+    val points = Seq((1L, 50L)).toDF("pid", "v")
+    // an inverted sentinel interval: a bare sequence(bin(lo), bin(hi))
+    // would DESCEND through 10^7 bins here; the guard must emit zero
+    val intervals = Seq((10L, 1000000000L, 0L), (11L, 0L, 100L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.binned(points, col("v"), intervals, col("lo"),
+        col("hi"), c => floor(c / 100).cast("long"))
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 11L)))
+  }
+
+  test("interval spanning more than maxBins bins fails with a clear error") {
+    import spark.implicits._
+    val points = Seq((1L, 50L)).toDF("pid", "v")
+    val intervals = Seq((10L, 0L, 10000000L)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.binned(points, col("v"), intervals, col("lo"), col("hi"),
+        c => floor(c / 100).cast("long"), maxBins = 1000L).collect()
+    }
+    assert(ex.getMessage.contains("maxBins"), ex.getMessage)
+  }
 }

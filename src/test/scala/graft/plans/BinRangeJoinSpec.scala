@@ -63,6 +63,26 @@ class BinRangeJoinSpec extends AnyFunSuite {
         intervalsOf(s).withColumnRenamed("l_orderkey", "o_orderkey"),
         Seq("o_orderkey"))
       assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+
+      // an inverted interval (lo > hi) must explode to an EMPTY bin
+      // array under the rewrite (a bare Sequence would default its
+      // step to -1 and materialize the full descending array), and a
+      // sentinel-wide interval must fail clearly, not OOM
+      val pts = Seq((1L, 50L)).toDF("pid", "p")
+      val ivInv = Seq((10L, 9000000L, 0L), (11L, 0L, 100L))
+        .toDF("iid", "lo", "hi")
+      val inv = pts.join(ivInv, col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(!inv.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(inv.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 11L)))
+      s.conf.set(BinRangeJoin.MaxBinsConf, "1000")
+      val ivWide = Seq((10L, 0L, 10000000L)).toDF("iid", "lo", "hi")
+      val ex = intercept[Exception] {
+        pts.join(ivWide, col("p") >= col("lo") && col("p") <= col("hi"))
+          .collect()
+      }
+      assert(ex.getMessage.contains("maxBins"), ex.getMessage)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
