@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native Catalyst expression: Bloom-filter membership test of a long
+  * hash column against a driver-built sketch. The third native
+  * expression in the engine (after vec_dot and nfc_normalize), and for
+  * the same reason: doGenCode inlines `filter.mightContainLong(h)`
+  * straight into whole-stage codegen — no UDF boxing, no per-row Scala
+  * call, and the scan+filter stage stays one codegen span, so a
+  * 100 TB incremental-dedup pass is a single narrow scan.
+  *
+  * The serialized sketch ships with the expression (plan broadcast);
+  * each executor deserializes it once (lazy, transient).
+  */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might_contain expects a BIGINT hash, got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilterAgg.deserialize(filterBytes)
+
+  override def nullSafeEval(h: Any): Any =
+    filter.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("graftBloom", filter,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, h => s"${ev.value} = $f.mightContainLong($h);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainLong = copy(child = newChild)
+}
+
+object BloomMightContainLong {
+  /** Register `graft_bloom_mc(h)` bound to `bytes` in the session's
+    * registry so expr() call sites stay plain SQL strings. The builder
+    * lambda closes over the sketch; re-registration overwrites (same
+    * idempotent pattern as vec_dot). */
+  def register(spark: SparkSession, bytes: Array[Byte]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_mc", exprs => BloomMightContainLong(exprs.head, bytes),
+      "scala_udf")
+}

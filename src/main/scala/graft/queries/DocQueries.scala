@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.text.{Bm25, CorpusPipeline, DedupClusters, FuzzyDedup, MinHashLsh, Shingles, SimHash, TextAnalysis}
+import graft.text.{Bm25, ChunkDedup, CorpusPipeline, DedupClusters, FuzzyDedup,
+  IncrementalDedup, MinHashLsh, Shingles, SimHash, TextAnalysis, Tfidf}
 import graft.sim.{Knn, Pq}
 import QueryDsl._
 
@@ -44,9 +45,11 @@ object DocQueries {
 
   /** Near-dup pairs → transitive clusters with one canonical doc per
     * cluster (iterative min-label CC; DuckDB oracle does the same via
-    * a recursive-CTE transitive closure). */
+    * a recursive-CTE transitive closure). Runs the DF-capped pair
+    * generation — the scale path is the gated path. */
   private val dedupClusters: Q = (s, d) =>
-    DedupClusters.fromDocuments(table(s, d, "documents"), jaccardThreshold)
+    DedupClusters.fromDocuments(table(s, d, "documents"), jaccardThreshold,
+      maxShingleDF)
 
   /** Winnowing fingerprints (SWA rolling-hash min-sampling) — custom
     * kernel, not SQL-expressible → rows-only gate + WinnowingSpec's
@@ -97,6 +100,32 @@ object DocQueries {
   private val pipelineDomainMix: Q = (s, d) =>
     CorpusPipeline.domainMix(table(s, d, "documents"))
 
+  /** α=0.5 temperature-scaled domain mixing (√n weights, no upsample). */
+  private val pipelineTemperatureMix: Q = (s, d) =>
+    CorpusPipeline.temperatureMix(table(s, d, "documents"))
+
+  /** Best-quality docs per language until a token budget. */
+  private val pipelineTokenBudget: Q = (s, d) =>
+    CorpusPipeline.tokenBudgetSelect(table(s, d, "documents"))
+
+  /** Stratum-salted hash split (per-language balance). */
+  private val pipelineStratifiedSplit: Q = (s, d) =>
+    CorpusPipeline.stratifiedSplit(table(s, d, "documents"))
+
+  /** TF-IDF top-3 terms per doc (one token scan, windowed top-k). */
+  private val textTfidf: Q = (s, d) =>
+    Tfidf.topTerms(table(s, d, "documents"))
+
+  /** Chunk-level exact dedup over the boilerplated corpus (the raw
+    * synthetic docs have no repeated passages — measured). */
+  private val dedupChunk: Q = (s, d) =>
+    ChunkDedup.dupChunkStats(ChunkDedup.withBoilerplate(table(s, d, "documents")))
+
+  /** Incremental dedup vs a reference snapshot: Bloom-pruned membership
+    * + exact verification ⇒ oracle is a plain anti-join. */
+  private val pipelineIncrementalDedup: Q = (s, d) =>
+    IncrementalDedup.gateQuery(table(s, d, "documents"))
+
   /** BM25 lexical retrieval: top-10 docs for a fixed 3-term query. */
   private val bm25Terms = Seq("hash", "join", "scan")
   private val textBm25: Q = (s, d) =>
@@ -136,13 +165,15 @@ object DocQueries {
     ("dedup_ngram_capped", dedupNgramCapped,
       Some(Shingles.cappedJaccardSql(jaccardThreshold, maxShingleDF))),
     ("dedup_clusters", dedupClusters,
-      Some(DedupClusters.clustersSql(jaccardThreshold))),
+      Some(DedupClusters.clustersSql(jaccardThreshold, maxShingleDF))),
     // the flagship composition: quality gate + keep-canonical dedup +
     // token accounting — the whole training-data pipeline in one plan
+    // (DF-capped pair generation: the scale path is the gated path)
     ("pipeline_filtered_corpus",
       (s: org.apache.spark.sql.SparkSession, d: String) =>
-        CorpusPipeline.filteredCorpus(table(s, d, "documents"), jaccardThreshold),
-      Some(CorpusPipeline.filteredCorpusSql(jaccardThreshold))),
+        CorpusPipeline.filteredCorpus(table(s, d, "documents"), jaccardThreshold,
+          maxShingleDF),
+      Some(CorpusPipeline.filteredCorpusSql(jaccardThreshold, maxShingleDF))),
     ("dedup_minhash_lsh", dedupMinhash, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_simhash", dedupSimhash, None),
     ("dedup_simhash_md5", dedupSimhashMd5, Some(SimHash.md5OracleSql(3))),
@@ -187,6 +218,18 @@ object DocQueries {
     ("pipeline_domain_mix", pipelineDomainMix,
       Some(CorpusPipeline.domainMixSql())),
     ("pipeline_pack_sequences", pipelinePack,
-      Some(CorpusPipeline.packSequencesSql()))
+      Some(CorpusPipeline.packSequencesSql())),
+    ("pipeline_temperature_mix", pipelineTemperatureMix,
+      Some(CorpusPipeline.temperatureMixSql())),
+    ("pipeline_token_budget", pipelineTokenBudget,
+      Some(CorpusPipeline.tokenBudgetSelectSql())),
+    ("pipeline_stratified_split", pipelineStratifiedSplit,
+      Some(CorpusPipeline.stratifiedSplitSql())),
+    ("text_tfidf", textTfidf, Some(Tfidf.topTermsSql())),
+    ("dedup_chunk", dedupChunk,
+      Some(ChunkDedup.dupChunkStatsSql(
+        srcSql = ChunkDedup.withBoilerplateSql()))),
+    ("pipeline_incremental_dedup", pipelineIncrementalDedup,
+      Some(IncrementalDedup.gateSql()))
   )
 }

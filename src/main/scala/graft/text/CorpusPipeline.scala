@@ -19,10 +19,11 @@ object CorpusPipeline {
   /** @return one row per surviving doc: (doc_id, lang, n_tokens,
     *         n_chars) — quality-"ok" docs minus non-canonical
     *         near-duplicates at `threshold`. */
-  def filteredCorpus(docs: DataFrame, threshold: Double): DataFrame = {
+  def filteredCorpus(docs: DataFrame, threshold: Double,
+      maxShingleDF: Long = 0L): DataFrame = {
     val ok = TextAnalysis.qualityScore(docs)
       .filter(col("quality_bucket") === "ok").select("doc_id")
-    val nonCanonical = DedupClusters.fromDocuments(docs, threshold)
+    val nonCanonical = DedupClusters.fromDocuments(docs, threshold, maxShingleDF)
       .filter(!col("is_canonical")).select("doc_id")
     docs
       .join(ok, Seq("doc_id"), "left_semi")
@@ -34,8 +35,8 @@ object CorpusPipeline {
 
   /** DuckDB mirror: quality subquery + recursive-CTE clusters, NOT IN
     * for the anti-join. */
-  def filteredCorpusSql(threshold: Double): String = {
-    s"""${DedupClusters.labCtes(threshold)},
+  def filteredCorpusSql(threshold: Double, maxShingleDF: Long = 0L): String = {
+    s"""${DedupClusters.labCtes(threshold, maxShingleDF)},
        |quality_ok AS (
        |  SELECT doc_id FROM (${TextAnalysis.qualityScoreSql}) q
        |  WHERE q.quality_bucket = 'ok'),
@@ -60,11 +61,15 @@ object CorpusPipeline {
     * and incremental corpus growth — the property a 100 TB pipeline
     * needs so yesterday's test docs never drift into today's train
     * set. Pure column expressions, no shuffle. */
+  /** The split assignment as a pure column over doc_id — usable inline
+    * (no self-join) by any operator that needs the split axis. */
+  private def splitExpr(trainFrac: Double): org.apache.spark.sql.Column =
+    when(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long") < splitThreshold(trainFrac), "train")
+      .otherwise("test")
+
   def trainTestSplit(docs: DataFrame, trainFrac: Double = 0.9): DataFrame =
-    docs.select(col("doc_id"),
-      when(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-        16, 10).cast("long") < splitThreshold(trainFrac), "train")
-        .otherwise("test").as("split"))
+    docs.select(col("doc_id"), splitExpr(trainFrac).as("split"))
 
   def trainTestSplitSql(trainFrac: Double = 0.9): String =
     s"""SELECT doc_id,
@@ -140,6 +145,105 @@ object CorpusPipeline {
        |      FROM documents) t
        |WINDOW w AS (PARTITION BY lang ORDER BY doc_id)""".stripMargin
 
+  /** Temperature-scaled domain mixing (the multilingual-pretraining
+    * rebalance, α = 0.5): sampling weight per source ∝ √n instead of n,
+    * so small domains are up-weighted relative to their share without
+    * exceeding rate 1 (no upsampling). Acceptance is the same
+    * deterministic hash axis as [[domainMix]]/[[trainTestSplit]], so
+    * the selection is stable under repartitioning and growth.
+    * Exactness notes: √ is IEEE-correctly-rounded in both engines
+    * (unlike pow), weights are 6-dp-rounded and decimal-summed so the
+    * normalizer is independent of aggregation order. */
+  def temperatureMix(docs: DataFrame, targetTotal: Long = 300L): DataFrame = {
+    val weights = docs.groupBy("source").agg(count(lit(1)).as("actual"))
+      .withColumn("w", round(sqrt(col("actual").cast("double")), 6))
+    val tot = weights.agg(
+      sum(col("w").cast("decimal(38,6)")).cast("double").as("w_sum"))
+    val rates = weights.crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(least(lit(1.0),
+          lit(targetTotal.toDouble) * col("w") /
+            (col("w_sum") * col("actual").cast("double"))) *
+          lit(Pow60.toDouble)).as("cut"))
+    docs.join(broadcast(rates), "source")
+      .filter(conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 15), 16, 10).cast("long") < col("cut"))
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
+  def temperatureMixSql(targetTotal: Long = 300L): String =
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS actual
+       |  FROM documents GROUP BY 1),
+       |weights AS (
+       |  SELECT source, actual,
+       |         round(sqrt(CAST(actual AS DOUBLE)), 6) AS w
+       |  FROM counts),
+       |tot AS (
+       |  SELECT CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS w_sum
+       |  FROM weights),
+       |rates AS (
+       |  SELECT source,
+       |    CAST(FLOOR(least(1.0, ${targetTotal.toDouble} * w /
+       |                          (w_sum * CAST(actual AS DOUBLE))) *
+       |               ${Pow60.toDouble}) AS BIGINT) AS cut
+       |  FROM weights, tot)
+       |SELECT d.doc_id, d.source, d.lang
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+       |           AS BIGINT) < r.cut""".stripMargin
+
+  /** Token-budget corpus selection: per language, take the
+    * highest-quality documents (alpha-ratio desc, doc_id tiebreak)
+    * until the cumulative token count reaches `budgetPerLang` — the
+    * "best N tokens per domain" selection every pretraining mix ends
+    * with. One window over each language shard; at 100 TB the shards
+    * sort in parallel and nothing is global. */
+  def tokenBudgetSelect(docs: DataFrame, budgetPerLang: Long = 3000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("alpha_ratio").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          length(col("text")).cast("double")).as("alpha_ratio"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerLang)
+      .select("doc_id", "lang", "n_tokens", "cum_tokens")
+  }
+
+  def tokenBudgetSelectSql(budgetPerLang: Long = 3000L): String =
+    s"""SELECT doc_id, lang, n_tokens,
+       |  CAST(SUM(n_tokens) OVER win AS BIGINT) AS cum_tokens
+       |FROM (SELECT doc_id, lang,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |          / CAST(length(text) AS DOUBLE) AS alpha_ratio
+       |      FROM documents) t
+       |WINDOW win AS (PARTITION BY lang ORDER BY alpha_ratio DESC, doc_id)
+       |QUALIFY CAST(SUM(n_tokens) OVER win AS BIGINT) <= $budgetPerLang""".stripMargin
+
+  /** Stratified train/test split: the [[trainTestSplit]] hash axis
+    * SALTED WITH THE STRATUM, so each language independently lands
+    * within binomial noise of `trainFrac` — a global hash split can
+    * starve a small stratum; the salted one can't. Still pure column
+    * expressions: stable under repartitioning and growth. */
+  def stratifiedSplit(docs: DataFrame, trainFrac: Double = 0.8): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      when(conv(substring(md5(concat(col("lang"), lit(":"),
+        col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+        .cast("long") < splitThreshold(trainFrac), "train")
+        .otherwise("test").as("split"))
+
+  def stratifiedSplitSql(trainFrac: Double = 0.8): String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN CAST('0x' || substr(md5(lang || ':' ||
+       |                 CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |            < ${splitThreshold(trainFrac)}
+       |       THEN 'train' ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+
   /** Benchmark-contamination check (the GPT-3/C4-style n-gram overlap
     * audit): for every TEST document, the fraction of its distinct
     * word `n`-grams that also occur anywhere in the TRAIN split.
@@ -150,8 +254,17 @@ object CorpusPipeline {
     * gram-hash tables, never a doc×doc comparison. */
   def contamination(docs: DataFrame, n: Int = 8,
       trainFrac: Double = 0.9): DataFrame = {
-    val withSplit = docs.join(trainTestSplit(docs, trainFrac), "doc_id")
-    def grams(df: DataFrame): DataFrame = df
+    // The split is a pure hash column, so it rides along with the gram
+    // scan — no docs⋈split self-join. The corpus text is read ONCE:
+    // the distinct (doc, gram) table aggregates per gram hash into
+    // (seen-in-train?, [test docs containing it]), and the per-test-doc
+    // rollup explodes that back out. Two shuffles total (gram hash,
+    // then doc_id); no cache to leak across a long gate session. Per
+    // gram the list is bounded by the gram's test-side document
+    // frequency — the same row multiplicity the equivalent
+    // test⟕train_grams join would produce.
+    val withSplit = docs.withColumn("split", splitExpr(trainFrac))
+    val all = withSplit
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), col("split"),
         explode(when(size(col("ws")) >= n,
@@ -161,12 +274,11 @@ object CorpusPipeline {
       .select(col("doc_id"), col("split"),
         md5(col("gram").cast("binary")).as("g"))
       .distinct()
-    // cached: the train-set and test-set branches both read this table
-    val all = grams(withSplit).cache()
-    val trainG = all.filter(col("split") === "train").select("g").distinct()
-      .withColumn("hit", lit(1))
-    all.filter(col("split") === "test")
-      .join(trainG, Seq("g"), "left")
+    val perGram = all.groupBy("g").agg(
+      max(when(col("split") === "train", 1)).as("hit"),
+      collect_list(when(col("split") === "test", col("doc_id"))).as("test_docs"))
+    perGram
+      .select(col("hit"), explode(col("test_docs")).as("doc_id"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams_distinct"),
         count(col("hit")).as("n_contaminated"))

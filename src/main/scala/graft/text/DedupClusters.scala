@@ -30,10 +30,17 @@ object DedupClusters {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // Round 1 folded into the init: with identity starting labels the
+    // first propagation is just min(own id, min neighbor id), which is
+    // one aggregation over the edge list — no join, no extra
+    // checkpoint/convergence-count cycle. (Every vertex has ≥1 edge,
+    // so grouping the symmetric edge list by u covers all vertices.)
+    var labels = edges.groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("label"))
       .localCheckpoint(true)
-    var iter = 0
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIters) {
       val nbrMin = edges
@@ -62,15 +69,36 @@ object DedupClusters {
   }
 
   /** Clusters straight from documents: exact n-gram Jaccard pairs at
-    * `threshold` → connected components. */
-  def fromDocuments(docs: DataFrame, threshold: Double): DataFrame =
+    * `threshold` → connected components. `maxShingleDF > 0` caps
+    * stop-shingles in the pair generation (the scale path — see
+    * [[Shingles.exactJaccardPairs]]); sizes stay exact, so on a corpus
+    * whose true near-dups share only rare shingles the clusters are
+    * identical to the uncapped form. */
+  def fromDocuments(docs: DataFrame, threshold: Double,
+      maxShingleDF: Long = 0L): DataFrame =
     connectedComponents(
-      Shingles.exactJaccardPairs(docs, threshold).select("doc_a", "doc_b"))
+      Shingles.exactJaccardPairs(docs, threshold, maxShingleDF)
+        .select("doc_a", "doc_b"))
 
   /** The recursive CTE chain up to the label table `lab(doc_id,
     * cluster_id)` — shared by [[clustersSql]] and the corpus-pipeline
-    * oracle. */
-  def labCtes(threshold: Double): String =
+    * oracle. `maxShingleDF > 0` mirrors the capped pair generation
+    * (common counts from rare shingles only, sizes exact). */
+  def labCtes(threshold: Double, maxShingleDF: Long = 0L): String = {
+    val pairSource =
+      if (maxShingleDF > 0)
+        s"""rare AS (SELECT shingle FROM sh GROUP BY shingle
+           |         HAVING COUNT(*) <= $maxShingleDF),
+           |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+           |jp AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+           |  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),""".stripMargin
+      else
+        """jp AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+          |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),""".stripMargin
     s"""WITH RECURSIVE sh AS (
        |  SELECT DISTINCT doc_id,
        |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS shingle
@@ -78,10 +106,7 @@ object DedupClusters {
        |  LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i) s
        |  WHERE len(words) >= 3),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-       |jp AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |$pairSource
        |good AS (
        |  SELECT doc_a, doc_b FROM jp
        |  JOIN sizes sa ON doc_a = sa.doc_id
@@ -94,11 +119,12 @@ object DedupClusters {
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+  }
 
   /** DuckDB mirror: same jaccard pairs, transitive closure via a
     * recursive CTE, min reachable id as the cluster label. */
-  def clustersSql(threshold: Double): String =
-    s"""${labCtes(threshold)}
+  def clustersSql(threshold: Double, maxShingleDF: Long = 0L): String =
+    s"""${labCtes(threshold, maxShingleDF)}
        |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical,
        |  cs.cluster_size
        |FROM lab

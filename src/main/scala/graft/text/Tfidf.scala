@@ -1,0 +1,61 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF top terms per document — the classic featurization /
+  * keyword-extraction operator of a text pipeline (the per-document
+  * dual of [[Bm25]]'s per-query retrieval).
+  *
+  * Plan shape at 100 TB: ONE token-explode scan feeds both term
+  * frequencies and document frequencies; the document count rides
+  * along as a 1-row broadcast; the final top-k per doc is a window
+  * row_number over the scored table partitioned by doc (each doc's
+  * terms sort locally — nothing global). Scores are 6-dp-rounded so
+  * the ordering (and the DuckDB oracle) is bit-stable; idf uses the
+  * plain ln(N/df) form. Ties broken by term text.
+  */
+object Tfidf {
+
+  /** Top-`k` terms per doc by tf·idf. Output: (doc_id, term, score, rk). */
+  def topTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = words.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfT, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "term", "score", "rk")
+  }
+
+  /** DuckDB oracle: identical expression tree and tiebreaks. */
+  def topTermsSql(k: Int = 3): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM words GROUP BY 1, 2
+       |), dft AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+       |  FROM (SELECT DISTINCT doc_id, term FROM words) t GROUP BY 1
+       |), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         round(tf.tf * ln(n.n_docs / dft.df), 6) AS score
+       |  FROM tf JOIN dft USING (term), n
+       |)
+       |SELECT doc_id, term, score,
+       |       CAST(row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY score DESC, term) AS INT) AS rk
+       |FROM scored
+       |QUALIFY rk <= $k""".stripMargin
+}
