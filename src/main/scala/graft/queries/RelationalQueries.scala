@@ -814,9 +814,20 @@ object RelationalQueries {
         approx_count_distinct(col("l_suppkey"), 0.02).as("n_supps_approx"),
         count(lit(1)).as("n_rows"))
 
+  /** Pre-aggregated distinct rollup: per-priority HLL sketches of the
+    * customer key, estimated off the STORED sketches (the persistable
+    * incremental-agg pattern; union ≡ single-pass anchored in
+    * SketchRollupSpec). Deterministic → rows gate. */
+  private val aHllPartial: Q = (s, d) =>
+    graft.ops.SketchRollup.estimates(
+      graft.ops.SketchRollup.partialSketches(
+        table(s, d, "orders"), "o_orderpriority", "o_custkey"),
+      "o_orderpriority")
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s4_scan_project", s4ScanProject, Some(s4ScanProjectSql)),
     ("a4_approx_distinct", a4Approx, None),
+    ("a_hll_partial", aHllPartial, None),
     ("s11_recent_n", s11RecentN, Some(s11RecentNSql)),
     ("p6_isin", p6Isin, Some(p6IsinSql)),
     ("p10_encode", p10Encode, Some(p10EncodeSql)),

@@ -58,4 +58,48 @@ class DataLayoutSpec extends AnyFunSuite {
     assert(sortedRows < total / 4,
       s"sorted layout should prune most row groups, got $sortedRows/$total")
   }
+
+  test("z-order layout prunes on BOTH axes; single-column sort prunes only its own") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"),
+        datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+          .cast("long").as("ship_day"),
+        col("l_quantity"))
+    val total = li.count()
+    val maxKey = li.agg(max("l_orderkey")).head().getLong(0)
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft-zorder-${ProcessHandle.current().pid()}"
+    // small row groups: z-pruning granularity is the row group — at
+    // this toy row count 256 KB would mean ~10 groups total, hiding
+    // the curve's locality (both layouts get the same setting)
+    DataLayout.writeZOrdered(li, s"$base/z", "ship_day", "l_orderkey",
+      files = 8, rowGroupBytes = 32 * 1024)
+    DataLayout.writeSorted(li, s"$base/bydate", "ship_day",
+      files = 8, rowGroupBytes = 32 * 1024)
+
+    // ~1/12 of the date range; ~1/16 of the key range
+    val dateFilter = "ship_day >= 1520 AND ship_day < 1550"
+    val keyFilter = s"l_orderkey < ${maxKey / 16}"
+
+    def rowsScanned(dir: String, filter: String): Long =
+      scanOutputRows(spark.read.parquet(dir).filter(filter))
+    // answers identical across layouts
+    val zq = spark.read.parquet(s"$base/z").filter(dateFilter)
+      .agg(count(lit(1)), sum("l_quantity")).collect()(0)
+    val sq = spark.read.parquet(s"$base/bydate").filter(dateFilter)
+      .agg(count(lit(1)), sum("l_quantity")).collect()(0)
+    assert(zq === sq && zq.getLong(0) > 0)
+
+    // the z-curve prunes meaningfully on BOTH axes...
+    assert(rowsScanned(s"$base/z", dateFilter) < total / 2,
+      "z-order should prune on the date axis")
+    assert(rowsScanned(s"$base/z", keyFilter) < total / 2,
+      "z-order should prune on the key axis")
+    // ...while the single-column sort is blind on the other axis
+    assert(rowsScanned(s"$base/bydate", keyFilter) > (total * 3) / 4,
+      "date-sorted layout cannot prune a key filter")
+    // and on its own axis the dedicated sort is (unsurprisingly) tighter
+    assert(rowsScanned(s"$base/bydate", dateFilter) <
+      rowsScanned(s"$base/z", dateFilter))
+  }
 }
