@@ -116,6 +116,14 @@ object DocQueries {
   private val textTfidf: Q = (s, d) =>
     Tfidf.topTerms(table(s, d, "documents"))
 
+  /** Unigram-entropy quality signal (perplexity proxy). */
+  private val textEntropy: Q = (s, d) =>
+    Tfidf.unigramEntropy(table(s, d, "documents"))
+
+  /** Curriculum staging: per-lang quality ntiles. */
+  private val pipelineCurriculum: Q = (s, d) =>
+    CorpusPipeline.curriculumStages(table(s, d, "documents"))
+
   /** Chunk-level exact dedup over the boilerplated corpus (the raw
     * synthetic docs have no repeated passages — measured). */
   private val dedupChunk: Q = (s, d) =>
@@ -230,6 +238,9 @@ object DocQueries {
       Some(ChunkDedup.dupChunkStatsSql(
         srcSql = ChunkDedup.withBoilerplateSql()))),
     ("pipeline_incremental_dedup", pipelineIncrementalDedup,
-      Some(IncrementalDedup.gateSql()))
+      Some(IncrementalDedup.gateSql())),
+    ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
+    ("pipeline_curriculum", pipelineCurriculum,
+      Some(CorpusPipeline.curriculumStagesSql()))
   )
 }

@@ -244,6 +244,32 @@ object CorpusPipeline {
        |       THEN 'train' ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** Curriculum staging: ntile-bucket documents into `stages` learning
+    * stages per language, best quality (alpha ratio) first — the
+    * "clean data early, noisy data late" ordering curriculum training
+    * consumes. Pure window over each language shard; the tie-free
+    * (alpha_ratio, doc_id) order makes the staging deterministic. */
+  def curriculumStages(docs: DataFrame, stages: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("alpha_ratio").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          length(col("text")).cast("double")).as("alpha_ratio"))
+      .withColumn("stage", ntile(stages).over(w))
+      .select("doc_id", "lang", "alpha_ratio", "stage")
+  }
+
+  def curriculumStagesSql(stages: Int = 4): String =
+    s"""SELECT doc_id, lang, alpha_ratio,
+       |  CAST(ntile($stages) OVER (PARTITION BY lang
+       |       ORDER BY alpha_ratio DESC, doc_id) AS INT) AS stage
+       |FROM (SELECT doc_id, lang,
+       |        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |          / CAST(length(text) AS DOUBLE) AS alpha_ratio
+       |      FROM documents) t""".stripMargin
+
   /** Benchmark-contamination check (the GPT-3/C4-style n-gram overlap
     * audit): for every TEST document, the fraction of its distinct
     * word `n`-grams that also occur anywhere in the TRAIN split.

@@ -58,4 +58,41 @@ object Tfidf {
        |                               ORDER BY score DESC, term) AS INT) AS rk
        |FROM scored
        |QUALIFY rk <= $k""".stripMargin
+
+  /** Unigram (word-frequency) entropy per document — the
+    * perplexity-proxy quality signal: low entropy flags repetitive /
+    * boilerplate text, high entropy flags word salad. H = -Σ p·ln p
+    * over the doc's word distribution; per-term contributions are
+    * 6-dp-rounded and decimal-summed so the result is independent of
+    * aggregation order (the cross-engine exactness trick). One token
+    * scan, one (doc, word) shuffle, one per-doc rollup. */
+  def unigramEntropy(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"),
+        size(split(col("text"), " ")).cast("double").as("n"))
+      .groupBy("doc_id", "w")
+      // n is constant within the doc (token count) — max is the
+      // deterministic way to carry it through (first() is banned here)
+      .agg(count(lit(1)).cast("double").as("c"), max(col("n")).as("n"))
+    counts
+      .withColumn("term", round(-(col("c") / col("n")) * log(col("c") / col("n")), 6))
+      .groupBy("doc_id")
+      .agg(sum(col("term").cast("decimal(38,6)")).cast("double").as("entropy"),
+        count(lit(1)).as("n_distinct_words"))
+  }
+
+  val unigramEntropySql: String =
+    """WITH counts AS (
+      |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c, max(n) AS n
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+      |        FROM documents) t
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |  CAST(SUM(CAST(round(-(c / n) * ln(c / n), 6) AS DECIMAL(38,6)))
+      |       AS DOUBLE) AS entropy,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_words
+      |FROM counts GROUP BY 1""".stripMargin
 }

@@ -153,6 +153,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(fp < 0.05, s"false-positive rate $fp way above design 0.01")
   }
 
+  test("unigram entropy: uniform docs score ln(n), repeated-word docs score 0") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d"),      // uniform over 4 → H = ln 4
+      (2L, "x x x x"),      // single word → H = 0
+      (3L, "a a b b")).toDF("doc_id", "text") // uniform over 2 → ln 2
+    val got = Tfidf.unigramEntropy(tiny).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - math.log(4)) < 1e-5)
+    assert(got(2L) === 0.0)
+    assert(math.abs(got(3L) - math.log(2)) < 1e-5)
+  }
+
+  test("curriculum stages: quality-ordered, balanced per language") {
+    val staged = CorpusPipeline.curriculumStages(docs, 4)
+    // every lang gets all 4 stages, sizes within 1 of each other
+    staged.groupBy("lang", "stage").count().collect()
+      .groupBy(_.getString(0)).foreach { case (_, rows) =>
+        assert(rows.map(_.getInt(1)).toSet === Set(1, 2, 3, 4))
+        val sizes = rows.map(_.getLong(2))
+        assert(sizes.max - sizes.min <= 1)
+      }
+    // stage 1 is the high-quality end: its mean alpha ratio beats stage 4
+    val byStage = staged.groupBy("stage").agg(avg("alpha_ratio").as("a"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(byStage(1) > byStage(4))
+  }
+
   test("bloom membership expression codegen matches the interpreted path") {
     import spark.implicits._
     val values = (0L until 200L).toDF("h")
