@@ -674,6 +674,29 @@ object RelationalQueries {
        |SELECT win_start_us, event_type, CAST(count(*) AS BIGINT) AS n
        |FROM hops GROUP BY 1, 2""".stripMargin
 
+  /** Stream-static enrichment (batch form of StreamOps.staticEnrich):
+    * events broadcast-join the customer→nation dim, hourly rollup per
+    * nation. The streaming form is MemoryStream-parity-tested in
+    * StreamOpsSpec. */
+  private val streamStaticEnrich: Q = (s, d) => {
+    val dim = table(s, d, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      .join(table(s, d, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("user_id"), col("n_name"))
+    graft.streaming.StreamOps.staticEnrich(
+      events(s, d), dim, "user_id", "n_name", watermarked = false)
+  }
+
+  private val streamStaticEnrichSql =
+    s"""SELECT ($evUsSql // 3600000000) * 3600000000 AS window_start_us,
+       |  n.n_name, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${dsumSql("e.value")} AS total_value
+       |FROM events e
+       |JOIN customer c ON e.user_id = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |GROUP BY 1, 2""".stripMargin
+
   private val streamTumbling: Q = (s, d) =>
     events(s, d)
       .groupBy(expr("ev_us div 3600000000").as("hour_bucket"), col("event_type"))
@@ -863,6 +886,7 @@ object RelationalQueries {
     ("w_range_frame", wRangeFrame, Some(wRangeFrameSql)),
     ("stream_dedup_exactly_once", streamDedup, Some(streamDedupSql)),
     ("stream_hopping_window", streamHopping, Some(streamHoppingSql)),
+    ("stream_static_enrich", streamStaticEnrich, Some(streamStaticEnrichSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),

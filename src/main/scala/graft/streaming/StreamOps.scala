@@ -68,6 +68,25 @@ object StreamOps {
         col("purchase_value"))
   }
 
+  /** Stream-static enrichment join + windowed rollup — the most common
+    * streaming shape of all: every event joins a (slowly-changing)
+    * dimension and rolls up per (window, dim attribute). The dim side
+    * is BROADCAST, so each micro-batch is a map-side hash join — the
+    * stream never shuffles against the dimension, and state is
+    * windows × attribute values, bounded by the watermark. `dim` must
+    * expose `eventKey` (join key, pre-renamed) and `dimAttr`. */
+  def staticEnrich(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimAttr: String, tsCol: String = "ev_ts", window_ : String = "1 hour",
+      lateness: String = "10 minutes", watermarked: Boolean = true): DataFrame = {
+    val in = if (watermarked) events.withWatermark(tsCol, lateness) else events
+    in.join(broadcast(dim.select(col(eventKey), col(dimAttr))), Seq(eventKey))
+      .groupBy(window(col(tsCol), window_), col(dimAttr))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col(dimAttr), col("n"), col("total_value"))
+  }
+
   /** At-least-once → exactly-once: drop redelivered events by id.
     * Streaming form uses `dropDuplicatesWithinWatermark`, so the
     * dedup state store holds only ids younger than the watermark

@@ -41,6 +41,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: micro-batched join + rollup equals the batch form") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "FRANCE"), (2L, "KENYA"), (3L, "PERU"))
+      .toDF("user_id", "n_name")
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDS().toDF("ev_ts", "user_id", "value")
+    val q = StreamOps.staticEnrich(df, dim, "user_id", "n_name")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    val batch1 = Seq((ts(5), 1L, 1.0), (ts(20), 2L, 2.0), (ts(40), 9L, 7.0))
+    val batch2 = Seq((ts(50), 1L, 3.0)) // same hour, later micro-batch
+    val batch3 = Seq((ts(300), 3L, 1.0)) // watermark push closes hour 0
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      input.addData(batch3); q.processAllAvailable()
+      val streamed = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val all = (batch1 ++ batch2 ++ batch3).toDF("ev_ts", "user_id", "value")
+      val expectedHour0 = StreamOps.staticEnrich(all, dim, "user_id", "n_name",
+        watermarked = false)
+        .filter(col("window_start_us") === 1704067200000000L) // 2024-01-01T00
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed === expectedHour0)
+      // the unmatched user (9L) is dropped; same-hour rows from
+      // different micro-batches merged into one row per nation
+      assert(streamed.map(_._2) === Set("FRANCE", "KENYA"))
+      assert(streamed.find(_._2 == "FRANCE").get._3 === 2L)
+    } finally q.stop()
+  }
+
   test("session windows: streaming merge across micro-batches equals the batch form") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
