@@ -21,7 +21,9 @@ object PlanAudit {
       else Seq("s4_scan_project", "j4_dim_join", "a1_multi_agg", "w7_islands",
         "knn_cosine_topk", "asof_latest", "j_range_binned", "a_topk_agg",
         "a_heavy_hitters", "text_bm25", "w_range_frame",
-        "dedup_fuzzy_levenshtein")
+        "dedup_fuzzy_levenshtein", "pipeline_incremental_dedup",
+        "pipeline_contamination", "text_tfidf", "dedup_chunk",
+        "stream_static_enrich", "a_hll_partial")
     names.foreach { n =>
       println(s"===== $n =====")
       SparkEntry.queries(n)(spark, d).explain("formatted")
