@@ -62,24 +62,43 @@ object Tfidf {
   /** Unigram (word-frequency) entropy per document — the
     * perplexity-proxy quality signal: low entropy flags repetitive /
     * boilerplate text, high entropy flags word salad. H = -Σ p·ln p
-    * over the doc's word distribution; per-term contributions are
-    * 6-dp-rounded and decimal-summed so the result is independent of
-    * aggregation order (the cross-engine exactness trick). One token
-    * scan, one (doc, word) shuffle, one per-doc rollup. */
+    * over the doc's word distribution.
+    *
+    * Scale shape: entropy is a PER-ROW property (the distribution
+    * lives inside one document), so this is a narrow typed kernel —
+    * zero shuffles, one scan, trivially 100 TB-parallel — instead of
+    * the token-explode + (doc, word) groupBy a first draft would
+    * shuffle. Per-term contributions are 6-dp-rounded and summed as
+    * BigDecimal; decimal addition is associative AND commutative, so
+    * the in-doc summation order is immaterial and the DuckDB oracle
+    * (explode + DECIMAL(38,6) sum) reproduces the double bit-for-bit.
+    * Rounding matches Spark's round(): HALF_UP on the BigDecimal. */
   def unigramEntropy(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(col("doc_id"),
-        explode(split(col("text"), " ")).as("w"),
-        size(split(col("text"), " ")).cast("double").as("n"))
-      .groupBy("doc_id", "w")
-      // n is constant within the doc (token count) — max is the
-      // deterministic way to carry it through (first() is banned here)
-      .agg(count(lit(1)).cast("double").as("c"), max(col("n")).as("n"))
-    counts
-      .withColumn("term", round(-(col("c") / col("n")) * log(col("c") / col("n")), 6))
-      .groupBy("doc_id")
-      .agg(sum(col("term").cast("decimal(38,6)")).cast("double").as("entropy"),
-        count(lit(1)).as("n_distinct_words"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    TextAnalysis.balanced(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val words = text.split(" ", -1)
+        val n = words.length.toDouble
+        val counts = new java.util.HashMap[String, Int]()
+        var i = 0
+        while (i < words.length) {
+          counts.merge(words(i), 1, Integer.sum _); i += 1
+        }
+        var acc = java.math.BigDecimal.ZERO
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val p = it.next().toDouble / n
+          // identical expression tree to `-(c/n) * ln(c/n)`: IEEE
+          // sign-flip of a product is exact, so -(p·ln p) ≡ (-p)·ln p
+          val term = -(p * math.log(p))
+          acc = acc.add(java.math.BigDecimal.valueOf(term)
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+        }
+        (id, acc.doubleValue(), counts.size().toLong)
+      })
+      .toDF("doc_id", "entropy", "n_distinct_words")
   }
 
   val unigramEntropySql: String =
