@@ -120,6 +120,10 @@ object DocQueries {
   private val textEntropy: Q = (s, d) =>
     Tfidf.unigramEntropy(table(s, d, "documents"))
 
+  /** Hashing-trick featurizer (sparse long form, no vocabulary job). */
+  private val textFeatureHash: Q = (s, d) =>
+    Tfidf.featureHash(table(s, d, "documents"))
+
   /** Curriculum staging: per-lang quality ntiles. */
   private val pipelineCurriculum: Q = (s, d) =>
     CorpusPipeline.curriculumStages(table(s, d, "documents"))
@@ -240,6 +244,7 @@ object DocQueries {
     ("pipeline_incremental_dedup", pipelineIncrementalDedup,
       Some(IncrementalDedup.gateSql())),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
+    ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("pipeline_curriculum", pipelineCurriculum,
       Some(CorpusPipeline.curriculumStagesSql()))
   )

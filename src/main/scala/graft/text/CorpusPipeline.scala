@@ -197,8 +197,17 @@ object CorpusPipeline {
     * highest-quality documents (alpha-ratio desc, doc_id tiebreak)
     * until the cumulative token count reaches `budgetPerLang` — the
     * "best N tokens per domain" selection every pretraining mix ends
-    * with. One window over each language shard; at 100 TB the shards
-    * sort in parallel and nothing is global. */
+    * with. One window over each language shard; shards run in
+    * parallel and nothing is cross-language.
+    *
+    * Scale honesty: a window PARTITION is one task, so with few huge
+    * languages the per-shard prefix sum serializes. The fleet-scale
+    * recipe keeps the same semantics in two passes: approximate the
+    * per-language quality threshold from a sample (the score whose
+    * cumulative tokens ≈ budget), hash-filter above it in parallel,
+    * and run this exact window only on the thin boundary band. This
+    * operator IS that exact final pass; the gate proves its
+    * semantics. */
   def tokenBudgetSelect(docs: DataFrame, budgetPerLang: Long = 3000L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
@@ -248,7 +257,11 @@ object CorpusPipeline {
     * stages per language, best quality (alpha ratio) first — the
     * "clean data early, noisy data late" ordering curriculum training
     * consumes. Pure window over each language shard; the tie-free
-    * (alpha_ratio, doc_id) order makes the staging deterministic. */
+    * (alpha_ratio, doc_id) order makes the staging deterministic.
+    * Same per-shard-window scale note as [[tokenBudgetSelect]]: at
+    * fleet scale, stage boundaries come from sampled quality
+    * quantiles (approx_percentile per language — parallel), with the
+    * exact ntile reserved for boundary reconciliation. */
   def curriculumStages(docs: DataFrame, stages: Int = 4): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))

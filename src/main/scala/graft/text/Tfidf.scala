@@ -59,6 +59,32 @@ object Tfidf {
        |FROM scored
        |QUALIFY rk <= $k""".stripMargin
 
+  /** Feature hashing (the hashing-trick vectorizer): every word maps
+    * to `dim` buckets by hash, per-doc bucket counts are the feature
+    * vector — the fixed-width featurization that needs NO vocabulary
+    * build (the property that matters at 100 TB: no global dictionary
+    * job, no OOV problem, new data streams through statelessly).
+    * Emitted in sparse long form (doc_id, bucket, n) — exactly what a
+    * downstream trainer ingests, and exactly SQL-expressible, so the
+    * gate is oracle-exact. The hash is the cross-engine md5-60 (mod
+    * dim); one token scan, one (doc, bucket) shuffle. */
+  def featureHash(docs: DataFrame, dim: Int = 64): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long"), lit(dim.toLong)).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n"))
+
+  def featureHashSql(dim: Int = 64): String =
+    s"""SELECT doc_id,
+       |  CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $dim AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) t
+       |GROUP BY 1, 2""".stripMargin
+
   /** Unigram (word-frequency) entropy per document — the
     * perplexity-proxy quality signal: low entropy flags repetitive /
     * boilerplate text, high entropy flags word salad. H = -Σ p·ln p

@@ -166,6 +166,23 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(got(3L) - math.log(2)) < 1e-5)
   }
 
+  test("feature hashing: stateless, stable, counts conserved") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val fh = Tfidf.featureHash(tiny, dim = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // counts conserved: Σn per doc = token count
+    assert(fh.filter(_._1._1 == 1L).values.sum === 3L)
+    assert(fh.filter(_._1._1 == 2L).values.sum === 2L)
+    // the same word hashes to the same bucket in every doc (no
+    // per-partition or per-doc state — the whole point of the trick)
+    val aBucket1 = fh.collect { case ((1L, b), n) if n == 2L => b }
+    assert(aBucket1.size === 1) // "a" twice in doc 1
+    assert(fh.contains((2L, aBucket1.head))) // "a" in doc 2, same bucket
+    // buckets are within [0, dim)
+    assert(fh.keys.forall { case (_, b) => b >= 0 && b < 8 })
+  }
+
   test("curriculum stages: quality-ordered, balanced per language") {
     val staged = CorpusPipeline.curriculumStages(docs, 4)
     // every lang gets all 4 stages, sizes within 1 of each other
