@@ -128,6 +128,10 @@ object DocQueries {
   private val pipelineCurriculum: Q = (s, d) =>
     CorpusPipeline.curriculumStages(table(s, d, "documents"))
 
+  /** Deterministic epoch-1 shuffle into 8 shards. */
+  private val pipelineEpochShuffle: Q = (s, d) =>
+    CorpusPipeline.epochShuffle(table(s, d, "documents"), epoch = 1)
+
   /** Chunk-level exact dedup over the boilerplated corpus (the raw
     * synthetic docs have no repeated passages — measured). */
   private val dedupChunk: Q = (s, d) =>
@@ -246,6 +250,8 @@ object DocQueries {
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("pipeline_curriculum", pipelineCurriculum,
-      Some(CorpusPipeline.curriculumStagesSql()))
+      Some(CorpusPipeline.curriculumStagesSql())),
+    ("pipeline_epoch_shuffle", pipelineEpochShuffle,
+      Some(CorpusPipeline.epochShuffleSql(epoch = 1)))
   )
 }

@@ -283,6 +283,37 @@ object CorpusPipeline {
        |          / CAST(length(text) AS DOUBLE) AS alpha_ratio
        |      FROM documents) t""".stripMargin
 
+  /** Deterministic epoch shuffle + sharding: the reproducible "global
+    * shuffle" every pretraining run needs per epoch. A seeded content
+    * hash (epoch salted into the md5-60 axis) gives each doc a
+    * pseudo-random sort key — different epochs permute differently,
+    * the same epoch replays identically on any cluster size — and the
+    * shard assignment + in-shard position fall out of the same hash.
+    * No global sort: each shard orders independently (one shuffle on
+    * the shard key), which is exactly how shard files are written. */
+  def epochShuffle(docs: DataFrame, epoch: Int, shards: Int = 8): DataFrame = {
+    val h = conv(substring(md5(concat(lit(s"$epoch:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos_in_shard")
+  }
+
+  def epochShuffleSql(epoch: Int, shards: Int = 8): String =
+    s"""SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       |       AS BIGINT) AS pos_in_shard
+       |FROM (SELECT doc_id,
+       |        CAST('0x' || substr(md5('$epoch:' || CAST(doc_id AS VARCHAR)),
+       |             1, 15) AS BIGINT) AS h,
+       |        CAST('0x' || substr(md5('$epoch:' || CAST(doc_id AS VARCHAR)),
+       |             1, 15) AS BIGINT) % $shards AS shard
+       |      FROM documents) t""".stripMargin
+
   /** Benchmark-contamination check (the GPT-3/C4-style n-gram overlap
     * audit): for every TEST document, the fraction of its distinct
     * word `n`-grams that also occur anywhere in the TRAIN split.

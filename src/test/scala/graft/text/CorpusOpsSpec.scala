@@ -166,6 +166,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(got(3L) - math.log(2)) < 1e-5)
   }
 
+  test("epoch shuffle: every doc placed once, epochs permute, replays are identical") {
+    val e1 = CorpusPipeline.epochShuffle(docs, epoch = 1)
+    val e2 = CorpusPipeline.epochShuffle(docs, epoch = 2)
+    val n = docs.count()
+    // a permutation: every doc exactly once, positions contiguous per shard
+    assert(e1.count() === n)
+    assert(e1.select("doc_id").distinct().count() === n)
+    val maxPos = e1.groupBy("shard")
+      .agg(max("pos_in_shard").as("mx"), count(lit(1)).as("c")).collect()
+    maxPos.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    // different epochs give different orders (same shard sizes not required)
+    val o1 = e1.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val o2 = e2.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(o1 !== o2)
+    // same epoch replays bit-identically under repartitioning
+    val replay = CorpusPipeline.epochShuffle(docs.repartition(13), epoch = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(replay === o1)
+  }
+
   test("feature hashing: stateless, stable, counts conserved") {
     import spark.implicits._
     val tiny = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
