@@ -175,6 +175,11 @@ object DocQueries {
   private val textPiiScrub: Q = (s, d) =>
     TextAnalysis.piiScrub(TextAnalysis.dirtyDocs(table(s, d, "documents")))
 
+  /** URL canonicalization dedup over the planted URL-variant corpus. */
+  private val dedupUrl: Q = (s, d) =>
+    TextAnalysis.urlCanonicalDedup(
+      TextAnalysis.urlDirtyDocs(table(s, d, "documents")))
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_exact", dedupExact, Some(dedupExactSql)),
     ("dedup_ngram_jaccard", dedupNgram, Some(Shingles.exactJaccardSql(jaccardThreshold))),
@@ -221,6 +226,7 @@ object DocQueries {
         TextAnalysis.nfcNormalize(table(s, d, "documents"))): Q,
       Some(TextAnalysis.nfcNormalizeSql)),
     ("text_pii_scrub", textPiiScrub, Some(TextAnalysis.piiScrubSql)),
+    ("dedup_url", dedupUrl, Some(TextAnalysis.urlCanonicalDedupSql)),
     ("text_winnowing", textWinnowing, None),
     ("text_winnowing_md5", textWinnowingMd5,
       Some(TextAnalysis.winnowingMd5Sql())),

@@ -331,6 +331,72 @@ object TextAnalysis {
        |FROM ($dirty) t""".stripMargin
   }
 
+  /** Deterministic URL-variant corpus for the canonicalization gate:
+    * the same logical page appears as (a) uppercase host + trailing
+    * slash, (b) lowercase + tracking query + fragment, (c) plain http —
+    * the three spellings a crawler actually sees. Paths collapse mod 50
+    * so distinct docs genuinely collide after canonicalization. */
+  def urlDirtyDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" see https://WWW.Example.COM/Docs/"),
+          (col("doc_id") % 50).cast("string"), lit("/")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit(" see https://www.example.com/Docs/"),
+            (col("doc_id") % 50).cast("string"), lit("?utm_source=feed#sec")))
+        .otherwise(concat(lit(" see http://www.example.com/Docs/"),
+          (col("doc_id") % 50).cast("string")))).as("text"))
+
+  /** URL canonicalization + URL-level dedup — the crawl-pipeline step
+    * before any content dedup: lowercase scheme+host, drop query and
+    * fragment, strip trailing slashes, then group pages by canonical
+    * URL (keep-min doc id). One projection pass + one groupBy on the
+    * canonical string — the 100 TB shape is scan → hash-agg. The
+    * regexes stay in the Java-regex ∩ RE2 common dialect so the DuckDB
+    * oracle computes the identical canonical form. */
+  def urlCanonicalDedup(docs: DataFrame): DataFrame = {
+    val url = regexp_extract(col("text"), UrlRe, 0)
+    val scheme = lower(regexp_extract(col("url"), "^(https?)://", 1))
+    val host = lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
+    val path = regexp_replace(
+      regexp_extract(col("url"), "^https?://[^/?#]+([^?#]*)", 1), "/+$", "")
+    docs
+      .filter(col("text").rlike(UrlRe))
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        concat(scheme, lit("://"), host, path).as("url_canonical"))
+      .groupBy("url_canonical")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+  }
+
+  val urlCanonicalDedupSql: String = {
+    val dirty =
+      """SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN ' see https://WWW.Example.COM/Docs/' ||
+        |         CAST(doc_id % 50 AS VARCHAR) || '/'
+        |  WHEN doc_id % 3 = 1
+        |    THEN ' see https://www.example.com/Docs/' ||
+        |         CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed#sec'
+        |  ELSE ' see http://www.example.com/Docs/' ||
+        |       CAST(doc_id % 50 AS VARCHAR) END AS text
+        |FROM documents""".stripMargin
+    s"""WITH urls AS (
+       |  SELECT doc_id, regexp_extract(text, '$UrlRe', 0) AS url
+       |  FROM ($dirty) t WHERE regexp_matches(text, '$UrlRe')
+       |), canon AS (
+       |  SELECT doc_id,
+       |    lower(regexp_extract(url, '^(https?)://', 1)) || '://' ||
+       |    lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) ||
+       |    regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+       |      '/+$$', '', 'g') AS url_canonical
+       |  FROM urls
+       |)
+       |SELECT url_canonical, CAST(count(*) AS BIGINT) AS n_docs,
+       |       MIN(doc_id) AS keep_doc
+       |FROM canon GROUP BY 1""".stripMargin
+  }
+
   /** Decomposed Unicode tail planted on every doc (the raw corpus is
     * pure ASCII — measured), so the NFC op has real combining sequences
     * to compose: "e" + U+0301 → é, "A" + U+030A → Å. The same literal

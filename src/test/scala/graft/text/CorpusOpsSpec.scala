@@ -166,6 +166,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(got(3L) - math.log(2)) < 1e-5)
   }
 
+  test("url canonicalization: case/slash/query variants collide, schemes stay apart") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "x"),   // → https://WWW.Example.COM/Docs/0/
+      (1L, "x"),   // → https://www.example.com/Docs/1?utm_source=feed#sec
+      (50L, "x"),  // → https://www.example.com/Docs/0?... (50%50=0, 50%3=2 → http!)
+      (3L, "x"),   // → https://WWW.Example.COM/Docs/3/
+      (51L, "x")   // → 51%3=0 → https variant of Docs/1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.urlCanonicalDedup(TextAnalysis.urlDirtyDocs(tiny))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 (query+fragment variant of Docs/1) and doc 51 (uppercase
+    // trailing-slash variant of Docs/1) canonicalize identically
+    assert(got("https://www.example.com/Docs/1") === ((2L, 1L)))
+    // http is a different canonical URL than https
+    assert(got.contains("http://www.example.com/Docs/0"))
+    assert(got("https://www.example.com/Docs/0") === ((1L, 0L)))
+  }
+
   test("epoch shuffle: every doc placed once, epochs permute, replays are identical") {
     val e1 = CorpusPipeline.epochShuffle(docs, epoch = 1)
     val e2 = CorpusPipeline.epochShuffle(docs, epoch = 2)
