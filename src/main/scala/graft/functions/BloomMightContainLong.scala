@@ -54,4 +54,18 @@ object BloomMightContainLong {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_mc", exprs => BloomMightContainLong(exprs.head, bytes),
       "scala_udf")
+
+  /** Content-addressed registration: the function name embeds the
+    * sketch's hash, so two live filters in one session can't race on a
+    * shared name (last-registration-wins would silently misroute one
+    * query's membership tests). Registry entries accumulate per
+    * distinct filter — bounded by filters built, a few bytes each.
+    * @return the registered function name to splice into expr(). */
+  def registerUnique(spark: SparkSession, bytes: Array[Byte]): String = {
+    val name = "graft_bloom_mc_" +
+      Integer.toHexString(java.util.Arrays.hashCode(bytes))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BloomMightContainLong(exprs.head, bytes), "scala_udf")
+    name
+  }
 }

@@ -62,6 +62,13 @@ object DataLayout {
     val b = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    // empty (or all-null-axis) input: nothing to cluster — write as-is
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      df.write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", rowGroupBytes.toString)
+        .parquet(path)
+      return
+    }
     val z = zInterleave16(
       bucket16(col(colA).cast("long"), b.getLong(0), b.getLong(1)),
       bucket16(col(colB).cast("long"), b.getLong(2), b.getLong(3)))

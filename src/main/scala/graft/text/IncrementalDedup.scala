@@ -48,11 +48,13 @@ object IncrementalDedup {
       org.apache.spark.sql.Encoders.scalaLong)
     val bytes = refH.agg(agg(col("content_h")).as("bf"))
       .head().getAs[Array[Byte]](0)
-    BloomMightContainLong.register(spark, bytes)
+    // content-addressed name: concurrent filters in one session can't
+    // race on a shared registration
+    val fn = BloomMightContainLong.registerUnique(spark, bytes)
     val newH = newDocs.select(col("doc_id"), contentHash60.as("content_h"))
-    val definitelyNew = newH.filter(!expr("graft_bloom_mc(content_h)"))
+    val definitelyNew = newH.filter(!expr(s"$fn(content_h)"))
     // candidates = true dups + ~fpp false positives; only these join
-    val candidates = newH.filter(expr("graft_bloom_mc(content_h)"))
+    val candidates = newH.filter(expr(s"$fn(content_h)"))
     val verifiedNew = candidates.join(refH, Seq("content_h"), "left_anti")
       .select("doc_id", "content_h")
     definitelyNew.select("doc_id", "content_h").unionByName(verifiedNew)
