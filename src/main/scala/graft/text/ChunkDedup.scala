@@ -33,8 +33,9 @@ object ChunkDedup {
           s"transform(sequence(0, CAST(ceil(size(ws) / $chunkWords.0) AS INT) - 1), " +
             s"i -> concat_ws(' ', slice(ws, i * $chunkWords + 1, $chunkWords)))"))
           .as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx"),
-        md5(col("chunk").cast("binary")).as("h"))
+      // 8-byte xxhash64 currency — the chunk text stays in the scan;
+      // the oracle's md5 grouping agrees whenever neither collides
+      .select(col("doc_id"), col("chunk_idx"), xxhash64(col("chunk")).as("h"))
     chunks
       .withColumn("occ", row_number().over(w))
       .groupBy("doc_id")

@@ -341,8 +341,10 @@ object CorpusPipeline {
           expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
             s"i -> concat_ws(' ', slice(ws, i, $n)))"))
           .otherwise(array().cast("array<string>"))).as("gram"))
-      .select(col("doc_id"), col("split"),
-        md5(col("gram").cast("binary")).as("g"))
+      // 8-byte xxhash64 as the shuffle/grouping currency (the gram
+      // text never leaves the scan); the oracle groups by its own md5
+      // — only collision behavior must agree, and both are ~0 here
+      .select(col("doc_id"), col("split"), xxhash64(col("gram")).as("g"))
       .distinct()
     val perGram = all.groupBy("g").agg(
       max(when(col("split") === "train", 1)).as("hit"),
