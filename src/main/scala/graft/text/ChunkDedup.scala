@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * distinct pages; this catches exactly that.
   *
   * Plan shape at 100 TB: one narrow chunk-explode scan; one shuffle on
-  * the 16-byte chunk hash (a window row_number per hash — first
+  * the 8-byte chunk hash (a window row_number per hash — first
   * occurrence wins deterministically); one shuffle back on doc_id for
   * the per-doc rollup. Chunk width trades granularity against row
   * count; hashes, not chunk text, are the shuffle currency.
