@@ -56,14 +56,15 @@ object BloomMightContainLong {
       "scala_udf")
 
   /** Content-addressed registration: the function name embeds the
-    * sketch's hash, so two live filters in one session can't race on a
-    * shared name (last-registration-wins would silently misroute one
-    * query's membership tests). Registry entries accumulate per
-    * distinct filter — bounded by filters built, a few bytes each.
+    * FULL md5 of the sketch bytes (a 32-bit hashCode would collide by
+    * pigeonhole across many filters and last-registration-wins would
+    * silently misroute membership tests), so two live filters in one
+    * session can't race on a shared name. Registry entries accumulate
+    * per distinct filter — bounded by filters built, a few bytes each.
     * @return the registered function name to splice into expr(). */
   def registerUnique(spark: SparkSession, bytes: Array[Byte]): String = {
-    val name = "graft_bloom_mc_" +
-      Integer.toHexString(java.util.Arrays.hashCode(bytes))
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val name = "graft_bloom_mc_" + md5.map("%02x".format(_)).mkString
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => BloomMightContainLong(exprs.head, bytes), "scala_udf")
     name

@@ -44,12 +44,15 @@ object RangeJoin {
     val p = points.withColumn("__bin", bin(pointCol))
     val binLo = bin(loCol)
     val binHi = bin(hiCol)
+    // span in DOUBLE: raw long subtraction overflows on sentinel
+    // bounds (lo = Long.MinValue) and would bypass the cap
+    val spanD = binHi.cast("double") - binLo.cast("double")
     val guarded =
       when(binLo > binHi, array().cast("array<bigint>"))
-        .when(binHi - binLo >= maxBins,
+        .when(spanD >= maxBins.toDouble,
           raise_error(concat(
             lit("graft RangeJoin.binned: interval explodes to "),
-            (binHi - binLo).cast("string"),
+            spanD.cast("string"),
             lit(s"+1 bins > maxBins=$maxBins; widen the bin or raise the cap")))
             .cast("array<bigint>"))
         .otherwise(sequence(binLo, binHi))

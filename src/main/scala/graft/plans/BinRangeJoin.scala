@@ -97,9 +97,15 @@ object BinRangeJoin extends Rule[LogicalPlan] {
             val binLo = bin(lo, w)
             val binHi = bin(hi, w)
             val mb = maxBins
+            // span measured in DOUBLE: a raw long `binHi - binLo`
+            // overflows on sentinel bounds (lo = Long.MinValue as
+            // "unbounded"), wraps negative, and would BYPASS this very
+            // guard; double subtraction keeps the magnitude (precision
+            // loss near the threshold is irrelevant for a resource cap)
+            val spanD = Subtract(Cast(binHi, DoubleType), Cast(binLo, DoubleType))
             val overflowMsg = Concat(Seq(
               Literal("graft BinRangeJoin: interval explodes to "),
-              Cast(Subtract(binHi, binLo), StringType),
+              Cast(spanD, StringType),
               Literal(s"+1 bins > $MaxBinsConf=$mb; widen $WidthConf " +
                 "or raise the cap")))
             val guardedBins = CaseWhen(Seq(
@@ -108,7 +114,7 @@ object BinRangeJoin extends Rule[LogicalPlan] {
                 Literal.create(Array.empty[Long],
                   ArrayType(LongType, containsNull = false))),
               // absurd span → fail loudly instead of a per-row OOM
-              (GreaterThanOrEqual(Subtract(binHi, binLo), Literal(mb)),
+              (GreaterThanOrEqual(spanD, Literal(mb.toDouble)),
                 new RaiseError(Literal("USER_RAISED_EXCEPTION"),
                   CreateMap(Seq(Literal("errorMessage"), overflowMsg)),
                   ArrayType(LongType, containsNull = false)))),

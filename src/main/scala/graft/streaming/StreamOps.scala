@@ -74,15 +74,17 @@ object StreamOps {
     * is BROADCAST, so each micro-batch is a map-side hash join — the
     * stream never shuffles against the dimension, and state is
     * windows × attribute values, bounded by the watermark. `dim` must
-    * expose `eventKey` (join key, pre-renamed) and `dimAttr`. */
+    * expose `eventKey` (join key, pre-renamed) and `dimAttr`; the
+    * summed measure column is `valueCol`. */
   def staticEnrich(events: DataFrame, dim: DataFrame, eventKey: String,
       dimAttr: String, tsCol: String = "ev_ts", window_ : String = "1 hour",
-      lateness: String = "10 minutes", watermarked: Boolean = true): DataFrame = {
+      lateness: String = "10 minutes", watermarked: Boolean = true,
+      valueCol: String = "value"): DataFrame = {
     val in = if (watermarked) events.withWatermark(tsCol, lateness) else events
     in.join(broadcast(dim.select(col(eventKey), col(dimAttr))), Seq(eventKey))
       .groupBy(window(col(tsCol), window_), col(dimAttr))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(38,6)")).cast("double").as("total_value"))
+        sum(col(valueCol).cast("decimal(38,6)")).cast("double").as("total_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col(dimAttr), col("n"), col("total_value"))
   }

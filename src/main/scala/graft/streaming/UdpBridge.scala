@@ -67,23 +67,41 @@ class UdpBridge(spark: SparkSession, port: Int = 0, driver: Long = 1L,
         val dg = new DatagramPacket(buf, buf.length)
         try {
           socket.receive(dg)
+          // a successful receive proves the SOCKET is healthy — reset
+          // the give-up counter before decoding, so a burst of
+          // malformed frames (a decode problem, not a socket problem)
+          // can never stop ingestion or back it off
           consecutive = 0
-          val bytes = java.util.Arrays.copyOf(dg.getData, dg.getLength)
-          PacketCodec.decode(clock(), bytes, driver).foreach { p =>
-            stream.addData(p)
-            decoded.incrementAndGet()
+          try {
+            val bytes = java.util.Arrays.copyOf(dg.getData, dg.getLength)
+            PacketCodec.decode(clock(), bytes, driver).foreach { p =>
+              stream.addData(p)
+              decoded.incrementAndGet()
+            }
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              // bad frame: count it, log once in a while, keep going
+              // at full speed (the reference drops malformed frames
+              // silently; we at least count them)
+              val n = errors.incrementAndGet()
+              if (n == 1 || n % 1000 == 0) {
+                System.err.println(
+                  s"udp-bridge-$boundPort: survived decode error #$n: $e")
+              }
           }
         } catch {
           case _: SocketException if !running => () // closed by stop()
           case scala.util.control.NonFatal(e) =>
-            // A transient receive error or a decode throw must not kill
-            // ingestion silently: count it, log once in a while, go on.
+            // a RECEIVE failure: transient ones are survived with a
+            // short backoff; a persistently broken socket (closed or
+            // broken outside stop()) stops the bridge after
+            // MaxConsecutiveErrors instead of busy-spinning forever
             val n = errors.incrementAndGet()
             consecutive += 1
             if (n == 1 || n % 1000 == 0 ||
                 consecutive == MaxConsecutiveErrors) {
               System.err.println(
-                s"udp-bridge-$boundPort: survived error #$n: $e" +
+                s"udp-bridge-$boundPort: survived receive error #$n: $e" +
                   (if (consecutive == MaxConsecutiveErrors)
                     s" — $consecutive consecutive failures, stopping bridge"
                   else ""))

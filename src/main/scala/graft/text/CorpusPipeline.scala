@@ -54,13 +54,6 @@ object CorpusPipeline {
   private def splitThreshold(trainFrac: Double): Long =
     (trainFrac * Pow60).toLong
 
-  /** Deterministic, leakage-free document-level train/test split: the
-    * md5-60 hash of the doc id maps to a uniform 60-bit value; ids
-    * below `trainFrac`·2⁶⁰ are train. Hash-based (not row_number or
-    * rand()) so the assignment is stable under repartitioning, joins,
-    * and incremental corpus growth — the property a 100 TB pipeline
-    * needs so yesterday's test docs never drift into today's train
-    * set. Pure column expressions, no shuffle. */
   /** The split assignment as a pure column over doc_id — usable inline
     * (no self-join) by any operator that needs the split axis. */
   private def splitExpr(trainFrac: Double): org.apache.spark.sql.Column =
@@ -68,6 +61,13 @@ object CorpusPipeline {
       16, 10).cast("long") < splitThreshold(trainFrac), "train")
       .otherwise("test")
 
+  /** Deterministic, leakage-free document-level train/test split: the
+    * md5-60 hash of the doc id maps to a uniform 60-bit value; ids
+    * below `trainFrac`·2⁶⁰ are train. Hash-based (not row_number or
+    * rand()) so the assignment is stable under repartitioning, joins,
+    * and incremental corpus growth — the property a 100 TB pipeline
+    * needs so yesterday's test docs never drift into today's train
+    * set. Pure column expressions, no shuffle. */
   def trainTestSplit(docs: DataFrame, trainFrac: Double = 0.9): DataFrame =
     docs.select(col("doc_id"), splitExpr(trainFrac).as("split"))
 

@@ -86,4 +86,18 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("maxBins"), ex.getMessage)
   }
+
+  test("sentinel 'unbounded' bounds cannot overflow the span guard") {
+    import spark.implicits._
+    // lo = Long.MinValue as an "unbounded below" sentinel: a raw long
+    // binHi - binLo wraps negative and would BYPASS the cap straight
+    // into the unbounded sequence; the double-space span must raise
+    val points = Seq((1L, 50L)).toDF("pid", "v")
+    val intervals = Seq((10L, Long.MinValue, 100L)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.binned(points, col("v"), intervals, col("lo"), col("hi"),
+        c => c, maxBins = 1000L).collect()
+    }
+    assert(ex.getMessage.contains("maxBins"), ex.getMessage)
+  }
 }
