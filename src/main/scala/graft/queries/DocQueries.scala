@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.text.{Bm25, ChunkDedup, CorpusPipeline, DedupClusters, FuzzyDedup,
-  IncrementalDedup, MinHashLsh, Shingles, SimHash, TextAnalysis, Tfidf}
+  IncrementalDedup, LmScore, MinHashLsh, Shingles, SimHash, TextAnalysis, Tfidf}
 import graft.sim.{Knn, Pq}
 import QueryDsl._
 
@@ -123,6 +123,10 @@ object DocQueries {
   /** Hashing-trick featurizer (sparse long form, no vocabulary job). */
   private val textFeatureHash: Q = (s, d) =>
     Tfidf.featureHash(table(s, d, "documents"))
+
+  /** CCNet-style bigram-LM quality scoring of the test split. */
+  private val textLmScore: Q = (s, d) =>
+    LmScore.bigramLogProb(table(s, d, "documents"))
 
   /** Curriculum staging: per-lang quality ntiles. */
   private val pipelineCurriculum: Q = (s, d) =>
@@ -255,6 +259,7 @@ object DocQueries {
       Some(IncrementalDedup.gateSql())),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
+    ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),
     ("pipeline_curriculum", pipelineCurriculum,
       Some(CorpusPipeline.curriculumStagesSql())),
     ("pipeline_epoch_shuffle", pipelineEpochShuffle,

@@ -56,7 +56,7 @@ object CorpusPipeline {
 
   /** The split assignment as a pure column over doc_id — usable inline
     * (no self-join) by any operator that needs the split axis. */
-  private def splitExpr(trainFrac: Double): org.apache.spark.sql.Column =
+  private[text] def splitExpr(trainFrac: Double): org.apache.spark.sql.Column =
     when(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
       16, 10).cast("long") < splitThreshold(trainFrac), "train")
       .otherwise("test")

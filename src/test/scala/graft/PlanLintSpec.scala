@@ -22,10 +22,11 @@ class PlanLintSpec extends AnyFunSuite {
     "text_bm25",              // 1-row corpus stats (n_docs, avgdl)
     "text_tfidf",             // 1-row n_docs
     "pipeline_temperature_mix", // 1-row Σ√n normalizer
-    "knn_cosine_topk"         // 5-row query side vs corpus scan — the
+    "knn_cosine_topk",        // 5-row query side vs corpus scan — the
                               // definition of brute-force kNN; the
                               // blocked/IVF/PQ variants are the scale
                               // path and plan no nested loop
+    "text_lm_score"           // 1-row vocabulary-size scalar
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
