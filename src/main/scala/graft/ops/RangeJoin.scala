@@ -66,4 +66,39 @@ object RangeJoin {
     * epoch-day axis. */
   def timestampBins(widthDays: Int): Column => Column =
     ts => floor(unix_timestamp(ts) / lit(widthDays.toLong * 86400L)).cast("long")
+
+  /** Interval×interval OVERLAP join (`aLo <= bHi AND bLo <= aHi`),
+    * binned: both sides explode to their covered bins and equi-join on
+    * the bin id — but a wide overlap covers MANY shared bins, so each
+    * candidate pair is kept only in the bin containing its overlap
+    * START (`greatest(aLo, bLo)`), which lies in exactly one bin that
+    * both sides cover. Each overlapping pair therefore appears exactly
+    * once with NO distinct/dedup pass — the dedup a naive
+    * both-sides-exploded join would need is the expensive part at
+    * scale, and this predicate replaces it with a per-row comparison.
+    * Inverted/oversized intervals get the same guards as [[binned]].
+    * Input frames must have disjoint column names. */
+  def binnedOverlap(a: DataFrame, aLo: Column, aHi: Column,
+      b: DataFrame, bLo: Column, bHi: Column,
+      bin: Column => Column, maxBins: Long = 65536L): DataFrame = {
+    def explodeBins(df: DataFrame, lo: Column, hi: Column): DataFrame = {
+      val binLo = bin(lo)
+      val binHi = bin(hi)
+      val spanD = binHi.cast("double") - binLo.cast("double")
+      df.withColumn("__bin", explode(
+        when(binLo > binHi, array().cast("array<bigint>"))
+          .when(spanD >= maxBins.toDouble,
+            raise_error(concat(
+              lit("graft RangeJoin.binnedOverlap: interval explodes to "),
+              spanD.cast("string"),
+              lit(s"+1 bins > maxBins=$maxBins; widen the bin or raise the cap")))
+              .cast("array<bigint>"))
+          .otherwise(sequence(binLo, binHi))))
+    }
+    explodeBins(a, aLo, aHi)
+      .join(explodeBins(b, bLo, bHi), "__bin")
+      .filter(aLo <= bHi && bLo <= aHi)
+      .filter(col("__bin") === bin(greatest(aLo, bLo)))
+      .drop("__bin")
+  }
 }

@@ -182,6 +182,38 @@ object ExtendedQueries {
       |WHERE l.l_orderkey % 97 = 0
       |GROUP BY 1, 2""".stripMargin
 
+  /** Interval×interval overlap join (ops.RangeJoin.binnedOverlap):
+    * sampled lineitem 45-day ship windows overlapping sampled order
+    * 30-day windows — both sides explode to bins, each overlapping
+    * pair is kept only in its overlap-start bin (exactly once, no
+    * dedup pass), exact predicate authoritative. */
+  private val overlapJoinQ: Q = (s, d) => {
+    val a = table(s, d, "lineitem")
+      .filter(col("l_orderkey") % 61 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        expr("timestampadd(DAY, 45, l_shipdate)").as("l_shipend"))
+    val b = table(s, d, "orders")
+      .filter(col("o_orderkey") % 53 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        expr("timestampadd(DAY, 30, o_orderdate)").as("o_orderend"))
+    graft.ops.RangeJoin.binnedOverlap(a, col("l_shipdate"), col("l_shipend"),
+        b, col("o_orderdate"), col("o_orderend"),
+        graft.ops.RangeJoin.timestampBins(32))
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        min(col("o_orderkey")).as("first_o"))
+  }
+
+  private val overlapJoinSql =
+    """SELECT l.l_orderkey, l.l_linenumber,
+      |       CAST(count(*) AS BIGINT) AS n_overlaps,
+      |       min(o.o_orderkey) AS first_o
+      |FROM lineitem l JOIN orders o
+      |  ON l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+      | AND o.o_orderdate <= l.l_shipdate + INTERVAL 45 DAY
+      |WHERE l.l_orderkey % 61 = 0 AND o.o_orderkey % 53 = 0
+      |GROUP BY 1, 2""".stripMargin
+
   /** Per-group top-k via the bounded-buffer typed Aggregator
     * (functions.TopKAgg) — map-side combine keeps ≤ k rows per group
     * per task; the oracle recomputes it as the window row_number
@@ -232,6 +264,7 @@ object ExtendedQueries {
     ("p15_arrays", arrayOpsQ, Some(arrayOpsSql)),
     ("p15_json", jsonOpsQ, Some(jsonOpsSql)),
     ("j_range_binned", rangeJoinQ, Some(rangeJoinSql)),
+    ("j_interval_overlap", overlapJoinQ, Some(overlapJoinSql)),
     ("except_all", exceptAllQ, Some(exceptAllSql)),
     ("intersect_all", intersectAllQ, Some(intersectAllSql)),
     ("pivot_event_counts", pivotQ, Some(pivotSql))

@@ -674,6 +674,28 @@ object RelationalQueries {
        |SELECT win_start_us, event_type, CAST(count(*) AS BIGINT) AS n
        |FROM hops GROUP BY 1, 2""".stripMargin
 
+  /** Latest-state-per-key compaction (the CDC / changelog pattern —
+    * batch form of what LiveMerge keeps in stream state): the newest
+    * event per user by (event time, unique id tiebreak). One window
+    * per key shard; at scale this is the standard log-compaction
+    * query. */
+  private val streamLatestState: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ev_us").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ev_us"),
+        col("event_type"), col("value"))
+  }
+
+  private val streamLatestStateSql =
+    s"""SELECT user_id, event_id, $evUsSql AS ev_us, event_type, value
+       |FROM events
+       |QUALIFY row_number() OVER (PARTITION BY user_id
+       |        ORDER BY $evUsSql DESC, event_id DESC) = 1""".stripMargin
+
   /** Stream-static enrichment (batch form of StreamOps.staticEnrich):
     * events broadcast-join the customer→nation dim, hourly rollup per
     * nation. The streaming form is MemoryStream-parity-tested in
@@ -887,6 +909,7 @@ object RelationalQueries {
     ("stream_dedup_exactly_once", streamDedup, Some(streamDedupSql)),
     ("stream_hopping_window", streamHopping, Some(streamHoppingSql)),
     ("stream_static_enrich", streamStaticEnrich, Some(streamStaticEnrichSql)),
+    ("stream_latest_state", streamLatestState, Some(streamLatestStateSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),

@@ -87,6 +87,36 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxBins"), ex.getMessage)
   }
 
+  test("binned overlap join equals the naive overlap join, each pair exactly once") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") % 31 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        expr("timestampadd(DAY, 45, l_shipdate)").as("l_shipend"))
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        expr("timestampadd(DAY, 30, o_orderdate)").as("o_orderend"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2))
+    val naive = li.join(ord,
+        col("l_shipdate") <= col("o_orderend") &&
+          col("o_orderdate") <= col("l_shipend"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"))
+      .collect().map(key).toSeq.sorted
+    val binned = RangeJoin.binnedOverlap(li, col("l_shipdate"), col("l_shipend"),
+        ord, col("o_orderdate"), col("o_orderend"),
+        RangeJoin.timestampBins(32))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderkey"))
+      .collect().map(key).toSeq.sorted
+    assert(naive.nonEmpty)
+    assert(binned === naive) // exactly once per pair — a multi-bin
+                             // overlap must NOT produce duplicates
+    assert(!RangeJoin.binnedOverlap(li, col("l_shipdate"), col("l_shipend"),
+        ord, col("o_orderdate"), col("o_orderend"),
+        RangeJoin.timestampBins(32))
+      .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sentinel 'unbounded' bounds cannot overflow the span guard") {
     import spark.implicits._
     // lo = Long.MinValue as an "unbounded below" sentinel: a raw long
