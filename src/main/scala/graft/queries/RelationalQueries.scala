@@ -674,6 +674,33 @@ object RelationalQueries {
        |SELECT win_start_us, event_type, CAST(count(*) AS BIGINT) AS n
        |FROM hops GROUP BY 1, 2""".stripMargin
 
+  /** Retention cohorts — the standard product-analytics rollup: users
+    * grouped by first-seen week (cohort), counted as active per weeks
+    * -since-cohort offset. Two aggregations: first-seen per user (one
+    * shuffle on user), then distinct users per (cohort, offset) — the
+    * shape that scales because everything keys on user or on the tiny
+    * (cohort, offset) pair, never on raw events. */
+  private val aRetentionCohorts: Q = (s, d) => {
+    val ev = events(s, d)
+      .select(col("user_id"), expr("ev_us div 604800000000").as("week"))
+    val firstSeen = ev.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    ev.join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  private val aRetentionCohortsSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, $evUsSql // 604800000000 AS week FROM events),
+       |first_seen AS (
+       |  SELECT user_id, CAST(min(week) AS BIGINT) AS cohort_week
+       |  FROM ev GROUP BY 1)
+       |SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+       |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+       |FROM ev e JOIN first_seen f USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Latest-state-per-key compaction (the CDC / changelog pattern —
     * batch form of what LiveMerge keeps in stream state): the newest
     * event per user by (event time, unique id tiebreak). One window
@@ -910,6 +937,7 @@ object RelationalQueries {
     ("stream_hopping_window", streamHopping, Some(streamHoppingSql)),
     ("stream_static_enrich", streamStaticEnrich, Some(streamStaticEnrichSql)),
     ("stream_latest_state", streamLatestState, Some(streamLatestStateSql)),
+    ("a_retention_cohorts", aRetentionCohorts, Some(aRetentionCohortsSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
