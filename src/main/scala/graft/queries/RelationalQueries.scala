@@ -674,6 +674,15 @@ object RelationalQueries {
        |SELECT win_start_us, event_type, CAST(count(*) AS BIGINT) AS n
        |FROM hops GROUP BY 1, 2""".stripMargin
 
+  /** Ordered view→click→purchase funnel (ops.Funnel typed kernel:
+    * one user-key shuffle, linear in-group scan — no per-stage
+    * self-joins). */
+  private val aFunnelSteps: Q = (s, d) =>
+    graft.ops.Funnel.stages3(events(s, d), "view", "click", "purchase")
+
+  private val aFunnelStepsSql =
+    graft.ops.Funnel.stages3Sql("view", "click", "purchase", evUsSql)
+
   /** Retention cohorts — the standard product-analytics rollup: users
     * grouped by first-seen week (cohort), counted as active per weeks
     * -since-cohort offset. Two aggregations: first-seen per user (one
@@ -938,6 +947,7 @@ object RelationalQueries {
     ("stream_static_enrich", streamStaticEnrich, Some(streamStaticEnrichSql)),
     ("stream_latest_state", streamLatestState, Some(streamLatestStateSql)),
     ("a_retention_cohorts", aRetentionCohorts, Some(aRetentionCohortsSql)),
+    ("a_funnel_steps", aFunnelSteps, Some(aFunnelStepsSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),

@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunnelSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  test("funnel cascade: strictly-after ordering, sentinel for unreached stages") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: click BEFORE the first view — stage 2 not reached by
+      // that click; a later click counts
+      (2L, "click", 50L), (2L, "view", 100L), (2L, "click", 150L),
+      // user 3: purchase before click — purchase must not count
+      (3L, "view", 10L), (3L, "purchase", 20L), (3L, "click", 30L),
+      // user 4: no view at all — excluded entirely
+      (4L, "click", 10L), (4L, "purchase", 20L),
+      // user 5: same-timestamp click as view (strictly after ⇒ no)
+      (5L, "view", 10L), (5L, "click", 10L)
+    ).toDF("user_id", "event_type", "ev_us")
+    val got = Funnel.stages3(ev, "view", "click", "purchase").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) === ((100L, 200L, 300L)))
+    assert(got(2L) === ((100L, 150L, -1L)))
+    assert(got(3L) === ((10L, 30L, -1L))) // purchase@20 < click@30 → unreached
+    assert(!got.contains(4L))
+    assert(got(5L) === ((10L, -1L, -1L))) // click not strictly after
+  }
+}
