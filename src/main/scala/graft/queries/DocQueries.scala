@@ -128,6 +128,11 @@ object DocQueries {
   private val textLmScore: Q = (s, d) =>
     LmScore.bigramLogProb(table(s, d, "documents"))
 
+  /** TextRank corpus keywords (iterative float scores → rows-only;
+    * hand-graph + mass-conservation anchors in TextRankSpec). */
+  private val textTextrank: Q = (s, d) =>
+    graft.text.TextRank.keywords(table(s, d, "documents"))
+
   /** Curriculum staging: per-lang quality ntiles. */
   private val pipelineCurriculum: Q = (s, d) =>
     CorpusPipeline.curriculumStages(table(s, d, "documents"))
@@ -260,6 +265,7 @@ object DocQueries {
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),
+    ("text_textrank", textTextrank, None),
     ("pipeline_curriculum", pipelineCurriculum,
       Some(CorpusPipeline.curriculumStagesSql())),
     ("pipeline_epoch_shuffle", pipelineEpochShuffle,
