@@ -77,7 +77,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+
+    // The full per-query map (~4.6 KB at 108 queries) overflows the
+    // driver's ~3.5 KB stdout tail window and truncates the head of the
+    // line — so it goes to a side file, and stdout gets a compact
+    // summary (<1 KB) that survives the tail intact.
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+      java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // summary line below is still authoritative
+
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson,"slowest":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

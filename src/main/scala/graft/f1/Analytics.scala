@@ -67,11 +67,13 @@ object Analytics {
       .orderBy(col("Best_LapTime"))
 
   /** W5: the fastest ("teacher") and slowest ("student") drivers by
-    * best lap (P3 ipynb:57-62). Single-row frame. */
+    * best lap (P3 ipynb:57-62). Single-row frame. Tie on Best_LapTime
+    * resolves to the lowest/highest Driver id (struct ordering) so the
+    * answer is deterministic across shuffles and engines. */
   def teacherStudent(laps: DataFrame): DataFrame =
     fastestLapPerDriver(laps).agg(
-      min_by(col("Driver"), col("Best_LapTime")).as("teacher"),
-      max_by(col("Driver"), col("Best_LapTime")).as("student"))
+      min_by(col("Driver"), struct(col("Best_LapTime"), col("Driver"))).as("teacher"),
+      max_by(col("Driver"), struct(col("Best_LapTime"), col("Driver"))).as("student"))
 
   /** W1+W2 pace features on the training table
     * (P1 ipynb:262-267, 447-460): session-fastest window min,

@@ -1,17 +1,30 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Ordered-funnel analysis — the product-analytics query SQL is
   * famously bad at: for each user, the earliest time of stage 1, then
   * the earliest stage-2 event STRICTLY AFTER it, then the earliest
   * stage-3 event after that, and so on. A pure-SQL form needs one
-  * self-join per stage; the typed per-user kernel does the whole
-  * cascade in ONE shuffle on the user key and a linear scan of that
-  * user's events (bounded by events-per-user, the same invariant the
-  * stream-state operators rely on). Unreached stages emit the -1
-  * sentinel (not NULL — keeps the gate's hash compare trivial).
+  * self-join per stage; here the whole cascade is ONE shuffle on the
+  * user key + a per-partition merge of the time-sorted stream.
+  *
+  * Skew safety (the 100 TB argument): the kernel holds O(stages) state
+  * per user — three longs — never the user's event history. The
+  * time-ordering the cascade needs comes from a secondary sort
+  * (repartition on user, sortWithinPartitions on (user, ev_us)), which
+  * runs in Spark's external sorter and SPILLS when a hot key (bot
+  * account, instrumentation loop) exceeds task memory. A user with 10⁶
+  * events costs disk, not an OOM — see FunnelSpec's hot-key soak.
+  *
+  * Determinism under timestamp ties: all stage transitions compare
+  * strictly on `us`, so equal-timestamp events can never fill a stage
+  * opened by one of them, whatever their relative sort order; the
+  * result depends only on the (type, us) multiset.
+  *
+  * Unreached stages emit the -1 sentinel (not NULL — keeps the gate's
+  * hash compare trivial).
   */
 object Funnel {
 
@@ -23,26 +36,39 @@ object Funnel {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("user_id"), col("event_type"), col("ev_us"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ev_us"))
       .as[(Long, String, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (user, it) =>
-        val evs = it.toArray
-        def minAfter(tpe: String, after: Long): Long = {
-          var best = -1L
-          var i = 0
-          while (i < evs.length) {
-            val (_, t, us) = evs(i)
-            if (t == tpe && us > after && (best == -1L || us < best)) best = us
-            i += 1
+      .mapPartitions { rows =>
+        // Streaming cascade over contiguous per-user runs: the buffered
+        // lookahead detects user boundaries without materializing a
+        // user's events. State = (t1, t2, t3) only.
+        val buf = rows.buffered
+        new Iterator[(Long, Long, Long, Long)] {
+          private var out: (Long, Long, Long, Long) = _
+          private var ready = false
+          private def advance(): Unit = {
+            while (!ready && buf.hasNext) {
+              val user = buf.head._1
+              var t1 = -1L; var t2 = -1L; var t3 = -1L
+              while (buf.hasNext && buf.head._1 == user) {
+                val (_, tpe, us) = buf.next()
+                if (t1 < 0) { if (tpe == s1) t1 = us }
+                else if (t2 < 0) { if (tpe == s2 && us > t1) t2 = us }
+                else if (t3 < 0) { if (tpe == s3 && us > t2) t3 = us }
+              }
+              if (t1 >= 0) { out = (user, t1, t2, t3); ready = true }
+            }
           }
-          best
+          override def hasNext: Boolean = { advance(); ready }
+          override def next(): (Long, Long, Long, Long) = {
+            advance()
+            if (!ready) throw new NoSuchElementException("empty")
+            ready = false
+            out
+          }
         }
-        val t1 = minAfter(s1, Long.MinValue)
-        val t2 = if (t1 >= 0) minAfter(s2, t1) else -1L
-        val t3 = if (t2 >= 0) minAfter(s3, t2) else -1L
-        (user, t1, t2, t3)
       }
-      .filter(_._2 >= 0)
       .toDF("user_id", "t1", "t2", "t3")
   }
 

@@ -77,7 +77,16 @@ object LiveMerge {
 
   /** Streaming merge: groupByKey(driver).flatMapGroupsWithState.
     * Packets within a micro-batch are sorted by (tsUs) to get
-    * deterministic last-write-wins inside the batch. */
+    * deterministic last-write-wins inside the batch.
+    *
+    * Buffer bound (skew audit, round 5): unlike a batch funnel over
+    * full history, the toArray below holds ONE driver's packets for ONE
+    * micro-batch — bounded by packet rate × trigger interval (60 Hz ×
+    * 2 streams × a 1 s trigger ≈ 120 rows), not by stream history. A
+    * key flooding faster than that is a denial-of-service on ingest,
+    * not an operator-memory property; cap it upstream (rate-limit the
+    * UDP bridge) rather than silently dropping packets here, since LWW
+    * correctness needs the in-batch sort. */
   def merged(packets: Dataset[LivePacket],
       throttleUs: Long = DefaultThrottleUs): Dataset[LiveSample] = {
     val spark = packets.sparkSession

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, lit}
 
 class FunnelSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkTestBase.spark
@@ -28,5 +29,25 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(3L) === ((10L, 30L, -1L))) // purchase@20 < click@30 → unreached
     assert(!got.contains(4L))
     assert(got(5L) === ((10L, -1L, -1L))) // click not strictly after
+  }
+
+  test("hot-key soak: one user with 10^6 events runs in O(stages) state") {
+    import spark.implicits._
+    // A bot-grade key: 10^6 click events for one user, the funnel's
+    // view at t=0 and purchase at the very end. The old toArray kernel
+    // materialized all 10^6 rows per task; the sorted-stream cascade
+    // holds three longs (the sort itself spills via Spark's external
+    // sorter if the partition outgrows task memory).
+    val n = 1000000L
+    val hot = spark.range(1, n + 1)
+      .select(lit(42L).as("user_id"), lit("click").as("event_type"),
+        col("id").as("ev_us"))
+    val edges = Seq((42L, "view", 0L), (42L, "purchase", n + 1),
+      (7L, "view", 5L)).toDF("user_id", "event_type", "ev_us")
+    val got = Funnel.stages3(hot.unionAll(edges), "view", "click", "purchase")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(42L) === ((0L, 1L, n + 1)))
+    assert(got(7L) === ((5L, -1L, -1L)))
   }
 }
