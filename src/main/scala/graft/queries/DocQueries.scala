@@ -174,6 +174,12 @@ object DocQueries {
   private val knnPq: Q = (s, d) =>
     Pq.pqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
 
+  /** IVF × PQ composed (IVFADC): cell routing + ADC on probed cells +
+    * exact rerank — the billion-vector path (rows-only; probes=all ∧
+    * rerank≥corpus ≡ brute anchor and recall floor tested in PqSpec). */
+  private val knnIvfPq: Q = (s, d) =>
+    Pq.ivfPqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+
   private val textTokens: Q = (s, d) => TextAnalysis.tokenStats(table(s, d, "documents"))
   private val textQuality: Q = (s, d) => TextAnalysis.qualityScore(table(s, d, "documents"))
   private val textLangId: Q = (s, d) => TextAnalysis.langId(table(s, d, "documents"))
@@ -225,6 +231,7 @@ object DocQueries {
     ("knn_lsh_topk", knnLsh, None),
     ("knn_ivf_topk", knnIvf, None),
     ("knn_pq_topk", knnPq, None),
+    ("knn_ivfpq_topk", knnIvfPq, None),
     ("text_tokens", textTokens, Some(TextAnalysis.tokenStatsSql)),
     ("text_quality", textQuality, Some(TextAnalysis.qualityScoreSql)),
     ("text_langid", textLangId, Some(TextAnalysis.langIdSql)),

@@ -340,7 +340,7 @@ object Knn extends Serializable {
   }
 
   /** Nearest `n` cells of `vec` by squared L2 against `cs`. */
-  private def nearestCellsTo(cs: Array[Array[Double]], vec: Array[Float],
+  private[sim] def nearestCellsTo(cs: Array[Array[Double]], vec: Array[Float],
       n: Int): Array[Int] =
     cs.indices.map { c =>
       var d = 0.0

@@ -30,6 +30,37 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Nearest-centroid code per subspace for `v` against `cbs`. */
+  private[sim] def encodeWith(cbs: Array[Array[Array[Double]]],
+      v: Array[Float]): Array[Int] =
+    Array.tabulate(cbs.length) { s =>
+      val cb = cbs(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        var d = 0.0; var j = 0
+        while (j < cb(c).length) {
+          val diff = v(s * cb(c).length + j) - cb(c)(j)
+          d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** ADC lookup table for query `q`: per subspace, dot(query_sub, c)
+    * for every centroid c. */
+  private[sim] def lutFor(codebooks: Array[Array[Array[Double]]],
+      q: Array[Float], sub: Int): Array[Array[Double]] =
+    Array.tabulate(codebooks.length) { s =>
+      codebooks(s).map { cent =>
+        var d = 0.0; var j = 0
+        while (j < cent.length) { d += q(s * sub + j) * cent(j); j += 1 }
+        d
+      }
+    }
+
   /** (query_id, neighbor_id, cosine, rnk) top-k per query. */
   def pqTopK(emb: DataFrame, numQueries: Int, k: Int, subspaces: Int = 8,
       centroidsPerSub: Int = 256, rerank: Int = 64): DataFrame = {
@@ -48,28 +79,9 @@ object Pq {
     }
     val bc = spark.sparkContext.broadcast(codebooks)
 
-    def encode(v: Array[Float]): Array[Int] = {
-      val cbs = bc.value
-      Array.tabulate(cbs.length) { s =>
-        val cb = cbs(s)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb.length) {
-          var d = 0.0; var j = 0
-          while (j < cb(c).length) {
-            val diff = v(s * cb(c).length + j) - cb(c)(j)
-            d += diff * diff; j += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
-    }
-
     val codes = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, encode(v)) }
+      .map { case (id, v) => (id, encodeWith(bc.value, v)) }
       .toDF("neighbor_id", "codes")
 
     // per-query ADC lookup tables, broadcast with the query set
@@ -77,13 +89,7 @@ object Pq {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
     val luts: Array[(Long, Array[Array[Double]])] = queries.map { case (qid, q) =>
-      qid -> Array.tabulate(subspaces) { s =>
-        codebooks(s).map { cent =>
-          var d = 0.0; var j = 0
-          while (j < cent.length) { d += q(s * sub + j) * cent(j); j += 1 }
-          d
-        }
-      }
+      qid -> lutFor(codebooks, q, sub)
     }
     val bcLuts = spark.sparkContext.broadcast(luts)
 
@@ -96,6 +102,103 @@ object Pq {
             while (i < cs.length) { s += lut(i)(cs(i)); i += 1 }
             (qid, nid, s)
           }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val candidates = approx.withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    // exact rescore of candidates only — same kernel as brute force
+    graft.functions.VecDotFloat.register(spark)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(q), "query_id")
+      .join(n, "neighbor_id")
+      .withColumn("cosine", round(expr(Knn.dotExpr), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
+  /** IVF × PQ — the composed billion-vector architecture (IVFADC,
+    * Jégou et al. §IV): k-means cells route each query to its `nprobe`
+    * nearest cells, ADC scores ONLY the PQ codes stored in those cells,
+    * and the top `rerank` candidates per query are exactly rescored.
+    * Versus flat PQ this cuts the ADC stage from n codes per query to
+    * ~n·nprobe/cells; versus plain IVF it scans 8-byte codes instead of
+    * float vectors inside a cell.
+    *
+    * At 100 TB the codes table is written partitioned by cell (like
+    * [[Knn.buildIvfStore]]), so the ADC stage is a partition-pruned
+    * scan of nprobe/cells of an already-32×-smaller representation; the
+    * codebooks + per-query LUTs broadcast (subspaces × 256 doubles per
+    * query); only rerank × queries rows ever touch the fat table.
+    *
+    * Correctness anchors (PqSpec): nprobe = cells ∧ rerank ≥ corpus
+    * ⇒ result EQUALS [[Knn.bruteForceTopK]]; default params hold a
+    * recall floor vs brute force.
+    */
+  def ivfPqTopK(emb: DataFrame, numQueries: Int, k: Int, cells: Int = 16,
+      nprobe: Int = 4, subspaces: Int = 8, centroidsPerSub: Int = 256,
+      rerank: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // one shared deterministic sample trains BOTH quantizers — at
+    // corpus scale this is the only non-streaming input, and it is
+    // bounded (4096 × dims doubles).
+    val sample = emb.orderBy(col("vec_id")).limit(4096)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val dims = sample(0).length
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    val centroids = Knn.lloydKMeans(sample, cells, iters = 10)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(subspaces) {
+      s => Knn.lloydKMeans(sample.map(_.slice(s * sub, (s + 1) * sub)),
+        centroidsPerSub, iters = 10)
+    }
+    val bcCells = spark.sparkContext.broadcast(centroids)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+
+    // one corpus pass: cell assignment + PQ codes (narrow: id, int, 8 ints)
+    val codes = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCells.value; val cbs = bcCb.value
+        it.map { case (id, v) =>
+          (id, Knn.nearestCellsTo(cs, v, 1)(0), encodeWith(cbs, v))
+        }
+      }
+      .toDF("neighbor_id", "cell", "codes")
+
+    // per-query routing (probed cell set) + ADC lookup table, broadcast
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val probes: Array[(Long, Array[Int], Array[Array[Double]])] =
+      queries.map { case (qid, q) =>
+        (qid, Knn.nearestCellsTo(centroids, q, nprobe), lutFor(codebooks, q, sub))
+      }
+    val bcProbes = spark.sparkContext.broadcast(probes)
+
+    // ADC over probed cells only — a map over the codes scan, no shuffle
+    val approx = codes.as[(Long, Int, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bcProbes.value
+        it.flatMap { case (nid, cell, cs) =>
+          qs.iterator
+            .filter { case (qid, pcells, _) => qid != nid && pcells.contains(cell) }
+            .map { case (qid, _, lut) =>
+              var s = 0.0; var i = 0
+              while (i < cs.length) { s += lut(i)(cs(i)); i += 1 }
+              (qid, nid, s)
+            }
         }
       }
       .toDF("query_id", "neighbor_id", "approx")

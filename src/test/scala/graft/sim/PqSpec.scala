@@ -19,6 +19,35 @@ class PqSpec extends AnyFunSuite {
     assert(pq === brute)
   }
 
+  test("IVF x PQ with probes=all and rerank >= corpus equals brute force exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count().toInt
+    val brute = Knn.bruteForceTopK(emb, numQueries = 5, k = 5)
+      .collect().map(key).toSet
+    // nprobe = cells → every cell scanned → ADC sees every code →
+    // with rerank ≥ corpus the exact rescore IS brute force; this also
+    // pins ivfPqTopK ≡ flat pqTopK at the same degenerate settings.
+    val ivfpq = Pq.ivfPqTopK(emb, numQueries = 5, k = 5,
+      cells = 16, nprobe = 16, rerank = n)
+      .collect().map(key).toSet
+    assert(ivfpq === brute)
+    val flat = Pq.pqTopK(emb, numQueries = 5, k = 5, rerank = n)
+      .collect().map(key).toSet
+    assert(ivfpq === flat)
+  }
+
+  test("IVF x PQ default routing keeps a recall floor vs brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val brute = Knn.bruteForceTopK(emb, numQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Pq.ivfPqTopK(emb, numQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivfpq).size.toDouble / brute.size
+    // unstructured synthetic corpus: cell routing is data-limited (the
+    // same caveat as IVF alone) — the floor documents it stays useful
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("default ADC + rerank keeps high recall vs brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val brute = Knn.bruteForceTopK(emb, numQueries = 5, k = 5)
