@@ -128,10 +128,12 @@ object DocQueries {
   private val textLmScore: Q = (s, d) =>
     LmScore.bigramLogProb(table(s, d, "documents"))
 
-  /** TextRank corpus keywords (iterative float scores → rows-only;
-    * hand-graph + mass-conservation anchors in TextRankSpec). */
+  /** TextRank corpus keywords — the quantized (integer 10⁻⁹ units)
+    * variant, which is fully deterministic cross-engine and therefore
+    * carries a complete DuckDB hash oracle; the float variant stays
+    * anchored by TextRankSpec (hand graph + mass conservation). */
   private val textTextrank: Q = (s, d) =>
-    graft.text.TextRank.keywords(table(s, d, "documents"))
+    graft.text.TextRank.keywordsQuantized(table(s, d, "documents"))
 
   /** Curriculum staging: per-lang quality ntiles. */
   private val pipelineCurriculum: Q = (s, d) =>
@@ -272,7 +274,8 @@ object DocQueries {
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),
-    ("text_textrank", textTextrank, None),
+    ("text_textrank", textTextrank,
+      Some(graft.text.TextRank.keywordsQuantizedSql())),
     ("pipeline_curriculum", pipelineCurriculum,
       Some(CorpusPipeline.curriculumStagesSql())),
     ("pipeline_epoch_shuffle", pipelineEpochShuffle,

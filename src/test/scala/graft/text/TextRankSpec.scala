@@ -18,6 +18,21 @@ class TextRankSpec extends AnyFunSuite {
     assert(math.abs(scores.values.sum - 1.0) < 1e-9)
   }
 
+  test("quantized variant tracks the float variant within 1e-9 units") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val float = TextRank.keywords(docs, k = 10).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val quant = TextRank.keywordsQuantized(docs, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quant.keySet === float.keySet)
+    // each quantized score sits within the accumulated floor error of
+    // the float score: ≤ iters · (nodes+1) quanta, a loose 1e-6 here
+    float.foreach { case (w, s) =>
+      assert(math.abs(quant(w) / 1e9 - s) < 1e-6, s"word $w")
+    }
+  }
+
   test("corpus run: k rows, conserved mass on the full vocabulary") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val top = TextRank.keywords(docs, k = 20)
