@@ -50,4 +50,38 @@ object InferenceHook {
       }
     }.toDF("Driver", "LapNumber", "Distance", "target", "prediction")
   }
+
+  /** Live-path inference — the reference's dormant AI-coaching edge
+    * (F1-25_Telemetry_DB_Record.py:194-195): score each merged live
+    * sample ([[graft.streaming.LiveMerge.LiveSample]] shape) as a
+    * 1-step feature window with the serving scale bounds
+    * (F1_web_dashboard_app.py:451-453), batched per partition. The
+    * transformation is stateless, so the SAME code runs on the
+    * streaming form (inside the micro-batch) and the batch form —
+    * UdpBridgeSpec drives it end-to-end over a real socket replay. */
+  def withLivePredictions(merged: DataFrame, hook: InferenceHook,
+      trackLength: Double, batchSize: Int = 256): DataFrame = {
+    val spark = merged.sparkSession
+    import spark.implicits._
+    val sm = graft.f1.F1Constants.ScaleMax
+    val in = merged.select(col("Timestamp"), col("Driver"), col("Speed"),
+      col("Throttle"), col("Brake"), col("Gear"), col("Distance"),
+      col("LapNumber"))
+      .as[(Double, Long, Int, Double, Double, Int, Double, Int)]
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val windows = batch.map { case (_, _, speed, throttle, brake, gear, dist, _) =>
+          Array(Array((dist / trackLength).toFloat, (speed / sm(0)).toFloat,
+            (throttle / sm(1)).toFloat, (brake / sm(2)).toFloat,
+            (gear / sm(3)).toFloat))
+        }.toArray
+        val preds = hook.predictBatch(windows)
+        batch.iterator.zipWithIndex.map {
+          case ((ts, d, sp, th, br, g, dist, lap), i) =>
+            (ts, d, sp, th, br, g, dist, lap, preds(i))
+        }
+      }
+    }.toDF("Timestamp", "Driver", "Speed", "Throttle", "Brake", "Gear",
+      "Distance", "LapNumber", "prediction")
+  }
 }

@@ -106,7 +106,17 @@ class UdpBridge(spark: SparkSession, port: Int = 0, driver: Long = 1L,
                     s" — $consecutive consecutive failures, stopping bridge"
                   else ""))
             }
-            Thread.sleep(math.min(200L, 2L * consecutive))
+            // the backoff sleep is interruptible: an interrupt is a
+            // shutdown signal, not a survivable error — restore the
+            // flag and stop the loop so isRunning reports the truth
+            // (NonFatal does not catch InterruptedException, so an
+            // uncaught one would kill the thread with running=true)
+            try Thread.sleep(math.min(200L, 2L * consecutive))
+            catch {
+              case _: InterruptedException =>
+                Thread.currentThread().interrupt()
+                running = false
+            }
         }
       }
       if (consecutive >= MaxConsecutiveErrors) running = false

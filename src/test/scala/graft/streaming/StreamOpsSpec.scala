@@ -192,6 +192,52 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("soak: session-window and dedup state plateaus under the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // The 100 TB claim the operators make is "state is bounded by the
+    // watermark horizon, not stream length". Feed 30 rounds of steadily
+    // advancing event time and watch the state-store row counts: they
+    // must plateau (eviction is really happening), not grow with rounds.
+    val sIn = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sq = StreamOps.sessionCounts(
+      sIn.toDS().toDF("ev_ts", "event_type", "value"),
+      gap = "30 minutes", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("soak_sess")
+      .outputMode("append").start()
+    val dIn = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val dq = StreamOps.exactlyOnce(
+      dIn.toDS().toDF("event_id", "ev_ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("soak_dedup")
+      .outputMode("append").start()
+    try {
+      def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val rounds = 30
+      val idsPerRound = 50
+      val sSizes = Array.ofDim[Long](rounds)
+      val dSizes = Array.ofDim[Long](rounds)
+      for (round <- 0 until rounds) {
+        val base = round * 60 // each round jumps one hour of event time
+        sIn.addData((0 until 10).map(i => (ts(base + i), "click", 1.0)): _*)
+        sq.processAllAvailable()
+        dIn.addData((0 until idsPerRound).map(i =>
+          (round.toLong * idsPerRound + i, ts(base + i % 10), "click", 1.0)): _*)
+        dq.processAllAvailable()
+        sSizes(round) = stateRows(sq)
+        dSizes(round) = stateRows(dq)
+      }
+      // plateau: the late-phase state never exceeds the early steady state
+      assert(sSizes.drop(rounds - 5).max <= sSizes.slice(3, 10).max,
+        s"session state grew: ${sSizes.mkString(",")}")
+      assert(dSizes.drop(rounds - 5).max <= dSizes.slice(3, 10).max,
+        s"dedup state grew: ${dSizes.mkString(",")}")
+      // and dedup state holds a watermark horizon, not the full history
+      assert(dSizes.last < rounds.toLong * idsPerRound / 2,
+        s"dedup state ${dSizes.last} ~ full history ${rounds * idsPerRound}")
+    } finally { sq.stop(); dq.stop() }
+  }
+
   test("exactly-once dedup drops cross-batch redeliveries within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -75,6 +75,54 @@ class UdpBridgeSpec extends AnyFunSuite {
     } finally bridge.stop()
   }
 
+  test("live inference hook scores the merged stream end-to-end") {
+    // The reference's dormant AI-coaching edge
+    // (F1-25_Telemetry_DB_Record.py:194-195): model predictions batched
+    // per partition INSIDE the live stream, driven over a real socket.
+    val frames = fixtureFrames(30)
+    val bridge = new UdpBridge(spark, port = 0, driver = 1L, clock = counterClock())
+    bridge.start()
+    try {
+      val sender = new DatagramSocket()
+      try {
+        frames.foreach { f =>
+          sender.send(new DatagramPacket(f, f.length,
+            InetAddress.getLoopbackAddress, bridge.boundPort))
+          Thread.sleep(1)
+        }
+      } finally sender.close()
+      val deadline = System.currentTimeMillis() + 15000
+      while (bridge.packetsDecoded < frames.length &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(bridge.packetsDecoded === frames.length)
+
+      val trackLen = 7004.0
+      val scored = graft.ml.InferenceHook.withLivePredictions(
+        LiveMerge.merged(bridge.packets).toDF(),
+        graft.ml.InferenceHook.MeanSpeedStub, trackLen)
+      val q = scored.writeStream.format("memory")
+        .queryName("live_scored").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val rows = spark.sql("SELECT * FROM live_scored").collect()
+
+      // batch reference from the same frames + clock
+      val clock2 = counterClock()
+      val packets = frames.flatMap(f => decode(clock2(), f, 1L))
+      val (expected, _) = processPackets(1L, packets.iterator,
+        MergeState(None, None, NeverEmitted), DefaultThrottleUs)
+      assert(expected.nonEmpty)
+      assert(rows.length === expected.size)
+      // the stub predicts the mean of the window's speed feature; a
+      // 1-step live window makes that exactly Speed/360 as float32
+      rows.foreach { r =>
+        val speed = r.getAs[Int]("Speed")
+        val pred = r.getAs[Float]("prediction")
+        assert(pred === (speed / 360.0).toFloat,
+          s"speed $speed scored $pred")
+      }
+    } finally bridge.stop()
+  }
+
   test("bridge drops malformed datagrams silently, keeps decoding") {
     val bridge = new UdpBridge(spark, port = 0, driver = 1L, clock = counterClock())
     bridge.start()
