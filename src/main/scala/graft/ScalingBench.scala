@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.util.Locale
+
+/** Scaling-curve evidence for the dedup family: run the three headline
+  * dedup/pipeline operators at sf0.001/0.01/0.1 in ONE harness pass
+  * and report the fitted time-vs-rows exponent (log-log slope between
+  * the two largest SFs, where constant overheads stop dominating).
+  * A scale-shaped operator sits near 1.0; the uncapped jaccard gate is
+  * deliberately excluded (it is the documented quadratic witness).
+  *
+  * Output: one JSON line per run to stdout + SCALING.json in the repo.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val queries = Seq("dedup_minhash_lsh", "dedup_chunk",
+      "pipeline_contamination", "dedup_ngram_capped", "dedup_exact")
+
+    def timeOnce(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
+      fn(spark, dir).write.mode("overwrite").format("noop").save() // warm
+      spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val docRows = sfs.map { d =>
+      d -> spark.read.parquet(s"$d/documents.parquet").count().toDouble
+    }.toMap
+
+    def f3(v: Double) = String.format(Locale.ROOT, "%.3f", v)
+    val results = queries.map { q =>
+      val times = sfs.map(d => d -> timeOnce(q, d))
+      // slope between the two LARGEST sfs: log(t2/t1)/log(n2/n1)
+      val (d1, t1) = times(1); val (d2, t2) = times(2)
+      val slope = math.log(t2 / t1) / math.log(docRows(d2) / docRows(d1))
+      val ts = times.map { case (d, t) =>
+        "\"" + d.substring(d.lastIndexOf('/') + 1) + "\":" + f3(t)
+      }.mkString("{", ",", "}")
+      s""""$q":{"sec":$ts,"exponent":${f3(slope)}}"""
+    }
+    val json = results.mkString("{", ",", "}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
+    spark.stop()
+  }
+}

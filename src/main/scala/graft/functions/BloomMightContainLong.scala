@@ -59,8 +59,12 @@ object BloomMightContainLong {
     * FULL md5 of the sketch bytes (a 32-bit hashCode would collide by
     * pigeonhole across many filters and last-registration-wins would
     * silently misroute membership tests), so two live filters in one
-    * session can't race on a shared name. Registry entries accumulate
-    * per distinct filter — bounded by filters built, a few bytes each.
+    * session can't race on a shared name. NOTE the retention cost:
+    * each builder lambda closes over the FULL serialized sketch —
+    * ~1.2 GB per 10⁹-doc filter at 1% fpp — and the registry pins it
+    * for the session lifetime per distinct filter. Long-lived sessions
+    * that build many filters should [[deregister]] once the plans that
+    * reference a filter have been materialized.
     * @return the registered function name to splice into expr(). */
   def registerUnique(spark: SparkSession, bytes: Array[Byte]): String = {
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
@@ -69,4 +73,13 @@ object BloomMightContainLong {
       name, exprs => BloomMightContainLong(exprs.head, bytes), "scala_udf")
     name
   }
+
+  /** Drop a [[registerUnique]] entry, releasing the driver's reference
+    * to the captured sketch bytes. Safe once every plan using the name
+    * has been executed (already-analyzed plans hold their own copy of
+    * the expression); lazy plans analyzed AFTER the drop fail to
+    * resolve the name. @return true if the name was registered. */
+  def deregister(spark: SparkSession, name: String): Boolean =
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
 }

@@ -39,12 +39,17 @@ object DataLayout {
     }
 
   /** Min/max scale a long axis onto 0..65535 buckets (the z-order
-    * input domain). Degenerate axes (min == max) land in bucket 0. */
+    * input domain). Degenerate axes (min == max) land in bucket 0.
+    * Both the span and the offset subtraction run in DOUBLE: long
+    * arithmetic would wrap for extreme ranges (e.g. sentinel
+    * Long.MinValue/MaxValue values) and silently degrade the curve
+    * into garbage buckets; the double forms are overflow-free and
+    * bucketing only needs 16 bits of precision anyway. */
   private def bucket16(c: Column, lo: Long, hi: Long): Column =
     if (hi <= lo) lit(0L)
     else least(lit(65535L),
-      floor((c - lit(lo)).cast("double") / lit((hi - lo).toDouble + 1.0)
-        * 65536.0).cast("long"))
+      floor((c.cast("double") - lit(lo.toDouble)) /
+        lit(hi.toDouble - lo.toDouble + 1.0) * 65536.0).cast("long"))
 
   /** Write `df` clustered on TWO long axes at once via a Z-order
     * (Morton) curve: each axis min/max-scales to 16-bit buckets, the

@@ -22,16 +22,24 @@ import graft.functions.{BloomFilterAgg, BloomMightContainLong}
   *   - bloom-positive docs (true dups + ~fpp false positives) are the
   *     only rows that reach the exact verification anti-join, so the
   *     shuffle carries the duplicate volume, not the shard volume.
-  * The result is EXACT — the sketch only routes rows — which is why
-  * the gate oracle is a plain anti-join.
-  *
-  * The join currency is the md5-60 content hash (16-byte text digest
-  * folded to a long), the same cross-engine hash the other dedup
-  * gates use.
+  * The result is EXACT modulo full-128-bit-md5 collisions (the
+  * cryptographic-digest caveat every content-hash dedup carries, with
+  * a ~2⁻⁶⁴-scale birthday bound at 10⁹ docs): the sketch only ROUTES
+  * rows on a 60-bit fold of the digest (where collisions merely add a
+  * few false-positive candidates), while the verification anti-join
+  * compares the FULL digest — a 60-bit join key there would make
+  * silent drops of genuinely-new docs likely at reference scale
+  * (birthday at 2⁶⁰ ≈ 10⁹ keys).
   */
 object IncrementalDedup {
 
-  /** md5-60 content hash of `text` as a long column. */
+  /** Full 128-bit md5 content digest of `text` (32-hex string) — the
+    * verification join currency. */
+  def contentMd5: Column = md5(col("text").cast("binary"))
+
+  /** 60-bit fold of [[contentMd5]] as a long — the Bloom ROUTING
+    * currency only (the sketch API wants a long; routing collisions
+    * are verified away, never dropped). */
   def contentHash60: Column =
     conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long")
 
@@ -41,7 +49,8 @@ object IncrementalDedup {
   def newOnly(newDocs: DataFrame, refDocs: DataFrame,
       expectedRef: Long, fpp: Double = 0.01): DataFrame = {
     val spark = newDocs.sparkSession
-    val refH = refDocs.select(contentHash60.as("content_h"))
+    val refH = refDocs.select(contentMd5.as("content_md5"),
+      contentHash60.as("content_h"))
     // ONE distributed pass builds the sketch; the driver fetches the
     // single finished filter (bounded: the sketch, not the data).
     val agg = udaf(new BloomFilterAgg(expectedRef, fpp),
@@ -51,13 +60,16 @@ object IncrementalDedup {
     // content-addressed name: concurrent filters in one session can't
     // race on a shared registration
     val fn = BloomMightContainLong.registerUnique(spark, bytes)
-    val newH = newDocs.select(col("doc_id"), contentHash60.as("content_h"))
+    val newH = newDocs.select(col("doc_id"), contentMd5.as("content_md5"),
+      contentHash60.as("content_h"))
     val definitelyNew = newH.filter(!expr(s"$fn(content_h)"))
-    // candidates = true dups + ~fpp false positives; only these join
+    // candidates = true dups + ~fpp false positives; only these join,
+    // and they verify on the FULL digest, not the routing fold
     val candidates = newH.filter(expr(s"$fn(content_h)"))
-    val verifiedNew = candidates.join(refH, Seq("content_h"), "left_anti")
-      .select("doc_id", "content_h")
-    definitelyNew.select("doc_id", "content_h").unionByName(verifiedNew)
+    val verifiedNew = candidates
+      .join(refH.select("content_md5"), Seq("content_md5"), "left_anti")
+    definitelyNew.select("doc_id", "content_h")
+      .unionByName(verifiedNew.select("doc_id", "content_h"))
   }
 
   /** The gate corpus: reference = doc_id < `refMax`; new shard = the
@@ -75,11 +87,12 @@ object IncrementalDedup {
   }
 
   /** DuckDB oracle: the exact semantics the bloom path must reproduce
-    * — new shard (incl. planted re-crawls) anti-joined on content
-    * hash. */
+    * — new shard (incl. planted re-crawls) anti-joined on the FULL
+    * md5 digest (the 60-bit fold appears only as a display column,
+    * mirroring the Spark output schema). */
   def gateSql(refMax: Long = 250L): String =
     s"""WITH refh AS (
-       |  SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h
+       |  SELECT md5(text) AS content_md5
        |  FROM documents WHERE doc_id < $refMax
        |), newshard AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id >= $refMax
@@ -90,6 +103,5 @@ object IncrementalDedup {
        |SELECT n.doc_id,
        |       CAST('0x' || substr(md5(n.text), 1, 15) AS BIGINT) AS content_h
        |FROM newshard n
-       |WHERE CAST('0x' || substr(md5(n.text), 1, 15) AS BIGINT) NOT IN
-       |      (SELECT content_h FROM refh)""".stripMargin
+       |WHERE md5(n.text) NOT IN (SELECT content_md5 FROM refh)""".stripMargin
 }
