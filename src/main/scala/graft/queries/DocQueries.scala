@@ -158,6 +158,13 @@ object DocQueries {
   private val textBm25: Q = (s, d) =>
     Bm25.topDocs(table(s, d, "documents"), bm25Terms)
 
+  /** Hybrid retrieval: RRF fusion of the BM25 ranking with the dense
+    * cosine ranking of query vector 0 (doc/vec id spaces align 1:1 in
+    * the synthetic corpus). */
+  private val retrievalRrf: Q = (s, d) =>
+    graft.text.HybridRetrieval.rrfTopDocs(
+      table(s, d, "documents"), table(s, d, "embeddings"), bm25Terms)
+
   /** Exact brute-force cosine top-k. */
   private val knnBrute: Q = (s, d) =>
     Knn.bruteForceTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
@@ -255,6 +262,8 @@ object DocQueries {
     ("pipeline_contamination", pipelineContamination,
       Some(CorpusPipeline.contaminationSql())),
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
+    ("retrieval_rrf", retrievalRrf,
+      Some(graft.text.HybridRetrieval.rrfTopDocsSql(bm25Terms))),
     ("pipeline_domain_mix", pipelineDomainMix,
       Some(CorpusPipeline.domainMixSql())),
     ("pipeline_pack_sequences", pipelinePack,

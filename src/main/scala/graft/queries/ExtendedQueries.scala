@@ -254,7 +254,25 @@ object ExtendedQueries {
     """SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Incremental materialized-view maintenance: per-user stats
+    * maintained as snapshot ⊕ delta partial-aggregate merge must equal
+    * the oracle's full recompute (graft.ops.IncrementalAgg). */
+  private val incrementalAggQ: Q = (s, d) =>
+    graft.ops.IncrementalAgg.gateQuery(events(s, d))
+
+  /** Single-pass profiling over 4 lineitem columns (string/int/date-
+    * rendered min/max — see graft.sources.Profile). */
+  private val profileCols =
+    Seq("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
+  private val profileQ: Q = (s, d) =>
+    graft.sources.Profile.profile(
+      QueryDsl.table(s, d, "lineitem"), profileCols)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("pipeline_incremental_agg", incrementalAggQ,
+      Some(graft.ops.IncrementalAgg.gateSql)),
+    ("quality_profile", profileQ,
+      Some(graft.sources.Profile.profileSql("lineitem", profileCols))),
     ("a_topk_agg", topkAggQ, Some(topkAggSql)),
     ("a_heavy_hitters", heavyHittersQ, Some(heavyHittersSql)),
     ("rollup_year_prio", rollupQ, Some(rollupSql)),

@@ -26,7 +26,12 @@ class PlanLintSpec extends AnyFunSuite {
                               // definition of brute-force kNN; the
                               // blocked/IVF/PQ variants are the scale
                               // path and plan no nested loop
-    "text_lm_score"           // 1-row vocabulary-size scalar
+    "text_lm_score",          // 1-row vocabulary-size scalar
+    "retrieval_rrf"           // composes text_bm25 (1-row stats) +
+                              // knn_cosine_topk (1-row query side) —
+                              // both already justified above; the
+                              // fusion itself is an equi full-outer
+                              // join of two ≤depth-row frames
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
