@@ -51,6 +51,35 @@ object DocQueries {
     DedupClusters.fromDocuments(table(s, d, "documents"), jaccardThreshold,
       maxShingleDF)
 
+  /** Semantic-dedup composition: embedding-cosine near-dup pairs
+    * (exact triangle join, threshold 0.4) → connected-component
+    * clusters with canonical selection — the "keep one per semantic
+    * group" pipeline, entirely from existing scale-shaped pieces. */
+  private val dedupEmbeddingClusters: Q = (s, d) =>
+    DedupClusters.connectedComponents(
+      Knn.cosineNearDupPairs(table(s, d, "embeddings"), 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+
+  private val dedupEmbeddingClustersSql =
+    """WITH RECURSIVE good AS (
+      |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < b.vec_id
+      |  AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+      |edges AS (SELECT doc_a AS u, doc_b AS v FROM good
+      |          UNION SELECT doc_b, doc_a FROM good),
+      |reach(u, v) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t0
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY 1)
+      |SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_canonical,
+      |  cs.cluster_size
+      |FROM lab
+      |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1) cs
+      |USING (cluster_id)""".stripMargin
+
   /** Winnowing fingerprints (SWA rolling-hash min-sampling) — custom
     * kernel, not SQL-expressible → rows-only gate + WinnowingSpec's
     * shared-substring guarantee tests. */
@@ -211,6 +240,8 @@ object DocQueries {
       Some(Shingles.cappedJaccardSql(jaccardThreshold, maxShingleDF))),
     ("dedup_clusters", dedupClusters,
       Some(DedupClusters.clustersSql(jaccardThreshold, maxShingleDF))),
+    ("dedup_embedding_clusters", dedupEmbeddingClusters,
+      Some(dedupEmbeddingClustersSql)),
     // the flagship composition: quality gate + keep-canonical dedup +
     // token accounting — the whole training-data pipeline in one plan
     // (DF-capped pair generation: the scale path is the gated path)
