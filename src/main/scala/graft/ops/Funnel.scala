@@ -28,40 +28,45 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** Per-user stage timestamps for a 3-stage funnel over `events`
-    * (columns user_id, event_type, ev_us). Only users who reached
-    * stage 1 appear. Output: (user_id, t1, t2, t3), -1 = not reached. */
-  def stages3(events: DataFrame, s1: String, s2: String,
-      s3: String): DataFrame = {
+  /** Per-user stage timestamps for an N-stage ordered funnel over
+    * `events` (columns user_id, event_type, ev_us). Only users who
+    * reached stage 1 appear. Output: (user_id, t1..tN), -1 = not
+    * reached. */
+  def stages(events: DataFrame, stageTypes: Seq[String]): DataFrame = {
+    require(stageTypes.nonEmpty)
+    val k = stageTypes.size
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id"), col("event_type"), col("ev_us"))
+    val types = stageTypes.toArray
+    val raw = events.select(col("user_id"), col("event_type"), col("ev_us"))
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ev_us"))
       .as[(Long, String, Long)]
       .mapPartitions { rows =>
         // Streaming cascade over contiguous per-user runs: the buffered
         // lookahead detects user boundaries without materializing a
-        // user's events. State = (t1, t2, t3) only.
+        // user's events. State = the k stage timestamps only.
         val buf = rows.buffered
-        new Iterator[(Long, Long, Long, Long)] {
-          private var out: (Long, Long, Long, Long) = _
+        new Iterator[(Long, Array[Long])] {
+          private var out: (Long, Array[Long]) = _
           private var ready = false
           private def advance(): Unit = {
             while (!ready && buf.hasNext) {
               val user = buf.head._1
-              var t1 = -1L; var t2 = -1L; var t3 = -1L
+              val t = Array.fill(k)(-1L)
+              var filled = 0
               while (buf.hasNext && buf.head._1 == user) {
                 val (_, tpe, us) = buf.next()
-                if (t1 < 0) { if (tpe == s1) t1 = us }
-                else if (t2 < 0) { if (tpe == s2 && us > t1) t2 = us }
-                else if (t3 < 0) { if (tpe == s3 && us > t2) t3 = us }
+                if (filled < k && tpe == types(filled) &&
+                    (filled == 0 || us > t(filled - 1))) {
+                  t(filled) = us; filled += 1
+                }
               }
-              if (t1 >= 0) { out = (user, t1, t2, t3); ready = true }
+              if (t(0) >= 0) { out = (user, t); ready = true }
             }
           }
           override def hasNext: Boolean = { advance(); ready }
-          override def next(): (Long, Long, Long, Long) = {
+          override def next(): (Long, Array[Long]) = {
             advance()
             if (!ready) throw new NoSuchElementException("empty")
             ready = false
@@ -69,23 +74,38 @@ object Funnel {
           }
         }
       }
-      .toDF("user_id", "t1", "t2", "t3")
+      .toDF("user_id", "ts")
+    raw.select(col("user_id") +:
+      (0 until k).map(i => col("ts")(i).as(s"t${i + 1}")): _*)
   }
 
-  /** DuckDB oracle: the self-join-per-stage form of the same cascade. */
-  def stages3Sql(s1: String, s2: String, s3: String,
-      evUsSql: String): String =
+  /** The 3-stage form (kept as the gate's shape). */
+  def stages3(events: DataFrame, s1: String, s2: String,
+      s3: String): DataFrame = stages(events, Seq(s1, s2, s3))
+
+  /** DuckDB oracle: the self-join-per-stage form of the same cascade,
+    * one chained CTE per stage. */
+  def stagesSql(stageTypes: Seq[String], evUsSql: String): String = {
+    val steps = stageTypes.zipWithIndex.drop(1).map { case (tpe, i) =>
+      val n = i + 1
+      s"""v$n AS (SELECT e.user_id, CAST(min(e.us) AS BIGINT) AS t$n
+         |       FROM ev e JOIN v$i USING (user_id)
+         |       WHERE e.event_type = '$tpe' AND e.us > v$i.t$i GROUP BY 1)"""
+        .stripMargin
+    }
+    val joins = (2 to stageTypes.size)
+      .map(n => s"LEFT JOIN v$n USING (user_id)").mkString(" ")
+    val outs = (2 to stageTypes.size)
+      .map(n => s"COALESCE(v$n.t$n, -1) AS t$n").mkString(", ")
     s"""WITH ev AS (
        |  SELECT user_id, event_type, $evUsSql AS us FROM events),
        |v1 AS (SELECT user_id, CAST(min(us) AS BIGINT) AS t1
-       |       FROM ev WHERE event_type = '$s1' GROUP BY 1),
-       |v2 AS (SELECT e.user_id, CAST(min(e.us) AS BIGINT) AS t2
-       |       FROM ev e JOIN v1 USING (user_id)
-       |       WHERE e.event_type = '$s2' AND e.us > v1.t1 GROUP BY 1),
-       |v3 AS (SELECT e.user_id, CAST(min(e.us) AS BIGINT) AS t3
-       |       FROM ev e JOIN v2 USING (user_id)
-       |       WHERE e.event_type = '$s3' AND e.us > v2.t2 GROUP BY 1)
-       |SELECT v1.user_id, v1.t1,
-       |       COALESCE(v2.t2, -1) AS t2, COALESCE(v3.t3, -1) AS t3
-       |FROM v1 LEFT JOIN v2 USING (user_id) LEFT JOIN v3 USING (user_id)""".stripMargin
+       |       FROM ev WHERE event_type = '${stageTypes.head}' GROUP BY 1)${
+         if (steps.nonEmpty) ",\n" + steps.mkString(",\n") else ""}
+       |SELECT v1.user_id, v1.t1${if (outs.nonEmpty) ", " + outs else ""}
+       |FROM v1 $joins""".stripMargin
+  }
+
+  def stages3Sql(s1: String, s2: String, s3: String,
+      evUsSql: String): String = stagesSql(Seq(s1, s2, s3), evUsSql)
 }

@@ -697,6 +697,24 @@ object RelationalQueries {
   private val aFunnelStepsSql =
     graft.ops.Funnel.stages3Sql("view", "click", "purchase", evUsSql)
 
+  /** 4-stage form via the generalized N-stage kernel (same single
+    * shuffle + O(stages) state regardless of N; the oracle needs one
+    * chained self-join per stage — exactly the asymmetry the typed
+    * kernel exists to avoid). */
+  private val funnel4Stages = Seq("signup", "view", "click", "purchase")
+  private val aFunnelSteps4: Q = (s, d) =>
+    graft.ops.Funnel.stages(events(s, d), funnel4Stages)
+
+  private val aFunnelSteps4Sql =
+    graft.ops.Funnel.stagesSql(funnel4Stages, evUsSql)
+
+  /** SCD2 validity-interval history from the event change stream
+    * (ops.Scd2): run-collapse + lead, two windows on one shuffle. */
+  private val scd2History: Q = (s, d) =>
+    graft.ops.Scd2.history(events(s, d))
+
+  private val scd2HistorySql = graft.ops.Scd2.historySql(evUsSql)
+
   /** Retention cohorts — the standard product-analytics rollup: users
     * grouped by first-seen week (cohort), counted as active per weeks
     * -since-cohort offset. Two aggregations: first-seen per user (one
@@ -962,6 +980,8 @@ object RelationalQueries {
     ("stream_latest_state", streamLatestState, Some(streamLatestStateSql)),
     ("a_retention_cohorts", aRetentionCohorts, Some(aRetentionCohortsSql)),
     ("a_funnel_steps", aFunnelSteps, Some(aFunnelStepsSql)),
+    ("a_funnel_steps4", aFunnelSteps4, Some(aFunnelSteps4Sql)),
+    ("scd2_history", scd2History, Some(scd2HistorySql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
