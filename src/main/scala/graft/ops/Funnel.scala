@@ -83,6 +83,48 @@ object Funnel {
   def stages3(events: DataFrame, s1: String, s2: String,
       s3: String): DataFrame = stages(events, Seq(s1, s2, s3))
 
+  /** Streaming funnel: per-user stage state advanced per micro-batch
+    * (mapGroupsWithState, Update mode). Within a batch events sort by
+    * event time (same discipline as LiveMerge — the buffer is bounded
+    * by rate × trigger interval, not history); across batches the
+    * cascade only ADVANCES (a stage timestamp never changes once set),
+    * so the streaming result equals the batch cascade whenever arrival
+    * respects event time at micro-batch granularity — the replay /
+    * in-order-ingest case, asserted in FunnelSpec. State per user = the
+    * k stage timestamps, O(stages) — the same invariant as the batch
+    * kernel. Output rows carry `filled` so a consumer (or test) can
+    * keep the most-advanced emission per user. */
+  def stagesStream(events: DataFrame, stageTypes: Seq[String]): DataFrame = {
+    val k = stageTypes.size
+    val types = stageTypes.toArray
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("event_type"), col("ev_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (user: Long, it: Iterator[(Long, String, Long)],
+            gs: org.apache.spark.sql.streaming.GroupState[Array[Long]]) => {
+          val t = gs.getOption.getOrElse(Array.fill(k)(-1L))
+          var filled = t.indexWhere(_ < 0) match {
+            case -1 => k
+            case i => i
+          }
+          it.toArray.sortBy(_._3).foreach { case (_, tpe, us) =>
+            if (filled < k && tpe == types(filled) &&
+                (filled == 0 || us > t(filled - 1))) {
+              t(filled) = us; filled += 1
+            }
+          }
+          gs.update(t)
+          (user, filled, t.toSeq)
+        })
+      .toDF("user_id", "filled", "ts")
+      .select(col("user_id") +: col("filled") +:
+        (0 until k).map(i => col("ts")(i).as(s"t${i + 1}")): _*)
+  }
+
   /** DuckDB oracle: the self-join-per-stage form of the same cascade,
     * one chained CTE per stage. */
   def stagesSql(stageTypes: Seq[String], evUsSql: String): String = {

@@ -31,6 +31,44 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(5L) === ((10L, -1L, -1L))) // click not strictly after
   }
 
+  test("streaming funnel across micro-batches equals the batch cascade") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    val q = Funnel.stagesStream(
+        input.toDS().toDF("user_id", "event_type", "ev_us"),
+        Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    // stage progress split across batches: user 1 completes over 3
+    // batches, user 2 stalls (click before view in time), user 3 only
+    // reaches stage 1
+    val b1 = Seq((1L, "view", 100L), (2L, "click", 50L), (3L, "view", 10L))
+    val b2 = Seq((1L, "click", 200L), (2L, "view", 100L), (3L, "error", 20L))
+    val b3 = Seq((1L, "purchase", 300L), (2L, "click", 150L))
+    try {
+      Seq(b1, b2, b3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // monotone state ⇒ the max-`filled` emission per user IS final
+      val got = spark.table("funnel_stream").collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rows) =>
+          val last = rows.maxBy(_.getInt(1))
+          u -> (last.getLong(2), last.getLong(3), last.getLong(4))
+        }
+      val batch = Funnel.stages3(
+          (b1 ++ b2 ++ b3).toDF("user_id", "event_type", "ev_us"),
+          "view", "click", "purchase")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      // streaming also emits never-qualified users (state exists);
+      // compare on the batch result's support
+      batch.foreach { case (u, t) => assert(got(u) === t, s"user $u") }
+      assert(got(1L) === ((100L, 200L, 300L)))
+    } finally q.stop()
+  }
+
   test("hot-key soak: one user with 10^6 events runs in O(stages) state") {
     import spark.implicits._
     // A bot-grade key: 10^6 click events for one user, the funnel's
