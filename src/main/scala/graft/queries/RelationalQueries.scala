@@ -715,6 +715,25 @@ object RelationalQueries {
 
   private val scd2HistorySql = graft.ops.Scd2.historySql(evUsSql)
 
+  /** Bloom-pruned fact⋈dim join (ops.BloomJoin): rich MACHINERY
+    * customers prune the orders scan before the shuffle; result must
+    * equal the plain join (no false negatives; fpp survivors die in
+    * the join). */
+  private val jBloomPruned: Q = (s, d) => {
+    val rich = table(s, d, "customer")
+      .filter(col("c_mktsegment") === "MACHINERY" && col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    graft.ops.BloomJoin.pruned(
+        table(s, d, "orders"), rich, "o_custkey", "c_custkey",
+        expected = 4096)
+      .select(col("o_orderkey"), col("o_custkey"), col("c_acctbal"))
+  }
+
+  private val jBloomPrunedSql =
+    """SELECT o_orderkey, o_custkey, c_acctbal
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000""".stripMargin
+
   /** Retention cohorts — the standard product-analytics rollup: users
     * grouped by first-seen week (cohort), counted as active per weeks
     * -since-cohort offset. Two aggregations: first-seen per user (one
@@ -982,6 +1001,7 @@ object RelationalQueries {
     ("a_funnel_steps", aFunnelSteps, Some(aFunnelStepsSql)),
     ("a_funnel_steps4", aFunnelSteps4, Some(aFunnelSteps4Sql)),
     ("scd2_history", scd2History, Some(scd2HistorySql)),
+    ("j_bloom_pruned", jBloomPruned, Some(jBloomPrunedSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
