@@ -268,7 +268,92 @@ object ExtendedQueries {
     graft.sources.Profile.profile(
       QueryDsl.table(s, d, "lineitem"), profileCols)
 
+  /** Conditional aggregates via the SQL FILTER clause — one scan, one
+    * hash-agg, N independent predicates (the pattern that replaces N
+    * self-joins in report queries). Sum goes through the decimal trick. */
+  private val filteredAggsQ: Q = (s, d) =>
+    QueryDsl.table(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"))
+      .agg(
+        expr("count(*) FILTER (WHERE o_orderpriority = '1-URGENT')").as("n_urgent"),
+        expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_finished"),
+        expr("cast(sum(cast(o_totalprice as decimal(38,6))) " +
+          "FILTER (WHERE o_orderstatus = 'O') as double)").as("open_total"),
+        expr("max(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW')").as("max_low"))
+
+  private val filteredAggsSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+      |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_total,
+      |  MAX(o_totalprice) FILTER (WHERE o_orderpriority = '5-LOW') AS max_low
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Running distinct count over a window — an aggregate Spark's window
+    * functions refuse (COUNT(DISTINCT) OVER) — re-expressed exactly:
+    * flag each (user, event_type)'s FIRST occurrence with row_number,
+    * then running-sum the flags. Deterministic via the event_id
+    * tiebreak; the oracle mirrors the same two-window construction. */
+  private val wRunningDistinctQ: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ev_us"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("ev_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("first_occ",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_types_so_far", sum(col("first_occ")).over(wRun))
+      .select(col("user_id"), col("event_id"), col("distinct_types_so_far"))
+  }
+
+  private val wRunningDistinctSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, $evUsSql AS us FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY us, event_id) = 1 THEN 1 ELSE 0 END AS first_occ
+       |  FROM ev)
+       |SELECT user_id, event_id,
+       |  CAST(SUM(first_occ) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS distinct_types_so_far
+       |FROM f""".stripMargin
+
+  /** Triangle count on the embedding near-dup graph (a < b < c edge
+    * orientation — each triangle counted exactly once; the standard
+    * compact-forward formulation whose join fan-out is bounded by the
+    * oriented degree). */
+  private val graphTrianglesQ: Q = (s, d) => {
+    val e = graft.sim.Knn
+      .cosineNearDupPairs(QueryDsl.table(s, d, "embeddings"), 0.38)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+    val e1 = e.select(col("a"), col("b"))
+    val e2 = e.select(col("a").as("b"), col("b").as("c"))
+    val e3 = e.select(col("a").as("ta"), col("b").as("tc"))
+    e1.join(e2, "b")
+      .join(e3, col("a") === col("ta") && col("c") === col("tc"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private val graphTrianglesSql =
+    """WITH e AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM embeddings x, embeddings y
+      |  WHERE x.vec_id < y.vec_id
+      |  AND ROUND(list_dot_product(CAST(x.embedding AS DOUBLE[]),
+      |    CAST(y.embedding AS DOUBLE[])), 6) >= 0.38)
+      |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("a_filtered_aggs", filteredAggsQ, Some(filteredAggsSql)),
+    ("w_running_distinct", wRunningDistinctQ, Some(wRunningDistinctSql)),
+    ("graph_triangles", graphTrianglesQ, Some(graphTrianglesSql)),
     ("pipeline_incremental_agg", incrementalAggQ,
       Some(graft.ops.IncrementalAgg.gateSql)),
     ("quality_profile", profileQ,
