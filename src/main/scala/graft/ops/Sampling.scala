@@ -44,4 +44,30 @@ object Sampling {
       .filter(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Weighted sample WITHOUT replacement, deterministic — Efraimidis–
+    * Spirakis A-ES: each row draws priority −ln(u)/w and the k
+    * smallest win, which is provably equivalent to sequential
+    * weight-proportional draws. Replaces the driver-breaking "sort by
+    * random()*weight" habit: one scan + one top-k, any scale.
+    *
+    * u is a pseudo-uniform derived from md5(idCol) (32 hex → first 8
+    * digits → (h+1)/2³², never 0), so the draw is reproducible across
+    * runs, engines, and partitionings — same doctrine as
+    * [[hashSample]]. The priority is rounded to 9 dp with an id
+    * tiebreak, the repo's standard guard for float orderings at the
+    * selection boundary. */
+  def weightedSample(df: DataFrame, k: Int, idCol: String,
+      weight: Column): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    df.withColumn("_es_w", weight.cast("double"))
+      .filter(col("_es_w") > 0)
+      .withColumn("_es_key", round(-log(u) / col("_es_w"), 9))
+      // global top-k plans TakeOrderedAndProject: per-partition heads
+      // merged on the driver — k rows cross the wire, never the table
+      .orderBy(col("_es_key"), col(idCol))
+      .limit(k)
+  }
 }

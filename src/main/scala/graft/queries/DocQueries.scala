@@ -80,6 +80,25 @@ object DocQueries {
       |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1) cs
       |USING (cluster_id)""".stripMargin
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis with a
+    * reproducible md5-derived uniform): longer docs proportionally
+    * likelier — the quality/length-weighted subset draw every
+    * training-data pipeline runs. */
+  private val pipelineWeightedSample: Q = (s, d) =>
+    graft.ops.Sampling.weightedSample(
+        table(s, d, "documents").select(col("doc_id"), col("text")),
+        k = 100, idCol = "doc_id", weight = length(col("text")) + 1)
+      .select(col("doc_id"), col("_es_w").as("w"), col("_es_key").as("es_key"))
+
+  private val pipelineWeightedSampleSql =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(length(text) + 1 AS DOUBLE) AS w,
+      |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1 AS DOUBLE)
+      |      / 4294967296.0) AS u
+      |  FROM documents)
+      |SELECT doc_id, w, round(-ln(u) / w, 9) AS es_key
+      |FROM p WHERE w > 0 ORDER BY es_key, doc_id LIMIT 100""".stripMargin
+
   /** Winnowing fingerprints (SWA rolling-hash min-sampling) — custom
     * kernel, not SQL-expressible → rows-only gate + WinnowingSpec's
     * shared-substring guarantee tests. */
@@ -242,6 +261,8 @@ object DocQueries {
       Some(DedupClusters.clustersSql(jaccardThreshold, maxShingleDF))),
     ("dedup_embedding_clusters", dedupEmbeddingClusters,
       Some(dedupEmbeddingClustersSql)),
+    ("pipeline_weighted_sample", pipelineWeightedSample,
+      Some(pipelineWeightedSampleSql)),
     // the flagship composition: quality gate + keep-canonical dedup +
     // token accounting — the whole training-data pipeline in one plan
     // (DF-capped pair generation: the scale path is the gated path)

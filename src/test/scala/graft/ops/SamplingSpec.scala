@@ -36,4 +36,27 @@ class SamplingSpec extends AnyFunSuite {
       .agg(max("count")).head.getLong(0)
     assert(maxPerGroup <= 2L)
   }
+
+  test("weighted sample: weight-proportional, deterministic, distributed top-k plan") {
+    import spark.implicits._
+    // 1000 light rows (w=1) + 20 heavy rows (w=1000): the heavy block
+    // should dominate a k=50 draw by E-S theory; with the fixed
+    // md5-derived uniforms the outcome is exactly reproducible
+    val rows = ((1L to 1000L).map(i => (i, 1.0)) ++
+      (2001L to 2020L).map(i => (i, 1000.0))).toDF("doc_id", "wt")
+    val sample = Sampling.weightedSample(rows, k = 50, idCol = "doc_id",
+      weight = col("wt"))
+    val picked = sample.collect().map(_.getLong(0)).toSet
+    assert(picked.size === 50)
+    val heavyPicked = picked.count(_ >= 2001L)
+    assert(heavyPicked >= 18, s"only $heavyPicked/20 heavy rows drawn")
+    // determinism: second run identical
+    val again = Sampling.weightedSample(rows, k = 50, idCol = "doc_id",
+      weight = col("wt")).collect().map(_.getLong(0)).toSet
+    assert(again === picked)
+    // scale shape: global top-k must plan TakeOrderedAndProject, not a
+    // single-partition window
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
 }
