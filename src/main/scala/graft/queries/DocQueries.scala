@@ -80,6 +80,53 @@ object DocQueries {
       |JOIN (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1) cs
       |USING (cluster_id)""".stripMargin
 
+  /** Cross-shard NEAR-dup: new crawl (incl. planted MUTATED re-crawls
+    * — text + an appended tail, which exact-hash incremental dedup
+    * cannot see) vs the reference corpus; LSH candidates cross-side
+    * only, exact-Jaccard verified. Oracle = exact cross-side Jaccard. */
+  private val dedupCrossShard: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val ref = docs.filter(col("doc_id") < 250).select(col("doc_id"), col("text"))
+    val recrawls = docs.filter(col("doc_id") < 250 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" updated revision")).as("text"))
+    val newShard = docs.filter(col("doc_id") >= 250)
+      .select(col("doc_id"), col("text")).unionByName(recrawls)
+    MinHashLsh.crossNearDuplicates(newShard, ref, jaccardThreshold)
+  }
+
+  private val dedupCrossShardSql =
+    s"""WITH refd AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 250),
+       |newd AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' updated revision' FROM documents
+       |  WHERE doc_id < 250 AND doc_id % 7 = 0),
+       |shn AS (
+       |  SELECT DISTINCT doc_id,
+       |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM newd) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i) s
+       |  WHERE len(words) >= 3),
+       |shrf AS (
+       |  SELECT DISTINCT doc_id,
+       |    words[CAST(i AS INT)] || ' ' || words[CAST(i AS INT)+1] || ' ' || words[CAST(i AS INT)+2] AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM refd) t,
+       |  LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i) s
+       |  WHERE len(words) >= 3),
+       |sn AS (SELECT doc_id, COUNT(*) AS sz FROM shn GROUP BY 1),
+       |sr AS (SELECT doc_id, COUNT(*) AS sz FROM shrf GROUP BY 1),
+       |pairs AS (
+       |  SELECT n.doc_id AS new_doc, r.doc_id AS ref_doc, COUNT(*) AS common
+       |  FROM shn n JOIN shrf r ON n.shingle = r.shingle GROUP BY 1, 2)
+       |SELECT new_doc, ref_doc, common, sn.sz AS size_new, sr.sz AS size_ref,
+       |  CAST(common AS DOUBLE) / CAST(sn.sz + sr.sz - common AS DOUBLE) AS jaccard
+       |FROM pairs JOIN sn ON new_doc = sn.doc_id
+       |JOIN sr ON ref_doc = sr.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sn.sz + sr.sz - common AS DOUBLE)
+       |  >= $jaccardThreshold""".stripMargin
+
   /** Weighted sample without replacement (Efraimidis–Spirakis with a
     * reproducible md5-derived uniform): longer docs proportionally
     * likelier — the quality/length-weighted subset draw every
@@ -263,6 +310,7 @@ object DocQueries {
       Some(dedupEmbeddingClustersSql)),
     ("pipeline_weighted_sample", pipelineWeightedSample,
       Some(pipelineWeightedSampleSql)),
+    ("dedup_cross_shard", dedupCrossShard, Some(dedupCrossShardSql)),
     // the flagship composition: quality gate + keep-canonical dedup +
     // token accounting — the whole training-data pipeline in one plan
     // (DF-capped pair generation: the scale path is the gated path)

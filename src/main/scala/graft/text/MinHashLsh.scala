@@ -152,6 +152,58 @@ object MinHashLsh {
       org.apache.spark.sql.types.StringType, 42L)
   }
 
+  /** Band-bucket table of a signature frame: (id, band, bucket). */
+  private def bandBuckets(sigs: DataFrame, idName: String,
+      numBands: Int): DataFrame = {
+    val rows = NumHashes / numBands
+    sigs.select(col("doc_id").as(idName),
+      posexplode(expr(
+        s"transform(sequence(0, ${numBands - 1}), b -> " +
+          s"hash(slice(sig, b * $rows + 1, $rows)))")).as(Seq("band", "bucket")))
+  }
+
+  /** Cross-shard near-dup: which NEW docs are near-duplicates of any
+    * REFERENCE doc — the fuzzy counterpart of
+    * [[IncrementalDedup.newOnly]] (exact hash misses a re-crawl whose
+    * text was touched; this catches it). Both sides shingle+sign
+    * independently (one narrow scan each, no cross-side shuffle until
+    * the band-bucket join), candidates are cross-side band-bucket
+    * matches only, and only candidates pay the exact-Jaccard verify —
+    * so cost scales with near-dup volume, not |new|·|ref|. */
+  def crossNearDuplicates(newDocs: DataFrame, refDocs: DataFrame,
+      threshold: Double, numBands: Int = 16): DataFrame = {
+    val newSets = Shingles.shingleSets(newDocs).cache()
+    val refSets = Shingles.shingleSets(refDocs).cache()
+    val newSh = newSets.select(col("doc_id").as("new_doc"),
+      explode(col("shingles")).as("shingle"))
+    val refSh = refSets.select(col("doc_id").as("ref_doc"),
+      explode(col("shingles")).as("shingle"))
+    val newSizes = newSets.select(col("doc_id").as("new_doc"),
+      size(col("shingles")).cast("long").as("size_new")).localCheckpoint(true)
+    val refSizes = refSets.select(col("doc_id").as("ref_doc"),
+      size(col("shingles")).cast("long").as("size_ref")).localCheckpoint(true)
+    val cands = bandBuckets(signaturesFromSets(newSets), "new_doc", numBands)
+      .join(bandBuckets(signaturesFromSets(refSets), "ref_doc", numBands),
+        Seq("band", "bucket"))
+      .select("new_doc", "ref_doc").distinct()
+    val common = cands
+      .join(newSh, Seq("new_doc"))
+      .join(refSh, Seq("ref_doc", "shingle"))
+      .groupBy(col("new_doc"), col("ref_doc"))
+      .agg(count(lit(1)).as("common"))
+      .localCheckpoint(true)
+    newSets.unpersist(false)
+    refSets.unpersist(false)
+    common
+      .join(newSizes, "new_doc")
+      .join(refSizes, "ref_doc")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("size_new") + col("size_ref") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_doc"), col("ref_doc"), col("common"),
+        col("size_new"), col("size_ref"), col("jaccard"))
+  }
+
   /** Candidate pairs from banding: docs sharing any band bucket. */
   def candidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
     val rows = NumHashes / numBands
