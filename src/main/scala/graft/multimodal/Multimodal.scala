@@ -40,6 +40,7 @@ object Multimodal {
       mean: Array[Float], std: Array[Float])
 
   case class VideoFrame(media_id: Long, frameIndex: Int, pixels: Array[Byte])
+  case class Keyframe(media_id: Long, frameIndex: Int, mad: Double)
 
   case class DecodedAudio(media_id: Long, sampleRate: Int, samples: Array[Short])
 
@@ -355,6 +356,44 @@ object Multimodal {
             (0 until numFrames by everyN).iterator.map { f =>
               VideoFrame(row.media_id, f,
                 java.util.Arrays.copyOfRange(px, f * frameBytes, (f + 1) * frameBytes))
+            }
+          case None => Iterator.empty
+        }
+      })
+  }
+
+  /** Keyframe / scene-change detection: per video, the mean absolute
+    * pixel difference (MAD) of each frame against its predecessor;
+    * emit frame 0 plus every frame with MAD > `threshold`. One decode
+    * per video, two frames of state at a time — the standard cheap
+    * shot-boundary detector, and the pre-filter that decides which
+    * frames are worth the expensive downstream encoder at 100 TB of
+    * video (sample everything, embed only scene changes). */
+  def keyframes(media: Dataset[MediaRow], threshold: Double): Dataset[Keyframe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions(_.flatMap { row =>
+        StubCodec.decode(row.payload) match {
+          case Some((w, h, c, px)) =>
+            val frameH = w
+            val numFrames = h / math.max(frameH, 1)
+            val frameBytes = w * frameH * c
+            (0 until numFrames).iterator.flatMap { f =>
+              if (f == 0) Iterator.single(Keyframe(row.media_id, 0, 0.0))
+              else {
+                val off = f * frameBytes
+                val prev = off - frameBytes
+                var s = 0L
+                var i = 0
+                while (i < frameBytes) {
+                  s += math.abs((px(off + i) & 0xff) - (px(prev + i) & 0xff))
+                  i += 1
+                }
+                val mad = s.toDouble / frameBytes
+                if (mad > threshold) Iterator.single(Keyframe(row.media_id, f, mad))
+                else Iterator.empty
+              }
             }
           case None => Iterator.empty
         }

@@ -95,10 +95,22 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** keyframe/scene-change detection: frame-vs-predecessor MAD with
+    * 4-dp rounding for a stable dump. */
+  private val keyframesQ: Q = (s, _) => {
+    import Multimodal._
+    val media = mediaTable(s).as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
+    keyframes(media, threshold = 64.0).toDF()
+      .select(col("media_id"), col("frameIndex").as("frame_index"),
+        round(col("mad"), 4).as("mad"))
+      .orderBy(col("media_id"), col("frame_index"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("multimodal_features", features, None),
     ("multimodal_resize", resized, None),
     ("multimodal_frames", frames, None),
-    ("multimodal_audio", audio, None)
+    ("multimodal_audio", audio, None),
+    ("multimodal_keyframes", keyframesQ, None)
   )
 }

@@ -145,4 +145,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.schema("payload").dataType === org.apache.spark.sql.types.BinaryType)
     assert(back.count() === 6L)
   }
+
+  test("keyframes: frame 0 always emitted, MAD exact vs hand computation") {
+    import graft.multimodal.Multimodal._
+    import spark.implicits._
+    val media = syntheticMedia(spark, 30)
+    val kf = keyframes(media, threshold = 64.0).collect()
+      .groupBy(_.media_id)
+    val vids = media.filter(_.kind == "video").collect()
+    assert(vids.nonEmpty && kf.nonEmpty)
+    vids.foreach { v =>
+      val frames = kf.get(v.media_id).map(_.sortBy(_.frameIndex)).getOrElse(Array.empty)
+      assert(frames.headOption.exists(k => k.frameIndex == 0 && k.mad == 0.0),
+        s"video ${v.media_id} missing frame 0")
+      // hand-recompute MAD for the first detected scene change
+      val Some((w, h, c, px)) = StubCodec.decode(v.payload): @unchecked
+      val fb = w * w * c
+      frames.drop(1).headOption.foreach { k =>
+        val off = k.frameIndex * fb
+        var sum = 0L
+        var i = 0
+        while (i < fb) {
+          sum += math.abs((px(off + i) & 0xff) - (px(off - fb + i) & 0xff)); i += 1
+        }
+        assert(k.mad === sum.toDouble / fb)
+        assert(k.mad > 64.0)
+      }
+    }
+    // the threshold actually filters: above the noise ceiling (~115 on
+    // the stub fixture) every video collapses to just its frame 0
+    val strict = keyframes(media, threshold = 115.0).collect()
+    assert(strict.nonEmpty)
+    assert(strict.forall(k => k.frameIndex == 0 && k.mad == 0.0))
+  }
 }
