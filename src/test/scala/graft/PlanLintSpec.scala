@@ -27,11 +27,15 @@ class PlanLintSpec extends AnyFunSuite {
                               // blocked/IVF/PQ variants are the scale
                               // path and plan no nested loop
     "text_lm_score",          // 1-row vocabulary-size scalar
-    "retrieval_rrf"           // composes text_bm25 (1-row stats) +
+    "retrieval_rrf",          // composes text_bm25 (1-row stats) +
                               // knn_cosine_topk (1-row query side) —
                               // both already justified above; the
                               // fusion itself is an equi full-outer
                               // join of two ≤depth-row frames
+    "quality_profile"         // cross of the TWO 1-row aggregate
+                              // branches (basics × distincts) — the
+                              // split that avoids the Expand-carried
+                              // min/max trap (see Profile scaladoc)
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
