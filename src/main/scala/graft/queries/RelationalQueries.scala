@@ -715,6 +715,39 @@ object RelationalQueries {
 
   private val scd2HistorySql = graft.ops.Scd2.historySql(evUsSql)
 
+  /** Null-safe equi-join (<=>): NULL keys MATCH each other — the
+    * semantics a plain `=` join silently drops. Keys are derived with
+    * planted NULLs on both sides; the null group's presence in the
+    * output is the proof the operator joined them. Plans as a normal
+    * hash join (null-safe equality is a valid equi-key), not a nested
+    * loop. */
+  private val jNullSafe: Q = (s, d) => {
+    val a = table(s, d, "customer").select(col("c_custkey"),
+      when(col("c_custkey") % 7 === 0, lit(null))
+        .otherwise(col("c_nationkey") % 5).as("ka"))
+    val b = table(s, d, "nation").select(col("n_nationkey"),
+      when(col("n_nationkey") % 6 === 0, lit(null))
+        .otherwise(col("n_nationkey") % 5).as("kb"))
+    a.join(b, col("ka") <=> col("kb"))
+      .groupBy(col("ka").as("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("n_nationkey")).as("n_nations"))
+  }
+
+  private val jNullSafeSql =
+    """WITH a AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey % 5 END AS ka
+      |  FROM customer),
+      |b AS (
+      |  SELECT n_nationkey,
+      |    CASE WHEN n_nationkey % 6 = 0 THEN NULL ELSE n_nationkey % 5 END AS kb
+      |  FROM nation)
+      |SELECT ka AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations
+      |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+      |GROUP BY 1""".stripMargin
+
   /** Bloom-pruned fact⋈dim join (ops.BloomJoin): rich MACHINERY
     * customers prune the orders scan before the shuffle; result must
     * equal the plain join (no false negatives; fpp survivors die in
@@ -1002,6 +1035,7 @@ object RelationalQueries {
     ("a_funnel_steps4", aFunnelSteps4, Some(aFunnelSteps4Sql)),
     ("scd2_history", scd2History, Some(scd2HistorySql)),
     ("j_bloom_pruned", jBloomPruned, Some(jBloomPrunedSql)),
+    ("j_null_safe", jNullSafe, Some(jNullSafeSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
