@@ -748,6 +748,30 @@ object RelationalQueries {
       |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
       |GROUP BY 1""".stripMargin
 
+  /** Two-phase salted aggregation (ops.SkewOps): the hot-key guard for
+    * skewed GROUP BY at 100 TB — each key is split across 16 salt
+    * buckets for the partial agg, then merged. The oracle is the PLAIN
+    * group-by: salting must be invisible in the result. Only
+    * re-aggregation-exact functions are gated (count, integer sum,
+    * min/max — double sums would reorder). */
+  private val aSaltedAgg: Q = (s, d) =>
+    graft.ops.SkewOps.saltedAgg(
+      table(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+      buckets = 16,
+      aggs = Map(
+        "n_lines" -> ("l_orderkey", "count"),
+        "sum_linenumber" -> ("l_linenumber", "sum"),
+        "min_qty" -> ("l_quantity", "min"),
+        "max_price" -> ("l_extendedprice", "max")))
+
+  private val aSaltedAggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(l_orderkey) AS BIGINT) AS n_lines,
+      |  CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   /** Bloom-pruned fact⋈dim join (ops.BloomJoin): rich MACHINERY
     * customers prune the orders scan before the shuffle; result must
     * equal the plain join (no false negatives; fpp survivors die in
@@ -1036,6 +1060,7 @@ object RelationalQueries {
     ("scd2_history", scd2History, Some(scd2HistorySql)),
     ("j_bloom_pruned", jBloomPruned, Some(jBloomPrunedSql)),
     ("j_null_safe", jNullSafe, Some(jNullSafeSql)),
+    ("a_salted_agg", aSaltedAgg, Some(aSaltedAggSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
