@@ -748,6 +748,16 @@ object RelationalQueries {
       |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
       |GROUP BY 1""".stripMargin
 
+  /** Gap-threshold sessionization (ops.Sessionize): 30-minute
+    * inactivity gap cuts each user's event stream into sessions;
+    * per-session rollup. Both windows ride one shuffle on user_id. */
+  private val sessionGapUs = 30L * 60 * 1000 * 1000
+  private val aSessionize: Q = (s, d) =>
+    graft.ops.Sessionize.sessions(events(s, d), sessionGapUs)
+
+  private val aSessionizeSql =
+    graft.ops.Sessionize.sessionsSql(sessionGapUs, evUsSql)
+
   /** Two-phase salted aggregation (ops.SkewOps): the hot-key guard for
     * skewed GROUP BY at 100 TB — each key is split across 16 salt
     * buckets for the partial agg, then merged. The oracle is the PLAIN
@@ -1061,6 +1071,7 @@ object RelationalQueries {
     ("j_bloom_pruned", jBloomPruned, Some(jBloomPrunedSql)),
     ("j_null_safe", jNullSafe, Some(jNullSafeSql)),
     ("a_salted_agg", aSaltedAgg, Some(aSaltedAggSql)),
+    ("a_sessionize", aSessionize, Some(aSessionizeSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
