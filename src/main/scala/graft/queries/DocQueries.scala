@@ -1,8 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.text.{Bm25, ChunkDedup, CorpusPipeline, DedupClusters, FuzzyDedup,
-  IncrementalDedup, LmScore, MinHashLsh, Shingles, SimHash, TextAnalysis, Tfidf}
+import graft.text.{Bm25, ChunkDedup, Chunker, CorpusPipeline, DedupClusters,
+  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, Shingles, SimHash,
+  TextAnalysis, Tfidf}
 import graft.sim.{Knn, Pq}
 import QueryDsl._
 
@@ -243,6 +244,11 @@ object DocQueries {
   private val dedupChunk: Q = (s, d) =>
     ChunkDedup.dupChunkStats(ChunkDedup.withBoilerplate(table(s, d, "documents")))
 
+  /** Overlapping chunk extraction (RAG prep): 64-token windows every
+    * 48 tokens; digests only leave the operator. */
+  private val pipelineChunkOverlap: Q = (s, d) =>
+    Chunker.overlappingChunks(table(s, d, "documents"))
+
   /** Incremental dedup vs a reference snapshot: Bloom-pruned membership
     * + exact verification ⇒ oracle is a plain anti-join. */
   private val pipelineIncrementalDedup: Q = (s, d) =>
@@ -380,6 +386,8 @@ object DocQueries {
         srcSql = ChunkDedup.withBoilerplateSql()))),
     ("pipeline_incremental_dedup", pipelineIncrementalDedup,
       Some(IncrementalDedup.gateSql())),
+    ("pipeline_chunk_overlap", pipelineChunkOverlap,
+      Some(Chunker.overlappingChunksSql())),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),
