@@ -249,6 +249,12 @@ object DocQueries {
   private val pipelineChunkOverlap: Q = (s, d) =>
     Chunker.overlappingChunks(table(s, d, "documents"))
 
+  /** BPE tokenizer training: first 8 merge rules learned from the
+    * corpus word-frequency vocab. */
+  private val bpeRounds = 8
+  private val pipelineBpeMerges: Q = (s, d) =>
+    graft.text.Bpe.learnMerges(table(s, d, "documents"), bpeRounds)
+
   /** Incremental dedup vs a reference snapshot: Bloom-pruned membership
     * + exact verification ⇒ oracle is a plain anti-join. */
   private val pipelineIncrementalDedup: Q = (s, d) =>
@@ -388,6 +394,8 @@ object DocQueries {
       Some(IncrementalDedup.gateSql())),
     ("pipeline_chunk_overlap", pipelineChunkOverlap,
       Some(Chunker.overlappingChunksSql())),
+    ("pipeline_bpe_merges", pipelineBpeMerges,
+      Some(graft.text.Bpe.learnMergesSql(bpeRounds))),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),

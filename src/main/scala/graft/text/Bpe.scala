@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed BPE tokenizer training (Sennrich-style byte-pair
+  * encoding): learn the first N merge rules from corpus word
+  * frequencies. The step every from-scratch pretraining run needs
+  * before a single token exists.
+  *
+  * Scale shape — the reason BPE training is cluster-friendly at
+  * 100 TB: ONE corpus-wide shuffle builds the (word, freq) vocab;
+  * every subsequent round iterates on the VOCAB ONLY (Zipf: ~10⁷ rows
+  * for a web-scale corpus vs 10¹³ corpus tokens). Per round: pair
+  * counts are a map-side-combined sum over the symbol table, the
+  * argmax pair is a bounded 1-row driver artifact (like the IVF
+  * centroids / Bloom filter precedents — never corpus rows), and the
+  * merge rewrite is two windows riding one shuffle on `word`.
+  * `localCheckpoint` truncates the per-round lineage.
+  *
+  * Merge semantics (mirrored exactly in the oracle): the best pair is
+  * max count with lexicographic (left, right) tie-break; occurrences
+  * merge leftmost-non-overlapping ("aaaa" + (a,a) → "aa","aa").
+  * Overlap only arises when left = right, and is resolved with the
+  * even-offset rule: within each run of consecutive candidate
+  * positions, merge the 0th, 2nd, 4th… candidate. The run start is
+  * recovered with a cumulative max over run-start flags, so EVERY
+  * window in a round shares the one (word, pos) partitioning — a
+  * single Exchange feeds the whole merge rewrite. Pair COUNTING is
+  * positional (overlapping: "aaaa" counts (a,a) 3 times), matching
+  * the reference BPE implementation's get_stats. No end-of-word
+  * marker is appended — merges never cross word boundaries because
+  * symbols live inside (word, pos) rows.
+  */
+object Bpe {
+
+  /** Initial symbol table: (word, freq, pos, sym) with one
+    * single-character symbol per position. */
+  private[text] def initSyms(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        posexplode(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as(Seq("pos", "sym")))
+
+  /** Learn `rounds` merge rules; returns (merge_round, merge_left,
+    * merge_right, pair_count) — the merge table a tokenizer ships. */
+  def learnMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    var syms = initSyms(docs).localCheckpoint(true)
+    val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val pairs = syms.withColumn("nxt", lead(col("sym"), 1).over(wOrd))
+      val bestRows = pairs.where(col("nxt").isNotNull)
+        .groupBy(col("sym").as("l"), col("nxt").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (bestRows.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, rt, c) = (bestRows(0).getString(0), bestRows(0).getString(1),
+          bestRows(0).getLong(2))
+        merges += ((r, l, rt, c))
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        syms = pairs
+          .withColumn("is_cand",
+            coalesce(col("sym") === lit(l) && col("nxt") === lit(rt), lit(false)))
+          .withColumn("run_start", col("is_cand") &&
+            !coalesce(lag(col("is_cand"), 1).over(wOrd), lit(false)))
+          .withColumn("run_pos",
+            max(when(col("run_start"), col("pos"))).over(wCum))
+          .withColumn("mh", col("is_cand") &&
+            (col("pos") - col("run_pos")) % 2 === 0)
+          .withColumn("consumed",
+            coalesce(lag(col("mh"), 1).over(wOrd), lit(false)))
+          .where(!col("consumed"))
+          .withColumn("sym2",
+            when(col("mh"), concat(col("sym"), col("nxt"))).otherwise(col("sym")))
+          .withColumn("pos2", row_number().over(wOrd) - 1)
+          .select(col("word"), col("freq"), col("pos2").as("pos"),
+            col("sym2").as("sym"))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("merge_round", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** DuckDB oracle: the identical algorithm with the `rounds`
+    * iterations unrolled as chained CTEs (the TextRank precedent) —
+    * pair lead, argmax with the same tie-break, islands even-offset
+    * merge, positional re-densify. */
+  def learnMergesSql(rounds: Int,
+      srcSql: String = "SELECT text FROM documents"): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH src AS ($srcSql),
+       |words AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM src) t
+       |  WHERE word <> '' GROUP BY 1),
+       |syms0 AS (
+       |  SELECT word, freq, CAST(i - 1 AS INT) AS pos,
+       |    substring(word, CAST(i AS INT), 1) AS sym
+       |  FROM words, unnest(generate_series(1, CAST(length(word) AS INT))) g(i))""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+         |pairs$r AS (
+         |  SELECT word, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM syms${r - 1}),
+         |best$r AS (
+         |  SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM pairs$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |mk$r AS (
+         |  SELECT *, is_cand AND ((pos - run_pos) % 2 = 0) AS mh
+         |  FROM (
+         |    SELECT *, max(CASE WHEN run_start THEN pos END) OVER
+         |        (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_pos
+         |    FROM (
+         |      SELECT *, is_cand AND NOT coalesce(lag(is_cand) OVER
+         |          (PARTITION BY word ORDER BY pos), false) AS run_start
+         |      FROM (
+         |        SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+         |          coalesce(p.sym = b.l AND p.nxt = b.r, false) AS is_cand
+         |        FROM pairs$r p, best$r b) c) z1) z),
+         |syms$r AS (
+         |  SELECT word, freq,
+         |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INT) AS pos,
+         |    CASE WHEN mh THEN sym || nxt ELSE sym END AS sym
+         |  FROM (
+         |    SELECT *, coalesce(lag(mh) OVER (PARTITION BY word ORDER BY pos),
+         |      false) AS consumed
+         |    FROM mk$r) zz
+         |  WHERE NOT consumed)""".stripMargin
+    }
+    sb ++= (1 to rounds).map(r =>
+      s"SELECT $r AS merge_round, l AS merge_left, r AS merge_right, " +
+        s"cnt AS pair_count FROM best$r").mkString("\n", "\nUNION ALL ", "")
+    sb.toString
+  }
+}

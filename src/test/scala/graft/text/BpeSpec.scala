@@ -1,0 +1,63 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  private def merges(df: org.apache.spark.sql.DataFrame, rounds: Int) =
+    Bpe.learnMerges(df, rounds).orderBy("merge_round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("classic low/lower/lowest corpus: hand-computed first 4 merges") {
+    // word freqs: low=3, lower=1, lowest=1
+    val got = merges(docs("low low low lower lowest"), 4)
+    // r1: (l,o)=5 ties (o,w)=5 -> lexicographic left wins
+    // r2: (lo,w)=5
+    // r3: (low,e)=2
+    // r4: (lowe,r)=1 ties (lowe,s)=1 and (s,t)=1 -> (lowe,r)
+    assert(got.toSeq === Seq(
+      (1, "l", "o", 5L),
+      (2, "lo", "w", 5L),
+      (3, "low", "e", 2L),
+      (4, "lowe", "r", 1L)))
+  }
+
+  test("overlapping pair counting and leftmost-non-overlap merge (aaaa)") {
+    // "aaaa": (a,a) counted positionally = 3; merge yields aa|aa,
+    // so round 2 sees (aa,aa)=1
+    val got = merges(docs("aaaa"), 2)
+    assert(got.toSeq === Seq(
+      (1, "a", "a", 3L),
+      (2, "aa", "aa", 1L)))
+  }
+
+  test("odd-length run merges leftmost and leaves the tail (aaa + ab)") {
+    // freqs: aaa=1 -> (a,a)=2; ab=1 -> (a,b)=1
+    // r1 merges (a,a): aaa -> aa|a ; r2: candidates (aa,a)=1, (a,b)=1
+    //   -> lexicographic: (a,b) < (aa,a) at equal counts
+    val got = merges(docs("aaa ab"), 2)
+    assert(got.toSeq === Seq(
+      (1, "a", "a", 2L),
+      (2, "a", "b", 1L)))
+  }
+
+  test("merges never cross word boundaries") {
+    // "ab" and "ba" adjacent in text: pair (b,a) must NOT appear
+    // across the space
+    val got = merges(docs("ab ab ba"), 1)
+    assert(got.head === ((1, "a", "b", 2L)))
+  }
+
+  test("exhausted vocab stops early instead of erroring") {
+    val got = merges(docs("ab ab"), 5)
+    // r1: (a,b)=2 -> single symbol "ab"; no pairs remain
+    assert(got.toSeq === Seq((1, "a", "b", 2L)))
+  }
+}
