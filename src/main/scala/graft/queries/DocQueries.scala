@@ -255,6 +255,12 @@ object DocQueries {
   private val pipelineBpeMerges: Q = (s, d) =>
     graft.text.Bpe.learnMerges(table(s, d, "documents"), bpeRounds)
 
+  /** BPE encode: tokenize the corpus with its own learned merges —
+    * the imperative mapPartitions kernel must hash-match the oracle's
+    * declarative window encoding. */
+  private val pipelineBpeEncode: Q = (s, d) =>
+    graft.text.Bpe.trainAndEncode(table(s, d, "documents"), bpeRounds)
+
   /** Incremental dedup vs a reference snapshot: Bloom-pruned membership
     * + exact verification ⇒ oracle is a plain anti-join. */
   private val pipelineIncrementalDedup: Q = (s, d) =>
@@ -396,6 +402,8 @@ object DocQueries {
       Some(Chunker.overlappingChunksSql())),
     ("pipeline_bpe_merges", pipelineBpeMerges,
       Some(graft.text.Bpe.learnMergesSql(bpeRounds))),
+    ("pipeline_bpe_encode", pipelineBpeEncode,
+      Some(graft.text.Bpe.trainAndEncodeSql(bpeRounds))),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),

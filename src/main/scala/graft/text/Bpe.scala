@@ -93,6 +93,98 @@ object Bpe {
     merges.toSeq.toDF("merge_round", "merge_left", "merge_right", "pair_count")
   }
 
+  /** Tokenize a corpus with a learned merge list — the production
+    * encode path. Unlike training (vocab-table windows), encoding is
+    * embarrassingly parallel: a mapPartitions kernel applies the
+    * broadcast merge list per word with a per-partition memo cache
+    * (Zipf: the hot words hit the cache, so the per-word scan-merge
+    * cost amortizes to ~zero across a partition). Output per doc:
+    * subword token count + digest of the space-joined token stream
+    * (symbols never contain spaces — words were split on them — so
+    * the join is unambiguous). Empty-word-only docs are dropped,
+    * mirroring the oracle's join semantics.
+    *
+    * The leftmost-non-overlapping sequential scan per merge is
+    * EXACTLY the even-offset run rule the training rewrite applies —
+    * the gate query proves the imperative kernel ≡ the declarative
+    * windows by hash-matching the oracle, which encodes via the
+    * unrolled training CTEs (a word's final symbol sequence IS its
+    * encoding). */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    val encoded = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def applyMerges(word: String): Array[String] =
+          memo.getOrElseUpdate(word, {
+            var syms: Array[String] = word.map(_.toString).toArray
+            for ((l, r) <- ms) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  out += l + r; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.toArray
+            }
+            syms
+          })
+        it.flatMap { case (docId, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          if (words.isEmpty) Iterator.empty
+          else {
+            val toks = words.iterator.flatMap(applyMerges)
+            val sb = new StringBuilder
+            var n = 0L
+            toks.foreach { t =>
+              if (n > 0) sb += ' '
+              sb ++= t; n += 1
+            }
+            Iterator.single((docId, n, sb.toString))
+          }
+        }
+      }.toDF("doc_id", "n_tokens", "tok_stream")
+    encoded.select(col("doc_id"), col("n_tokens"),
+      md5(col("tok_stream").cast("binary")).as("tokens_md5"))
+  }
+
+  /** Train-then-encode in one call (the gate shape): learn `rounds`
+    * merges from the corpus itself, then tokenize it. */
+  def trainAndEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    val merges = learnMerges(docs, rounds).orderBy("merge_round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    encode(docs, merges)
+  }
+
+  /** DuckDB oracle for [[trainAndEncode]]: run the training CTEs, then
+    * read each word's encoding off the final symbol table and stitch
+    * docs back together in word order. */
+  def trainAndEncodeSql(rounds: Int,
+      srcSql: String = "SELECT doc_id, text FROM documents"): String = {
+    val train = learnMergesSql(rounds, s"SELECT text FROM ($srcSql) raw")
+    // keep the training CTE chain, swap the final SELECT
+    val cteOnly = train.substring(0, train.lastIndexOf("\nSELECT 1 AS merge_round"))
+    s"""$cteOnly,
+       |word_tokens AS (
+       |  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS toks,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM syms$rounds GROUP BY word),
+       |doc_ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM ($srcSql) raw2),
+       |doc_words AS (
+       |  SELECT doc_id, CAST(i AS INT) AS widx, ws[CAST(i AS INT)] AS word
+       |  FROM doc_ws, unnest(generate_series(1, CAST(len(ws) AS INT))) g(i)
+       |  WHERE ws[CAST(i AS INT)] <> '')
+       |SELECT d.doc_id, CAST(sum(wt.n) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(wt.toks, ' ' ORDER BY d.widx)) AS tokens_md5
+       |FROM doc_words d JOIN word_tokens wt USING (word)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB oracle: the identical algorithm with the `rounds`
     * iterations unrolled as chained CTEs (the TextRank precedent) —
     * pair lead, argmax with the same tie-break, islands even-offset

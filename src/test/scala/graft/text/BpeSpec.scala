@@ -60,4 +60,31 @@ class BpeSpec extends AnyFunSuite {
     // r1: (a,b)=2 -> single symbol "ab"; no pairs remain
     assert(got.toSeq === Seq((1, "a", "b", 2L)))
   }
+
+  test("encode kernel: token counts and leftmost-merge application") {
+    // merges (a,a) then (aa,b): "aaab" -> aa,a,b -> aa,ab? NO:
+    //   (a,a): a a a b -> aa a b ; (aa,b): aa a b has no adjacent
+    //   (aa,b) pair (aa then a) -> stays 3 tokens
+    // "aab"  -> aa b -> aab (1 token)
+    val enc = Bpe.encode(docs("aaab aab", "aab"),
+        Seq(("a", "a"), ("aa", "b")))
+      .orderBy("doc_id").collect()
+    assert(enc.map(_.getAs[Long]("n_tokens")).toSeq === Seq(3L + 1L, 1L))
+    // doc0 stream "aa a b aab", doc1 stream "aab" -> different digests
+    assert(enc(0).getAs[String]("tokens_md5") !==
+      enc(1).getAs[String]("tokens_md5"))
+  }
+
+  test("train-then-encode: every doc keeps a row, tokens <= chars") {
+    val df = docs("low lower lowest", "aaaa aaa low", "zz qq zz")
+    val enc = Bpe.trainAndEncode(df, 3).collect()
+    assert(enc.length === 3)
+    enc.foreach(r => assert(r.getAs[Long]("n_tokens") > 0))
+  }
+
+  test("empty-word-only docs are dropped from the encoding") {
+    val enc = Bpe.encode(docs("", "ab"), Seq(("a", "b"))).collect()
+    assert(enc.length === 1)
+    assert(enc(0).getAs[Long]("n_tokens") === 1L)
+  }
 }
