@@ -748,6 +748,77 @@ object RelationalQueries {
       |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
       |GROUP BY 1""".stripMargin
 
+  /** Per-group OLS regression (price-vs-quantity slope per supplier
+    * nation): the decomposable-sums shape — one partial-aggregated
+    * shuffle carries five exact sums (decimal trick for the double
+    * products), and slope/intercept fall out of one deterministic
+    * double expression per group. Per-row products are single IEEE
+    * multiplies (exact cross-engine); the SUMS are where order
+    * sensitivity lives, and decimal accumulation removes it. */
+  private val aGroupOls: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val sup = table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val j = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    val g = j.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    g.select(col("s_nationkey"), slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
+
+  private val aGroupOlsSql =
+    s"""WITH g AS (
+       |  SELECT s_nationkey,
+       |    CAST(count(*) AS DOUBLE) AS n,
+       |    ${dsumSql("l_quantity")} AS sx,
+       |    ${dsumSql("l_extendedprice")} AS sy,
+       |    ${dsumSql("l_quantity * l_extendedprice")} AS sxy,
+       |    ${dsumSql("l_quantity * l_quantity")} AS sxx
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1)
+       |SELECT s_nationkey,
+       |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+       |FROM g""".stripMargin
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next = b | current = a). One shuffle for the lead
+    * window, one partial-agg shuffle for the pair counts; the
+    * row-normalizing total rides a second window on the SMALL
+    * transition matrix, not the events. */
+  private val aMarkovTransitions: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ev_us"), col("event_id"))
+    val wRow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cur"))
+    events(s, d)
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_trans",
+        col("n_trans").cast("double") /
+          sum(col("n_trans")).over(wRow).cast("double"))
+  }
+
+  private val aMarkovTransitionsSql =
+    s"""WITH seq AS (
+       |  SELECT event_type, lead(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY $evUsSql, event_id) AS nxt
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n_trans
+       |  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
+       |SELECT cur, nxt, n_trans,
+       |  CAST(n_trans AS DOUBLE) /
+       |    CAST(sum(n_trans) OVER (PARTITION BY cur) AS DOUBLE) AS p_trans
+       |FROM m""".stripMargin
+
   /** Gap-threshold sessionization (ops.Sessionize): 30-minute
     * inactivity gap cuts each user's event stream into sessions;
     * per-session rollup. Both windows ride one shuffle on user_id. */
@@ -1072,6 +1143,8 @@ object RelationalQueries {
     ("j_null_safe", jNullSafe, Some(jNullSafeSql)),
     ("a_salted_agg", aSaltedAgg, Some(aSaltedAggSql)),
     ("a_sessionize", aSessionize, Some(aSessionizeSql)),
+    ("a_group_ols", aGroupOls, Some(aGroupOlsSql)),
+    ("a_markov_transitions", aMarkovTransitions, Some(aMarkovTransitionsSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
