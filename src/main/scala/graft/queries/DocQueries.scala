@@ -255,6 +255,11 @@ object DocQueries {
   private val pipelineBpeMerges: Q = (s, d) =>
     graft.text.Bpe.learnMerges(table(s, d, "documents"), bpeRounds)
 
+  /** One distributed Lloyd iteration (k=8 seeds = first 8 vec_ids) in
+    * quantized-integer space — exact in both engines. */
+  private val knnKmeansStep: Q = (s, d) =>
+    graft.sim.KmeansStep.step(table(s, d, "embeddings"), k = 8)
+
   /** BPE encode: tokenize the corpus with its own learned merges —
     * the imperative mapPartitions kernel must hash-match the oracle's
     * declarative window encoding. */
@@ -404,6 +409,8 @@ object DocQueries {
       Some(graft.text.Bpe.learnMergesSql(bpeRounds))),
     ("pipeline_bpe_encode", pipelineBpeEncode,
       Some(graft.text.Bpe.trainAndEncodeSql(bpeRounds))),
+    ("knn_kmeans_step", knnKmeansStep,
+      Some(graft.sim.KmeansStep.stepSql(k = 8))),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),
