@@ -32,10 +32,14 @@ class PlanLintSpec extends AnyFunSuite {
                               // both already justified above; the
                               // fusion itself is an equi full-outer
                               // join of two ≤depth-row frames
-    "quality_profile"         // cross of the TWO 1-row aggregate
+    "quality_profile",        // cross of the TWO 1-row aggregate
                               // branches (basics × distincts) — the
                               // split that avoids the Expand-carried
                               // min/max trap (see Profile scaladoc)
+    "knn_kmeans_step"         // k=8-row broadcast centroid table
+                              // fanned against the corpus scan — the
+                              // definition of Lloyd assignment (same
+                              // class as knn_cosine_topk's query side)
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
