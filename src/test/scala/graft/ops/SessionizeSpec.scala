@@ -44,6 +44,26 @@ class SessionizeSpec extends AnyFunSuite {
     assert(got === Map((1L, 1L) -> ((3L, 10L, 0L, 2L))))
   }
 
+  test("hot-user skew: one user with 200k events completes and is exact") {
+    // The skew shape that killed the r4 funnel review: a bot account
+    // owning most of the partition. Window state here is O(1) per row
+    // (lag + running sum), and WindowExec sorts via a spillable
+    // buffer, so a hot key costs time, not memory.
+    import spark.implicits._
+    val hot = (0 until 200000).map(i =>
+      (1L, i.toLong * 60L, i.toLong, if (i % 3 == 0) "view" else "click"))
+    val cold = (0 until 100).map(i =>
+      (2L + i, i.toLong * 1000L, 300000L + i, "view"))
+    val got = Sessionize.sessions((hot ++ cold)
+        .toDF("user_id", "ev_us", "event_id", "event_type"), gapUs = 100L)
+    // hot user: every gap is 60us <= 100 -> ONE session of 200k events
+    val hotRow = got.where($"user_id" === 1L).collect()
+    assert(hotRow.length === 1)
+    assert(hotRow(0).getAs[Long]("n_events") === 200000L)
+    assert(hotRow(0).getAs[Long]("duration_us") === 199999L * 60L)
+    assert(got.count() === 101L)
+  }
+
   test("both windows share one Exchange on user_id") {
     val plan = Sessionize.sessions(
       df((1L, 0L, 1L, "a"), (1L, 300L, 2L, "b")), 100L)
