@@ -748,6 +748,91 @@ object RelationalQueries {
       |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
       |GROUP BY 1""".stripMargin
 
+  /** Time-weighted average of `value` per user (trapezoid rule over
+    * the event timeline) — the telemetry integral: sensors sample
+    * irregularly, so the plain AVG over-weights bursts. Exactness:
+    * term magnitudes reach ~1e13, where "round to 6 decimals" is
+    * below the double ulp and engines disagree — so the integral is
+    * computed in EXACT integer space instead: values quantize ×100
+    * (the data is 2-decimal money-style; round-to-nearest of an
+    * almost-integer double agrees everywhere), each trapezoid is one
+    * long product, the sum is decimal(38,0)-exact, and a single
+    * double expression at the end divides out the 200× and the span.
+    * Single-event users carry no interval and are dropped. One
+    * shuffle (the lead window). */
+  private val aTimeWeightedAvg: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ev_us"), col("event_id"))
+    events(s, d)
+      .withColumn("vq", round(col("value") * 100, 0).cast("long"))
+      .withColumn("nxt_us", lead(col("ev_us"), 1).over(w))
+      .withColumn("nxt_vq", lead(col("vq"), 1).over(w))
+      .where(col("nxt_us").isNotNull)
+      .withColumn("term_q",
+        (col("vq") + col("nxt_vq")) * (col("nxt_us") - col("ev_us")))
+      .groupBy(col("user_id"))
+      .agg(sum(col("term_q").cast("decimal(38,0)")).cast("double").as("area2"),
+        (max(col("nxt_us")) - min(col("ev_us"))).as("span_us"))
+      .select(col("user_id"),
+        (col("area2") / lit(200.0) / col("span_us").cast("double")).as("twa"),
+        col("span_us"))
+  }
+
+  private val aTimeWeightedAvgSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, $evUsSql AS us, event_id,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS vq FROM events),
+       |seg AS (
+       |  SELECT user_id, us, vq,
+       |    lead(us) OVER w AS nxt_us, lead(vq) OVER w AS nxt_vq
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |t AS (
+       |  SELECT user_id, (vq + nxt_vq) * (nxt_us - us) AS term_q, us, nxt_us
+       |  FROM seg WHERE nxt_us IS NOT NULL)
+       |SELECT user_id,
+       |  CAST(sum(CAST(term_q AS DECIMAL(38,0))) AS DOUBLE) / 200.0
+       |    / CAST(max(nxt_us) - min(us) AS DOUBLE) AS twa,
+       |  max(nxt_us) - min(us) AS span_us
+       |FROM t GROUP BY 1""".stripMargin
+
+  /** Fixed-width histogram per group INCLUDING empty bins — the
+    * left-join-to-spine semantics a naive GROUP BY silently drops
+    * (a dashboard that omits empty bins lies about the distribution).
+    * The spine is generated (flag × 8 bins, a few dozen rows), the
+    * counts come from one partial-aggregated shuffle, and the join is
+    * a broadcast of the counts ONTO the spine. */
+  private val aHistogramBins = 8
+  private val aHistogram: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+    val top = lit(80000.0)
+    val counts = li
+      .withColumn("bin",
+        least(floor(col("l_extendedprice") / top * aHistogramBins), lit(aHistogramBins - 1))
+          .cast("int"))
+      .groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val spine = li.select(col("l_returnflag")).distinct()
+      .select(col("l_returnflag"),
+        explode(sequence(lit(0), lit(aHistogramBins - 1))).as("bin"))
+    spine.join(counts, Seq("l_returnflag", "bin"), "left")
+      .select(col("l_returnflag"), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  private val aHistogramSql =
+    s"""WITH counts AS (
+       |  SELECT l_returnflag,
+       |    CAST(LEAST(floor(l_extendedprice / 80000.0 * $aHistogramBins),
+       |      ${aHistogramBins - 1}) AS INT) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM lineitem GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT DISTINCT l_returnflag, CAST(i AS INT) AS bin
+       |  FROM lineitem, unnest(generate_series(0, ${aHistogramBins - 1})) g(i))
+       |SELECT s.l_returnflag, s.bin, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+       |FROM spine s LEFT JOIN counts c
+       |  ON s.l_returnflag = c.l_returnflag AND s.bin = c.bin""".stripMargin
+
   /** Per-group OLS regression (price-vs-quantity slope per supplier
     * nation): the decomposable-sums shape — one partial-aggregated
     * shuffle carries five exact sums (decimal trick for the double
@@ -1145,6 +1230,8 @@ object RelationalQueries {
     ("a_sessionize", aSessionize, Some(aSessionizeSql)),
     ("a_group_ols", aGroupOls, Some(aGroupOlsSql)),
     ("a_markov_transitions", aMarkovTransitions, Some(aMarkovTransitionsSql)),
+    ("a_time_weighted_avg", aTimeWeightedAvg, Some(aTimeWeightedAvgSql)),
+    ("a_histogram", aHistogram, Some(aHistogramSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
