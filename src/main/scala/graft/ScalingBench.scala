@@ -28,7 +28,8 @@ object ScalingBench {
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1")
     val queries = Seq("dedup_minhash_lsh", "dedup_chunk",
-      "pipeline_contamination", "dedup_ngram_capped", "dedup_exact")
+      "pipeline_contamination", "dedup_ngram_capped", "dedup_exact",
+      "pipeline_chunk_overlap", "pipeline_bpe_merges", "pipeline_bpe_encode")
 
     def timeOnce(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
