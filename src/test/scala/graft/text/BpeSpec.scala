@@ -82,6 +82,15 @@ class BpeSpec extends AnyFunSuite {
     enc.foreach(r => assert(r.getAs[Long]("n_tokens") > 0))
   }
 
+  test("unicode symbols stay whole: merges operate on chars, not bytes") {
+    // "héhé": chars h,é,h,é -> (h,é)=2 wins round 1, (hé,hé)=1 round 2
+    val got = merges(docs("héhé"), 2)
+    assert(got.toSeq === Seq((1, "h", "é", 2L), (2, "hé", "hé", 1L)))
+    val enc = Bpe.encode(docs("héhé", "né"), Seq(("h", "é")))
+      .orderBy("doc_id").collect()
+    assert(enc.map(_.getAs[Long]("n_tokens")).toSeq === Seq(2L, 2L))
+  }
+
   test("empty-word-only docs are dropped from the encoding") {
     val enc = Bpe.encode(docs("", "ab"), Seq(("a", "b"))).collect()
     assert(enc.length === 1)
