@@ -748,6 +748,15 @@ object RelationalQueries {
       |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
       |GROUP BY 1""".stripMargin
 
+  /** Time-grid forward-fill resample (ops.TimeGrid): 6-hour aligned
+    * grid over each user's event span, latest-value fill via the
+    * as-of idiom. */
+  private val aTimeGridFfill: Q = (s, d) =>
+    graft.ops.TimeGrid.resampleFfill(events(s, d), 21600000000L)
+
+  private val aTimeGridFfillSql =
+    graft.ops.TimeGrid.resampleFfillSql(21600000000L, evUsSql)
+
   /** Time-weighted average of `value` per user (trapezoid rule over
     * the event timeline) — the telemetry integral: sensors sample
     * irregularly, so the plain AVG over-weights bursts. Exactness:
@@ -1232,6 +1241,7 @@ object RelationalQueries {
     ("a_markov_transitions", aMarkovTransitions, Some(aMarkovTransitionsSql)),
     ("a_time_weighted_avg", aTimeWeightedAvg, Some(aTimeWeightedAvgSql)),
     ("a_histogram", aHistogram, Some(aHistogramSql)),
+    ("a_time_grid_ffill", aTimeGridFfill, Some(aTimeGridFfillSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
