@@ -748,6 +748,63 @@ object RelationalQueries {
       |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
       |GROUP BY 1""".stripMargin
 
+  /** CDC changelog apply (ops.Cdc): event_type derives the op
+    * (signup→I, purchase→D, else U); latest change wins, final
+    * deletes drop the key. */
+  private val pipelineCdcApply: Q = (s, d) =>
+    graft.ops.Cdc.applyChangelog(events(s, d)
+      .withColumn("op",
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "purchase", "D")
+          .otherwise("U")))
+
+  private val pipelineCdcApplySql = graft.ops.Cdc.applyChangelogSql(evUsSql)
+
+  /** SCD2 point-in-time enrichment: each purchase event looks up the
+    * state interval covering its timestamp — the as-of predicate the
+    * Scd2 scaladoc promises (`valid_from <= t < valid_to`, open
+    * current rows match via the -1 sentinel). Equi-join on user_id
+    * carries the shuffle; the interval predicate is a post-join
+    * filter, so this plans as a plain sort-merge join, not a range
+    * explosion — per user the interval count is the change count,
+    * bounded and small. */
+  private val jScd2PointInTime: Q = (s, d) => {
+    val hist = graft.ops.Scd2.history(events(s, d))
+      .select(col("user_id"), col("value").as("state"),
+        col("valid_from"), col("valid_to"))
+    val probes = events(s, d)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ev_us").as("t"), col("event_id"))
+    probes.join(hist, probes("user_id") === hist("user_id") &&
+        col("valid_from") <= col("t") &&
+        (col("t") < col("valid_to") || col("valid_to") === -1L))
+      .select(col("event_id"), probes("user_id"), col("t"),
+        col("state"), col("valid_from"))
+  }
+
+  private val jScd2PointInTimeSql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, $evUsSql AS us, event_id, value
+       |  FROM events),
+       |m AS (
+       |  SELECT user_id, event_type, us, event_id,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+       |  FROM ev),
+       |runs AS (
+       |  SELECT user_id, event_type, us, event_id FROM m
+       |  WHERE prev IS NULL OR prev <> event_type),
+       |hist AS (
+       |  SELECT user_id, event_type AS state, us AS valid_from,
+       |    COALESCE(CAST(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT), -1) AS valid_to
+       |  FROM runs),
+       |probes AS (
+       |  SELECT user_id, us AS t, event_id FROM ev
+       |  WHERE event_type = 'purchase')
+       |SELECT p.event_id, p.user_id, p.t, h.state, h.valid_from
+       |FROM probes p JOIN hist h ON p.user_id = h.user_id
+       |  AND h.valid_from <= p.t
+       |  AND (p.t < h.valid_to OR h.valid_to = -1)""".stripMargin
+
   /** Time-grid forward-fill resample (ops.TimeGrid): 6-hour aligned
     * grid over each user's event span, latest-value fill via the
     * as-of idiom. */
@@ -1242,6 +1299,8 @@ object RelationalQueries {
     ("a_time_weighted_avg", aTimeWeightedAvg, Some(aTimeWeightedAvgSql)),
     ("a_histogram", aHistogram, Some(aHistogramSql)),
     ("a_time_grid_ffill", aTimeGridFfill, Some(aTimeGridFfillSql)),
+    ("pipeline_cdc_apply", pipelineCdcApply, Some(pipelineCdcApplySql)),
+    ("j_scd2_pointintime", jScd2PointInTime, Some(jScd2PointInTimeSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
