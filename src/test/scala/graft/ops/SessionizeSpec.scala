@@ -64,6 +64,28 @@ class SessionizeSpec extends AnyFunSuite {
     assert(got.count() === 101L)
   }
 
+  test("batch sessionize agrees with Spark's built-in session_window") {
+    // same gap rule, independent implementations — run both over the
+    // real corpus and compare (session_window works in batch too).
+    // Note: session_window treats the gap as EXCLUSIVE (gap == window
+    // extends), Sessionize uses <= (inclusive keep) — equal-gap events
+    // only; use a gap value no inter-event delta equals to compare.
+    val ev = graft.queries.QueryDsl.events(spark, "/root/testdata/sf0.001")
+    val gapUs = 30L * 60 * 1000 * 1000 + 1 // odd micros: no delta ties it
+    val batch = Sessionize.sessions(ev, gapUs)
+      .select("user_id", "n_events", "start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val builtin = ev
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(
+          col("ev_ts"), s"${gapUs} microseconds").as("sw"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        min(col("ev_us")).as("start_us"))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("start_us")) -> r.getAs[Long]("n_events")).toMap
+    assert(batch === builtin)
+  }
+
   test("both windows share one Exchange on user_id") {
     val plan = Sessionize.sessions(
       df((1L, 0L, 1L, "a"), (1L, 300L, 2L, "b")), 100L)
