@@ -877,7 +877,9 @@ object RelationalQueries {
           .cast("int"))
       .groupBy(col("l_returnflag"), col("bin"))
       .agg(count(lit(1)).as("n"))
-    val spine = li.select(col("l_returnflag")).distinct()
+    // spine flags come from the tiny post-agg counts frame (a flag
+    // with any row at all appears there) — no second corpus scan
+    val spine = counts.select(col("l_returnflag")).distinct()
       .select(col("l_returnflag"),
         explode(sequence(lit(0), lit(aHistogramBins - 1))).as("bin"))
     spine.join(counts, Seq("l_returnflag", "bin"), "left")

@@ -2,7 +2,6 @@ package graft.sim
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** One distributed Lloyd (k-means) iteration over the embedding
   * corpus — the cluster-side primitive behind IVF cell training
@@ -11,11 +10,14 @@ import org.apache.spark.sql.expressions.Window
   * cells after a large ingest).
   *
   * Scale shape at 100 TB: the k seed centroids broadcast (k×d
-  * numbers); assignment is a narrow corpus scan fanned k-ways with
-  * the argmin taken by a window on vec_id (one shuffle); the mean
-  * recompute is a partial-aggregated groupBy on (cluster, dim) whose
-  * shuffle carries k×d×partitions partial sums, not vectors. No
-  * driver materialization beyond the seed row set.
+  * numbers); assignment fans the corpus scan k-ways but collapses it
+  * back MAP-SIDE — the argmin is a `min(struct(dist, cid, vq))`
+  * hash-aggregate whose partial combine runs before any exchange, so
+  * the shuffle carries n rows, never n×k (a window argmin would ship
+  * the full fan-out). The mean recompute is a partial-aggregated
+  * groupBy on (cluster, dim) whose shuffle carries k×d×partitions
+  * partial sums, not vectors. No driver materialization beyond the
+  * seed row set.
   *
   * Exactness: floats are quantized to integer 1e-3-ish units
   * (floor(x·1024)) BEFORE any arithmetic, so distances and mean
@@ -36,17 +38,18 @@ object KmeansStep {
       expr(s"transform(embedding, x -> CAST(floor(x * $Q) AS BIGINT))").as("vq"))
     val cents = q.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("vq").as("cq"))
-    val wVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
+    // struct ordering = (dist, cid, vq): (dist, cid) is already unique
+    // per vec (cid is a vec_id), so vq rides along without ever
+    // deciding the min — it just survives to the next stage
     val assigned = q.crossJoin(broadcast(cents))
       .withColumn("dist", expr(
         "aggregate(zip_with(vq, cq, (x, c) -> (x - c) * (x - c)), " +
           "CAST(0 AS BIGINT), (a, v) -> a + v)"))
-      .withColumn("rn", row_number().over(wVec))
-      .where(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"), col("vq"))).as("m"))
     assigned
-      .select(col("cid").as("cluster_id"),
-        posexplode(col("vq")).as(Seq("dim", "xq")))
+      .select(col("m.cid").as("cluster_id"),
+        posexplode(col("m.vq")).as(Seq("dim", "xq")))
       .groupBy(col("cluster_id"), col("dim"))
       .agg(count(lit(1)).as("n_members"),
         (sum(col("xq")).cast("double") /

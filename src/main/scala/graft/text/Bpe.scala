@@ -53,6 +53,7 @@ object Bpe {
     import spark.implicits._
     val wOrd = Window.partitionBy("word").orderBy("pos")
     var syms = initSyms(docs).localCheckpoint(true)
+    var prevSyms: DataFrame = null
     val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -69,6 +70,7 @@ object Bpe {
           bestRows(0).getLong(2))
         merges += ((r, l, rt, c))
         val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        prevSyms = syms
         syms = pairs
           .withColumn("is_cand",
             coalesce(col("sym") === lit(l) && col("nxt") === lit(rt), lit(false)))
@@ -87,9 +89,14 @@ object Bpe {
           .select(col("word"), col("freq"), col("pos2").as("pos"),
             col("sym2").as("sym"))
           .localCheckpoint(true)
+        // the new checkpoint is materialized (eager=true) — release
+        // the previous round's blocks instead of pinning `rounds`
+        // generations of the symbol table
+        prevSyms.unpersist(false)
       }
       r += 1
     }
+    syms.unpersist(false) // the merge table is the artifact, not the syms
     merges.toSeq.toDF("merge_round", "merge_left", "merge_right", "pair_count")
   }
 
@@ -117,8 +124,13 @@ object Bpe {
     val encoded = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val ms = bc.value
+        // bounded memo: distinct words per partition is vocab-sized,
+        // but a pathological partition (all-unique synthetic ids)
+        // could grow without limit — epoch-clear past 1M entries
+        // (pure function: clearing only costs recompute)
         val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
-        def applyMerges(word: String): Array[String] =
+        def applyMerges(word: String): Array[String] = {
+          if (memo.size > (1 << 20)) memo.clear()
           memo.getOrElseUpdate(word, {
             var syms: Array[String] = word.map(_.toString).toArray
             for ((l, r) <- ms) {
@@ -133,6 +145,7 @@ object Bpe {
             }
             syms
           })
+        }
         it.flatMap { case (docId, text) =>
           val words = text.split(" ").filter(_.nonEmpty)
           if (words.isEmpty) Iterator.empty
