@@ -74,6 +74,25 @@ object ExtendedQueries {
       |CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** UNPIVOT — the inverse surface: melt the pivoted per-user counts
+    * back to long form (wide sensor/metric tables arrive constantly;
+    * melting them is how they enter a long-form warehouse). Zero
+    * cells survive the round trip, so pivot ∘ unpivot is lossless. */
+  private val unpivotTypes = Seq("click", "view", "purchase", "signup", "error")
+  private val unpivotQ: Q = (s, d) =>
+    pivotQ(s, d).unpivot(
+      Array(col("user_id")), unpivotTypes.map(col).toArray, "event_type", "n")
+
+  private val unpivotSql =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |t(event_type) AS (VALUES ${unpivotTypes.map(t => s"('$t')").mkString(", ")}),
+       |c AS (
+       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+       |FROM u CROSS JOIN t
+       |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type""".stripMargin
+
   /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices) with
     * GROUPING() markers to disambiguate real NULLs from subtotal rows. */
   private val groupingSetsQ: Q = (s, d) =>
@@ -370,6 +389,7 @@ object ExtendedQueries {
     ("j_interval_overlap", overlapJoinQ, Some(overlapJoinSql)),
     ("except_all", exceptAllQ, Some(exceptAllSql)),
     ("intersect_all", intersectAllQ, Some(intersectAllSql)),
-    ("pivot_event_counts", pivotQ, Some(pivotSql))
+    ("pivot_event_counts", pivotQ, Some(pivotSql)),
+    ("unpivot_event_counts", unpivotQ, Some(unpivotSql))
   )
 }
