@@ -255,6 +255,10 @@ object DocQueries {
   private val pipelineBpeMerges: Q = (s, d) =>
     graft.text.Bpe.learnMerges(table(s, d, "documents"), bpeRounds)
 
+  /** Next-fit whole-doc packing: 256-token bins, docs never split. */
+  private val pipelinePackWhole: Q = (s, d) =>
+    CorpusPipeline.packWholeDocs(table(s, d, "documents"))
+
   /** One distributed Lloyd iteration (k=8 seeds = first 8 vec_ids) in
     * quantized-integer space — exact in both engines. */
   private val knnKmeansStep: Q = (s, d) =>
@@ -411,6 +415,8 @@ object DocQueries {
       Some(graft.text.Bpe.trainAndEncodeSql(bpeRounds))),
     ("knn_kmeans_step", knnKmeansStep,
       Some(graft.sim.KmeansStep.stepSql(k = 8))),
+    ("pipeline_pack_whole_docs", pipelinePackWhole,
+      Some(CorpusPipeline.packWholeDocsSql())),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),

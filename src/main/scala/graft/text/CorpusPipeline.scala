@@ -135,6 +135,63 @@ object CorpusPipeline {
       .select("doc_id", "lang", "n_tokens", "offset", "chunk_id")
   }
 
+  /** Next-fit WHOLE-doc packing — the instruction-tuning counterpart
+    * of [[packSequences]]: documents are never split; the running bin
+    * closes when the next doc would overflow the token budget (an
+    * oversize doc owns a bin by itself). Bin assignment is inherently
+    * sequential per shard, so it runs as an O(1)-state sorted
+    * mapPartitions kernel with each lang co-located by a repartition
+    * — the Funnel pattern, skew-safe by construction (state never
+    * grows with history). The oracle is a DuckDB recursive CTE
+    * walking the same (lang, doc_id) order: the imperative kernel and
+    * the declarative recursion must agree bin-for-bin. */
+  def packWholeDocs(docs: DataFrame, budgetTokens: Long = 256L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartition(col("lang"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        var lang: String = null
+        var used = 0L
+        var bin = 0L
+        it.map { case (id, lg, n) =>
+          if (lg != lang) { lang = lg; bin = 1L; used = 0L }
+          if (used > 0 && used + n > budgetTokens) { bin += 1; used = 0L }
+          val off = used
+          used += n
+          (id, lg, n, bin, off)
+        }
+      }
+      .toDF("doc_id", "lang", "n_tokens", "bin_id", "offset_in_bin")
+  }
+
+  /** DuckDB oracle for [[packWholeDocs]]: recursive next-fit walk. */
+  def packWholeDocsSql(budgetTokens: Long = 256L): String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |pack AS (
+       |  SELECT doc_id, lang, n, rn,
+       |    CAST(1 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS off, n AS used
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.doc_id, t.lang, t.n, t.rn,
+       |    CASE WHEN p.used + t.n <= $budgetTokens
+       |         THEN p.bin_id ELSE p.bin_id + 1 END,
+       |    CASE WHEN p.used + t.n <= $budgetTokens
+       |         THEN p.used ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN p.used + t.n <= $budgetTokens
+       |         THEN p.used + t.n ELSE t.n END
+       |  FROM t JOIN pack p ON t.lang = p.lang AND t.rn = p.rn + 1)
+       |SELECT doc_id, lang, n AS n_tokens, bin_id,
+       |  off AS offset_in_bin
+       |FROM pack""".stripMargin
+
   def packSequencesSql(chunkTokens: Long = 256L): String =
     s"""SELECT doc_id, lang, n_tokens,
        |  CAST(COALESCE(SUM(n_tokens) OVER w - n_tokens, 0) AS BIGINT) AS offset,

@@ -276,4 +276,37 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === expected)
     assert((0L until 100L).toSet.subsetOf(got)) // no false negatives
   }
+
+  test("packWholeDocs: docs never split, bins never overflow, offsets stack") {
+    import org.apache.spark.sql.functions._
+    val packed = CorpusPipeline.packWholeDocs(docs, budgetTokens = 256L)
+    // every doc appears exactly once
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    // bins only exceed budget when they hold a single oversize doc
+    val bad = packed.groupBy("lang", "bin_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("k"))
+      .where(col("t") > 256L && col("k") > 1L).count()
+    assert(bad === 0L)
+    // offsets are the running sum within each bin (docs in id order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "bin_id").orderBy("doc_id")
+    val misplaced = packed
+      .withColumn("expected_off",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .where(col("offset_in_bin") =!= col("expected_off")).count()
+    assert(misplaced === 0L)
+    // next-fit is "greedy forward": a doc goes in a NEW bin only if it
+    // did not fit in the previous one
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    val lazyClose = packed
+      .withColumn("prev_bin", lag(col("bin_id"), 1).over(wl))
+      .withColumn("prev_used",
+        lag(col("offset_in_bin") + col("n_tokens"), 1).over(wl))
+      .where(col("prev_bin").isNotNull && col("bin_id") === col("prev_bin") + 1 &&
+        col("prev_used") + col("n_tokens") <= 256L)
+      .count()
+    assert(lazyClose === 0L)
+  }
 }
