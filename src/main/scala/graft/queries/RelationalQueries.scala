@@ -748,6 +748,34 @@ object RelationalQueries {
       |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
       |GROUP BY 1""".stripMargin
 
+  /** Incremental join maintenance (ops.IncrementalJoin): customers
+    * and orders are each split old/delta by deterministic hash; the
+    * maintained view (old⋈old ∪ Δ-join) must equal the full join —
+    * verified through a per-segment rollup so the gate rows stay
+    * small while every pair still counts. */
+  private val pipelineIncrementalJoin: Q = (s, d) => {
+    val cust = table(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ord = table(s, d, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val (cOld, cDelta) = (cust.where(col("c_custkey") % 7 =!= 0),
+      cust.where(col("c_custkey") % 7 === 0))
+    val (oOld, oDelta) = (ord.where(col("c_custkey") % 10 =!= 3),
+      ord.where(col("c_custkey") % 10 === 3))
+    val oldView = cOld.join(oOld, Seq("c_custkey"))
+    graft.ops.IncrementalJoin
+      .maintain(oldView, cOld, cDelta, oOld, oDelta, Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum(col("o_totalprice")).as("total"))
+  }
+
+  private val pipelineIncrementalJoinSql =
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  ${dsumSql("o_totalprice")} AS total
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |GROUP BY 1""".stripMargin
+
   /** CDC changelog apply (ops.Cdc): event_type derives the op
     * (signup→I, purchase→D, else U); latest change wins, final
     * deletes drop the key. */
@@ -1309,6 +1337,8 @@ object RelationalQueries {
     ("a_histogram", aHistogram, Some(aHistogramSql)),
     ("a_time_grid_ffill", aTimeGridFfill, Some(aTimeGridFfillSql)),
     ("pipeline_cdc_apply", pipelineCdcApply, Some(pipelineCdcApplySql)),
+    ("pipeline_incremental_join", pipelineIncrementalJoin,
+      Some(pipelineIncrementalJoinSql)),
     ("j_scd2_pointintime", jScd2PointInTime, Some(jScd2PointInTimeSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
