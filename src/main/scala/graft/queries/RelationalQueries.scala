@@ -748,6 +748,36 @@ object RelationalQueries {
       |FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q14-shaped promo revenue share: lineitem ⋈ part (broadcast
+    * dim — the one table no other gate touches), revenue split by the
+    * PROMO type flag per ship-year via conditional aggregation, share
+    * as one deterministic division of two decimal-exact sums. */
+  private val jPartPromoShare: Q = (s, d) => {
+    val li = table(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_shipdate"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val part = table(s, d, "part").select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        dsum(col("rev")).as("total_rev"))
+      .withColumn("promo_share", col("promo_rev") / col("total_rev"))
+  }
+
+  private val jPartPromoShareSql =
+    s"""WITH j AS (
+       |  SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       |    l_extendedprice * (1.0 - l_discount) AS rev, p_type
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+       |SELECT ship_year,
+       |  ${dsumSql("CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END")} AS promo_rev,
+       |  ${dsumSql("rev")} AS total_rev,
+       |  ${dsumSql("CASE WHEN p_type = 'PROMO' THEN rev ELSE 0.0 END")} /
+       |    ${dsumSql("rev")} AS promo_share
+       |FROM j GROUP BY 1""".stripMargin
+
   /** Incremental join maintenance (ops.IncrementalJoin): customers
     * and orders are each split old/delta by deterministic hash; the
     * maintained view (old⋈old ∪ Δ-join) must equal the full join —
@@ -1339,6 +1369,7 @@ object RelationalQueries {
     ("pipeline_cdc_apply", pipelineCdcApply, Some(pipelineCdcApplySql)),
     ("pipeline_incremental_join", pipelineIncrementalJoin,
       Some(pipelineIncrementalJoinSql)),
+    ("j_part_promo_share", jPartPromoShare, Some(jPartPromoShareSql)),
     ("j_scd2_pointintime", jScd2PointInTime, Some(jScd2PointInTimeSql)),
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
