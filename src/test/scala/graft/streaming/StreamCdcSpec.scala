@@ -55,6 +55,41 @@ class StreamCdcSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cdc_ckpt").toString
+    val input = MemoryStream[Change]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[SnapshotRow]()
+    // memory sinks cannot recover from a checkpoint; foreachBatch can
+    def start() = StreamCdc.snapshot(input.toDS())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[SnapshotRow],
+          _: Long) => batch.collect().foreach(sink.add) }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      input.addData(Change(1L, 10L, 1L, "I", 4.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint: the held state for user 1
+    // must still be there, so a stale change arriving AFTER the
+    // restart is rejected against it
+    val q2 = start()
+    try {
+      input.addData(Change(1L, 5L, 2L, "U", 99.0)) // stale vs us=10
+      q2.processAllAvailable()
+      val rows = sink.toArray(Array.empty[SnapshotRow])
+      assert(rows.nonEmpty)
+      val last = rows.maxBy(_.updated_us)
+      assert(last.value === 4.0 && last.updated_us === 10L && !last.deleted)
+    } finally q2.stop()
+  }
+
   test("kernel: stale change never overwrites; equal-us ties on event_id") {
     val s0 = foldChanges(None, Seq(Change(1L, 10L, 5L, "I", 1.0)))
     assert(s0 === Some(KeyState(1.0, 10L, 5L)))
