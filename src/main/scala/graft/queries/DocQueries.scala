@@ -255,6 +255,28 @@ object DocQueries {
   private val pipelineBpeMerges: Q = (s, d) =>
     graft.text.Bpe.learnMerges(table(s, d, "documents"), bpeRounds)
 
+  /** Count-Min frequency estimates per (lang, source): sketches built
+    * distributed (one grid per lang), point-queried against the exact
+    * counts. Rows-only — the xxhash64-seeded grid has no DuckDB
+    * spelling; CountMinSpec pins the one-sided error bound and
+    * partitioning-invariance instead. */
+  private val aCountminFreq: Q = (s, d) => {
+    import s.implicits._
+    val (w, dep) = (256, 4)
+    val docs = table(s, d, "documents")
+    val skMap = docs
+      .groupBy("lang")
+      .agg(graft.functions.CountMinAgg.countMin(w, dep)(col("source")).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    val rows = docs.groupBy("lang", "source").count().collect().map { r =>
+      val (lang, src, n) = (r.getString(0), r.getString(1), r.getLong(2))
+      (lang, src, n,
+        graft.functions.CountMinAgg.estimate(skMap(lang), w, dep, src))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    rows.toDF("lang", "source", "n_exact", "n_est")
+  }
+
   /** Next-fit whole-doc packing: 256-token bins, docs never split. */
   private val pipelinePackWhole: Q = (s, d) =>
     CorpusPipeline.packWholeDocs(table(s, d, "documents"))
@@ -417,6 +439,7 @@ object DocQueries {
       Some(graft.sim.KmeansStep.stepSql(k = 8))),
     ("pipeline_pack_whole_docs", pipelinePackWhole,
       Some(CorpusPipeline.packWholeDocsSql())),
+    ("a_countmin_freq", aCountminFreq, None),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),

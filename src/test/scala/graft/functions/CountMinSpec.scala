@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import CountMinAgg._
+
+class CountMinSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  private val (w, d) = (256, 4)
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Long] =
+    df.agg(countMin(w, d)(col("item"))).collect()(0)
+      .getSeq[Long](0).toArray
+
+  test("one-sided CMS bound: never undercounts, overshoot <= e/width * n") {
+    import spark.implicits._
+    // zipf-ish: item k appears 1000/k times
+    val rows = (1 to 50).flatMap(k => Seq.fill(1000 / k)(s"item$k"))
+    val df = rows.toDF("item")
+    val sk = sketchOf(df)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val bound = math.ceil(math.E / w * n).toLong
+    exact.foreach { case (k, c) =>
+      val est = estimate(sk, w, d, k)
+      assert(est >= c, s"undercount for $k")
+      assert(est <= c + bound, s"overshoot for $k: $est vs $c + $bound")
+    }
+    // an absent key estimates at most the collision bound
+    assert(estimate(sk, w, d, "never-seen") <= bound)
+  }
+
+  test("sketch is invariant to partitioning (merge associativity)") {
+    import spark.implicits._
+    val rows = (1 to 2000).map(i => s"k${i % 37}")
+    val a = sketchOf(rows.toDF("item"))
+    val b = sketchOf(rows.toDF("item").repartition(13))
+    val c = sketchOf(rows.toDF("item").repartition(1))
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq === c.toSeq)
+  }
+
+  test("total mass per depth row equals n") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => s"x$i")
+    val sk = sketchOf(rows.toDF("item"))
+    for (depth <- 0 until d) {
+      val rowSum = sk.slice(depth * w, (depth + 1) * w).sum
+      assert(rowSum === 500L)
+    }
+  }
+}
