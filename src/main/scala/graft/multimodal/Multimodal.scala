@@ -47,6 +47,9 @@ object Multimodal {
   case class AudioFeatures(media_id: Long, sampleRate: Int, nSamples: Int,
       durationMs: Double, rms: Double, peak: Int, zeroCrossings: Int)
 
+  case class AudioSpectral(media_id: Long, sampleRate: Int, nFrames: Int,
+      dominantBand: Int, bandEnergy: Array[Double])
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -337,6 +340,50 @@ object Multimodal {
       AudioFeatures(a.media_id, a.sampleRate, n,
         if (a.sampleRate > 0) n * 1000.0 / a.sampleRate else 0.0,
         if (n > 0) math.sqrt(sq / n) else 0.0, peak, zc)
+    })
+  }
+
+  /** Per-band spectral energy via the Goertzel kernel — the cheap,
+    * FFT-free way to get "how much energy near frequency f" for a
+    * handful of bands (language/music/noise discrimination features).
+    * Band b targets DFT bin round((b+0.5)·frameSize/(2·bands)) — band
+    * centers spread evenly to Nyquist — and energies average over
+    * whole `frameSize`-sample frames (the ragged tail is dropped).
+    * All math is per-row sequential doubles: deterministic on any
+    * partitioning, no cross-row sums. Narrow mapPartitions, same
+    * scale shape as every other decode kernel here. */
+  def audioSpectral(audio: Dataset[DecodedAudio], frameSize: Int = 512,
+      bands: Int = 8): Dataset[AudioSpectral] = {
+    require(frameSize > 0 && bands > 0 && bands * 2 <= frameSize)
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.map { a =>
+      val nFrames = a.samples.length / frameSize
+      val energy = new Array[Double](bands)
+      var f = 0
+      while (f < nFrames) {
+        var b = 0
+        while (b < bands) {
+          val k = math.max(1,
+            math.round((b + 0.5) * frameSize / (2.0 * bands)).toInt)
+          val coeff = 2.0 * math.cos(2.0 * math.Pi * k / frameSize)
+          var s1 = 0.0; var s2 = 0.0
+          var i = f * frameSize
+          val end = i + frameSize
+          while (i < end) {
+            val s0 = a.samples(i) / 32768.0 + coeff * s1 - s2
+            s2 = s1; s1 = s0; i += 1
+          }
+          energy(b) += s1 * s1 + s2 * s2 - coeff * s1 * s2
+          b += 1
+        }
+        f += 1
+      }
+      if (nFrames > 0) { var b = 0; while (b < bands) { energy(b) /= nFrames; b += 1 } }
+      var dom = 0; var best = -1.0
+      var b = 0
+      while (b < bands) { if (energy(b) > best) { best = energy(b); dom = b }; b += 1 }
+      AudioSpectral(a.media_id, a.sampleRate, nFrames, dom, energy)
     })
   }
 

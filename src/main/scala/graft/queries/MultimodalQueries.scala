@@ -95,6 +95,20 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** audio decode → Goertzel band energies (8 bands to Nyquist),
+    * exploded per band with 6-dp rounding for a stable dump. */
+  private val spectral: Q = (s, _) => {
+    import Multimodal._
+    val media = mediaTable(s).as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
+    audioSpectral(decodeAudio(media)).toDF()
+      .select(col("media_id"), col("nFrames").as("n_frames"),
+        col("dominantBand").as("dominant_band"),
+        posexplode(col("bandEnergy")).as(Seq("band", "energy")))
+      .select(col("media_id"), col("n_frames"), col("dominant_band"),
+        col("band"), round(col("energy"), 6).as("energy"))
+      .orderBy(col("media_id"), col("band"))
+  }
+
   /** keyframe/scene-change detection: frame-vs-predecessor MAD with
     * 4-dp rounding for a stable dump. */
   private val keyframesQ: Q = (s, _) => {
@@ -111,6 +125,7 @@ object MultimodalQueries {
     ("multimodal_resize", resized, None),
     ("multimodal_frames", frames, None),
     ("multimodal_audio", audio, None),
-    ("multimodal_keyframes", keyframesQ, None)
+    ("multimodal_keyframes", keyframesQ, None),
+    ("multimodal_spectral", spectral, None)
   )
 }
