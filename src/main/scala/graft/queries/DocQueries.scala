@@ -255,6 +255,23 @@ object DocQueries {
   private val pipelineBpeMerges: Q = (s, d) =>
     graft.text.Bpe.learnMerges(table(s, d, "documents"), bpeRounds)
 
+  /** Distribution drift (PSI) between two hash-split corpus halves:
+    * per-lang n_chars distributions over 8 bins — near-zero PSI by
+    * construction (same generator), which is exactly what a
+    * same-distribution control should read. */
+  private val qualityDriftPsi: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    graft.sources.Drift.psi(
+      docs.where(col("doc_id") % 3 =!= 0),
+      docs.where(col("doc_id") % 3 === 0),
+      "lang", "n_chars", hi = 2000.0)
+  }
+
+  private val qualityDriftPsiSql = graft.sources.Drift.psiSql(
+    "SELECT lang, n_chars FROM documents WHERE doc_id % 3 <> 0",
+    "SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 0",
+    "lang", "n_chars", hi = 2000.0)
+
   /** Count-Min frequency estimates per (lang, source): sketches built
     * distributed (one grid per lang), point-queried against the exact
     * counts. Rows-only — the xxhash64-seeded grid has no DuckDB
@@ -440,6 +457,7 @@ object DocQueries {
     ("pipeline_pack_whole_docs", pipelinePackWhole,
       Some(CorpusPipeline.packWholeDocsSql())),
     ("a_countmin_freq", aCountminFreq, None),
+    ("quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiSql)),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),

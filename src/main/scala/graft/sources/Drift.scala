@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution drift between two corpus snapshots via the Population
+  * Stability Index — the monitoring primitive that pages a pipeline
+  * owner when yesterday's ingest stops looking like the training
+  * distribution: PSI = Σ_bins (p_new − p_old)·ln(p_new / p_old),
+  * with Laplace-smoothed bin proportions so empty bins stay finite.
+  * Rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 broken.
+  *
+  * Scale shape: each side is one partial-aggregated groupBy down to
+  * (group, bin) counts — the join and PSI math run on bins × groups
+  * rows, never corpus rows. Exactness: proportions are exact
+  * rationals (long counts), each PSI term is rounded to 6 dp before
+  * the decimal-exact sum (the entropy-kernel precedent — ln may
+  * differ in the last ulp across engines; the 6-dp grid absorbs it).
+  */
+object Drift {
+
+  /** PSI per `groupCol` between `oldDf` and `newDf` over `valueCol`
+    * bucketed into `bins` fixed-width bins of [0, hi). */
+  def psi(oldDf: DataFrame, newDf: DataFrame, groupCol: String,
+      valueCol: String, hi: Double, bins: Int = 8): DataFrame = {
+    def binned(df: DataFrame, n: String) = df
+      .withColumn("bin",
+        least(floor(col(valueCol) / hi * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as(n))
+    val spine = oldDf.select(col(groupCol)).distinct()
+      .unionByName(newDf.select(col(groupCol)).distinct()).distinct()
+      .select(col(groupCol),
+        explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+    val joined = spine
+      .join(binned(oldDf, "n_old"), Seq(groupCol, "bin"), "left")
+      .join(binned(newDf, "n_new"), Seq(groupCol, "bin"), "left")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val smoothedP = (n: String) =>
+      (col(n) + 1).cast("double") /
+        (sum(col(n)).over(wG) + bins).cast("double")
+    joined
+      .withColumn("p_old", smoothedP("n_old"))
+      .withColumn("p_new", smoothedP("n_new"))
+      .withColumn("term",
+        round((col("p_new") - col("p_old")) *
+          log(col("p_new") / col("p_old")), 6))
+      .groupBy(col(groupCol))
+      .agg(graft.queries.QueryDsl.dsum(col("term")).as("psi"),
+        sum(col("n_old")).as("n_old_rows"),
+        sum(col("n_new")).as("n_new_rows"))
+  }
+
+  /** DuckDB oracle: identical binning, smoothing, term rounding. */
+  def psiSql(oldSql: String, newSql: String, groupCol: String,
+      valueCol: String, hi: Double, bins: Int = 8): String =
+    s"""WITH old_b AS (
+       |  SELECT $groupCol, CAST(LEAST(floor($valueCol / $hi * $bins),
+       |    ${bins - 1}) AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_old
+       |  FROM ($oldSql) o GROUP BY 1, 2),
+       |new_b AS (
+       |  SELECT $groupCol, CAST(LEAST(floor($valueCol / $hi * $bins),
+       |    ${bins - 1}) AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_new
+       |  FROM ($newSql) nn GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT g.$groupCol, CAST(i AS INT) AS bin
+       |  FROM (SELECT $groupCol FROM old_b UNION
+       |        SELECT $groupCol FROM new_b) g,
+       |    unnest(generate_series(0, ${bins - 1})) s(i)),
+       |j AS (
+       |  SELECT s.$groupCol, s.bin,
+       |    COALESCE(o.n_old, 0) AS n_old, COALESCE(n.n_new, 0) AS n_new
+       |  FROM spine s
+       |  LEFT JOIN old_b o ON s.$groupCol = o.$groupCol AND s.bin = o.bin
+       |  LEFT JOIN new_b n ON s.$groupCol = n.$groupCol AND s.bin = n.bin),
+       |p AS (
+       |  SELECT $groupCol, bin, n_old, n_new,
+       |    CAST(n_old + 1 AS DOUBLE) /
+       |      CAST(sum(n_old) OVER (PARTITION BY $groupCol) + $bins AS DOUBLE) AS p_old,
+       |    CAST(n_new + 1 AS DOUBLE) /
+       |      CAST(sum(n_new) OVER (PARTITION BY $groupCol) + $bins AS DOUBLE) AS p_new
+       |  FROM j)
+       |SELECT $groupCol,
+       |  ${graft.queries.QueryDsl.dsumSql("round((p_new - p_old) * ln(p_new / p_old), 6)")} AS psi,
+       |  CAST(sum(n_old) AS BIGINT) AS n_old_rows,
+       |  CAST(sum(n_new) AS BIGINT) AS n_new_rows
+       |FROM p GROUP BY 1""".stripMargin
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DriftSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  private def df(rows: Seq[(String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("g", "v")
+  }
+
+  private def psiOf(old: Seq[(String, Double)], nw: Seq[(String, Double)]) =
+    Drift.psi(df(old), df(nw), "g", "v", hi = 100.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("identical distributions read ~0; a mean shift reads > 0.25") {
+    val base = (1 to 500).map(i => ("a", (i % 90).toDouble))
+    val shifted = (1 to 500).map(i => ("a", (i % 90) / 3.0)) // squashed low
+    val same = psiOf(base, base)
+    assert(math.abs(same("a")) < 0.001, s"control PSI ${same("a")}")
+    val moved = psiOf(base, shifted)
+    assert(moved("a") > 0.25, s"drift PSI ${moved("a")}")
+  }
+
+  test("groups are independent; a group present on one side only still reports") {
+    val old = (1 to 100).map(i => ("a", i.toDouble % 50)) ++
+      (1 to 100).map(i => ("only_old", i.toDouble % 50))
+    val nw = (1 to 100).map(i => ("a", i.toDouble % 50))
+    val got = psiOf(old, nw)
+    assert(got.keySet === Set("a", "only_old"))
+    assert(math.abs(got("a")) < 0.001)
+    // all new-side mass is smoothing-only -> large PSI
+    assert(got("only_old") > 0.0)
+  }
+
+  test("values at or beyond hi clamp into the top bin, not out of range") {
+    val got = psiOf(Seq(("a", 250.0), ("a", 10.0)), Seq(("a", 99.0), ("a", 10.0)))
+    assert(got.contains("a")) // no exception, finite result
+    assert(!got("a").isNaN && !got("a").isInfinite)
+  }
+}
