@@ -1047,6 +1047,55 @@ object RelationalQueries {
   private val aSessionizeSql =
     graft.ops.Sessionize.sessionsSql(sessionGapUs, evUsSql)
 
+  /** Event-level session features: each event tagged with its session
+    * ordinal, position within the session, and microseconds since the
+    * session started — the per-event join-back a feature pipeline
+    * derives after sessionization. The session-id running sum rides
+    * the user_id shuffle; the session-scoped position/start windows
+    * re-sort within the (user, session) refinement of the same
+    * partitioning. */
+  private val wSessionFeatures: Q = (s, d) => {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ev_us"), col("event_id"))
+    val bySession = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ev_us"), col("event_id"))
+    events(s, d)
+      .withColumn("is_start",
+        when(col("ev_us") - lag(col("ev_us"), 1).over(byUser) <= sessionGapUs,
+          lit(0L)).otherwise(lit(1L)))
+      .withColumn("session_id", sum(col("is_start")).over(
+        byUser.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("pos_in_session",
+        row_number().over(bySession).cast("long"))
+      .withColumn("us_into_session",
+        col("ev_us") - min(col("ev_us")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("session_id"))))
+      .select(col("event_id"), col("user_id"), col("session_id"),
+        col("pos_in_session"), col("us_into_session"))
+  }
+
+  private val wSessionFeaturesSql =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, $evUsSql AS us FROM events),
+       |flagged AS (
+       |  SELECT event_id, user_id, us,
+       |    CASE WHEN us - lag(us) OVER w <= $sessionGapUs THEN 0 ELSE 1 END AS is_start
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (
+       |  SELECT event_id, user_id, us,
+       |    sum(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged)
+       |SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  CAST(row_number() OVER (PARTITION BY user_id, session_id
+       |    ORDER BY us, event_id) AS BIGINT) AS pos_in_session,
+       |  us - min(us) OVER (PARTITION BY user_id, session_id) AS us_into_session
+       |FROM sess""".stripMargin
+
   /** Two-phase salted aggregation (ops.SkewOps): the hot-key guard for
     * skewed GROUP BY at 100 TB — each key is split across 16 salt
     * buckets for the partial agg, then merged. The oracle is the PLAIN
@@ -1361,6 +1410,7 @@ object RelationalQueries {
     ("j_null_safe", jNullSafe, Some(jNullSafeSql)),
     ("a_salted_agg", aSaltedAgg, Some(aSaltedAggSql)),
     ("a_sessionize", aSessionize, Some(aSessionizeSql)),
+    ("w_session_features", wSessionFeatures, Some(wSessionFeaturesSql)),
     ("a_group_ols", aGroupOls, Some(aGroupOlsSql)),
     ("a_markov_transitions", aMarkovTransitions, Some(aMarkovTransitionsSql)),
     ("a_time_weighted_avg", aTimeWeightedAvg, Some(aTimeWeightedAvgSql)),
