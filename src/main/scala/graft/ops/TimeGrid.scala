@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *
   * The grid starts at the first multiple of `stepUs` ≥ the key's
   * first event, so every grid point has a predecessor — the output
-  * has no null fills by construction. */
+  * has no null fills by construction. Timestamps must be ≥ 0 (epoch
+  * micros are): Spark's `div` truncates toward zero while the
+  * oracle's `//` floors, and the two only agree on non-negative
+  * operands. */
 object TimeGrid {
 
   /** @return (user_id, t_us, asof_us, value) — one row per grid point

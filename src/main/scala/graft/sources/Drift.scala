@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
 object Drift {
 
   /** PSI per `groupCol` between `oldDf` and `newDf` over `valueCol`
-    * bucketed into `bins` fixed-width bins of [0, hi). */
+    * bucketed into `bins` fixed-width bins of [0, hi); values outside
+    * the range clamp into the edge bins (an unclamped negative would
+    * bin below the spine and silently vanish from the totals). */
   def psi(oldDf: DataFrame, newDf: DataFrame, groupCol: String,
       valueCol: String, hi: Double, bins: Int = 8): DataFrame = {
     def binned(df: DataFrame, n: String) = df
-      .withColumn("bin",
-        least(floor(col(valueCol) / hi * bins), lit(bins - 1)).cast("int"))
+      .withColumn("bin", greatest(
+        least(floor(col(valueCol) / hi * bins), lit(bins - 1)),
+        lit(0)).cast("int"))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as(n))
     val spine = oldDf.select(col(groupCol)).distinct()
@@ -57,12 +60,12 @@ object Drift {
   def psiSql(oldSql: String, newSql: String, groupCol: String,
       valueCol: String, hi: Double, bins: Int = 8): String =
     s"""WITH old_b AS (
-       |  SELECT $groupCol, CAST(LEAST(floor($valueCol / $hi * $bins),
-       |    ${bins - 1}) AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_old
+       |  SELECT $groupCol, CAST(GREATEST(LEAST(floor($valueCol / $hi * $bins),
+       |    ${bins - 1}), 0) AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_old
        |  FROM ($oldSql) o GROUP BY 1, 2),
        |new_b AS (
-       |  SELECT $groupCol, CAST(LEAST(floor($valueCol / $hi * $bins),
-       |    ${bins - 1}) AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_new
+       |  SELECT $groupCol, CAST(GREATEST(LEAST(floor($valueCol / $hi * $bins),
+       |    ${bins - 1}), 0) AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_new
        |  FROM ($newSql) nn GROUP BY 1, 2),
        |spine AS (
        |  SELECT g.$groupCol, CAST(i AS INT) AS bin

@@ -34,9 +34,15 @@ class DriftSpec extends AnyFunSuite {
     assert(got("only_old") > 0.0)
   }
 
-  test("values at or beyond hi clamp into the top bin, not out of range") {
-    val got = psiOf(Seq(("a", 250.0), ("a", 10.0)), Seq(("a", 99.0), ("a", 10.0)))
-    assert(got.contains("a")) // no exception, finite result
-    assert(!got("a").isNaN && !got("a").isInfinite)
+  test("values outside [0, hi) clamp into edge bins and stay counted") {
+    val got = Drift.psi(
+      df(Seq(("a", 250.0), ("a", -40.0), ("a", 10.0))),
+      df(Seq(("a", 99.0), ("a", 10.0))), "g", "v", hi = 100.0)
+      .collect().map(r => (r.getString(0),
+        r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 1)
+    val (_, psi, nOld, nNew) = got(0)
+    assert(nOld === 3L && nNew === 2L) // the negative row is NOT dropped
+    assert(!psi.isNaN && !psi.isInfinite)
   }
 }
