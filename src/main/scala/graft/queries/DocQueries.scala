@@ -255,6 +255,12 @@ object DocQueries {
   private val pipelineBpeMerges: Q = (s, d) =>
     graft.text.Bpe.learnMerges(table(s, d, "documents"), bpeRounds)
 
+  /** Compression-ratio quality signal: rows-only (zlib has no DuckDB
+    * spelling); 6-dp rounding for a stable dump. */
+  private val textCompressionRatio: Q = (s, d) =>
+    TextAnalysis.compressionRatio(table(s, d, "documents"))
+      .withColumn("compression_ratio", round(col("compression_ratio"), 6))
+
   /** Distribution drift (PSI) between two hash-split corpus halves:
     * per-lang n_chars distributions over 8 bins — near-zero PSI by
     * construction (same generator), which is exactly what a
@@ -458,6 +464,7 @@ object DocQueries {
       Some(CorpusPipeline.packWholeDocsSql())),
     ("a_countmin_freq", aCountminFreq, None),
     ("quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiSql)),
+    ("text_compression_ratio", textCompressionRatio, None),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
     ("text_lm_score", textLmScore, Some(LmScore.bigramLogProbSql())),

@@ -32,6 +32,35 @@ object TextAnalysis {
   /** Quality scoring: structural ratios + a bucketed verdict, in the
     * style of pretraining-corpus quality filters (length, alpha ratio,
     * mean word length, type-token ratio). */
+  /** Compression-ratio quality signal (the Gopher/RefinedWeb
+    * heuristic): deflate the UTF-8 text at a FIXED level and report
+    * compressed/raw bytes — boilerplate and n-gram loops compress far
+    * below prose, random junk compresses above it. Per-row JVM kernel
+    * (zlib output for fixed input+settings is deterministic), so the
+    * gate is rows-only with the discrimination spec as the anchor;
+    * narrow scan, no shuffle. */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed,
+            if (raw.length > 0) compressed.toDouble / raw.length else 1.0)
+        }
+      }
+      .toDF("doc_id", "raw_bytes", "deflate_bytes", "compression_ratio")
+  }
+
   def qualityScore(docs: DataFrame): DataFrame = {
     val nChars = length(col("text")).cast("double")
     val alphaChars = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double")
