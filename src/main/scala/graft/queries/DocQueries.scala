@@ -44,6 +44,15 @@ object DocQueries {
     Shingles.exactJaccardPairs(table(s, d, "documents"), jaccardThreshold,
       maxShingleDF)
 
+  /** Doc-in-doc duplication: containment |A∩B|/min(|A|,|B|) catches a
+    * short doc quoted verbatim inside a much larger one, where Jaccard
+    * stays far below any dedup threshold. DF-capped pair generation —
+    * the scale path is the gated path (same cap as the Jaccard gate). */
+  private val containmentThreshold = 0.9
+  private val dedupContainment: Q = (s, d) =>
+    Shingles.exactContainmentPairs(table(s, d, "documents"),
+      containmentThreshold, maxShingleDF)
+
   /** Near-dup pairs → transitive clusters with one canonical doc per
     * cluster (iterative min-label CC; DuckDB oracle does the same via
     * a recursive-CTE transitive closure). Runs the DF-capped pair
@@ -376,6 +385,8 @@ object DocQueries {
     ("dedup_ngram_jaccard", dedupNgram, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_ngram_capped", dedupNgramCapped,
       Some(Shingles.cappedJaccardSql(jaccardThreshold, maxShingleDF))),
+    ("dedup_containment", dedupContainment,
+      Some(Shingles.containmentSql(containmentThreshold, maxShingleDF))),
     ("dedup_clusters", dedupClusters,
       Some(DedupClusters.clustersSql(jaccardThreshold, maxShingleDF))),
     ("dedup_embedding_clusters", dedupEmbeddingClusters,

@@ -88,6 +88,46 @@ object Shingles {
         col("size_b"), col("jaccard"))
   }
 
+  /** Exact pairwise CONTAINMENT — |A∩B| / min(|A|,|B|) — over shingle
+    * sets, same inverted-index join shape as [[exactJaccardPairs]].
+    * Containment is the doc-in-doc measure Jaccard misses when sizes
+    * are skewed: a short doc fully quoted inside a much larger one has
+    * jaccard ≈ |A|/|B| (tiny) but containment ≈ 1. Standard in
+    * training-data dedup for catching boilerplate wrappers and
+    * quote-expansion duplicates. The DF cap bounds the candidate join
+    * exactly as in the Jaccard path (common becomes a lower bound,
+    * sizes stay exact). */
+  def exactContainmentPairs(docs: DataFrame, threshold: Double,
+      maxShingleDF: Long = 0L): DataFrame = {
+    val sets = shingleSets(docs).cache()
+    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val candidates0 =
+      if (maxShingleDF > 0) {
+        val rare = sh.groupBy("shingle").count()
+          .filter(col("count") <= maxShingleDF).select("shingle")
+        sh.join(broadcast(rare), Seq("shingle"))
+      } else sh
+    val a = candidates0.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = candidates0.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .localCheckpoint(true)
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+      .localCheckpoint(true)
+    sets.unpersist(false)
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .withColumn("containment",
+        col("common").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"),
+        col("size_b"), col("containment"))
+  }
+
   private def shingleCte: String =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id,
@@ -126,4 +166,27 @@ object Shingles {
        |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= $threshold""".stripMargin
+
+  /** DuckDB mirror of [[exactContainmentPairs]]; maxShingleDF = 0 means
+    * no cap (candidate pairs come from ALL shingles). */
+  def containmentSql(threshold: Double, maxShingleDF: Long = 0L): String = {
+    val (capCtes, pairSrc) =
+      if (maxShingleDF > 0)
+        (s""",
+            |rare AS (SELECT shingle FROM sh GROUP BY shingle
+            |         HAVING COUNT(*) <= $maxShingleDF),
+            |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle))""".stripMargin,
+          "shr")
+      else ("", "sh")
+    s"""$shingleCte$capCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM $pairSrc a JOIN $pairSrc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       |  CAST(common AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) AS containment
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= $threshold""".stripMargin
+  }
 }

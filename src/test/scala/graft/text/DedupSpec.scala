@@ -63,4 +63,33 @@ class DedupSpec extends AnyFunSuite {
     val fp = TextAnalysis.fingerprint(docs).select(countDistinct(col("fp"))).head.getLong(0)
     assert(fp === n) // corpus has no exact dups; hashing must not collide
   }
+
+  test("containment catches doc-in-doc where jaccard misses") {
+    import spark.implicits._
+    val short = (1 to 10).map(i => s"quoted$i word$i token$i").mkString(" ")
+    val filler = (1 to 200).map(i => s"filler$i pad$i noise$i").mkString(" ")
+    val planted = Seq(
+      (1L, short),                 // the short doc
+      (2L, s"$filler $short"),     // embeds doc 1 verbatim → containment ≈ 1
+      (3L, (1 to 50).map(i => s"other$i stuff$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val cont = Shingles.exactContainmentPairs(planted, 0.9)
+      .select("doc_a", "doc_b", "containment").collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(cont.head.getDouble(2) >= 0.9)
+    // the same pair is invisible to Jaccard at any dedup-grade threshold:
+    // |A∩B| / |A∪B| ≈ |A| / |B| ≈ 30/630
+    val jac = Shingles.exactJaccardPairs(planted, 0.5).count()
+    assert(jac === 0L)
+  }
+
+  test("containment: DF cap preserves high-containment pairs on real corpus") {
+    // capped pair generation (the gated scale path) must still surface
+    // every pair the uncapped exact measure finds at the gate threshold
+    val uncapped = Shingles.exactContainmentPairs(docs, 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Shingles.exactContainmentPairs(docs, 0.9, 12L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === uncapped)
+  }
 }
