@@ -665,6 +665,49 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
       |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Truncated exponential moving average per user — the time-decay
+    * feature every behavioral training pipeline derives (recency-
+    * weighted activity). Fixed depth k=8 keeps the state a pure
+    * window expression (8 lags, one shuffle on the user key — no
+    * recursive state); decay 0.75^i weights are exact binary doubles
+    * (3^i/2^(2i)), and numerator/denominator are explicit left-fold
+    * addition chains, so the arithmetic is bit-identical cross-engine
+    * before the final round(6). Normalizing by the sum of PRESENT
+    * weights makes the warm-up rows (fewer than k predecessors) a
+    * weighted average rather than a decayed-toward-zero artifact. */
+  private val ewmaDepth = 8
+  private val wEwma: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ev_us"), col("event_id"))
+    val terms = (0 until ewmaDepth).map { i =>
+      val c = if (i == 0) col("value") else lag(col("value"), i).over(w)
+      (c, math.pow(0.75, i))
+    }
+    val num = terms.map { case (c, wt) => coalesce(c * lit(wt), lit(0.0)) }
+      .reduce(_ + _)
+    val den = terms.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("ev_us"))
+      .withColumn("ewma", round(num / den, 6))
+      .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
+  }
+
+  private val wEwmaSql: String = {
+    def wt(i: Int) = new java.math.BigDecimal(math.pow(0.75, i)).toPlainString
+    def lagc(i: Int) = if (i == 0) "value" else s"lag(value, $i) OVER w"
+    val num = (0 until ewmaDepth)
+      .map(i => s"COALESCE(${lagc(i)} * CAST(${wt(i)} AS DOUBLE), CAST(0 AS DOUBLE))")
+      .mkString(" + ")
+    val den = (0 until ewmaDepth)
+      .map(i => s"(CASE WHEN ${lagc(i)} IS NOT NULL THEN CAST(${wt(i)} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)")
+      .mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, value, $evUsSql AS us FROM events)
+       |SELECT event_id, user_id, value,
+       |  ROUND(($num) / ($den), 6) AS ewma
+       |FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin
+  }
+
   /** Hopping (sliding) event-time windows: 1-hour windows every 15
     * minutes — each event lands in exactly 4 windows. Batch form of
     * the streaming `window(ts, "1 hour", "15 minutes")` aggregation;
@@ -1411,6 +1454,7 @@ object RelationalQueries {
     ("a_salted_agg", aSaltedAgg, Some(aSaltedAggSql)),
     ("a_sessionize", aSessionize, Some(aSessionizeSql)),
     ("w_session_features", wSessionFeatures, Some(wSessionFeaturesSql)),
+    ("w_ewma", wEwma, Some(wEwmaSql)),
     ("a_group_ols", aGroupOls, Some(aGroupOlsSql)),
     ("a_markov_transitions", aMarkovTransitions, Some(aMarkovTransitionsSql)),
     ("a_time_weighted_avg", aTimeWeightedAvg, Some(aTimeWeightedAvgSql)),
