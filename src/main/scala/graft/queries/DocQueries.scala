@@ -475,6 +475,11 @@ object DocQueries {
       Some(CorpusPipeline.packWholeDocsSql())),
     ("a_countmin_freq", aCountminFreq, None),
     ("quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiSql)),
+    ("quality_mad_outliers",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.sources.RobustStats.madOutliers(
+          table(s, d, "documents"), "lang", "n_chars")): Q,
+      Some(graft.sources.RobustStats.madOutliersSql())),
     ("text_compression_ratio", textCompressionRatio, None),
     ("text_entropy", textEntropy, Some(Tfidf.unigramEntropySql)),
     ("text_feature_hash", textFeatureHash, Some(Tfidf.featureHashSql())),
