@@ -447,6 +447,10 @@ object DocQueries {
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
     ("retrieval_rrf", retrievalRrf,
       Some(graft.text.HybridRetrieval.rrfTopDocsSql(bm25Terms))),
+    ("retrieval_inverted_index",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.InvertedIndex.build(table(s, d, "documents"))): Q,
+      Some(graft.text.InvertedIndex.buildSql())),
     ("pipeline_domain_mix", pipelineDomainMix,
       Some(CorpusPipeline.domainMixSql())),
     ("pipeline_pack_sequences", pipelinePack,
