@@ -307,6 +307,75 @@ object Multimodal {
     })
   }
 
+  /** Difference-hash (dHash) perceptual image fingerprint: box-average
+    * the grayscale image onto a (hashW+1)×hashH grid, then emit one bit
+    * per adjacent-cell comparison (left < right) — 64 bits at the 8×8
+    * default. Robust to re-encoding and mild resampling (box averages
+    * move little), which is exactly what byte-level dedup misses: the
+    * SAME picture saved as PNG and BMP, or thumbnailed, hashes to
+    * nearby codes. All math is integer (Long pixel sums, floor
+    * division) → bit-deterministic on any partitioning. Per-row narrow
+    * kernel, same scale shape as the other decode ops. */
+  def dHash(images: Dataset[DecodedImage], hashW: Int = 8, hashH: Int = 8):
+      Dataset[(Long, Long)] = {
+    require(hashW * hashH <= 64, "hash must fit in 64 bits")
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { img =>
+      val gw = hashW + 1
+      val cells = Array.ofDim[Long](gw * hashH)
+      var gy = 0
+      while (gy < hashH) {
+        val y0 = gy * img.height / hashH
+        val y1 = math.max(y0 + 1, (gy + 1) * img.height / hashH)
+        var gx = 0
+        while (gx < gw) {
+          val x0 = gx * img.width / gw
+          val x1 = math.max(x0 + 1, (gx + 1) * img.width / gw)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              var c = 0
+              while (c < img.channels) {
+                sum += (img.pixels((y * img.width + x) * img.channels + c) & 0xff).toLong
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          cells(gy * gw + gx) =
+            sum / ((y1 - y0).toLong * (x1 - x0) * img.channels)
+          gx += 1
+        }
+        gy += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < hashH * hashW) {
+        val gy2 = i / hashW; val gx2 = i % hashW
+        if (cells(gy2 * gw + gx2) < cells(gy2 * gw + gx2 + 1))
+          bits |= 1L << i
+        i += 1
+      }
+      (img.media_id, bits)
+    }).toDF("media_id", "phash").as[(Long, Long)]
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash signatures routed
+    * through the SAME pigeonhole block join as text SimHash (hamming ≤
+    * maxDist ⇒ at least one of maxDist+1 blocks matches exactly — the
+    * blocked join provably loses no pair, see SimHash.nearPairs). At
+    * 100 TB the shuffle carries (64-bit hash × blocks) per image, never
+    * pixels. */
+  def imageNearDuplicates(media: Dataset[MediaRow], maxDist: Int = 4): DataFrame =
+    graft.text.SimHash.nearPairs(
+      dHash(decodeImages(media)).toDF("doc_id", "simhash"), maxDist)
+      .withColumnRenamed("doc_a", "media_a")
+      .withColumnRenamed("doc_b", "media_b")
+
   /** Audio decode: batch-per-partition, malformed payloads dropped —
     * same narrow shape as image decode. */
   def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {

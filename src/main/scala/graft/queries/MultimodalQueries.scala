@@ -120,12 +120,24 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("frame_index"))
   }
 
+  /** perceptual-hash image dedup: dHash fingerprints → pigeonhole-
+    * blocked hamming pairs (the image twin of dedup_simhash; catches
+    * the same picture under different containers/resolutions where
+    * byte-level dedup sees distinct blobs). */
+  private val phashDedup: Q = (s, _) => {
+    import Multimodal._
+    val media = mediaTable(s).as[MediaRow](org.apache.spark.sql.Encoders.product[MediaRow])
+    imageNearDuplicates(media, maxDist = 4)
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("multimodal_features", features, None),
     ("multimodal_resize", resized, None),
     ("multimodal_frames", frames, None),
     ("multimodal_audio", audio, None),
     ("multimodal_keyframes", keyframesQ, None),
-    ("multimodal_spectral", spectral, None)
+    ("multimodal_spectral", spectral, None),
+    ("multimodal_phash_dedup", phashDedup, None)
   )
 }
