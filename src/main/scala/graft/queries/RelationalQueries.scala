@@ -1307,6 +1307,32 @@ object RelationalQueries {
        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
        |AND p.us >= v.us AND p.us <= v.us + 7200000000""".stripMargin
 
+  /** Batch form of the LEFT OUTER stream-stream attribution join —
+    * unconverted views null-padded (streaming twin emits them when the
+    * watermark passes view_ts + maxLag; StreamOpsSpec drives that). */
+  private val streamIntervalJoinOuter: Q = (s, d) => {
+    val e = events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ev_ts").as("view_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ev_ts").as("purchase_ts"), col("value").as("purchase_value"))
+    graft.streaming.StreamOps.attributionJoinOuter(v, p, watermarked = false)
+  }
+
+  private val streamIntervalJoinOuterSql =
+    s"""WITH e AS (SELECT event_id, user_id, event_type,
+       |  $evUsSql AS us, value FROM events),
+       |v AS (SELECT user_id, event_id AS view_id, us FROM e WHERE event_type = 'view'),
+       |p AS (SELECT user_id, event_id AS purchase_id, us, value FROM e
+       |      WHERE event_type = 'purchase')
+       |SELECT v.user_id, v.view_id, p.purchase_id,
+       |  p.us - v.us AS lag_us, p.value AS purchase_value,
+       |  p.purchase_id IS NOT NULL AS converted
+       |FROM v LEFT JOIN p ON v.user_id = p.user_id
+       |  AND p.us >= v.us AND p.us <= v.us + 7200000000""".stripMargin
+
   /** Exact multi-percentile aggregation (type-7 linear interpolation,
     * identical to Spark `percentile` and DuckDB `quantile_cont` —
     * anchored in PercentileSpec). Computed via pre-aggregation: a
@@ -1468,6 +1494,8 @@ object RelationalQueries {
     ("stream_tumbling_hour", streamTumbling, Some(streamTumblingSql)),
     ("stream_session_window", streamSession, Some(streamSessionSql)),
     ("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinSql)),
+    ("stream_interval_join_outer", streamIntervalJoinOuter,
+      Some(streamIntervalJoinOuterSql)),
     ("a_percentiles", aPercentiles, Some(aPercentilesSql)),
     ("a_percentiles_approx", aPercentilesApprox, None)
   )

@@ -56,17 +56,31 @@ object StreamOps {
     * a post-filter: one shuffle on the key at any scale. */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
       maxLag: String = "2 hours", lateness: String = "10 minutes",
-      watermarked: Boolean = true): DataFrame = {
+      watermarked: Boolean = true, joinType: String = "inner"): DataFrame = {
     val v = if (watermarked) views.withWatermark("view_ts", lateness) else views
     val p0 = purchases.withColumnRenamed("user_id", "p_user")
     val p = if (watermarked) p0.withWatermark("purchase_ts", lateness) else p0
     v.join(p, expr(
       s"user_id = p_user AND purchase_ts >= view_ts " +
-        s"AND purchase_ts <= view_ts + interval $maxLag"))
+        s"AND purchase_ts <= view_ts + interval $maxLag"), joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("lag_us"),
         col("purchase_value"))
   }
+
+  /** LEFT OUTER stream-stream join: every view emits — converted ones
+    * with their purchase, unconverted ones null-padded ONCE the
+    * watermark passes `view_ts + maxLag` (only then can the engine
+    * prove no match is still coming; the emission is late by design,
+    * not a bug). Unmatched-side state stays watermark-bounded exactly
+    * as in the inner form. This is the conversion-funnel shape where
+    * the non-converting majority is the signal. */
+  def attributionJoinOuter(views: DataFrame, purchases: DataFrame,
+      maxLag: String = "2 hours", lateness: String = "10 minutes",
+      watermarked: Boolean = true): DataFrame =
+    attributionJoin(views, purchases, maxLag, lateness, watermarked,
+      joinType = "left_outer")
+      .withColumn("converted", col("purchase_id").isNotNull)
 
   /** Stream-static enrichment join + windowed rollup — the most common
     * streaming shape of all: every event joins a (slowly-changing)

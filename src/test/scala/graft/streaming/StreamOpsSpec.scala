@@ -155,6 +155,56 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: unconverted views emit null-padded after watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val vDf = vIn.toDS().toDF("user_id", "view_id", "view_ts")
+    val pDf = pIn.toDS().toDF("user_id", "purchase_id", "purchase_ts", "purchase_value")
+    val q = StreamOps.attributionJoinOuter(vDf, pDf, maxLag = "2 hours",
+      lateness = "10 minutes")
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      // user 1 converts; user 5 never does
+      vIn.addData((1L, 100L, ts(0)), (5L, 110L, ts(0)))
+      pIn.addData((1L, 200L, ts(60), 9.5))
+      q.processAllAvailable()
+      // matched row may emit immediately; the unmatched one must NOT
+      // emit before the watermark can rule out a future purchase
+      val early = spark.table("attr_outer_out")
+        .filter(col("view_id") === 110L).count()
+      assert(early === 0L, "outer row emitted before watermark closed the window")
+      // advance both watermarks far past view_ts + maxLag + lateness
+      vIn.addData((9L, 900L, ts(400)))
+      pIn.addData((9L, 901L, ts(400), 1.0))
+      q.processAllAvailable()
+      // watermark is applied at the START of the next batch — feed one
+      // more round so the state store evicts and emits the null row
+      vIn.addData((9L, 902L, ts(401)))
+      pIn.addData((9L, 903L, ts(401), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("attr_outer_out").collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getBoolean(5))).toSet
+      assert(out.contains((100L, 200L, true)))
+      assert(out.contains((110L, -1L, false)),
+        s"expected null-padded unconverted view; got $out")
+      // batch twin agrees on the full input
+      val allV = Seq((1L, 100L, ts(0)), (5L, 110L, ts(0)), (9L, 900L, ts(400)),
+        (9L, 902L, ts(401))).toDF("user_id", "view_id", "view_ts")
+      val allP = Seq((1L, 200L, ts(60), 9.5), (9L, 901L, ts(400), 1.0),
+        (9L, 903L, ts(401), 1.0))
+        .toDF("user_id", "purchase_id", "purchase_ts", "purchase_value")
+      val batch = StreamOps.attributionJoinOuter(allV, allP, watermarked = false)
+        .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getBoolean(5))).toSet
+      assert(batch.filter(t => Set(100L, 110L).contains(t._1)) ===
+        out.filter(t => Set(100L, 110L).contains(t._1)))
+    } finally q.stop()
+  }
+
   test("throttled parquet session recording end-to-end") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
