@@ -287,6 +287,21 @@ object DocQueries {
     "SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 0",
     "lang", "n_chars", hi = 2000.0)
 
+  /** KS drift between the same hash-split halves — binning-free
+    * location/shape shift detector; near-zero on this control split. */
+  private val qualityKsDrift: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    graft.sources.Drift.ks(
+      docs.where(col("doc_id") % 3 =!= 0),
+      docs.where(col("doc_id") % 3 === 0),
+      "lang", "n_chars")
+  }
+
+  private val qualityKsDriftSql = graft.sources.Drift.ksSql(
+    "SELECT lang, n_chars FROM documents WHERE doc_id % 3 <> 0",
+    "SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 0",
+    "lang", "n_chars")
+
   /** Count-Min frequency estimates per (lang, source): sketches built
     * distributed (one grid per lang), point-queried against the exact
     * counts. Rows-only — the xxhash64-seeded grid has no DuckDB
@@ -479,6 +494,7 @@ object DocQueries {
       Some(CorpusPipeline.packWholeDocsSql())),
     ("a_countmin_freq", aCountminFreq, None),
     ("quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiSql)),
+    ("quality_ks_drift", qualityKsDrift, Some(qualityKsDriftSql)),
     ("quality_mad_outliers",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.sources.RobustStats.madOutliers(

@@ -56,6 +56,79 @@ object Drift {
         sum(col("n_new")).as("n_new_rows"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the
+    * binning-free complement to [[psi]]: KS = max_x |F_old(x) −
+    * F_new(x)| over the empirical CDFs. PSI answers "how much mass
+    * moved between coarse bins"; KS catches a pure location/shape
+    * shift at full resolution with no bin-width tuning, and its null
+    * distribution (√n · KS) is the classical drift alarm threshold.
+    *
+    * Scale shape: each side collapses to (group, value) counts in one
+    * partial-aggregated shuffle; the CDF windows and the max run over
+    * the distinct-value table (groups × |value domain| rows), never
+    * corpus rows — identical footprint to the PSI math.
+    * Determinism: cumulative counts are exact longs; each CDF gap is
+    * one divide+subtract (bit-identical cross-engine); MAX is
+    * order-free, so no summation-order hazard exists at all. */
+  def ks(oldDf: DataFrame, newDf: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    def counts(df: DataFrame, n: String) = df
+      .groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as(n))
+    val o = counts(oldDf, "n_old"); val n = counts(newDf, "n_new")
+    val spine = o.select(col(groupCol), col("v"))
+      .unionByName(n.select(col(groupCol), col("v"))).distinct()
+    val joined = spine
+      .join(o, Seq(groupCol, "v"), "left")
+      .join(n, Seq(groupCol, "v"), "left")
+      .na.fill(0L, Seq("n_old", "n_new"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("v"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    joined
+      .withColumn("c_old", sum(col("n_old")).over(wCum))
+      .withColumn("c_new", sum(col("n_new")).over(wCum))
+      .withColumn("t_old", sum(col("n_old")).over(wG))
+      .withColumn("t_new", sum(col("n_new")).over(wG))
+      .groupBy(col(groupCol))
+      .agg(
+        round(max(abs(col("c_old").cast("double") / col("t_old").cast("double") -
+          col("c_new").cast("double") / col("t_new").cast("double"))), 6).as("ks"),
+        max(col("t_old")).as("n_old_rows"),
+        max(col("t_new")).as("n_new_rows"))
+  }
+
+  /** DuckDB mirror of [[ks]]. */
+  def ksSql(oldSql: String, newSql: String, groupCol: String,
+      valueCol: String): String =
+    s"""WITH ob AS (
+       |  SELECT $groupCol, $valueCol AS v, CAST(count(*) AS BIGINT) AS n_old
+       |  FROM ($oldSql) o GROUP BY 1, 2),
+       |nb AS (
+       |  SELECT $groupCol, $valueCol AS v, CAST(count(*) AS BIGINT) AS n_new
+       |  FROM ($newSql) nn GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT $groupCol, v FROM ob UNION SELECT $groupCol, v FROM nb),
+       |j AS (
+       |  SELECT s.$groupCol, s.v,
+       |    COALESCE(o.n_old, 0) AS n_old, COALESCE(n.n_new, 0) AS n_new
+       |  FROM spine s
+       |  LEFT JOIN ob o ON s.$groupCol = o.$groupCol AND s.v = o.v
+       |  LEFT JOIN nb n ON s.$groupCol = n.$groupCol AND s.v = n.v),
+       |c AS (
+       |  SELECT $groupCol, v,
+       |    sum(n_old) OVER w AS c_old, sum(n_new) OVER w AS c_new,
+       |    sum(n_old) OVER (PARTITION BY $groupCol) AS t_old,
+       |    sum(n_new) OVER (PARTITION BY $groupCol) AS t_new
+       |  FROM j WINDOW w AS (PARTITION BY $groupCol ORDER BY v))
+       |SELECT $groupCol,
+       |  ROUND(MAX(ABS(CAST(c_old AS DOUBLE) / CAST(t_old AS DOUBLE) -
+       |    CAST(c_new AS DOUBLE) / CAST(t_new AS DOUBLE))), 6) AS ks,
+       |  CAST(MAX(t_old) AS BIGINT) AS n_old_rows,
+       |  CAST(MAX(t_new) AS BIGINT) AS n_new_rows
+       |FROM c GROUP BY 1""".stripMargin
+
   /** DuckDB oracle: identical binning, smoothing, term rounding. */
   def psiSql(oldSql: String, newSql: String, groupCol: String,
       valueCol: String, hi: Double, bins: Int = 8): String =

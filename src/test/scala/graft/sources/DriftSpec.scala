@@ -34,6 +34,34 @@ class DriftSpec extends AnyFunSuite {
     assert(got("only_old") > 0.0)
   }
 
+  private def ksOf(old: Seq[(String, Double)], nw: Seq[(String, Double)]) =
+    Drift.ks(df(old), df(nw), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("KS: identical distributions read 0; a location shift reads its exact gap") {
+    val base = (1 to 400).map(i => ("a", (i % 100).toDouble))
+    assert(ksOf(base, base)("a") === 0.0)
+    // shift by +50 over a 100-wide uniform: CDF gap is exactly 0.5
+    val shifted = base.map { case (g, v) => (g, v + 50.0) }
+    val ks = ksOf(base, shifted)("a")
+    assert(math.abs(ks - 0.5) < 0.01, s"KS $ks")
+  }
+
+  test("KS beats PSI on a sub-bin-width shift") {
+    // a +6 shift inside one 12.5-wide PSI bin (hi=100, 8 bins): PSI
+    // sees only partial bin spill, KS reads the full 6% CDF gap
+    val base = (1 to 2000).map(i => ("a", (i % 100).toDouble))
+    val nudged = base.map { case (g, v) => (g, v + 6.0) }
+    val ks = ksOf(base, nudged)("a")
+    assert(ks >= 0.05, s"KS missed the shift: $ks")
+  }
+
+  test("KS: disjoint supports read 1.0") {
+    val lo = (1 to 50).map(i => ("a", i.toDouble))
+    val hi = (1 to 50).map(i => ("a", 1000.0 + i))
+    assert(ksOf(lo, hi)("a") === 1.0)
+  }
+
   test("values outside [0, hi) clamp into edge bins and stay counted") {
     val got = Drift.psi(
       df(Seq(("a", 250.0), ("a", -40.0), ("a", 10.0))),
