@@ -287,6 +287,35 @@ object DocQueries {
     "SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 0",
     "lang", "n_chars", hi = 2000.0)
 
+  /** Block-checksum reconciliation between the corpus and a mutated
+    * snapshot (deterministic deletes/edits/inserts): emits only the
+    * buckets a sync pass must re-read. */
+  private val blockDiffBuckets = 512
+  private val pipelineBlockDiff: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val edited = docs.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 53 === 0, concat(col("text"), lit(" EDITED")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("text"))
+    val inserted = docs.filter(col("doc_id") % 101 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    graft.ops.BlockDiff.changedBuckets(
+      docs.select(col("doc_id"), col("text")),
+      edited.unionByName(inserted),
+      "doc_id", Seq("text"), blockDiffBuckets)
+  }
+
+  private val pipelineBlockDiffSql = graft.ops.BlockDiff.changedBucketsSql(
+    "SELECT doc_id, text FROM documents",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 53 = 0 THEN text || ' EDITED' ELSE text END AS text
+      |FROM documents WHERE doc_id % 97 <> 0
+      |UNION ALL
+      |SELECT doc_id + 10000000 AS doc_id, text
+      |FROM documents WHERE doc_id % 101 = 0""".stripMargin,
+    blockDiffBuckets)
+
   /** KS drift between the same hash-split halves — binning-free
     * location/shape shift detector; near-zero on this control split. */
   private val qualityKsDrift: Q = (s, d) => {
@@ -495,6 +524,7 @@ object DocQueries {
     ("a_countmin_freq", aCountminFreq, None),
     ("quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiSql)),
     ("quality_ks_drift", qualityKsDrift, Some(qualityKsDriftSql)),
+    ("pipeline_block_diff", pipelineBlockDiff, Some(pipelineBlockDiffSql)),
     ("quality_mad_outliers",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.sources.RobustStats.madOutliers(
