@@ -491,6 +491,10 @@ object DocQueries {
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
     ("retrieval_rrf", retrievalRrf,
       Some(graft.text.HybridRetrieval.rrfTopDocsSql(bm25Terms))),
+    ("retrieval_mmr",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.sim.Mmr.mmrTopK(table(s, d, "embeddings"))): Q,
+      Some(graft.sim.Mmr.mmrTopKSql())),
     ("retrieval_inverted_index",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.text.InvertedIndex.build(table(s, d, "documents"))): Q,
