@@ -528,6 +528,14 @@ object DocQueries {
     ("a_countmin_freq", aCountminFreq, None),
     ("quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiSql)),
     ("quality_ks_drift", qualityKsDrift, Some(qualityKsDriftSql)),
+    ("pipeline_negative_sampling",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.NegativeSampling.sample(table(s, d, "documents"))): Q,
+      Some(graft.text.NegativeSampling.sampleSql())),
+    ("text_pmi",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.Pmi.pairPmi(table(s, d, "documents"))): Q,
+      Some(graft.text.Pmi.pairPmiSql())),
     ("pipeline_block_diff", pipelineBlockDiff, Some(pipelineBlockDiffSql)),
     ("quality_mad_outliers",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>

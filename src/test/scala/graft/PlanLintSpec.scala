@@ -36,10 +36,15 @@ class PlanLintSpec extends AnyFunSuite {
                               // branches (basics × distincts) — the
                               // split that avoids the Expand-carried
                               // min/max trap (see Profile scaladoc)
-    "knn_kmeans_step"         // k=8-row broadcast centroid table
+    "knn_kmeans_step",        // k=8-row broadcast centroid table
                               // fanned against the corpus scan — the
                               // definition of Lloyd assignment (same
                               // class as knn_cosine_topk's query side)
+    "text_pmi",               // 1-row n_docs scalar (the a8_global/
+                              // bm25 pattern) crossed into the small
+                              // pair table
+    "pipeline_negative_sampling" // 1-row n_docs scalar crossed into
+                              // the anchors frame (draw modulus)
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
