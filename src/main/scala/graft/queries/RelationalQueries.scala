@@ -1307,6 +1307,82 @@ object RelationalQueries {
        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
        |AND p.us >= v.us AND p.us <= v.us + 7200000000""".stripMargin
 
+  /** Feature scaling per group — the ML-prep transform every tabular
+    * training pipeline runs: z-score ((x−μ)/σ) and min-max
+    * ((x−min)/(max−min)) per event_type. μ and σ come from
+    * decimal-exact Σx / Σx² (one partial-aggregated pass over the
+    * group; population σ via E[x²]−μ², sqrt is deterministic IEEE),
+    * broadcast back onto the rows — two scans, one tiny join, no
+    * window over the corpus. */
+  private val pFeatureScale: Q = (s, d) => {
+    val ev = events(s, d)
+    val stats = ev.groupBy(col("event_type")).agg(
+      dsum(col("value")).as("s1"),
+      dsum(col("value") * col("value")).as("s2"),
+      count(lit(1)).as("n"),
+      min(col("value")).as("mn"),
+      max(col("value")).as("mx"))
+      .withColumn("mu", col("s1") / col("n").cast("double"))
+      .withColumn("sigma", sqrt(greatest(
+        col("s2") / col("n").cast("double") - col("mu") * col("mu"),
+        lit(0.0))))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sigma"), 6).as("z"),
+        round((col("value") - col("mn")) / (col("mx") - col("mn")), 6).as("mm"))
+  }
+
+  private val pFeatureScaleSql =
+    s"""WITH stats AS (
+       |  SELECT event_type,
+       |    ${dsumSql("value")} AS s1,
+       |    ${dsumSql("value * value")} AS s2,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    MIN(value) AS mn, MAX(value) AS mx
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT event_type, s1 / CAST(n AS DOUBLE) AS mu,
+       |    sqrt(GREATEST(s2 / CAST(n AS DOUBLE) -
+       |      (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)),
+       |      CAST(0 AS DOUBLE))) AS sigma,
+       |    mn, mx
+       |  FROM stats)
+       |SELECT e.event_id, e.event_type, e.value,
+       |  ROUND((e.value - m.mu) / m.sigma, 6) AS z,
+       |  ROUND((e.value - m.mn) / (m.mx - m.mn), 6) AS mm
+       |FROM events e JOIN m ON e.event_type = m.event_type""".stripMargin
+
+  /** Exact quartile bucketing per group — the quantile-discretizer
+    * transform: boundaries from the builtin exact `percentile`
+    * (≡ DuckDB quantile_cont bit-for-bit, anchored by the
+    * a_percentiles gate), assignment by comparison — a broadcast of
+    * groups×3 boundary rows, never a corpus sort at assignment time. */
+  private val pQuantileBucket: Q = (s, d) => {
+    val ev = events(s, d)
+    val bounds = ev.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.5)").as("q2"),
+      expr("percentile(value, 0.75)").as("q3"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (lit(1) + when(col("value") > col("q1"), 1).otherwise(0)
+          + when(col("value") > col("q2"), 1).otherwise(0)
+          + when(col("value") > col("q3"), 1).otherwise(0)).as("bucket"))
+  }
+
+  private val pQuantileBucketSql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.25) AS q1,
+      |    quantile_cont(value, 0.5) AS q2,
+      |    quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  1 + (CASE WHEN e.value > b.q1 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN e.value > b.q2 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN e.value > b.q3 THEN 1 ELSE 0 END) AS bucket
+      |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin
+
   /** Batch form of the LEFT OUTER stream-stream attribution join —
     * unconverted views null-padded (streaming twin emits them when the
     * watermark passes view_ts + maxLag; StreamOpsSpec drives that). */
@@ -1481,6 +1557,8 @@ object RelationalQueries {
     ("a_sessionize", aSessionize, Some(aSessionizeSql)),
     ("w_session_features", wSessionFeatures, Some(wSessionFeaturesSql)),
     ("w_ewma", wEwma, Some(wEwmaSql)),
+    ("p_feature_scale", pFeatureScale, Some(pFeatureScaleSql)),
+    ("p_quantile_bucket", pQuantileBucket, Some(pQuantileBucketSql)),
     ("a_group_ols", aGroupOls, Some(aGroupOlsSql)),
     ("a_markov_transitions", aMarkovTransitions, Some(aMarkovTransitionsSql)),
     ("a_time_weighted_avg", aTimeWeightedAvg, Some(aTimeWeightedAvgSql)),
