@@ -29,7 +29,8 @@ object ScalingBench {
       "/root/testdata/sf0.1")
     val queries = Seq("dedup_minhash_lsh", "dedup_chunk",
       "pipeline_contamination", "dedup_ngram_capped", "dedup_exact",
-      "pipeline_chunk_overlap", "pipeline_bpe_merges", "pipeline_bpe_encode")
+      "pipeline_chunk_overlap", "pipeline_bpe_merges", "pipeline_bpe_encode",
+      "dedup_containment")
 
     def timeOnce(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)

@@ -287,6 +287,30 @@ object DocQueries {
     "SELECT lang, n_chars FROM documents WHERE doc_id % 3 = 0",
     "lang", "n_chars", hi = 2000.0)
 
+  /** Per-group embedding mean-pooling — the vector-aggregation
+    * primitive under chunk→doc pooling and per-cluster centroids in a
+    * RAG stack: element-wise mean of the embedding arrays per label,
+    * emitted exploded as (label, dim, value). One posexplode scan →
+    * partial-aggregated (label, dim) sums: the shuffle carries
+    * groups × dims rows, decimal-exact, never whole vectors. */
+  private val knnMeanPool: Q = (s, d) =>
+    table(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round((dsum(col("v").cast("double")) / count(lit(1))), 6).as("mean_v"),
+        count(lit(1)).as("n_vecs"))
+
+  private val knnMeanPoolSql =
+    s"""WITH e AS (
+       |  SELECT label, CAST(i - 1 AS INT) AS dim,
+       |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+       |  FROM embeddings,
+       |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s)
+       |SELECT label, dim,
+       |  ROUND(${dsumSql("v")} / COUNT(*), 6) AS mean_v,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |FROM e GROUP BY 1, 2""".stripMargin
+
   /** Block-checksum reconciliation between the corpus and a mutated
     * snapshot (deterministic deletes/edits/inserts): emits only the
     * buckets a sync pass must re-read. */
@@ -537,6 +561,7 @@ object DocQueries {
         graft.text.Pmi.pairPmi(table(s, d, "documents"))): Q,
       Some(graft.text.Pmi.pairPmiSql())),
     ("pipeline_block_diff", pipelineBlockDiff, Some(pipelineBlockDiffSql)),
+    ("knn_mean_pool", knnMeanPool, Some(knnMeanPoolSql)),
     ("quality_mad_outliers",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.sources.RobustStats.madOutliers(
