@@ -1307,6 +1307,56 @@ object RelationalQueries {
        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
        |AND p.us >= v.us AND p.us <= v.us + 7200000000""".stripMargin
 
+  /** Interval-union coverage per user — merge overlapping [start, end)
+    * intervals (each event opens a 5-minute activity window) and
+    * report the union's total length and merged-interval count: the
+    * "how much wall-clock was the user actually active" stat that
+    * naive SUM(duration) double-counts. Classic sweep: an interval
+    * starts a new merged run iff its start exceeds the running max of
+    * prior ends — two windows riding ONE user-key shuffle (the
+    * sessionize/islands shape). */
+  private val intervalLenUs = 300000000L // 5 min
+  private val aIntervalUnion: Q = (s, d) => {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("st"), col("event_id"))
+    val run = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ev_us").as("st"),
+        (col("ev_us") + intervalLenUs).as("en"))
+      .withColumn("prev_max_en", max(col("en")).over(run))
+      .withColumn("is_new",
+        when(col("prev_max_en").isNull ||
+          col("st") > col("prev_max_en"), 1L).otherwise(0L))
+      // clip each interval's NET contribution to the union at its
+      // left edge: max(en, prev_max_en) - max(st, prev_max_en)
+      .withColumn("contrib",
+        greatest(col("en"), coalesce(col("prev_max_en"), col("st"))) -
+          greatest(col("st"), coalesce(col("prev_max_en"), col("st"))))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_merged"),
+        sum(col("contrib")).as("covered_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  private val aIntervalUnionSql =
+    s"""WITH iv AS (
+       |  SELECT user_id, event_id, $evUsSql AS st,
+       |    $evUsSql + $intervalLenUs AS en
+       |  FROM events),
+       |sweep AS (
+       |  SELECT user_id, st, en,
+       |    MAX(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_en
+       |  FROM iv)
+       |SELECT user_id,
+       |  CAST(SUM(CASE WHEN prev_max_en IS NULL OR st > prev_max_en
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+       |  CAST(SUM(GREATEST(en, COALESCE(prev_max_en, st)) -
+       |    GREATEST(st, COALESCE(prev_max_en, st))) AS BIGINT) AS covered_us,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM sweep GROUP BY 1""".stripMargin
+
   /** Feature scaling per group — the ML-prep transform every tabular
     * training pipeline runs: z-score ((x−μ)/σ) and min-max
     * ((x−min)/(max−min)) per event_type. μ and σ come from
@@ -1558,6 +1608,7 @@ object RelationalQueries {
     ("w_session_features", wSessionFeatures, Some(wSessionFeaturesSql)),
     ("w_ewma", wEwma, Some(wEwmaSql)),
     ("p_feature_scale", pFeatureScale, Some(pFeatureScaleSql)),
+    ("a_interval_union", aIntervalUnion, Some(aIntervalUnionSql)),
     ("p_quantile_bucket", pQuantileBucket, Some(pQuantileBucketSql)),
     ("a_group_ols", aGroupOls, Some(aGroupOlsSql)),
     ("a_markov_transitions", aMarkovTransitions, Some(aMarkovTransitionsSql)),
