@@ -59,6 +59,40 @@ class EwmaAlertsSpec extends AnyFunSuite {
     assert(alerts === Seq(11L)) // only the spike: later 10s sit below 1.5×ewma
   }
 
+  test("EWMA state survives a query restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ewma_ckpt").toString
+    val input = MemoryStream[Event]
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Scored]()
+    def start() = EwmaAlerts.scored(input.toDS())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Scored], _: Long) =>
+        batch.collect().foreach(sink.add) }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val warmup = (1 to 7).map(i => Event(1L, i.toLong, i.toLong * 1000, 10.0))
+    val q1 = start()
+    try {
+      input.addData(warmup)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: the recovered 7-value history must make the next score
+    // a FULL-depth ewma, identical to an uninterrupted fold
+    val q2 = start()
+    try {
+      input.addData(Event(1L, 8L, 8000L, 90.0))
+      q2.processAllAvailable()
+      val restarted = sink.toArray(Array.empty[Scored]).find(_.event_id == 8L).get
+      val (_, unbroken) = foldBatch(Recent(Nil),
+        warmup :+ Event(1L, 8L, 8000L, 90.0), alertFactor = 1.5)
+      assert(restarted.ewma === unbroken.last.ewma)
+      assert(restarted.alert === unbroken.last.alert)
+    } finally q2.stop()
+  }
+
   test("state is bounded at Depth-1 values regardless of history length") {
     val events = (1 to 1000).map(i =>
       Event(1L, i.toLong, i.toLong * 1000, i.toDouble))
