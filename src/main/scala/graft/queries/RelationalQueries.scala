@@ -1307,6 +1307,64 @@ object RelationalQueries {
        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
        |AND p.us >= v.us AND p.us <= v.us + 7200000000""".stripMargin
 
+  /** Exact mode per group with a total tie-break (highest count, then
+    * smallest value) — the categorical-imputation statistic. The
+    * corpus collapses to (user, value) counts in one partial-
+    * aggregated shuffle; the rank window then runs over that small
+    * table on the SAME user key (exchange reused, no second corpus
+    * shuffle). */
+  private val aMode: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("c").desc, col("event_type"))
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_v"),
+        col("c").as("mode_n"))
+  }
+
+  private val aModeSql =
+    s"""WITH c AS (
+       |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id, event_type AS mode_v, c AS mode_n FROM (
+       |  SELECT user_id, event_type, c,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY c DESC, event_type) AS rn
+       |  FROM c) t
+       |WHERE rn = 1""".stripMargin
+
+  /** Winsorization — clamp each value into its group's [p05, p95]
+    * (the heavy-tail taming transform that keeps the row, unlike the
+    * MAD gate which flags it). Boundaries from the exact builtin
+    * percentile (≡ quantile_cont, a_percentiles anchor), broadcast
+    * back; clamping is two comparisons per row. */
+  private val pWinsorize: Q = (s, d) => {
+    val ev = events(s, d)
+    val bounds = ev.groupBy(col("event_type")).agg(
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(least(greatest(col("value"), col("lo")), col("hi")), 6)
+          .as("winsorized"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("clamped"))
+  }
+
+  private val pWinsorizeSql =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS lo,
+      |    quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS winsorized,
+      |  (e.value < b.lo OR e.value > b.hi) AS clamped
+      |FROM events e JOIN b ON e.event_type = b.event_type""".stripMargin
+
   /** Interval-union coverage per user — merge overlapping [start, end)
     * intervals (each event opens a 5-minute activity window) and
     * report the union's total length and merged-interval count: the
@@ -1609,6 +1667,8 @@ object RelationalQueries {
     ("w_ewma", wEwma, Some(wEwmaSql)),
     ("p_feature_scale", pFeatureScale, Some(pFeatureScaleSql)),
     ("a_interval_union", aIntervalUnion, Some(aIntervalUnionSql)),
+    ("a_mode", aMode, Some(aModeSql)),
+    ("p_winsorize", pWinsorize, Some(pWinsorizeSql)),
     ("p_quantile_bucket", pQuantileBucket, Some(pQuantileBucketSql)),
     ("a_group_ols", aGroupOls, Some(aGroupOlsSql)),
     ("a_markov_transitions", aMarkovTransitions, Some(aMarkovTransitionsSql)),

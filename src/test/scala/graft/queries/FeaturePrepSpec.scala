@@ -24,6 +24,32 @@ class FeaturePrepSpec extends AnyFunSuite {
     } finally { df.unpersist(); () }
   }
 
+  test("winsorize clamps ~10% of rows and bounds values to [p05, p95]") {
+    val df = SparkEntry.queries("p_winsorize")(spark, sfDir).cache()
+    try {
+      val n = df.count()
+      val clamped = df.filter(col("clamped")).count()
+      val frac = clamped.toDouble / n
+      assert(frac > 0.04 && frac < 0.16, s"clamped fraction $frac")
+      // winsorized values never exceed the raw-value envelope and
+      // un-clamped rows pass through exactly
+      assert(df.filter(!col("clamped") &&
+        round(col("value"), 6) =!= col("winsorized")).count() === 0L)
+    } finally { df.unpersist(); () }
+  }
+
+  test("mode: per-user winner matches a hand fold over the counts") {
+    val ev = QueryDsl.events(spark, sfDir)
+    val counts = ev.groupBy("user_id", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = counts.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.minBy(t => (-t._3, t._2))._2
+    }
+    val got = SparkEntry.queries("a_mode")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expected)
+  }
+
   test("quartile buckets split each group ~25/25/25/25") {
     val df = SparkEntry.queries("p_quantile_bucket")(spark, sfDir)
     val counts = df.groupBy("event_type", "bucket").count().collect()
