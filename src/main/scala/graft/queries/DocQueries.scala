@@ -290,24 +290,37 @@ object DocQueries {
   /** Per-group embedding mean-pooling — the vector-aggregation
     * primitive under chunk→doc pooling and per-cluster centroids in a
     * RAG stack: element-wise mean of the embedding arrays per label,
-    * emitted exploded as (label, dim, value). One posexplode scan →
-    * partial-aggregated (label, dim) sums: the shuffle carries
-    * groups × dims rows, decimal-exact, never whole vectors. */
+    * emitted exploded as (label, dim, micro-unit mean). One posexplode
+    * scan → partial-aggregated (label, dim) sums: the shuffle carries
+    * groups × dims rows, never whole vectors.
+    *
+    * The mean rides the KmeansStep integer-quantized currency —
+    * floor(v·10⁶) per element, exact long sums, floor-divided mean in
+    * micro-units. A round(decimal-sum / n, 6) variant FAILED the
+    * sf0.1 gate on exactly one cell whose quotient landed a hair
+    * under a .5×10⁻⁶ boundary (0.00321349999…): division quotients,
+    * unlike decimal sums, aren't on the 6-dp grid, so rounding them
+    * is cross-engine-unsafe. Integer floor-div is (the true quotient
+    * is ≥ 1/n from an integer whenever it isn't one, far beyond
+    * double error). */
   private val knnMeanPool: Q = (s, d) =>
     table(s, d, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vq", floor(col("v").cast("double") * 1000000.0).cast("long"))
       .groupBy(col("label"), col("dim"))
-      .agg(round((dsum(col("v").cast("double")) / count(lit(1))), 6).as("mean_v"),
+      .agg(floor(sum(col("vq")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_q6"),
         count(lit(1)).as("n_vecs"))
 
   private val knnMeanPoolSql =
     s"""WITH e AS (
        |  SELECT label, CAST(i - 1 AS INT) AS dim,
-       |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS v
+       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS vq
        |  FROM embeddings,
        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s)
        |SELECT label, dim,
-       |  ROUND(${dsumSql("v")} / COUNT(*), 6) AS mean_v,
+       |  CAST(FLOOR(CAST(SUM(vq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_q6,
        |  CAST(COUNT(*) AS BIGINT) AS n_vecs
        |FROM e GROUP BY 1, 2""".stripMargin
 

@@ -35,16 +35,17 @@ class MeanPoolSpec extends AnyFunSuite {
       (3L, Array(0.0f, 1.0f), 9)
     ).toDF("vec_id", "embedding", "label")
     // inline twin of the gate expression over the tiny frame
+    // (micro-unit quantized means, the gate's currency)
     val pooled = tiny
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("vq", floor(col("v").cast("double") * 1000000.0).cast("long"))
       .groupBy(col("label"), col("dim"))
-      .agg(round(
-        graft.queries.QueryDsl.dsum(col("v").cast("double")) / count(lit(1)), 6)
-        .as("mean_v"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    assert(pooled((7, 0)) === 2.0)
-    assert(pooled((7, 1)) === 4.0)
-    assert(pooled((9, 0)) === 0.0)
-    assert(pooled((9, 1)) === 1.0)
+      .agg(floor(sum(col("vq")).cast("double") / count(lit(1)))
+        .cast("long").as("mean_q6"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(pooled((7, 0)) === 2000000L) // mean of [1, 3]
+    assert(pooled((7, 1)) === 4000000L) // mean of [3, 5]
+    assert(pooled((9, 0)) === 0L)
+    assert(pooled((9, 1)) === 1000000L)
   }
 }
