@@ -575,6 +575,10 @@ object DocQueries {
       Some(graft.text.Pmi.pairPmiSql())),
     ("pipeline_block_diff", pipelineBlockDiff, Some(pipelineBlockDiffSql)),
     ("knn_mean_pool", knnMeanPool, Some(knnMeanPoolSql)),
+    ("knn_covariance",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.sim.Covariance.sufficientStats(table(s, d, "embeddings"))): Q,
+      Some(graft.sim.Covariance.sufficientStatsSql())),
     ("quality_mad_outliers",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.sources.RobustStats.madOutliers(
