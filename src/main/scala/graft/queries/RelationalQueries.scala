@@ -1307,6 +1307,79 @@ object RelationalQueries {
        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
        |AND p.us >= v.us AND p.us <= v.us + 7200000000""".stripMargin
 
+  /** Gap-filling by linear interpolation — the time-series imputation
+    * op (sensor dropout, missed heartbeat): null values take the
+    * time-weighted lerp of their nearest non-null neighbors within the
+    * user's timeline. Planted nulls (event_id % 7) make the gate
+    * deterministic. Two IGNORE-NULLS windows ride ONE user shuffle.
+    *
+    * Exactness: the lerp runs ENTIRELY in integers — centi-unit
+    * values (the ×100 currency, events.value is exact 2-decimal),
+    * microsecond times, numerator v₀·(t₁−t) + v₁·(t−t₀) ≤ ~5e14 in
+    * long, integral `div` by (t₁−t₀) (all terms nonnegative, so
+    * truncating ≡ floor in both engines). A double lerp + round(6)
+    * would sit exactly on the quotient-boundary hazard the mean-pool
+    * gate hit — synthetic timestamps make t-ratios nice rationals
+    * that land ON .5 grid lines. */
+  private val wInterpolateGaps: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ev_us"), col("event_id"))
+    val before = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    events(s, d)
+      .withColumn("v_obs",
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      .withColumn("vq", round(col("v_obs") * 100, 0).cast("long"))
+      .withColumn("prev_vq", last(col("vq"), ignoreNulls = true).over(before))
+      .withColumn("prev_us",
+        last(when(col("vq").isNotNull, col("ev_us")), ignoreNulls = true).over(before))
+      .withColumn("next_vq", first(col("vq"), ignoreNulls = true).over(after))
+      .withColumn("next_us",
+        first(when(col("vq").isNotNull, col("ev_us")), ignoreNulls = true).over(after))
+      .withColumn("filled_q",
+        when(col("vq").isNotNull, col("vq"))
+          .when(col("prev_vq").isNotNull && col("next_vq").isNotNull,
+            expr("""(prev_vq * (next_us - ev_us) + next_vq * (ev_us - prev_us))
+                   | div (next_us - prev_us)""".stripMargin))
+          .otherwise(lit(null).cast("long")))
+      .select(col("event_id"), col("user_id"), col("v_obs"), col("filled_q"),
+        (col("v_obs").isNull && col("filled_q").isNotNull).as("interpolated"))
+  }
+
+  private val wInterpolateGapsSql =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, $evUsSql AS us,
+       |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v_obs
+       |  FROM events),
+       |q AS (
+       |  SELECT event_id, user_id, us, v_obs,
+       |    CAST(round(v_obs * 100, 0) AS BIGINT) AS vq FROM ev),
+       |nb AS (
+       |  SELECT event_id, user_id, us, v_obs, vq,
+       |    LAST_VALUE(vq IGNORE NULLS) OVER wb AS prev_vq,
+       |    LAST_VALUE(CASE WHEN vq IS NOT NULL THEN us END IGNORE NULLS)
+       |      OVER wb AS prev_us,
+       |    FIRST_VALUE(vq IGNORE NULLS) OVER wa AS next_vq,
+       |    FIRST_VALUE(CASE WHEN vq IS NOT NULL THEN us END IGNORE NULLS)
+       |      OVER wa AS next_us
+       |  FROM q WINDOW
+       |    wb AS (PARTITION BY user_id ORDER BY us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    wa AS (PARTITION BY user_id ORDER BY us, event_id
+       |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+       |SELECT event_id, user_id, v_obs,
+       |  CASE WHEN vq IS NOT NULL THEN vq
+       |       WHEN prev_vq IS NOT NULL AND next_vq IS NOT NULL THEN
+       |         (prev_vq * (next_us - us) + next_vq * (us - prev_us))
+       |           // (next_us - prev_us)
+       |       ELSE NULL END AS filled_q,
+       |  (v_obs IS NULL AND (vq IS NOT NULL OR
+       |    (prev_vq IS NOT NULL AND next_vq IS NOT NULL))) AS interpolated
+       |FROM nb""".stripMargin
+
   /** Exact mode per group with a total tie-break (highest count, then
     * smallest value) — the categorical-imputation statistic. The
     * corpus collapses to (user, value) counts in one partial-
@@ -1668,6 +1741,7 @@ object RelationalQueries {
     ("p_feature_scale", pFeatureScale, Some(pFeatureScaleSql)),
     ("a_interval_union", aIntervalUnion, Some(aIntervalUnionSql)),
     ("a_mode", aMode, Some(aModeSql)),
+    ("w_interpolate_gaps", wInterpolateGaps, Some(wInterpolateGapsSql)),
     ("p_winsorize", pWinsorize, Some(pWinsorizeSql)),
     ("p_quantile_bucket", pQuantileBucket, Some(pQuantileBucketSql)),
     ("a_group_ols", aGroupOls, Some(aGroupOlsSql)),
