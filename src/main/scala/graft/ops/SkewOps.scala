@@ -32,6 +32,33 @@ object SkewOps {
     }
   }
 
+  /** Salted equi-join — the hot-key guard for skewed JOINS when the dim
+    * side is too big to broadcast and AQE's runtime split is
+    * unavailable (e.g. the join feeds a co-partitioned downstream op).
+    * The fact side gets a deterministic per-row salt (hash of
+    * `saltOn`, so replays are identical); the dim side is replicated
+    * `buckets`× with one row per salt value. The join key becomes
+    * (key, salt), so one hot key spreads across `buckets` reducers.
+    * Every fact row matches exactly ONE replica of its dim row →
+    * result ≡ the plain join, row for row. Cost: dim side shuffles
+    * `buckets`× its size — the usual salting trade, cheap when
+    * |dim| ≪ |fact| (the case where skew hurts most).
+    *
+    * `factKey`/`dimKey` join columns stay in the output (both sides,
+    * as in a plain inner join); `_salt` is dropped. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, buckets: Int, saltOn: Seq[String]): DataFrame = {
+    require(buckets > 0)
+    val saltedFact = fact.withColumn("_salt",
+      pmod(xxhash64(saltOn.map(col): _*), lit(buckets.toLong)))
+    val replDim = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
+    saltedFact.join(replDim,
+        saltedFact(factKey) === replDim(dimKey) &&
+          saltedFact("_salt") === replDim("_salt"))
+      .drop("_salt")
+  }
+
   private def exprsPartial(aggs: Map[String, (String, String)]): Seq[Column] =
     aggs.toSeq.flatMap { case (name, (c, op)) =>
       op match {

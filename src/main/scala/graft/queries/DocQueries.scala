@@ -405,6 +405,27 @@ object DocQueries {
   private val pipelineBpeEncode: Q = (s, d) =>
     graft.text.Bpe.trainAndEncode(table(s, d, "documents"), bpeRounds)
 
+  /** BPE roundtrip: encode to the marked token stream, decode back —
+    * decode(encode(x)) must equal x modulo whitespace normalization
+    * (words re-joined by single spaces; encode drops empty words).
+    * Holds for ANY merge list, so a fixed common-English one keeps the
+    * gate cheap (no training rounds); the oracle is just the
+    * normalized source text — the strongest possible invertibility
+    * witness (tokenization is provably lossless). */
+  private val bpeFixedMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "in" -> "g", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t")
+  private val pipelineBpeRoundtrip: Q = (s, d) =>
+    graft.text.Bpe.decode(
+      graft.text.Bpe.encodeStream(table(s, d, "documents"), bpeFixedMerges))
+
+  private val pipelineBpeRoundtripSql =
+    """SELECT doc_id,
+      |  array_to_string(list_filter(string_split(text, ' '),
+      |    w -> w <> ''), ' ') AS text
+      |FROM documents
+      |WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0""".stripMargin
+
   /** Incremental dedup vs a reference snapshot: Bloom-pruned membership
     * + exact verification ⇒ oracle is a plain anti-join. */
   private val pipelineIncrementalDedup: Q = (s, d) =>
@@ -558,6 +579,8 @@ object DocQueries {
       Some(graft.text.Bpe.learnMergesSql(bpeRounds))),
     ("pipeline_bpe_encode", pipelineBpeEncode,
       Some(graft.text.Bpe.trainAndEncodeSql(bpeRounds))),
+    ("pipeline_bpe_roundtrip", pipelineBpeRoundtrip,
+      Some(pipelineBpeRoundtripSql)),
     ("knn_kmeans_step", knnKmeansStep,
       Some(graft.sim.KmeansStep.stepSql(k = 8))),
     ("pipeline_pack_whole_docs", pipelinePackWhole,

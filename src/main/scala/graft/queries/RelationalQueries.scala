@@ -1687,6 +1687,44 @@ object RelationalQueries {
         table(s, d, "orders"), "o_orderpriority", "o_custkey"),
       "o_orderpriority")
 
+  /** Salted equi-join (ops.SkewOps.saltedJoin): the skewed-JOIN twin of
+    * a_salted_agg — fact rows carry a deterministic hash salt, the dim
+    * side is replicated 8×, the join keys on (suppkey, salt) so a hot
+    * supplier spreads over 8 reducers. merge hint forces the
+    * sort-merge path (a broadcast would bypass the machinery under
+    * test). The oracle is the PLAIN join + group-by: salting must be
+    * invisible. Quantity sum via the decimal-exact dsum. */
+  private val jSkewSalted: Q = (s, d) =>
+    graft.ops.SkewOps.saltedJoin(
+        table(s, d, "lineitem").hint("merge"),
+        table(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        "l_suppkey", "s_suppkey", buckets = 8,
+        saltOn = Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+
+  private val jSkewSaltedSql =
+    s"""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_lines,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY 1""".stripMargin
+
+  /** OHLC time-bucket downsample (ops.Ohlc): per (user, hour) open/
+    * high/low/close of the event value — the fixed-footprint lossy
+    * resample for dense telemetry series. One shuffle; open/close ride
+    * min_by/max_by on a (ts, event_id) ordering struct, so no window
+    * and no sort. All outputs are selections of stored doubles →
+    * bit-exact oracle. */
+  private val wResampleOhlc: Q = (s, d) =>
+    graft.ops.Ohlc.resample(events(s, d), Seq("user_id"),
+      tsCol = "ev_us", tieCol = "event_id", valCol = "value",
+      bucketWidth = 3600000000L)
+
+  private val wResampleOhlcSql = graft.ops.Ohlc.resampleSql(
+    s"SELECT user_id, event_id, value, $evUsSql AS us FROM events",
+    keys = Seq("user_id"), tsSql = "us", tieSql = "event_id",
+    valSql = "value", bucketWidth = 3600000000L)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s4_scan_project", s4ScanProject, Some(s4ScanProjectSql)),
     ("a4_approx_distinct", a4Approx, None),
@@ -1760,6 +1798,8 @@ object RelationalQueries {
     ("stream_interval_join_outer", streamIntervalJoinOuter,
       Some(streamIntervalJoinOuterSql)),
     ("a_percentiles", aPercentiles, Some(aPercentilesSql)),
-    ("a_percentiles_approx", aPercentilesApprox, None)
+    ("a_percentiles_approx", aPercentilesApprox, None),
+    ("j_skew_salted", jSkewSalted, Some(jSkewSaltedSql)),
+    ("w_resample_ohlc", wResampleOhlc, Some(wResampleOhlcSql))
   )
 }

@@ -165,6 +165,92 @@ object Bpe {
       md5(col("tok_stream").cast("binary")).as("tokens_md5"))
   }
 
+  /** GPT-2-style word-start marker: prefixed to the FIRST token of
+    * every word after merges are applied, so the flat token stream
+    * keeps word boundaries and [[decode]] is exact. U+0120 (Ġ) — the
+    * actual byte-level-BPE convention — never appears in the synthetic
+    * ASCII corpus; encodeStream guards the assumption per row. */
+  val WordStartMarker = "Ġ"
+
+  /** Tokenize to the FULL marked token stream (one row per doc,
+    * space-joined tokens, first token of each word carrying
+    * [[WordStartMarker]]). Same mapPartitions kernel + memo as
+    * [[encode]] — embarrassingly parallel, zero shuffles. Docs whose
+    * text contains the marker character are rejected (would corrupt
+    * word boundaries silently); empty-word-only docs are dropped as in
+    * [[encode]]. */
+  def encodeStream(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def applyMerges(word: String): Array[String] = {
+          if (memo.size > (1 << 20)) memo.clear()
+          memo.getOrElseUpdate(word, {
+            var syms: Array[String] = word.map(_.toString).toArray
+            for ((l, r) <- ms) {
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  out += l + r; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              syms = out.toArray
+            }
+            syms
+          })
+        }
+        it.flatMap { case (docId, text) =>
+          require(!text.contains(WordStartMarker),
+            s"doc $docId contains the reserved word-start marker U+0120")
+          val words = text.split(" ").filter(_.nonEmpty)
+          if (words.isEmpty) Iterator.empty
+          else {
+            val sb = new StringBuilder
+            var first = true
+            words.foreach { w =>
+              val toks = applyMerges(w)
+              var i = 0
+              while (i < toks.length) {
+                if (!first) sb += ' '
+                if (i == 0) sb ++= WordStartMarker
+                sb ++= toks(i)
+                first = false; i += 1
+              }
+            }
+            Iterator.single((docId, sb.toString))
+          }
+        }
+      }.toDF("doc_id", "tok_stream")
+  }
+
+  /** Invert [[encodeStream]]: concatenate tokens, opening a new word at
+    * every marker — pure string fold, no merge table needed (BPE
+    * decode is merge-free by construction; that's the property the
+    * roundtrip gate pins). Returns (doc_id, text) with words joined by
+    * single spaces. */
+  def decode(encoded: DataFrame): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.select(col("doc_id"), col("tok_stream")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, stream) =>
+          val sb = new StringBuilder
+          stream.split(" ").foreach { tok =>
+            if (tok.startsWith(WordStartMarker)) {
+              if (sb.nonEmpty) sb += ' '
+              sb ++= tok.substring(WordStartMarker.length)
+            } else sb ++= tok
+          }
+          (docId, sb.toString)
+        }
+      }.toDF("doc_id", "text")
+  }
+
   /** Train-then-encode in one call (the gate shape): learn `rounds`
     * merges from the corpus itself, then tokenize it. */
   def trainAndEncode(docs: DataFrame, rounds: Int): DataFrame = {

@@ -35,6 +35,36 @@ class SkewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join equals plain join on a skewed fact side") {
+    import spark.implicits._
+    // 95% of fact rows hit one dim key
+    val fact = (1 to 5000).map { i =>
+      val k = if (i % 20 != 0) 1L else (i % 7 + 2).toLong
+      (i.toLong, k, i * 1.5)
+    }.toDF("row_id", "fk", "v")
+    val dim = (1L to 10L).map(k => (k, s"name$k")).toDF("pk", "pk_name")
+    val plain = fact.join(dim, fact("fk") === dim("pk"))
+      .select("row_id", "fk", "v", "pk", "pk_name")
+      .collect().map(_.toSeq).toSet
+    val salted = SkewOps.saltedJoin(fact, dim, "fk", "pk", buckets = 8,
+        saltOn = Seq("row_id"))
+      .select("row_id", "fk", "v", "pk", "pk_name")
+      .collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.size === 5000) // every fact row matched exactly once
+  }
+
+  test("salted join: unmatched fact rows drop, dim replication is invisible") {
+    import spark.implicits._
+    val fact = Seq((1L, 1L), (2L, 2L), (3L, 99L)).toDF("row_id", "fk")
+    val dim = Seq((1L, "a"), (2L, "b"), (4L, "unused")).toDF("pk", "tag")
+    val out = SkewOps.saltedJoin(fact, dim, "fk", "pk", buckets = 4,
+        saltOn = Seq("row_id"))
+      .select("row_id", "tag").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet === Set((1L, "a"), (2L, "b")))
+    assert(out.length === 2)
+  }
+
   test("approx_count_distinct within rsd tolerance of exact") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val exact = li.groupBy("l_returnflag")

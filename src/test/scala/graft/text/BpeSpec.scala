@@ -96,4 +96,36 @@ class BpeSpec extends AnyFunSuite {
     assert(enc.length === 1)
     assert(enc(0).getAs[Long]("n_tokens") === 1L)
   }
+
+  test("encodeStream marks word starts; decode inverts exactly") {
+    val df = docs("the cat sat", "aaab aab", "  spaced   out ")
+    val ms = Seq(("t", "h"), ("th", "e"), ("a", "a"))
+    val enc = Bpe.encodeStream(df, ms).orderBy("doc_id").collect()
+    // doc0: "the"→[the? no: (t,h)→th, (th,e)→the] = 1 token
+    val s0 = enc(0).getAs[String]("tok_stream")
+    assert(s0 === "Ġthe Ġc a t Ġs a t")
+    val dec = Bpe.decode(Bpe.encodeStream(df, ms))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // roundtrip = source modulo single-space word joining
+    assert(dec.toSeq === Seq((0L, "the cat sat"), (1L, "aaab aab"),
+      (2L, "spaced out")))
+  }
+
+  test("decode is merge-independent: any merge list roundtrips") {
+    val df = docs("mixed lengths here ok", "zz")
+    for (ms <- Seq(Seq.empty[(String, String)], Seq(("z", "z")),
+        Seq(("e", "n"), ("h", "e"), ("he", "r")))) {
+      val dec = Bpe.decode(Bpe.encodeStream(df, ms))
+        .orderBy("doc_id").collect().map(_.getString(1))
+      assert(dec.toSeq === Seq("mixed lengths here ok", "zz"), s"merges=$ms")
+    }
+  }
+
+  test("encodeStream rejects text containing the reserved marker") {
+    val ex = intercept[org.apache.spark.SparkException] {
+      Bpe.encodeStream(docs("bad Ġ token"), Seq.empty).collect()
+    }
+    assert(ex.getMessage.contains("marker") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("marker"))
+  }
 }
