@@ -1725,6 +1725,78 @@ object RelationalQueries {
     keys = Seq("user_id"), tsSql = "us", tieSql = "event_id",
     valSql = "value", bucketWidth = 3600000000L)
 
+  /** Full outer join with key coalescing: per-nation customer counts ⟗
+    * per-nation supplier counts — nations present on only one side
+    * survive with a 0 on the other (at sf0.001 supplier covers 10 of
+    * 25 nations, so the outer rows are real). USING-style join keeps
+    * one nationkey column. */
+  private val jFullCoalesce: Q = (s, d) => {
+    val cust = table(s, d, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val supp = table(s, d, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    cust.join(supp, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
+  private val jFullCoalesceSql =
+    """SELECT nationkey,
+      |  CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+      |  CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+      |      FROM supplier GROUP BY 1) s USING (nationkey)""".stripMargin
+
+  /** Key-skew profile (ops.KeySkew): hottest-key share + Gini of the
+    * key-frequency distribution for two prospective shuffle keys — the
+    * pre-flight diagnostic that decides whether SkewOps salting is
+    * needed. All-integer Gini rank formula → bit-exact oracle. */
+  private val qualityKeySkew: Q = (s, d) =>
+    graft.ops.KeySkew.profile(events(s, d), "event_type")
+      .unionByName(graft.ops.KeySkew.profile(table(s, d, "lineitem"),
+        "l_suppkey"))
+
+  private val qualityKeySkewSql =
+    s"""${graft.ops.KeySkew.profileSql("SELECT * FROM events", "event_type")}
+       |UNION ALL
+       |${graft.ops.KeySkew.profileSql("SELECT * FROM lineitem", "l_suppkey")}""".stripMargin
+
+  /** Referential-integrity audit (sources.IntegrityAudit): orphan-FK
+    * counts for three declared relationships — two clean, one against
+    * a deliberately truncated parent snapshot (suppliers with suppkey
+    * divisible by 10 dropped) so nonzero orphan accounting is
+    * exercised, not just the zero path. */
+  private val qualityRefIntegrity: Q = (s, d) => {
+    import graft.sources.IntegrityAudit.{Relation, audit}
+    audit(Seq(
+      Relation("lineitem->orders", table(s, d, "lineitem"), "l_orderkey",
+        table(s, d, "orders"), "o_orderkey"),
+      Relation("events->customer", events(s, d), "user_id",
+        table(s, d, "customer"), "c_custkey"),
+      Relation("lineitem->supplier_truncated", table(s, d, "lineitem"),
+        "l_suppkey",
+        table(s, d, "supplier").filter(col("s_suppkey") % 10 =!= 0),
+        "s_suppkey")))
+  }
+
+  private val qualityRefIntegritySql = {
+    import graft.sources.IntegrityAudit.relationSql
+    Seq(
+      relationSql("lineitem->orders", "SELECT * FROM lineitem", "l_orderkey",
+        "SELECT * FROM orders", "o_orderkey"),
+      relationSql("events->customer", "SELECT * FROM events", "user_id",
+        "SELECT * FROM customer", "c_custkey"),
+      relationSql("lineitem->supplier_truncated", "SELECT * FROM lineitem",
+        "l_suppkey", "SELECT * FROM supplier WHERE s_suppkey % 10 <> 0",
+        "s_suppkey")
+    ).mkString("\nUNION ALL\n")
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s4_scan_project", s4ScanProject, Some(s4ScanProjectSql)),
     ("a4_approx_distinct", a4Approx, None),
@@ -1800,6 +1872,9 @@ object RelationalQueries {
     ("a_percentiles", aPercentiles, Some(aPercentilesSql)),
     ("a_percentiles_approx", aPercentilesApprox, None),
     ("j_skew_salted", jSkewSalted, Some(jSkewSaltedSql)),
-    ("w_resample_ohlc", wResampleOhlc, Some(wResampleOhlcSql))
+    ("w_resample_ohlc", wResampleOhlc, Some(wResampleOhlcSql)),
+    ("j_full_coalesce", jFullCoalesce, Some(jFullCoalesceSql)),
+    ("quality_key_skew", qualityKeySkew, Some(qualityKeySkewSql)),
+    ("quality_ref_integrity", qualityRefIntegrity, Some(qualityRefIntegritySql))
   )
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity audit — the cross-table complement of
+  * [[Profile]]: for each declared FK relationship, how many child rows
+  * reference a parent key that does not exist? A nonzero orphan count
+  * on a fresh 100 TB drop means the upstream snapshot was cut
+  * mid-transaction (or a partition went missing) — the audit catches
+  * it BEFORE a downstream inner join silently drops those rows.
+  *
+  * Scale shape per relation: the parent side collapses to DISTINCT
+  * keys first (dim-sized), then one left-anti join keyed on the FK —
+  * the same shuffle the production join would do, so the audit is
+  * never more expensive than the pipeline it protects. AQE broadcasts
+  * the deduped parent when it fits. Relations evaluate independently
+  * (a union of 1-row aggregates), so one plan audits the whole
+  * schema.
+  */
+object IntegrityAudit {
+
+  /** One audited FK relationship. */
+  final case class Relation(name: String, child: DataFrame, fkCol: String,
+    parent: DataFrame, pkCol: String)
+
+  /** (relation, n_child, n_orphans, orphan_share) — one row per
+    * relation. Null FKs count as orphans (they'd drop in an inner
+    * join, which is what the audit protects). */
+  def audit(relations: Seq[Relation]): DataFrame = {
+    require(relations.nonEmpty)
+    relations.map { r =>
+      val parentKeys = r.parent.select(col(r.pkCol).as("_pk")).distinct()
+      val orphans = r.child.select(col(r.fkCol).as("_fk"))
+        .join(parentKeys, col("_fk") === col("_pk"), "left_anti")
+      val nChild = r.child.agg(count(lit(1)).as("n_child"))
+      val nOrphans = orphans.agg(count(lit(1)).as("n_orphans"))
+      nChild.crossJoin(nOrphans) // 1 row × 1 row
+        .select(lit(r.name).as("relation"), col("n_child"), col("n_orphans"),
+          (col("n_orphans").cast("double") / col("n_child").cast("double"))
+            .as("orphan_share"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** DuckDB mirror for one relation: anti-join via NOT EXISTS (null
+    * FKs orphan there too, matching the left-anti null semantics). */
+  def relationSql(name: String, childSql: String, fk: String,
+      parentSql: String, pk: String): String =
+    s"""SELECT '$name' AS relation,
+       |  CAST((SELECT count(*) FROM ($childSql) c0) AS BIGINT) AS n_child,
+       |  CAST((SELECT count(*) FROM ($childSql) c
+       |        WHERE NOT EXISTS (SELECT 1 FROM ($parentSql) p
+       |                          WHERE p.$pk = c.$fk)) AS BIGINT) AS n_orphans,
+       |  CAST((SELECT count(*) FROM ($childSql) c
+       |        WHERE NOT EXISTS (SELECT 1 FROM ($parentSql) p
+       |                          WHERE p.$pk = c.$fk)) AS DOUBLE)
+       |    / CAST((SELECT count(*) FROM ($childSql) c0) AS DOUBLE)
+       |    AS orphan_share""".stripMargin
+}

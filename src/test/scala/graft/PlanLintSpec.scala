@@ -43,8 +43,12 @@ class PlanLintSpec extends AnyFunSuite {
     "text_pmi",               // 1-row n_docs scalar (the a8_global/
                               // bm25 pattern) crossed into the small
                               // pair table
-    "pipeline_negative_sampling" // 1-row n_docs scalar crossed into
+    "pipeline_negative_sampling", // 1-row n_docs scalar crossed into
                               // the anchors frame (draw modulus)
+    "quality_ref_integrity"   // per-relation cross of the TWO 1-row
+                              // count aggregates (n_child × n_orphans)
+                              // — the quality_profile pattern, ×3
+                              // relations unioned
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
