@@ -1797,6 +1797,21 @@ object RelationalQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** Global total-order rank WITHOUT a single-partition window
+    * (ops.GlobalRank): order-preserving range buckets + per-bucket
+    * offsets, ranks assigned under partitionBy(bucket). The oracle IS
+    * the single-partition window — single-node DuckDB can afford what
+    * a 1000-executor job cannot. */
+  private val oGlobalRank: Q = (s, d) =>
+    graft.ops.GlobalRank.withGlobalRank(
+        events(s, d).select(col("event_id"), col("value")),
+        "value", "event_id")
+      .select(col("event_id"), col("value"), col("rn"))
+
+  private val oGlobalRankSql = graft.ops.GlobalRank.rankSql(
+    "SELECT event_id, value FROM events", "value", "event_id",
+    "event_id, value")
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s4_scan_project", s4ScanProject, Some(s4ScanProjectSql)),
     ("a4_approx_distinct", a4Approx, None),
@@ -1875,6 +1890,7 @@ object RelationalQueries {
     ("w_resample_ohlc", wResampleOhlc, Some(wResampleOhlcSql)),
     ("j_full_coalesce", jFullCoalesce, Some(jFullCoalesceSql)),
     ("quality_key_skew", qualityKeySkew, Some(qualityKeySkewSql)),
-    ("quality_ref_integrity", qualityRefIntegrity, Some(qualityRefIntegritySql))
+    ("quality_ref_integrity", qualityRefIntegrity, Some(qualityRefIntegritySql)),
+    ("o_global_rank", oGlobalRank, Some(oGlobalRankSql))
   )
 }

@@ -45,10 +45,13 @@ class PlanLintSpec extends AnyFunSuite {
                               // pair table
     "pipeline_negative_sampling", // 1-row n_docs scalar crossed into
                               // the anchors frame (draw modulus)
-    "quality_ref_integrity"   // per-relation cross of the TWO 1-row
+    "quality_ref_integrity",  // per-relation cross of the TWO 1-row
                               // count aggregates (n_child × n_orphans)
                               // — the quality_profile pattern, ×3
                               // relations unioned
+    "o_global_rank"           // 1-row global (min, max) stats broadcast
+                              // back for range bucketing — the
+                              // feature-scale pattern at global scope
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
