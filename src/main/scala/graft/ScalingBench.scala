@@ -27,10 +27,19 @@ object ScalingBench {
 
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1")
-    val queries = Seq("dedup_minhash_lsh", "dedup_chunk",
-      "pipeline_contamination", "dedup_ngram_capped", "dedup_exact",
-      "pipeline_chunk_overlap", "pipeline_bpe_merges", "pipeline_bpe_encode",
-      "dedup_containment")
+    // query -> the table whose row count is the size denominator
+    // (documents rows are flat below sf0.1; events/lineitem scale 10x
+    // per sf step, so the relational ops fit against their own input)
+    val queries = Seq(
+      "dedup_minhash_lsh" -> "documents", "dedup_chunk" -> "documents",
+      "pipeline_contamination" -> "documents",
+      "dedup_ngram_capped" -> "documents", "dedup_exact" -> "documents",
+      "pipeline_chunk_overlap" -> "documents",
+      "pipeline_bpe_merges" -> "documents", "pipeline_bpe_encode" -> "documents",
+      "dedup_containment" -> "documents",
+      "o_global_rank" -> "events", "w_resample_ohlc" -> "events",
+      "j_skew_salted" -> "lineitem", "quality_join_cardinality" -> "lineitem",
+      "quality_key_skew" -> "lineitem")
 
     def timeOnce(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -42,16 +51,19 @@ object ScalingBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val docRows = sfs.map { d =>
-      d -> spark.read.parquet(s"$d/documents.parquet").count().toDouble
-    }.toMap
+    val tableRows = (for {
+      d <- sfs
+      t <- queries.map(_._2).distinct
+    } yield (d, t) -> spark.read.parquet(s"$d/$t.parquet").count().toDouble)
+      .toMap
 
     def f3(v: Double) = String.format(Locale.ROOT, "%.3f", v)
-    val results = queries.map { q =>
+    val results = queries.map { case (q, tbl) =>
       val times = sfs.map(d => d -> timeOnce(q, d))
       // slope between the two LARGEST sfs: log(t2/t1)/log(n2/n1)
       val (d1, t1) = times(1); val (d2, t2) = times(2)
-      val slope = math.log(t2 / t1) / math.log(docRows(d2) / docRows(d1))
+      val slope = math.log(t2 / t1) /
+        math.log(tableRows((d2, tbl)) / tableRows((d1, tbl)))
       val ts = times.map { case (d, t) =>
         "\"" + d.substring(d.lastIndexOf('/') + 1) + "\":" + f3(t)
       }.mkString("{", ",", "}")

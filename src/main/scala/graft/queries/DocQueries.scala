@@ -581,6 +581,9 @@ object DocQueries {
       Some(graft.text.Bpe.trainAndEncodeSql(bpeRounds))),
     ("pipeline_bpe_roundtrip", pipelineBpeRoundtrip,
       Some(pipelineBpeRoundtripSql)),
+    ("pipeline_length_buckets",
+      ((s, d) => CorpusPipeline.lengthBuckets(table(s, d, "documents"))): Q,
+      Some(CorpusPipeline.lengthBucketsSql())),
     ("knn_kmeans_step", knnKmeansStep,
       Some(graft.sim.KmeansStep.stepSql(k = 8))),
     ("pipeline_pack_whole_docs", pipelinePackWhole,

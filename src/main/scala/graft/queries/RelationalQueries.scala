@@ -1812,6 +1812,35 @@ object RelationalQueries {
     "SELECT event_id, value FROM events", "value", "event_id",
     "event_id, value")
 
+  /** Exact join-cardinality pre-estimation (ops.JoinCardinality):
+    * |A⋈B| = Σ f_A(k)·f_B(k) off the vocab-sized frequency tables —
+    * the planner arithmetic run BEFORE an unaffordable join, paired
+    * with quality_key_skew's salting diagnostic. Three relations: a
+    * PK-FK join, a many-to-one, and a deliberately many-to-many pair
+    * (events×events on user) whose blow-up the estimator must price. */
+  private val qualityJoinCardinality: Q = (s, d) => {
+    import graft.ops.JoinCardinality.{Relation, estimate}
+    val ev = events(s, d)
+    estimate(Seq(
+      Relation("lineitem*orders", table(s, d, "lineitem"), "l_orderkey",
+        table(s, d, "orders"), "o_orderkey"),
+      Relation("lineitem*supplier", table(s, d, "lineitem"), "l_suppkey",
+        table(s, d, "supplier"), "s_suppkey"),
+      Relation("events*events_user", ev, "user_id", ev, "user_id")))
+  }
+
+  private val qualityJoinCardinalitySql = {
+    import graft.ops.JoinCardinality.relationSql
+    Seq(
+      relationSql("lineitem*orders", "SELECT * FROM lineitem", "l_orderkey",
+        "SELECT * FROM orders", "o_orderkey"),
+      relationSql("lineitem*supplier", "SELECT * FROM lineitem", "l_suppkey",
+        "SELECT * FROM supplier", "s_suppkey"),
+      relationSql("events*events_user", "SELECT * FROM events", "user_id",
+        "SELECT * FROM events", "user_id")
+    ).mkString("\nUNION ALL\n")
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s4_scan_project", s4ScanProject, Some(s4ScanProjectSql)),
     ("a4_approx_distinct", a4Approx, None),
@@ -1891,6 +1920,8 @@ object RelationalQueries {
     ("j_full_coalesce", jFullCoalesce, Some(jFullCoalesceSql)),
     ("quality_key_skew", qualityKeySkew, Some(qualityKeySkewSql)),
     ("quality_ref_integrity", qualityRefIntegrity, Some(qualityRefIntegritySql)),
-    ("o_global_rank", oGlobalRank, Some(oGlobalRankSql))
+    ("o_global_rank", oGlobalRank, Some(oGlobalRankSql)),
+    ("quality_join_cardinality", qualityJoinCardinality,
+      Some(qualityJoinCardinalitySql))
   )
 }

@@ -49,6 +49,52 @@ object CorpusPipeline {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM non_canonical)""".stripMargin
   }
 
+  /** Length-bucketed batching audit: bucket docs by token count and
+    * account the padding waste of batching each bucket to its own max
+    * length — the pre-flight metric behind length bucketing (uniform
+    * batching pads EVERY doc to the global max; per-bucket padding
+    * shrinks the wasted FLOPs to the intra-bucket spread). One
+    * corpus scan + one bucket-keyed aggregate; waste stays all-BIGINT
+    * until the final share division, so the oracle is bit-exact. */
+  def lengthBuckets(docs: DataFrame, bucketTokens: Long = 64L): DataFrame = {
+    require(bucketTokens > 0)
+    val nTok = size(expr(raw"regexp_extract_all(text, '\\S+', 0)")).cast("long")
+    docs.select(nTok.as("n_tokens"))
+      .withColumn("bucket_start",
+        (col("n_tokens") - pmod(col("n_tokens"), lit(bucketTokens))))
+      .groupBy(col("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .select(col("bucket_start"), col("n_docs"), col("sum_tokens"),
+        col("max_tokens"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens"))
+          .as("padding_waste"),
+        when(col("n_docs") * col("max_tokens") === 0L, lit(0.0))
+          .otherwise(
+            (col("n_docs") * col("max_tokens") - col("sum_tokens"))
+              .cast("double")
+              / (col("n_docs") * col("max_tokens")).cast("double"))
+          .as("waste_share"))
+  }
+
+  def lengthBucketsSql(bucketTokens: Long = 64L): String =
+    s"""WITH t AS (
+       |  SELECT CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT n_tokens - (n_tokens % $bucketTokens) AS bucket_start, n_tokens
+       |  FROM t)
+       |SELECT bucket_start,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS padding_waste,
+       |  CASE WHEN count(*) * max(n_tokens) = 0 THEN 0.0
+       |    ELSE CAST(count(*) * max(n_tokens) - sum(n_tokens) AS DOUBLE)
+       |      / CAST(count(*) * max(n_tokens) AS DOUBLE) END AS waste_share
+       |FROM b GROUP BY 1""".stripMargin
+
   private val Pow60 = 1152921504606846976L // 2^60
 
   private def splitThreshold(trainFrac: Double): Long =

@@ -277,6 +277,36 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert((0L until 100L).toSet.subsetOf(got)) // no false negatives
   }
 
+  test("lengthBuckets: hand-computed waste accounting") {
+    import spark.implicits._
+    // tokens: 3, 5, 7 (bucket 0); 70 (bucket 64); buckets of width 64
+    val tiny = Seq("a b c", "a b c d e", "a b c d e f g",
+        Seq.fill(70)("w").mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.lengthBuckets(tiny, bucketTokens = 64L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // bucket 0: 3 docs, sum 15, max 7 → waste 3*7-15=6, share 6/21
+    assert(out(0L) === ((3L, 15L, 7L, 6L, 6.0 / 21.0)))
+    // bucket 64: single doc → zero waste
+    assert(out(64L) === ((1L, 70L, 70L, 0L, 0.0)))
+  }
+
+  test("lengthBuckets: per-bucket waste never exceeds uniform-padding waste") {
+    val out = CorpusPipeline.lengthBuckets(docs).agg(
+        sum(col("padding_waste")).as("bucketed"),
+        (count(lit(1)) * lit(0)).as("z")) // placeholder agg shape
+      .collect()(0).getLong(0)
+    val uni = docs.select(
+        size(expr(raw"regexp_extract_all(text, '\\S+', 0)")).cast("long")
+          .as("n"))
+      .agg((count(lit(1)) * max(col("n")) - sum(col("n"))).as("w"))
+      .collect()(0).getLong(0)
+    assert(out <= uni)
+  }
+
   test("packWholeDocs: docs never split, bins never overflow, offsets stack") {
     import org.apache.spark.sql.functions._
     val packed = CorpusPipeline.packWholeDocs(docs, budgetTokens = 256L)
