@@ -1841,6 +1841,27 @@ object RelationalQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** Linear multi-touch attribution (ops.Attribution): each purchase's
+    * value split equally across its preceding views in a 2 h window,
+    * rolled up per view — the credit-splitting op a plain join cannot
+    * express (the denominator is a per-purchase aggregate). */
+  private val aAttributionLinear: Q = (s, d) => {
+    val e = events(s, d)
+    graft.ops.Attribution.linearCredit(
+      e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ev_us").as("vus")),
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ev_us").as("pus"), col("value")),
+      maxLagUs = 7200000000L)
+  }
+
+  private val aAttributionLinearSql = graft.ops.Attribution.linearCreditSql(
+    s"SELECT user_id, event_id AS view_id, $evUsSql AS vus FROM events WHERE event_type = 'view'",
+    s"SELECT user_id, event_id AS purchase_id, $evUsSql AS pus, value FROM events WHERE event_type = 'purchase'",
+    maxLagUs = 7200000000L)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s4_scan_project", s4ScanProject, Some(s4ScanProjectSql)),
     ("a4_approx_distinct", a4Approx, None),
@@ -1922,6 +1943,7 @@ object RelationalQueries {
     ("quality_ref_integrity", qualityRefIntegrity, Some(qualityRefIntegritySql)),
     ("o_global_rank", oGlobalRank, Some(oGlobalRankSql)),
     ("quality_join_cardinality", qualityJoinCardinality,
-      Some(qualityJoinCardinalitySql))
+      Some(qualityJoinCardinalitySql)),
+    ("a_attribution_linear", aAttributionLinear, Some(aAttributionLinearSql))
   )
 }

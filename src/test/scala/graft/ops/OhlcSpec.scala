@@ -41,6 +41,35 @@ class OhlcSpec extends AnyFunSuite {
     assert(buckets === Array(b0, b0 + w))
   }
 
+  test("randomized parity vs the declarative window form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 3000).map(i =>
+        ("k" + rnd.nextInt(5), rnd.nextInt(500).toLong, i.toLong,
+          rnd.nextInt(10000) / 100.0))
+      .toDF("k", "ts", "id", "v").repartition(7)
+    val got = Ohlc.resample(df, Seq("k"), "ts", "id", "v", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    // reference: two row_number windows + group aggregate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("b"))
+    val ref = df.withColumn("b", col("ts") - pmod(col("ts"), lit(100L)))
+      .withColumn("rna", row_number().over(w.orderBy(col("ts"), col("id"))))
+      .withColumn("rnd_", row_number().over(
+        w.orderBy(col("ts").desc, col("id").desc)))
+      .groupBy(col("k"), col("b"))
+      .agg(max(when(col("rna") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(when(col("rnd_") === 1, col("v"))).as("close"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(got === ref)
+  }
+
   test("single shuffle: no window exchange beyond the groupBy") {
     import spark.implicits._
     val df = (1 to 1000).map(i => ("k" + i % 3, i.toLong, i.toLong, i * 0.5))
