@@ -16,7 +16,8 @@ object SparkEntry {
   private def registry: Seq[(String, Q, Option[String])] =
     RelationalQueries.entries ++ ResampleQueries.entries ++
       DocQueries.entries ++ AsofQueries.entries ++ ExtendedQueries.entries ++
-      MultimodalQueries.entries ++ F1GateQueries.entries
+      MultimodalQueries.entries ++ F1GateQueries.entries ++
+      MlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Avoids the events table so it works on any session config (events

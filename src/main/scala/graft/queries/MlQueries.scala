@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import QueryDsl._
+
+/** Model-evaluation, product-analytics, and recommender gates — the
+  * post-training scoring surface of the pipeline (SURVEY §2.9 scope:
+  * operations a large-scale training-data stack needs beyond the
+  * reference's own notebooks). Every entry carries an exact DuckDB
+  * oracle; see the op scaladocs for the integer-sufficient-statistic
+  * exactness arguments.
+  */
+object MlQueries {
+
+  /** Exact grouped ROC-AUC (tied-rank Mann–Whitney) — label = returned
+    * line, score = quantity (heavily tied, exercising the average-rank
+    * path), grouped by line status. */
+  private val mlAucRoc: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .withColumn("_lab", col("l_returnflag") === "R")
+      .transform(df => graft.ml.Eval.aucRoc(df, "l_linestatus",
+        "l_quantity", "_lab"))
+      .withColumnRenamed("l_linestatus", "grp")
+
+  private val mlAucRocSql = graft.ml.Eval.aucRocSql(
+    "SELECT * FROM lineitem", "l_linestatus", "l_quantity",
+    "l_returnflag = 'R'")
+
+  /** Decile gains/lift table over extendedprice ranking, positives =
+    * returned lines; rides GlobalRank (no single-partition window). */
+  private val mlGainsTable: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .withColumn("_lab", col("l_returnflag") === "R")
+      .withColumn("_tie", expr("l_orderkey * 10 + l_linenumber"))
+      .transform(df => graft.ml.Eval.gains(df, "l_extendedprice", "_tie",
+        "_lab", buckets = 10))
+
+  private val mlGainsTableSql = graft.ml.Eval.gainsSql(
+    "SELECT *, l_orderkey * 10 + l_linenumber AS tie FROM lineitem",
+    "l_extendedprice", "tie", "l_returnflag = 'R'", buckets = 10)
+
+  /** Daily cohort retention matrix over the events table. */
+  private val aCohortRetention: Q = (s, d) =>
+    graft.ops.Cohort.retention(events(s, d), "user_id", "ev_us",
+      86400000000L)
+
+  private val aCohortRetentionSql = graft.ops.Cohort.retentionSql(
+    s"SELECT user_id, $evUsSql AS ev_us FROM events", "user_id", "ev_us",
+    86400000000L)
+
+  /** 2-D skyline: parts on the (retailprice, size) Pareto frontier —
+    * bucketed distributed form vs the oracle's quadratic NOT EXISTS. */
+  private val oSkylinePareto: Q = (s, d) =>
+    graft.ops.Skyline.frontier(
+      table(s, d, "part").select(col("p_partkey"), col("p_retailprice"),
+        col("p_size")),
+      "p_retailprice", "p_size")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+
+  private val oSkylineParetoSql = graft.ops.Skyline.frontierSql(
+    "SELECT p_partkey, p_retailprice, p_size FROM part",
+    "p_retailprice", "p_size", "p.p_partkey, p.p_retailprice, p.p_size")
+
+  /** Item-item co-purchase top-3 (cosine over basket incidence) with a
+    * hard basket cap of 5 distinct items — the pair-explosion guard —
+    * deliberately low enough that real baskets drop, so the gate
+    * proves cap parity too. */
+  private val recItemSimilarity: Q = (s, d) =>
+    graft.sim.ItemSim.topkCosine(table(s, d, "lineitem"),
+      "l_orderkey", "l_partkey", k = 3, maxBasket = 5)
+
+  private val recItemSimilaritySql = graft.sim.ItemSim.topkCosineSql(
+    "SELECT * FROM lineitem", "l_orderkey", "l_partkey",
+    k = 3, maxBasket = 5)
+
+  /** Per-order retrieval metrics: candidates = lines ranked by price
+    * (tie: linenumber), relevant = returned lines; P@3 / MRR@3 /
+    * nDCG@3 per order. */
+  private val mlRankingMetrics: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .withColumn("_rel", col("l_returnflag") === "R")
+      .transform(df => graft.ml.Eval.rankingMetrics(df, "l_orderkey",
+        "l_extendedprice", "l_linenumber", "_rel", k = 3))
+
+  private val mlRankingMetricsSql = graft.ml.Eval.rankingMetricsSql(
+    "SELECT * FROM lineitem", "l_orderkey", "l_extendedprice",
+    "l_linenumber", "l_returnflag = 'R'", k = 3)
+
+  /** χ² most-discriminative tokens per language over documents. */
+  private val textChi2Terms: Q = (s, d) =>
+    graft.text.FeatureSelect.chi2Terms(table(s, d, "documents"),
+      "doc_id", "text", "lang", k = 15, minDf = 3L)
+
+  private val textChi2TermsSql = graft.text.FeatureSelect.chi2TermsSql(
+    "SELECT * FROM documents", "doc_id", "text", "lang", k = 15, minDf = 3L)
+
+  /** Naive-Bayes language classifier trained on the 80% md5 fold,
+    * test-fold confusion matrix. */
+  private val mlNaiveBayes: Q = (s, d) =>
+    graft.text.NaiveBayes.confusion(table(s, d, "documents"),
+      "doc_id", "text", "lang", trainFrac = 0.8)
+
+  private val mlNaiveBayesSql = graft.text.NaiveBayes.confusionSql(
+    "SELECT * FROM documents", "doc_id", "text", "lang", trainFrac = 0.8)
+
+  /** CUSUM drift alerts per event_type over the value stream (time
+    * order, event_id tiebreak). */
+  private val wCusumAlerts: Q = (s, d) =>
+    graft.ops.Cusum.detect(
+      events(s, d).select(col("event_type"), col("ev_us"), col("event_id"),
+        col("value")),
+      "event_type", "ev_us", "event_id", "value",
+      target = 50.0, slack = 5.0, h = 200.0)
+      .withColumnRenamed("event_type", "k").withColumnRenamed("ev_us", "o")
+      .withColumnRenamed("event_id", "tie").withColumnRenamed("value", "v")
+
+  private val wCusumAlertsSql = graft.ops.Cusum.detectSql(
+    s"SELECT event_type, $evUsSql AS ev_us, event_id, value FROM events",
+    "event_type", "ev_us", "event_id", "value",
+    target = 50.0, slack = 5.0, h = 200.0)
+
+  /** Daily DAU / trailing-7 WAU / stickiness over events. */
+  private val aActiveStickiness: Q = (s, d) =>
+    graft.ops.ActiveUsers.stickiness(events(s, d), "user_id", "ev_us",
+      86400000000L, w = 7)
+
+  private val aActiveStickinessSql = graft.ops.ActiveUsers.stickinessSql(
+    s"SELECT user_id, $evUsSql AS ev_us FROM events", "user_id", "ev_us",
+    86400000000L, w = 7)
+
+  /** Quantile-normalize extendedprice within each return flag onto the
+    * corpus-global distribution — integer-exact order-statistic map. */
+  private val wQuantileNormalize: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .withColumn("_id", expr("l_orderkey * 10 + l_linenumber"))
+      .select(col("_id"), col("l_returnflag"), col("l_extendedprice"))
+      .transform(df => graft.ops.QuantileNorm.toGlobalReference(
+        df, "l_returnflag", "l_extendedprice", "_id"))
+
+  private val wQuantileNormalizeSql =
+    graft.ops.QuantileNorm.toGlobalReferenceSql(
+      """SELECT l_orderkey * 10 + l_linenumber AS id, l_returnflag,
+        |l_extendedprice FROM lineitem""".stripMargin,
+      "l_returnflag", "l_extendedprice", "id",
+      "g.id AS _id, g.l_returnflag, g.l_extendedprice")
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ml_auc_roc", mlAucRoc, Some(mlAucRocSql)),
+    ("ml_gains_table", mlGainsTable, Some(mlGainsTableSql)),
+    ("a_cohort_retention", aCohortRetention, Some(aCohortRetentionSql)),
+    ("o_skyline_pareto", oSkylinePareto, Some(oSkylineParetoSql)),
+    ("rec_item_similarity", recItemSimilarity, Some(recItemSimilaritySql)),
+    ("ml_ranking_metrics", mlRankingMetrics, Some(mlRankingMetricsSql)),
+    ("text_chi2_terms", textChi2Terms, Some(textChi2TermsSql)),
+    ("ml_naive_bayes", mlNaiveBayes, Some(mlNaiveBayesSql)),
+    ("w_cusum_alerts", wCusumAlerts, Some(wCusumAlertsSql)),
+    ("a_active_stickiness", aActiveStickiness, Some(aActiveStickinessSql)),
+    ("w_quantile_normalize", wQuantileNormalize, Some(wQuantileNormalizeSql))
+  )
+}

@@ -1,0 +1,88 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item similarity from co-occurrence — the bipartite-projection
+  * recommender ("bought X, also bought Y"): project the (basket, item)
+  * bipartite graph onto items, score each co-occurring pair by cosine
+  * over basket incidence n_ab / √(n_a·n_b), keep top-k per item.
+  *
+  * Scale shape: the classic pair-explosion guard is a HARD BASKET CAP
+  * — a basket of b items emits b(b−1)/2 pairs, so one 10⁶-item bot
+  * basket emits 5·10¹¹ pairs; baskets above `maxBasket` are DROPPED
+  * (deterministic, mirrored in the oracle) before the self-join. After
+  * the cap the pair count is ≤ corpusRows·maxBasket/2 — linear. The
+  * per-item top-k window partitions by item (never global).
+  *
+  * Exactness: counts are longs; cosine is one long multiply, one IEEE
+  * sqrt, one divide — all correctly-rounded, bit-identical cross-
+  * engine; rank ties break on the partner id.
+  */
+object ItemSim {
+
+  /** @param baskets (basketCol, itemCol) rows, duplicates allowed
+    * @return (item, other, n_pair, cosine, rank) — top-`k` partners
+    *         per item by cosine desc, partner id asc. */
+  def topkCosine(baskets: DataFrame, basketCol: String, itemCol: String,
+      k: Int, maxBasket: Int): DataFrame = {
+    val b = baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val kept = b.join(
+      b.groupBy(col("_b")).agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBasket).select(col("_b")),
+      Seq("_b"))
+    val itemN = kept.groupBy(col("_i")).agg(count(lit(1)).as("_n"))
+    val pairs = kept.as("l")
+      .join(kept.as("r"), expr("l._b = r._b AND l._i < r._i"))
+      .groupBy(col("l._i").as("_a"), col("r._i").as("_c"))
+      .agg(count(lit(1)).as("n_pair"))
+    val scored = pairs
+      .join(itemN.withColumnRenamed("_i", "_a").withColumnRenamed("_n", "_na"),
+        Seq("_a"))
+      .join(itemN.withColumnRenamed("_i", "_c").withColumnRenamed("_n", "_nc"),
+        Seq("_c"))
+      .withColumn("cosine",
+        col("n_pair").cast("double") /
+          sqrt((col("_na") * col("_nc")).cast("double")))
+    // symmetric: each pair serves both endpoints' top-k lists
+    val both = scored.select(col("_a").as("item"), col("_c").as("other"),
+        col("n_pair"), col("cosine"))
+      .unionByName(scored.select(col("_c").as("item"), col("_a").as("other"),
+        col("n_pair"), col("cosine")))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("other"))
+    both.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DuckDB mirror of [[topkCosine]]. */
+  def topkCosineSql(srcSql: String, basketSql: String, itemSql: String,
+      k: Int, maxBasket: Int): String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT $basketSql AS bk, $itemSql AS it
+       |  FROM ($srcSql) raw),
+       |kept AS (
+       |  SELECT * FROM b WHERE bk IN (
+       |    SELECT bk FROM b GROUP BY bk HAVING COUNT(*) <= $maxBasket)),
+       |item_n AS (SELECT it, COUNT(*) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT l.it AS a, r.it AS c, CAST(COUNT(*) AS BIGINT) AS n_pair
+       |  FROM kept l JOIN kept r ON l.bk = r.bk AND l.it < r.it
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT a, c, n_pair,
+       |    CAST(n_pair AS DOUBLE) /
+       |      sqrt(CAST(na.n * nc.n AS DOUBLE)) AS cosine
+       |  FROM pairs JOIN item_n na ON a = na.it JOIN item_n nc ON c = nc.it),
+       |both_dir AS (
+       |  SELECT a AS item, c AS other, n_pair, cosine FROM scored
+       |  UNION ALL
+       |  SELECT c AS item, a AS other, n_pair, cosine FROM scored)
+       |SELECT item, other, n_pair, cosine, rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY item
+       |    ORDER BY cosine DESC, other) AS INT) AS rank
+       |  FROM both_dir) t
+       |WHERE rank <= $k""".stripMargin
+}

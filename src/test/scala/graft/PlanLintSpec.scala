@@ -49,9 +49,21 @@ class PlanLintSpec extends AnyFunSuite {
                               // count aggregates (n_child × n_orphans)
                               // — the quality_profile pattern, ×3
                               // relations unioned
-    "o_global_rank"           // 1-row global (min, max) stats broadcast
+    "o_global_rank",          // 1-row global (min, max) stats broadcast
                               // back for range bucketing — the
                               // feature-scale pattern at global scope
+    "ml_gains_table",         // rides GlobalRank (1-row min/max stats)
+                              // + its own 1-row (N, NP) totals cross
+    "o_skyline_pareto",       // 1-row global x-range stats broadcast
+                              // back for the distinct-x range buckets
+                              // (the GlobalRank bucketing trick)
+    "text_chi2_terms",        // 1-row corpus doc count crossed into
+                              // the vocab-sized contingency frame
+    "ml_naive_bayes",         // ≤L-row label-totals + 1-row vocab-size
+                              // crosses building the vocab×L model;
+                              // 1-row train-doc total for priors
+    "w_quantile_normalize"    // GlobalRank's 1-row min/max stats + its
+                              // own 1-row corpus count broadcast
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
