@@ -26,15 +26,27 @@ object QueryDsl {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events with nanosecond ts exposed as `ev_us` (epoch micros) and
-    * `ev_ts` (session-UTC timestamp, micros precision). */
+  /** events with `ts` exposed as `ev_us` (epoch micros) and `ev_ts`
+    * (session-UTC timestamp, micros precision), regardless of how the
+    * parquet writer encoded the column:
+    *  - int64 nanos (read as LongType via nanosAsLong) → `ts div 1000`
+    *  - timestamp[us] without tz (TIMESTAMP_NTZ) → microsecond delta from
+    *    the NTZ epoch (naive wall-clock treated as UTC, matching DuckDB's
+    *    `epoch_us(ts)`; tz-independent so any session timezone works)
+    *  - timestamp[us] with tz (TIMESTAMP) → `unix_micros(ts)` */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // runtime SQL conf: robust even if the calling session's builder
     // didn't set it (e.g. the driver's own session).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ev_us", expr("ts div 1000"))
-      .withColumn("ev_ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    val evUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _: TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts"))
+    }
+    raw.withColumn("ev_us", evUs)
+      .withColumn("ev_ts", timestamp_micros(col("ev_us")))
   }
 
   /** Exact distributed sum of a double column: associative decimal
