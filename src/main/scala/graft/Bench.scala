@@ -36,7 +36,10 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: benign WARNs (e.g. WindowExec on deliberately
+    // tiny single-partition windows) would land in the driver's ~3.5 KB
+    // stdout tail window and can crowd out the summary JSON line.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session once (parquet footer reads, first-job setup).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 

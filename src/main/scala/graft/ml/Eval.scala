@@ -107,7 +107,10 @@ object Eval {
         (col("n_pos") * col("_N")).cast("double") /
           (col("n") * col("_NP")).cast("double"))
       .withColumn("cum_capture",
-        sum(col("n_pos")).over(Window.orderBy(col("bucket"))
+        // constant partition key: the decile table is ≤10 rows; same
+        // single-partition execution, no global-window WARN
+        sum(col("n_pos")).over(
+          Window.partitionBy(lit(0)).orderBy(col("bucket"))
             .rowsBetween(Window.unboundedPreceding, 0)).cast("double") /
           col("_NP").cast("double"))
       .select(col("bucket"), col("n"), col("n_pos"), col("lift"),

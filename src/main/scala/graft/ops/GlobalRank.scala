@@ -47,8 +47,11 @@ object GlobalRank {
       .drop("_lo", "_hi")
     val offsets = bucketed.groupBy(col("_bucket")).agg(count(lit(1)).as("_c"))
       .withColumn("_offset",
+        // constant partition key: same single-partition execution (the
+        // bucket table is ≤`buckets` rows by construction) without the
+        // global-window WARN that would spam every driver log tail
         coalesce(sum(col("_c")).over(
-          Window.orderBy(col("_bucket"))
+          Window.partitionBy(lit(0)).orderBy(col("_bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_bucket"), col("_offset"))
     val wBucket = Window.partitionBy(col("_bucket"))

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Key-skew profiling — the diagnostic a 100 TB shuffle plan needs
@@ -14,10 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one shuffle builds the (key, cnt) frequency table
   * (map-side combined — corpus rows never shuffle); everything after
-  * runs on the VOCAB, including the single-partition rank window the
-  * Gini formula needs (same bounded-vocab trade as the BPE trainer —
-  * ~10⁷ rows worst case for a web-scale key, far under a task). The
-  * hottest key rides max_by on the same aggregate, no extra pass.
+  * runs on the VOCAB. The ascending rank the Gini formula needs comes
+  * from [[GlobalRank.withGlobalRank]] — the bucketed distributed rank,
+  * NOT a single-partition window — so even a 10⁹-key vocabulary never
+  * funnels through one task. The hottest key rides max_by on the same
+  * aggregate, no extra pass.
   *
   * Exactness: Gini via the rank formula
   * `(2·Σ(i·fᵢ) − (n+1)·Σf) / (n·Σf)` with frequencies ranked
@@ -34,11 +34,12 @@ object KeySkew {
   def profile(df: DataFrame, keyCol: String): DataFrame = {
     val freq = df.groupBy(col(keyCol).cast("string").as("k"))
       .agg(count(lit(1)).as("cnt"))
-    // vocab-only global rank; ties broken on key for determinism
+    // distributed vocab rank; ties broken on key for determinism
     // (Gini is tie-order invariant, the rank window just needs a total
-    // order)
-    val ranked = freq.withColumn("i",
-      row_number().over(Window.orderBy(col("cnt"), col("k"))))
+    // order). GlobalRank's rank is identical to the single-partition
+    // row_number over (cnt, k) — proven by the o_global_rank gate —
+    // so the oracle stays hash-exact.
+    val ranked = GlobalRank.withGlobalRank(freq, "cnt", "k", rankCol = "i")
     ranked.agg(
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),
