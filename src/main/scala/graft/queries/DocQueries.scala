@@ -586,6 +586,11 @@ object DocQueries {
       Some(CorpusPipeline.lengthBucketsSql())),
     ("knn_kmeans_step", knnKmeansStep,
       Some(graft.sim.KmeansStep.stepSql(k = 8))),
+    ("knn_kmeans_train",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.sim.KmeansStep.train(table(s, d, "embeddings"), k = 8,
+          iters = 3)): Q,
+      Some(graft.sim.KmeansStep.trainSql(k = 8, iters = 3))),
     ("pipeline_pack_whole_docs", pipelinePackWhole,
       Some(CorpusPipeline.packWholeDocsSql())),
     ("a_countmin_freq", aCountminFreq, None),

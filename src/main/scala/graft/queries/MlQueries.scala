@@ -144,7 +144,31 @@ object MlQueries {
       "l_returnflag", "l_extendedprice", "id",
       "g.id AS _id, g.l_returnflag, g.l_extendedprice")
 
+  /** Full-batch GD logistic regression (hard-sigmoid surrogate) on
+    * integerized lineitem features: predict "returned line" from
+    * (bias, quantity, discount·100, tax·100). The ·100 integerization
+    * floors the IEEE product — engine-identical on both sides, per the
+    * LogregGd exactness contract. */
+  private val mlLogregGd: Q = (s, d) =>
+    graft.ml.LogregGd.train(
+      table(s, d, "lineitem").select(
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"),
+        lit(1L).as("x0"),
+        floor(col("l_quantity")).cast("long").as("x1"),
+        floor(col("l_discount") * lit(100.0)).cast("long").as("x2"),
+        floor(col("l_tax") * lit(100.0)).cast("long").as("x3")),
+      iters = 3)
+
+  private val mlLogregGdSql = graft.ml.LogregGd.trainSql(
+    """SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+      |  CAST(1 AS BIGINT) AS x0,
+      |  CAST(floor(l_quantity) AS BIGINT) AS x1,
+      |  CAST(floor(l_discount * 100.0) AS BIGINT) AS x2,
+      |  CAST(floor(l_tax * 100.0) AS BIGINT) AS x3
+      |FROM lineitem""".stripMargin, iters = 3)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ml_logreg_gd", mlLogregGd, Some(mlLogregGdSql)),
     ("ml_auc_roc", mlAucRoc, Some(mlAucRocSql)),
     ("ml_gains_table", mlGainsTable, Some(mlGainsTableSql)),
     ("a_cohort_retention", aCohortRetention, Some(aCohortRetentionSql)),

@@ -56,6 +56,90 @@ object KmeansStep {
           count(lit(1)).cast("double")).as("mean_q"))
   }
 
+  /** Full fixed-iteration Lloyd training: `iters` assignment+update
+    * rounds with the centroid table fed back in QUANTIZED units, so
+    * every iteration stays integer-exact end to end (cq' =
+    * floor(Σxq/n) — one IEEE divide of bounded ints, engine-identical
+    * floor). Same per-iteration scale shape as [[step]]: broadcast
+    * centroids, map-side argmin collapse, (cluster, dim) partial-sum
+    * update whose shuffle carries k×d×partitions numbers. Iteration
+    * count is FIXED (the deterministic-gate discipline — convergence
+    * tests would couple control flow to float comparisons); clusters
+    * that lose all members drop out, identically in both engines.
+    * Returns the final (cluster_id, dim, n_members, cq) table. */
+  def train(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val q = emb.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(x * $Q) AS BIGINT))").as("vq"))
+    var cents = q.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("vq").as("cq"))
+    for (_ <- 1 to iters) {
+      val assigned = q.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(vq, cq, (x, c) -> (x - c) * (x - c)), " +
+            "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"), col("vq"))).as("m"))
+      // floor-quantized mean per (cluster, dim), then the per-cluster
+      // centroid ARRAY reassembled dim-sorted (struct sort on the
+      // leading int is total → deterministic array order)
+      cents = assigned
+        .select(col("m.cid").as("cid"), posexplode(col("m.vq")).as(Seq("dim", "xq")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum(col("xq")).cast("double") / count(lit(1)).cast("double"))
+            .cast("long").as("cqv"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, cqv))), s -> s.cqv)")
+          .as("cq"), max(col("n")).as("n_members"))
+        .select(col("cid"), col("cq"), col("n_members"))
+    }
+    cents
+      .select(col("cid").as("cluster_id"), col("n_members"),
+        posexplode(col("cq")).as(Seq("dim", "cq")))
+      .select(col("cluster_id"), col("dim"), col("n_members"), col("cq"))
+  }
+
+  /** DuckDB mirror of [[train]]: one CTE pair per iteration with the
+    * identical seed rule, integer distances, tie-break, floor-mean
+    * feedback, and list reassembly ordered by dim. */
+  def trainSql(k: Int, iters: Int = 3, dims: Int = 64): String = {
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT q.vec_id, c.cid,
+         |    CAST(sum((q.vq[CAST(g.i AS INT)] - c.cq[CAST(g.i AS INT)]) *
+         |             (q.vq[CAST(g.i AS INT)] - c.cq[CAST(g.i AS INT)]))
+         |      AS BIGINT) AS dist
+         |  FROM q, c${i - 1} c, unnest(generate_series(1, $dims)) g(i)
+         |  GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$i) z
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT a.cid, CAST(g.i - 1 AS INT) AS dim,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(floor(CAST(CAST(sum(q.vq[CAST(g.i AS INT)]) AS BIGINT) AS DOUBLE) /
+         |      CAST(count(*) AS DOUBLE)) AS BIGINT) AS cqv
+         |  FROM a$i a JOIN q USING (vec_id),
+         |    unnest(generate_series(1, $dims)) g(i)
+         |  GROUP BY 1, 2),
+         |c$i AS (
+         |  SELECT cid, list(cqv ORDER BY dim) AS cq, max(n) AS n_members
+         |  FROM m$i GROUP BY cid)""".stripMargin
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(x * $Q) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, vq AS cq FROM q ORDER BY vec_id LIMIT $k),
+       |${steps.mkString(",\n")}
+       |SELECT cid AS cluster_id, CAST(g.i - 1 AS INT) AS dim, n_members,
+       |  cq[CAST(g.i AS INT)] AS cq
+       |FROM c$iters, unnest(generate_series(1, $dims)) g(i)""".stripMargin
+  }
+
   /** DuckDB oracle: identical quantization, seed rule, integer
     * distances, tie-break, and mean arithmetic (`dims` must match the
     * table's embedding width). */

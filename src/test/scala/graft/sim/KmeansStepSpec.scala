@@ -43,3 +43,52 @@ class KmeansStepSpec extends AnyFunSuite {
     assert(total === 20L)
   }
 }
+
+class KmeansTrainSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  private def emb(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("one iteration matches step's floor-quantized means") {
+    val df = emb(
+      (1L, Seq(0f, 0f)), (2L, Seq(10f, 10f)),
+      (3L, Seq(1f, 0f)), (4L, Seq(9f, 10f)))
+    val viaStep = KmeansStep.step(df, k = 2)
+      .select(col("cluster_id"), col("dim"),
+        floor(col("mean_q")).cast("long").as("cq"))
+      .orderBy("cluster_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val viaTrain = KmeansStep.train(df, k = 2, iters = 1)
+      .select(col("cluster_id"), col("dim"), col("cq"))
+      .orderBy("cluster_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(viaTrain.toSeq === viaStep.toSeq)
+  }
+
+  test("converged corpus is a fixed point: iters 2 == iters 5") {
+    // two tight, well-separated blobs; after one update the centroids
+    // sit at the blob floors and never move again
+    val df = emb(
+      (1L, Seq(0f, 0f)), (2L, Seq(100f, 100f)),
+      (3L, Seq(1f, 1f)), (4L, Seq(101f, 101f)),
+      (5L, Seq(0f, 1f)), (6L, Seq(100f, 101f)))
+    def result(iters: Int) =
+      KmeansStep.train(df, k = 2, iters = iters)
+        .orderBy("cluster_id", "dim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(result(2) === result(5))
+  }
+
+  test("membership counts cover the corpus exactly once") {
+    val df = emb((1 to 30).map(i =>
+      (i.toLong, Seq(i.toFloat, (i * 7 % 11).toFloat))): _*)
+    val perCluster = KmeansStep.train(df, k = 4, iters = 3)
+      .select("cluster_id", "n_members").distinct()
+      .collect().map(_.getLong(1))
+    assert(perCluster.sum === 30L)
+  }
+}
