@@ -1903,6 +1903,9 @@ object RelationalQueries {
     ("stream_hopping_window", streamHopping, Some(streamHoppingSql)),
     ("stream_static_enrich", streamStaticEnrich, Some(streamStaticEnrichSql)),
     ("stream_latest_state", streamLatestState, Some(streamLatestStateSql)),
+    ("stream_running_stats",
+      ((s, d) => graft.streaming.TwsOps.runningStatsBatch(events(s, d))): Q,
+      Some(graft.streaming.TwsOps.runningStatsBatchSql)),
     ("a_retention_cohorts", aRetentionCohorts, Some(aRetentionCohortsSql)),
     ("a_funnel_steps", aFunnelSteps, Some(aFunnelStepsSql)),
     ("a_funnel_steps4", aFunnelSteps4, Some(aFunnelSteps4Sql)),
