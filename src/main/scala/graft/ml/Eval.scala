@@ -107,10 +107,12 @@ object Eval {
         (col("n_pos") * col("_N")).cast("double") /
           (col("n") * col("_NP")).cast("double"))
       .withColumn("cum_capture",
-        // constant partition key: the decile table is ≤10 rows; same
+        // constant-valued (but non-foldable, so Catalyst keeps it)
+        // partition key: the decile table is ≤10 rows; same
         // single-partition execution, no global-window WARN
         sum(col("n_pos")).over(
-          Window.partitionBy(lit(0)).orderBy(col("bucket"))
+          Window.partitionBy(pmod(col("bucket"), lit(1)))
+            .orderBy(col("bucket"))
             .rowsBetween(Window.unboundedPreceding, 0)).cast("double") /
           col("_NP").cast("double"))
       .select(col("bucket"), col("n"), col("n_pos"), col("lift"),

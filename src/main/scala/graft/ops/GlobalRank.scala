@@ -47,11 +47,14 @@ object GlobalRank {
       .drop("_lo", "_hi")
     val offsets = bucketed.groupBy(col("_bucket")).agg(count(lit(1)).as("_c"))
       .withColumn("_offset",
-        // constant partition key: same single-partition execution (the
-        // bucket table is ≤`buckets` rows by construction) without the
-        // global-window WARN that would spam every driver log tail
+        // constant-valued partition key: same single-partition execution
+        // (the bucket table is ≤`buckets` rows by construction) without
+        // the global-window WARN spamming every driver log tail. pmod(x,1)
+        // is always 0 but NOT foldable, so Catalyst can't prune it back
+        // to an empty partition spec the way it does a bare literal.
         coalesce(sum(col("_c")).over(
-          Window.partitionBy(lit(0)).orderBy(col("_bucket"))
+          Window.partitionBy(pmod(col("_bucket"), lit(1)))
+            .orderBy(col("_bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("_bucket"), col("_offset"))
     val wBucket = Window.partitionBy(col("_bucket"))

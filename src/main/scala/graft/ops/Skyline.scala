@@ -47,9 +47,11 @@ object Skyline {
     val bucketPrefix = bucketed.groupBy(col("_bucket"))
       .agg(min(col("_m2")).as("_bmin"))
       .withColumn("_bprefix", min(col("_bmin")).over(
-        // constant partition key: identical single-partition execution
-        // on the ≤B-row bucket table, without the global-window WARN
-        Window.partitionBy(lit(0)).orderBy(col("_bucket"))
+        // constant-valued (but non-foldable, so Catalyst keeps it)
+        // partition key: identical single-partition execution on the
+        // ≤B-row bucket table, without the global-window WARN
+        Window.partitionBy(pmod(col("_bucket"), lit(1)))
+          .orderBy(col("_bucket"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .select(col("_bucket"), col("_bprefix"))
     val wInBucket = Window.partitionBy(col("_bucket")).orderBy(col(xCol))

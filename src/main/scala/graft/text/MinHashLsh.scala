@@ -204,7 +204,15 @@ object MinHashLsh {
         col("size_new"), col("size_ref"), col("jaccard"))
   }
 
-  /** Candidate pairs from banding: docs sharing any band bucket. */
+  /** Candidate pairs from banding: docs sharing any band bucket.
+    *
+    * The trailing `.distinct()` is deliberately BEFORE the exact-verify
+    * join, not after: a pair colliding in m bands appears m times
+    * (m ≤ numBands), and deduping late would multiply the verify
+    * join's shingle fan-out — |pair| × |shared shingles| rows — by
+    * that same m, a strictly larger shuffle than the bare (a, b) id
+    * pairs this distinct exchanges. Dedup cost here is the floor, not
+    * the nit. */
   def candidatePairs(sigs: DataFrame, numBands: Int): DataFrame = {
     val rows = NumHashes / numBands
     val banded = sigs.select(col("doc_id"),
