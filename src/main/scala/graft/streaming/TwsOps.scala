@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary-state streaming on Spark 4's `transformWithState` — the
   * successor API to `mapGroupsWithState` (typed per-key state handles,
@@ -60,6 +60,89 @@ object TwsOps {
       .transformWithState(new RunningUserStats, TimeMode.None(),
         OutputMode.Update())
       .toDF("user_id", "n", "sum_q")
+  }
+
+  /** One closed session: (user_id, start/end in epoch millis, events). */
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long, n: Long)
+
+  /** Open-session state: (start_ms, last_ms, n). */
+  case class OpenSession(start_ms: Long, last_ms: Long, n: Long)
+
+  /** Timer-based gap sessionization — the transformWithState feature
+    * the running-stats op doesn't exercise: EVENT-TIME TIMERS. A
+    * session closes when the WATERMARK passes last_event + gap, not
+    * when the next event for that user happens to arrive — so idle
+    * users' sessions emit promptly and state is dropped the moment the
+    * session can no longer grow (the watermark guarantees no
+    * older-than-gap event is still in flight). mapGroupsWithState
+    * forces hand-rolled timeout bookkeeping for this; here the runtime
+    * owns the timer wheel, per key, off-heap.
+    *
+    * Within a micro-batch rows sort by event time (same bounded-buffer
+    * discipline as LiveMerge: rate × trigger interval, not history);
+    * a row landing inside the gap extends the open session, a row past
+    * the gap closes it inline and opens the next. One event-time timer
+    * per key is re-armed to last_ms + gap; on expiry the open session
+    * emits and state clears — O(1) state and one timer per active key,
+    * nothing retained for idle keys. */
+  class GapSessions(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), Session] {
+    @transient private var st: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[OpenSession]("open",
+        Encoders.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        tv: TimerValues): Iterator[Session] = {
+      val evs = rows.map(_._2.getTime).toArray.sorted
+      var out = List.empty[Session]
+      var cur = if (st.exists()) Some(st.get()) else None
+      evs.foreach { t =>
+        cur match {
+          case Some(o) if t - o.last_ms <= gapMs =>
+            cur = Some(OpenSession(o.start_ms, math.max(o.last_ms, t), o.n + 1))
+          case Some(o) =>
+            out ::= Session(key, o.start_ms, o.last_ms, o.n)
+            cur = Some(OpenSession(t, t, 1L))
+          case None =>
+            cur = Some(OpenSession(t, t, 1L))
+        }
+      }
+      cur.foreach { o =>
+        st.update(o)
+        // re-arm: exactly one live timer per key (delete-then-register)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(o.last_ms + gapMs)
+      }
+      out.reverse.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (st.exists()) {
+        val o = st.get()
+        st.clear()
+        Iterator.single(Session(key, o.start_ms, o.last_ms, o.n))
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming form: `events` must carry (user_id: Long, ev_ts:
+    * Timestamp) with `withWatermark` already declared on ev_ts (the
+    * event-time timers fire off that watermark). Emits one row per
+    * CLOSED session (gap exceeded inline, or watermark passed the
+    * session's horizon). */
+  def gapSessions(events: DataFrame, gapMs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ev_ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new GapSessions(gapMs), TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
   }
 
   /** Batch form of the converged stream — the gate query. */

@@ -48,6 +48,47 @@ class TwsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timers close idle sessions when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    def ts(sec: Int) = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli + sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDS().toDF("user_id", "ev_ts")
+      .withWatermark("ev_ts", "0 seconds")
+    val q = TwsOps.gapSessions(events, gapMs = 10000L) // 10 s gap
+      .writeStream.format("memory").queryName("tws_sess")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0s and 5s (one session); user 2: event at 3s
+      input.addData((1L, ts(0)), (1L, ts(5)), (2L, ts(3)))
+      q.processAllAvailable()
+      assert(spark.table("tws_sess").count() === 0L) // nothing closed yet
+      // user 1 reappears at 40s: closes its own old session INLINE
+      // (gap exceeded within the key) and the watermark jumping to 40s
+      // fires user 2's timer (3s + 10s < 40s) — no user-2 event needed
+      input.addData((1L, ts(40)))
+      q.processAllAvailable()
+      input.addData((3L, ts(200))) // push watermark past 40s + gap
+      q.processAllAvailable()
+      val rows = spark.table("tws_sess")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      assert(rows.contains((1L, base, base + 5000L, 2L))) // first u1 session
+      assert(rows.contains((2L, base + 3000L, base + 3000L, 1L))) // timer-closed
+      assert(rows.contains((1L, base + 40000L, base + 40000L, 1L))) // second u1
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
   test("batch gate form: micro-unit integerization is a plain exact aggregate") {
     import spark.implicits._
     val events = Seq((1L, 1.25), (1L, 2.5), (2L, -0.75))
