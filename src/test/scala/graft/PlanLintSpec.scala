@@ -62,8 +62,16 @@ class PlanLintSpec extends AnyFunSuite {
     "ml_naive_bayes",         // ≤L-row label-totals + 1-row vocab-size
                               // crosses building the vocab×L model;
                               // 1-row train-doc total for priors
-    "w_quantile_normalize"    // GlobalRank's 1-row min/max stats + its
+    "w_quantile_normalize",   // GlobalRank's 1-row min/max stats + its
                               // own 1-row corpus count broadcast
+    "knn_kmeans_train",       // the same k=8-row broadcast centroid
+                              // fan as knn_kmeans_step, once per fixed
+                              // Lloyd iteration
+    "ml_logreg_gd",           // 1-row quantized weight vector broadcast
+                              // into the scan each GD iteration — the
+                              // sufficient-statistics pattern itself
+    "quality_key_skew"        // rides GlobalRank over the key vocab:
+                              // its 1-row (min, max) stats broadcast
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
