@@ -487,6 +487,13 @@ object DocQueries {
     ("dedup_ngram_jaccard", dedupNgram, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_ngram_capped", dedupNgramCapped,
       Some(Shingles.cappedJaccardSql(jaccardThreshold, maxShingleDF))),
+    // prefix filtering is recall-LOSSLESS, so it shares the uncapped
+    // exact join's oracle — the equality IS the gate's claim
+    ("dedup_prefix_filter",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        Shingles.prefixJaccardPairs(table(s, d, "documents"),
+          jaccardThreshold)): Q,
+      Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_containment", dedupContainment,
       Some(Shingles.containmentSql(containmentThreshold, maxShingleDF))),
     ("dedup_clusters", dedupClusters,

@@ -88,6 +88,70 @@ object Shingles {
         col("size_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin family,
+    * Chaudhuri et al.) — the recall-LOSSLESS candidate reduction for
+    * high thresholds, vs the plain inverted-index join above whose
+    * candidate set is every pair sharing ANY shingle:
+    *
+    * Order all shingles by global rarity (df asc, hash asc — a total
+    * order). For a pair with J(A,B) ≥ t, the overlap is an integer
+    * ≥ ⌈t·|A|⌉, so B must hit one of A's first |A| − ⌈t·|A|⌉ + 1
+    * shingles in that order (pigeonhole) — and symmetrically for B.
+    * Joining PREFIX×PREFIX therefore loses no qualifying pair, while
+    * candidate cost drops from Σ df(g)² over all shingles to Σ over
+    * prefix occurrences only — and prefixes are the RAREST shingles,
+    * exactly the ones with tiny df. Verification is the same exact
+    * common-count join as [[exactJaccardPairs]], restricted to
+    * candidates. Output schema and values are identical to the
+    * uncapped exact join at the same threshold (the gate shares its
+    * oracle SQL).
+    *
+    * At 100 TB: two extra narrow shuffles (df join + per-doc rank
+    * window) buy a candidate join that no longer blows up on common
+    * shingles, WITHOUT the DF-cap's lower-bound compromise — this is
+    * the exactness-preserving scale path where `cappedJaccardPairs`
+    * trades exactness for cost. */
+  def prefixJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val sets = shingleSets(docs).cache()
+    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select(col("doc_id"), col("shingle"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verify on candidates only — same tail as exactJaccardPairs
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = cands
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .localCheckpoint(true)
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+      .localCheckpoint(true)
+    sets.unpersist(false)
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"),
+        col("size_b"), col("jaccard"))
+  }
+
   /** Exact pairwise CONTAINMENT — |A∩B| / min(|A|,|B|) — over shingle
     * sets, same inverted-index join shape as [[exactJaccardPairs]].
     * Containment is the doc-in-doc measure Jaccard misses when sizes
