@@ -511,6 +511,11 @@ object DocQueries {
         CorpusPipeline.filteredCorpus(table(s, d, "documents"), jaccardThreshold,
           maxShingleDF),
       Some(CorpusPipeline.filteredCorpusSql(jaccardThreshold, maxShingleDF))),
+    ("pipeline_e2e_build",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        CorpusPipeline.e2eBuild(table(s, d, "documents"), jaccardThreshold,
+          maxShingleDF)): Q,
+      Some(CorpusPipeline.e2eBuildSql(jaccardThreshold, maxShingleDF))),
     ("dedup_minhash_lsh", dedupMinhash, Some(Shingles.exactJaccardSql(jaccardThreshold))),
     ("dedup_simhash", dedupSimhash, None),
     ("dedup_simhash_md5", dedupSimhashMd5, Some(SimHash.md5OracleSql(3))),

@@ -49,6 +49,61 @@ object CorpusPipeline {
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM non_canonical)""".stripMargin
   }
 
+  /** The capstone composition — a full training-data build in ONE
+    * lazy plan: quality gate ∧ langid-confidence gate (predicted lang
+    * must agree with the recorded label — the C4-style "langid says
+    * what the source claims" filter) ∧ near-dup removal (keep
+    * canonical per cluster), then the deterministic hash split, rolled
+    * up to per-(lang, split) doc and token counts — the dashboard a
+    * data-build run actually publishes. Every stage is an
+    * independently-gated operator; this gate proves they COMPOSE in
+    * one plan without materialization barriers: three semi/anti joins
+    * on doc_id feed a single aggregate — Catalyst sees the whole
+    * lineage, all counts stay BIGINT. */
+  def e2eBuild(docs: DataFrame, threshold: Double,
+      maxShingleDF: Long = 0L, trainFrac: Double = 0.9): DataFrame = {
+    val ok = TextAnalysis.qualityScore(docs)
+      .filter(col("quality_bucket") === "ok").select("doc_id")
+    val langOk = TextAnalysis.langId(docs)
+      .filter(col("predicted_lang") === col("labeled_lang")).select("doc_id")
+    val nonCanonical = DedupClusters.fromDocuments(docs, threshold, maxShingleDF)
+      .filter(!col("is_canonical")).select("doc_id")
+    docs
+      .join(ok, Seq("doc_id"), "left_semi")
+      .join(langOk, Seq("doc_id"), "left_semi")
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .select(col("lang"), splitExpr(trainFrac).as("split"),
+        size(expr(raw"regexp_extract_all(text, '\\S+', 0)")).cast("long")
+          .as("_tok"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"))
+  }
+
+  /** DuckDB mirror of [[e2eBuild]]: the filtered-corpus CTE chain plus
+    * the langid-confidence gate and the split case expression. */
+  def e2eBuildSql(threshold: Double, maxShingleDF: Long = 0L,
+      trainFrac: Double = 0.9): String =
+    s"""${DedupClusters.labCtes(threshold, maxShingleDF)},
+       |quality_ok AS (
+       |  SELECT doc_id FROM (${TextAnalysis.qualityScoreSql}) q
+       |  WHERE q.quality_bucket = 'ok'),
+       |lang_ok AS (
+       |  SELECT doc_id FROM (${TextAnalysis.langIdSql}) l
+       |  WHERE l.predicted_lang = l.labeled_lang),
+       |non_canonical AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+       |SELECT d.lang,
+       |  CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+       |            AS BIGINT) < ${splitThreshold(trainFrac)}
+       |       THEN 'train' ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT))
+       |    AS BIGINT) AS n_tokens
+       |FROM documents d
+       |JOIN quality_ok USING (doc_id)
+       |JOIN lang_ok USING (doc_id)
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM non_canonical)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Length-bucketed batching audit: bucket docs by token count and
     * account the padding waste of batching each bucket to its own max
     * length — the pre-flight metric behind length bucketing (uniform
