@@ -2,8 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Arbitrary-state streaming on Spark 4's `transformWithState` — the
   * successor API to `mapGroupsWithState` (typed per-key state handles,
@@ -143,6 +143,77 @@ object TwsOps {
       .transformWithState(new GapSessions(gapMs), TimeMode.EventTime(),
         OutputMode.Append())
       .toDF()
+  }
+
+  /** Per-key bounded recent-N buffer on LIST STATE — the online
+    * feature-store pattern ("last N events per user" served to a
+    * model). ListState appends without deserializing the whole list
+    * (RocksDB merge operand), and the buffer is re-trimmed to N on
+    * every batch so state per key is O(N) forever — the unbounded-list
+    * failure mode of hand-rolled mapGroupsWithState buffers can't
+    * happen by construction. Emits each key's full buffer, newest
+    * first, once per touching batch. */
+  class RecentEvents(n: Int)
+      extends StatefulProcessor[Long, (Long, Long, String), (Long, Seq[Long], Seq[String])] {
+    @transient private var st: ListState[(Long, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getListState[(Long, String)]("recent",
+        Encoders.product[(Long, String)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, String)],
+        tv: TimerValues): Iterator[(Long, Seq[Long], Seq[String])] = {
+      rows.foreach { case (_, ms, tpe) => st.appendValue((ms, tpe)) }
+      // newest-first by (ms, type); re-trim to the N cap
+      val kept = st.get().toArray.sortBy { case (ms, tpe) => (-ms, tpe) }.take(n)
+      st.put(kept)
+      Iterator.single((key, kept.map(_._1).toSeq, kept.map(_._2).toSeq))
+    }
+  }
+
+  /** Streaming recent-N: input (user_id, ev_ms, event_type). */
+  def recentEvents(events: Dataset[(Long, Long, String)], n: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RecentEvents(n), TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "recent_ms", "recent_types")
+  }
+
+  /** Per-key per-event-type counters on MAP STATE — point lookups and
+    * single-entry updates instead of rewriting a whole map value each
+    * batch (what a ValueState[Map] would do). State per key is
+    * O(distinct types seen by that key). Emits the touched key's full
+    * counter map per batch. */
+  class TypeCounts
+      extends StatefulProcessor[Long, (Long, String), (Long, Map[String, Long])] {
+    @transient private var st: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        tv: TimerValues): Iterator[(Long, Map[String, Long])] = {
+      rows.foreach { case (_, tpe) =>
+        val cur = if (st.containsKey(tpe)) st.getValue(tpe) else 0L
+        st.updateValue(tpe, cur + 1L)
+      }
+      val snap = st.iterator().map { case (k, v) => k -> v }.toMap
+      Iterator.single((key, snap))
+    }
+  }
+
+  /** Streaming per-type counters: input (user_id, event_type). */
+  def typeCounts(events: Dataset[(Long, String)]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new TypeCounts, TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user_id", "counts")
   }
 
   /** Batch form of the converged stream — the gate query. */

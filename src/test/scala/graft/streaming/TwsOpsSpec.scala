@@ -89,6 +89,75 @@ class TwsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ListState recent-N buffer stays bounded and equals the batch top-N") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    val input = MemoryStream[(Long, Long, String)]
+    val q = TwsOps.recentEvents(input.toDS(), n = 3)
+      .writeStream.format("memory").queryName("tws_recent")
+      .outputMode("update").start()
+    val feed = Seq(
+      Seq((1L, 10L, "a"), (1L, 20L, "b")),
+      Seq((1L, 5L, "c"), (1L, 30L, "d")), // 4 seen: buffer must trim to 3
+      Seq((1L, 40L, "e"), (2L, 7L, "x")))
+    try {
+      feed.foreach { b => input.addData(b); q.processAllAvailable() }
+      val last = spark.table("tws_recent")
+        .groupBy("user_id")
+        .agg(max(struct(size(col("recent_ms")), col("recent_ms"),
+          col("recent_types"))).as("m"))
+      val u1 = last.filter(col("user_id") === 1L)
+        .select(col("m.recent_ms")).as[Seq[Long]].head()
+      // batch equivalent: u1's 3 newest of {10,20,5,30,40}
+      assert(u1 === Seq(40L, 30L, 20L))
+      val u2 = last.filter(col("user_id") === 2L)
+        .select(col("m.recent_ms")).as[Seq[Long]].head()
+      assert(u2 === Seq(7L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
+  test("MapState per-type counters equal the batch groupBy across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    val input = MemoryStream[(Long, String)]
+    val q = TwsOps.typeCounts(input.toDS())
+      .writeStream.format("memory").queryName("tws_counts")
+      .outputMode("update").start()
+    val feed = Seq(
+      Seq((1L, "click"), (1L, "view"), (2L, "click")),
+      Seq((1L, "click"), (2L, "click"), (2L, "buy")))
+    try {
+      feed.foreach { b => input.addData(b); q.processAllAvailable() }
+      // counters only grow, so the max per (user, type) across all
+      // emissions is the converged count
+      val last = spark.table("tws_counts")
+        .select(col("user_id"), explode(col("counts")).as(Seq("tpe", "n")))
+        .groupBy("user_id", "tpe").agg(max(col("n")).as("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val expect = feed.flatten.groupBy(x => x).map { case ((u, t), xs) =>
+        (u, t) -> xs.size.toLong
+      }
+      assert(last === expect)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
   test("batch gate form: micro-unit integerization is a plain exact aggregate") {
     import spark.implicits._
     val events = Seq((1L, 1.25), (1L, 2.5), (2L, -0.75))
