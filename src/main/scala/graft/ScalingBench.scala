@@ -37,6 +37,8 @@ object ScalingBench {
       "pipeline_chunk_overlap" -> "documents",
       "pipeline_bpe_merges" -> "documents", "pipeline_bpe_encode" -> "documents",
       "dedup_containment" -> "documents",
+      "dedup_prefix_filter" -> "documents",
+      "pipeline_e2e_build" -> "documents",
       "o_global_rank" -> "events", "w_resample_ohlc" -> "events",
       "j_skew_salted" -> "lineitem", "quality_join_cardinality" -> "lineitem",
       "quality_key_skew" -> "lineitem")
