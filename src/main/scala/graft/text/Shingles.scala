@@ -124,10 +124,17 @@ object Shingles {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
-      .select(col("doc_id"), col("shingle"))
-    val cands = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    // length filter, also lossless: J ≥ t ⇒ |A∩B| ≤ min(|A|,|B|) and
+    // |A∩B| ≥ t·max(|A|,|B|) ⇒ min ≥ t·max — prunes cross-size pairs
+    // before they reach the distinct + verify join
+    val cands = prefix.select(col("doc_id").as("doc_a"),
+        col("shingle"), col("sz").as("_sza"))
+      .join(prefix.select(col("doc_id").as("doc_b"),
+        col("shingle"), col("sz").as("_szb")), "shingle")
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("_sza"), col("_szb")).cast("double") >=
+          lit(threshold) * greatest(col("_sza"), col("_szb")).cast("double"))
       .select("doc_a", "doc_b").distinct()
     // exact verify on candidates only — same tail as exactJaccardPairs
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
