@@ -23,14 +23,28 @@ import org.apache.spark.sql.types.StructType
   */
 object FileIngest {
 
+  /** Highest batch id in the checkpoint's commit log (-1 = none).
+    * Counting committed batches from the log, not `recentProgress`,
+    * keeps the count exact: recentProgress is a ring buffer capped at
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100), so
+    * a big backfill at file-per-trigger granularity under-reports. */
+  private def lastCommitted(checkpointDir: String): Long = {
+    val d = new java.io.File(s"$checkpointDir/commits")
+    Option(d.listFiles()).toSeq.flatten.map(_.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong)
+      .sorted.lastOption.getOrElse(-1L)
+  }
+
   /** Catch up on unprocessed files under `srcDir`, apply `transform`,
     * append to `outDir` parquet. Blocks until caught up (AvailableNow),
-    * then returns the number of micro-batches this invocation ran —
-    * 0 when the checkpoint says there is nothing new. */
+    * then returns the exact number of micro-batches this invocation
+    * COMMITTED (delta of the checkpoint commit log) — 0 when the
+    * checkpoint says there is nothing new. */
   def ingestAvailableNow(spark: SparkSession, srcDir: String,
       schema: StructType, transform: DataFrame => DataFrame,
       outDir: String, checkpointDir: String,
       maxFilesPerTrigger: Int = 1000): Long = {
+    val before = lastCommitted(checkpointDir)
     val src = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -42,6 +56,6 @@ object FileIngest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    q.recentProgress.count(_.numInputRows > 0).toLong
+    lastCommitted(checkpointDir) - before
   }
 }

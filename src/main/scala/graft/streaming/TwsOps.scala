@@ -102,7 +102,11 @@ object TwsOps {
       evs.foreach { t =>
         cur match {
           case Some(o) if t - o.last_ms <= gapMs =>
-            cur = Some(OpenSession(o.start_ms, math.max(o.last_ms, t), o.n + 1))
+            // a late (within-watermark) event from an earlier batch may
+            // predate the open session — extend BOTH boundaries so the
+            // emitted session matches the event-time-ordered answer
+            cur = Some(OpenSession(math.min(o.start_ms, t),
+              math.max(o.last_ms, t), o.n + 1))
           case Some(o) =>
             out ::= Session(key, o.start_ms, o.last_ms, o.n)
             cur = Some(OpenSession(t, t, 1L))

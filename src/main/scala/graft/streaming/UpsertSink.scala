@@ -4,72 +4,129 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 /** Streaming keyed-table maintenance: a `foreachBatch` sink that
   * MERGEs each micro-batch into a parquet-backed dimension table via
   * [[graft.sources.Dims.upsert]] — the streaming face of the S2 upsert
-  * seam. Spark's foreachBatch gives at-least-once batch delivery
-  * (a batch can re-run after a crash), so the sink is made EFFECTIVELY
-  * exactly-once the standard way: the merge itself is IDEMPOTENT
-  * (last-write-wins per key — replaying a batch rewrites the same key
-  * to the same value) and a committed-batch-id guard skips batches the
-  * table has already absorbed (the batchId rides in a sidecar file,
-  * written after the swap — re-running an absorbed batch is a no-op
-  * even when updates are not naturally idempotent).
+  * seam (the reference's `update_one(upsert=True)` loop,
+  * F1_Data_Collect.ipynb:113-117, run forever instead of per-notebook).
+  *
+  * Exactly-once without a transactional table format, done properly:
+  *
+  *  - '''Last-write-wins needs an ordering.''' A micro-batch can carry
+  *    the same key several times; "latest" is defined by the caller's
+  *    explicit `orderCol` (a version / event-time column), NOT by
+  *    schema-order struct comparison. Collapse is
+  *    `max(struct(orderCol, rest…))` per key — orderCol decides,
+  *    remaining columns break exact ties deterministically.
+  *
+  *  - '''Atomic publish.''' Each merge writes a fresh versioned data
+  *    directory, then publishes it by atomically replacing ONE commit
+  *    file (`_commit`, temp-write + `ATOMIC_MOVE`) that names the live
+  *    directory, the committed batch id, and the checkpoint lineage.
+  *    A crash at any point leaves the previous `_commit` — and thus
+  *    the previous table version — fully intact; the replayed batch
+  *    simply re-writes its version directory and re-publishes.
+  *    (The previous two-`renameTo` swap had a window with NO current
+  *    directory; a replay in that window silently truncated the table.)
+  *
+  *  - '''Replay guard is lineage-scoped.''' Spark batchIds are only
+  *    meaningful within one checkpoint; a fresh checkpoint restarts at
+  *    0. The guard therefore skips a batch only when BOTH the recorded
+  *    checkpoint lineage matches this query's checkpoint AND
+  *    `batchId <= committed` — a genuine crash-replay (same
+  *    checkpoint, same ids) is skipped, while pointing a new stream
+  *    (new checkpoint) at an existing table applies every batch
+  *    instead of silently dropping data until ids catch up.
   *
   * At 100 TB the merge cost is one full-outer join per trigger against
-  * the dimension (small by definition — facts stream, dims upsert);
-  * the swap is atomic-rename within the table directory. Delta/Iceberg
-  * deployments replace the write+swap with MERGE INTO, the guard with
-  * txn versions — same dataflow.
+  * the dimension (small by definition — facts stream, dims upsert).
+  * Delta/Iceberg deployments replace the versioned-dir + pointer with
+  * MERGE INTO + txn versions — same dataflow, same guard semantics.
   */
 object UpsertSink {
 
-  private def committedBatch(dir: String): Long = {
-    val f = new java.io.File(s"$dir/_committed_batch")
-    if (f.exists) new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
-    else -1L
+  private final case class Commit(lineage: String, batchId: Long, dir: String)
+
+  private def commitPath(tableDir: String) = Paths.get(tableDir, "_commit")
+
+  private def readCommit(tableDir: String): Option[Commit] = {
+    val p = commitPath(tableDir)
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), UTF_8).split("\n", 3) match {
+      case Array(lin, id, dir) => Some(Commit(lin, id.trim.toLong, dir.trim))
+      case _                   => None
+    }
   }
 
+  /** Publish atomically: temp-write the commit record, ATOMIC_MOVE it
+    * over `_commit`. Throws (rather than silently no-ops) on failure. */
+  private def writeCommit(tableDir: String, c: Commit): Unit = {
+    val tmp = Paths.get(tableDir, s"_commit.tmp")
+    Files.write(tmp, s"${c.lineage}\n${c.batchId}\n${c.dir}".getBytes(UTF_8))
+    Files.move(tmp, commitPath(tableDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resolve the live table version (what `$tableDir/current` used to
+    * be, minus the non-atomic swap). Empty option = no commit yet. */
+  def currentDir(tableDir: String): Option[String] =
+    readCommit(tableDir).map(c => s"$tableDir/${c.dir}")
+
+  /** Read the live version of a maintained table. */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(currentDir(tableDir).getOrElse(
+      sys.error(s"no committed version under $tableDir")))
+
+  /** One checkpoint directory = one batchId lineage. */
+  private def lineageKey(checkpointDir: String): String =
+    Paths.get(checkpointDir).toAbsolutePath.normalize.toString
+
   /** Start maintaining `tableDir` (parquet, keyed by `keys`) from
-    * `updates`. `availableNow = true` drains the backlog and stops
-    * (backfill mode); `false` keeps a live micro-batch loop (ingest
-    * mode — caller stops the query). */
+    * `updates`; within-batch last-write-wins is decided by `orderCol`
+    * (version / event-time — must be a non-key column of `updates`).
+    * `availableNow = true` drains the backlog and stops (backfill
+    * mode); `false` keeps a live micro-batch loop (caller stops). */
   def maintain(spark: SparkSession, updates: DataFrame, tableDir: String,
-      checkpointDir: String, keys: Seq[String],
+      checkpointDir: String, keys: Seq[String], orderCol: String,
       availableNow: Boolean = true): StreamingQuery = {
+    require(updates.columns.contains(orderCol) && !keys.contains(orderCol),
+      s"orderCol '$orderCol' must be a non-key column of the updates stream")
+    val lineage = lineageKey(checkpointDir)
     // explicit Scala function type disambiguates the foreachBatch
     // overloads (Scala lambda vs Java VoidFunction2)
-    val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
-        if (batchId > committedBatch(tableDir)) {
-          val s = batch.sparkSession
-          val dir = new java.io.File(tableDir)
-          val existing =
-            if (new java.io.File(s"$tableDir/current").exists)
-              s.read.parquet(s"$tableDir/current")
-            else batch.limit(0)
-          // batch may carry the same key several times; collapse to the
-          // latest row per key first (deterministic: max by all columns)
-          val latest = batch.groupBy(keys.map(col): _*)
-            .agg(max(struct(batch.columns.filterNot(keys.contains).map(col): _*))
-              .as("_v"))
-            .select(keys.map(col) ++ batch.columns.filterNot(keys.contains)
-              .map(c => col(s"_v.$c").as(c)): _*)
-          val merged = graft.sources.Dims.upsert(existing, latest, keys)
-          val tmp = s"$tableDir/_staging_$batchId"
-          merged.write.mode("overwrite").parquet(tmp)
-          dir.mkdirs()
-          val cur = new java.io.File(s"$tableDir/current")
-          if (cur.exists) {
-            val old = new java.io.File(s"$tableDir/_old_$batchId")
-            cur.renameTo(old)
-            new java.io.File(tmp).renameTo(cur)
-            org.apache.commons.io.FileUtils.deleteDirectory(old)
-          } else new java.io.File(tmp).renameTo(cur)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$tableDir/_committed_batch"),
-            batchId.toString.getBytes("UTF-8"))
-          () // keep the lambda Unit-typed
-        } // else: replayed batch already absorbed — idempotent skip
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val committed = readCommit(tableDir)
+      val skip = committed.exists(c => c.lineage == lineage && batchId <= c.batchId)
+      if (!skip) {
+        val s = batch.sparkSession
+        new java.io.File(tableDir).mkdirs()
+        val existing = currentDir(tableDir) match {
+          case Some(d) => s.read.parquet(d)
+          case None    => batch.limit(0)
+        }
+        // collapse to latest row per key: orderCol first in the struct
+        // so it alone decides; remaining columns are a deterministic
+        // tiebreak for exact orderCol ties
+        val nonKeys = batch.columns.filterNot(keys.contains)
+        val ordered = orderCol +: nonKeys.filterNot(_ == orderCol)
+        val latest = batch.groupBy(keys.map(col): _*)
+          .agg(max(struct(ordered.map(col): _*)).as("_v"))
+          .select(keys.map(col) ++ nonKeys.map(c => col(s"_v.$c").as(c)): _*)
+        val merged = graft.sources.Dims.upsert(existing, latest, keys)
+        // versioned dir, lineage-scoped so replays overwrite their own
+        val newDir = s"v_${Integer.toHexString(lineage.hashCode)}_$batchId"
+        merged.write.mode("overwrite").parquet(s"$tableDir/$newDir")
+        writeCommit(tableDir, Commit(lineage, batchId, newDir))
+        // GC superseded versions; failures leave harmless garbage
+        Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
+          .filter(f => f.isDirectory && f.getName.startsWith("v_") && f.getName != newDir)
+          .foreach(d => scala.util.Try(
+            org.apache.commons.io.FileUtils.deleteDirectory(d)))
+      } // else: same-lineage replay of an absorbed batch — idempotent skip
+    }
     val w = updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(mergeBatch)

@@ -89,6 +89,43 @@ class TwsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a late within-watermark event extends the session START boundary") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    def ts(sec: Int) = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli + sec * 1000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDS().toDF("user_id", "ev_ts")
+      .withWatermark("ev_ts", "30 seconds")
+    val q = TwsOps.gapSessions(events, gapMs = 10000L)
+      .writeStream.format("memory").queryName("tws_sess_late")
+      .outputMode("append").start()
+    try {
+      // batch 1 opens the session at 20s; batch 2 delivers a LATE event
+      // at 15s (inside the 30 s watermark) that PREDATES the open start
+      input.addData((1L, ts(20)))
+      q.processAllAvailable()
+      input.addData((1L, ts(15)))
+      q.processAllAvailable()
+      input.addData((2L, ts(200))) // watermark past 20s + gap → closes
+      q.processAllAvailable()
+      val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+      val rows = spark.table("tws_sess_late")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // event-time-ordered answer: one session [15s, 20s] with 2 events
+      assert(rows.contains((1L, base + 15000L, base + 20000L, 2L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(ProviderKey, v)
+        case None => spark.conf.unset(ProviderKey)
+      }
+    }
+  }
+
   test("ListState recent-N buffer stays bounded and equals the batch top-N") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

@@ -1,13 +1,16 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class UpsertSinkSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkTestBase.spark
 
-  test("streaming upsert maintains latest-per-key and replays are no-ops") {
+  private def snapshot(table: String): Set[(Long, String, Long)] =
+    UpsertSink.read(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("streaming upsert: version-ordered LWW, lineage-scoped replay guard") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("upsert").toString
@@ -17,36 +20,43 @@ class UpsertSinkSpec extends AnyFunSuite {
       val input = MemoryStream[(Long, String, Long)]
       val q = UpsertSink.maintain(spark,
         input.toDS().toDF("k", "name", "version"), table, checkpoint, Seq("k"),
-        availableNow = false)
+        orderCol = "version", availableNow = false)
       try feed.foreach { b => input.addData(b); q.processAllAvailable() }
       finally q.stop()
     }
 
-    // one run, three micro-batches: key 2 upserted twice across
-    // batches (and twice WITHIN batch 1, where version 5 must win);
-    // untouched keys survive each merge
+    // one run, three micro-batches. Key 2 appears twice WITHIN batch 1
+    // with name DESCENDING but version ASCENDING — version must decide
+    // (schema-order struct-max would wrongly keep ("z", 1))
     drain(Seq(
-      Seq((1L, "a", 1L), (2L, "b", 1L), (2L, "b2", 5L)),
+      Seq((1L, "a", 1L), (2L, "z", 1L), (2L, "a", 5L)),
       Seq((3L, "c", 1L)),
       Seq((2L, "b3", 9L), (4L, "d", 1L))), s"$root/ckpt")
-    val t1 = spark.read.parquet(s"$table/current")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val t1 = snapshot(table)
     assert(t1 === Set((1L, "a", 1L), (2L, "b3", 9L), (3L, "c", 1L), (4L, "d", 1L)))
 
-    // crash-replay simulation: a FRESH checkpoint restarts batch ids
-    // at 0, but the table has committed batch 2 — every replayed batch
-    // is skipped by the committed-batch guard, table byte-identical
-    drain(Seq(Seq((1L, "STALE", 99L)), Seq((2L, "STALE", 99L))), s"$root/ckpt2")
-    val t2 = spark.read.parquet(s"$table/current")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(t2 === t1)
+    // a FRESH checkpoint restarts batch ids at 0, but its lineage
+    // differs from the recorded one — batches APPLY (a new stream
+    // pointed at an existing table must not silently drop data)
+    drain(Seq(Seq((5L, "e", 1L))), s"$root/ckpt2")
+    assert(snapshot(table) === t1 + ((5L, "e", 1L)))
 
-    // a genuinely NEW batch id: three stale filler batches burn ids
-    // 0-2 (all guarded), then batch 3 > committed 2 applies
-    drain(Seq(Seq((1L, "STALE", 99L)), Seq((1L, "STALE", 99L)),
-      Seq((1L, "STALE", 99L)), Seq((5L, "e", 1L))), s"$root/ckpt3")
-    val t3 = spark.read.parquet(s"$table/current")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(t3 === t1 + ((5L, "e", 1L)))
+    // crash-replay: same lineage, batchId <= committed → skipped.
+    // Simulate by pre-recording this checkpoint's lineage with a high
+    // committed id; every replayed batch (ids 0..1) is then a no-op.
+    val before = snapshot(table)
+    val lin = java.nio.file.Paths.get(s"$root/ckpt3")
+      .toAbsolutePath.normalize.toString
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$table/_commit")), "UTF-8").split("\n")(2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$table/_commit"),
+      s"$lin\n99\n$cur".getBytes("UTF-8"))
+    drain(Seq(Seq((1L, "STALE", 99L)), Seq((2L, "STALE", 99L))), s"$root/ckpt3")
+    assert(snapshot(table) === before)
+
+    // exactly one live version directory survives GC
+    val vDirs = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+    assert(vDirs.length === 1)
   }
 }
