@@ -369,25 +369,31 @@ object DocQueries {
     "lang", "n_chars")
 
   /** Count-Min frequency estimates per (lang, source): sketches built
-    * distributed (one grid per lang), point-queried against the exact
-    * counts. Rows-only — the xxhash64-seeded grid has no DuckDB
-    * spelling; CountMinSpec pins the one-sided error bound and
+    * distributed (one grid per lang), point-queried EXECUTOR-side —
+    * the per-lang sketch table is broadcast onto the exact counts and
+    * the d-row min probe is a `least(element_at(...))` column over the
+    * sketch array (xxh64_seeded mirrors the aggregator's row hashes),
+    * so the whole query is one plan with zero driver materialization.
+    * Rows-only — the xxhash64-seeded grid has no DuckDB spelling;
+    * CountMinSpec pins the one-sided error bound and
     * partitioning-invariance instead. */
   private val aCountminFreq: Q = (s, d) => {
-    import s.implicits._
     val (w, dep) = (256, 4)
+    graft.functions.XxHash64Seeded.register(s)
     val docs = table(s, d, "documents")
-    val skMap = docs
+    val sk = docs
       .groupBy("lang")
       .agg(graft.functions.CountMinAgg.countMin(w, dep)(col("source")).as("sk"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
-    val rows = docs.groupBy("lang", "source").count().collect().map { r =>
-      val (lang, src, n) = (r.getString(0), r.getString(1), r.getLong(2))
-      (lang, src, n,
-        graft.functions.CountMinAgg.estimate(skMap(lang), w, dep, src))
-    }.toSeq.sortBy(t => (t._1, t._2))
-    rows.toDF("lang", "source", "n_exact", "n_est")
+    val probes = (0 until dep).map { r =>
+      element_at(col("sk"),
+        (expr(s"pmod(xxh64_seeded(source, ${r}L), $w)") + lit(r * w) + lit(1))
+          .cast("int"))
+    }
+    docs.groupBy("lang", "source").count()
+      .join(broadcast(sk), "lang")
+      .select(col("lang"), col("source"), col("count").as("n_exact"),
+        least(probes: _*).as("n_est"))
+      .orderBy("lang", "source")
   }
 
   /** Next-fit whole-doc packing: 256-token bins, docs never split. */
@@ -467,6 +473,16 @@ object DocQueries {
   private val knnIvfPq: Q = (s, d) =>
     Pq.ivfPqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
 
+  /** Disk-backed IVFADC: build the cell-partitioned code store, then
+    * probe it — the ADC scan is partition-pruned to the probed cells
+    * (rows-only; ≡-brute anchor, recall floor, and the pruning plan
+    * assertion live in PqSpec). */
+  private val knnIvfPqStore: Q = (s, d) => {
+    val path = "/tmp/graft_gate_ivfpq_store"
+    Pq.buildIvfPqStore(table(s, d, "embeddings"), path)
+    Pq.ivfPqStoreTopK(s, path, table(s, d, "embeddings"), numQueries = 5, k = 5)
+  }
+
   private val textTokens: Q = (s, d) => TextAnalysis.tokenStats(table(s, d, "documents"))
   private val textQuality: Q = (s, d) => TextAnalysis.qualityScore(table(s, d, "documents"))
   private val textLangId: Q = (s, d) => TextAnalysis.langId(table(s, d, "documents"))
@@ -538,6 +554,7 @@ object DocQueries {
     ("knn_ivf_topk", knnIvf, None),
     ("knn_pq_topk", knnPq, None),
     ("knn_ivfpq_topk", knnIvfPq, None),
+    ("knn_ivfpq_store", knnIvfPqStore, None),
     ("text_tokens", textTokens, Some(TextAnalysis.tokenStatsSql)),
     ("text_quality", textQuality, Some(TextAnalysis.qualityScoreSql)),
     ("text_langid", textLangId, Some(TextAnalysis.langIdSql)),

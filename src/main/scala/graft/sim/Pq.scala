@@ -222,4 +222,119 @@ object Pq {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
+
+  /** Materialized IVFADC store — the on-disk layout a billion-vector
+    * serving tier actually deploys (combines [[Knn.buildIvfStore]]'s
+    * cell-partitioned files with [[ivfPqTopK]]'s compressed codes):
+    *
+    *  - `centroids`: (cell, centroid) — the coarse router, tiny.
+    *  - `codebooks`: (sub, cidx, centroid) — PQ dictionaries, tiny.
+    *  - `codes`: (vec_id, codes) PARTITIONED BY cell — the scan target.
+    *
+    * A probe reads nprobe/cells of the codes tree — and the codes are
+    * ~32× smaller than the float vectors, so the pruned scan touches
+    * nprobe/cells of an already-compressed representation; the fat
+    * embedding table is only joined for the final `rerank` candidates
+    * per query. Both quantizers train on the same deterministic sample
+    * as the in-memory forms, so store results are reproducible. */
+  def buildIvfPqStore(emb: DataFrame, path: String, cells: Int = 16,
+      subspaces: Int = 8, centroidsPerSub: Int = 256): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.orderBy(col("vec_id")).limit(4096)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    val dims = sample(0).length
+    require(dims % subspaces == 0, s"dims $dims not divisible by $subspaces")
+    val sub = dims / subspaces
+    val centroids = Knn.lloydKMeans(sample, cells, iters = 10)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(subspaces) {
+      s => Knn.lloydKMeans(sample.map(_.slice(s * sub, (s + 1) * sub)),
+        centroidsPerSub, iters = 10)
+    }
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex.flatMap { case (cb, sIdx) =>
+      cb.zipWithIndex.map { case (c, i) => (sIdx, i, c) }
+    }.toSeq.toDF("sub", "cidx", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value; val cbs = bcCb.value
+        it.map { case (id, v) =>
+          (id, encodeWith(cbs, v), Knn.nearestCellsTo(cs, v, 1)(0))
+        }
+      }
+      .toDF("vec_id", "codes", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Probe the materialized IVFADC store: routing + LUTs come from the
+    * tiny centroid/codebook tables, the ADC stage is a PARTITION-PRUNED
+    * scan of the probed cells' code files only (the parquet source
+    * drops non-probed cell directories before reading a byte), and the
+    * exact rescore joins `emb` for just rerank × queries candidates. */
+  def ivfPqStoreTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      emb: DataFrame, numQueries: Int, k: Int, nprobe: Int = 4,
+      rerank: Int = 64): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).as[(Int, Array[Double])].collect().map(_._2)
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .as[(Int, Int, Array[Double])].collect()
+    val subspaces = cbRows.map(_._1).max + 1
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(subspaces) {
+      s => cbRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    val sub = codebooks(0)(0).length
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val probes: Array[(Long, Array[Int], Array[Array[Double]])] =
+      queries.map { case (qid, q) =>
+        (qid, Knn.nearestCellsTo(centroids, q, nprobe), lutFor(codebooks, q, sub))
+      }
+    val bcProbes = spark.sparkContext.broadcast(probes)
+    val probedCells = probes.flatMap(_._2).distinct.sorted
+
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("cell"))
+    val approx = codes.as[(Long, Array[Int], Int)]
+      .mapPartitions { it =>
+        val qs = bcProbes.value
+        it.flatMap { case (nid, cs, cell) =>
+          qs.iterator
+            .filter { case (qid, pcells, _) => qid != nid && pcells.contains(cell) }
+            .map { case (qid, _, lut) =>
+              var acc = 0.0; var i = 0
+              while (i < cs.length) { acc += lut(i)(cs(i)); i += 1 }
+              (qid, nid, acc)
+            }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val candidates = approx.withColumn("arnk", row_number().over(wa))
+      .filter(col("arnk") <= rerank)
+      .select("query_id", "neighbor_id")
+
+    graft.functions.VecDotFloat.register(spark)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(q), "query_id")
+      .join(n, "neighbor_id")
+      .withColumn("cosine", round(expr(Knn.dotExpr), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import PacketCodec.LivePacket
 
 /** J5 stream-stream "latest state" merge + S10 write throttle
@@ -75,7 +76,9 @@ object LiveMerge {
     (out.result(), st)
   }
 
-  /** Streaming merge: groupByKey(driver).flatMapGroupsWithState.
+  /** Per-driver processor on the Spark 4 `transformWithState` API —
+    * the production path the engine's streaming docs name for a
+    * long-lived 100 TB ingest (off-heap RocksDB state, native TTL).
     * Packets within a micro-batch are sorted by (tsUs) to get
     * deterministic last-write-wins inside the batch.
     *
@@ -87,19 +90,47 @@ object LiveMerge {
     * not an operator-memory property; cap it upstream (rate-limit the
     * UDP bridge) rather than silently dropping packets here, since LWW
     * correctness needs the in-batch sort. */
+  class MergeProcessor(throttleUs: Long, ttl: Option[java.time.Duration])
+      extends StatefulProcessor[Long, LivePacket, LiveSample] {
+    @transient private var st: ValueState[MergeState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MergeState]("merge",
+        Encoders.product[MergeState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[LivePacket],
+        tv: TimerValues): Iterator[LiveSample] = {
+      val init0 = if (st.exists()) st.get() else MergeState(None, None, NeverEmitted)
+      val (out, next) = processPackets(key,
+        rows.toArray.sortBy(p => (p.tsUs, p.packetId)).iterator, init0, throttleUs)
+      st.update(next)
+      out.iterator
+    }
+  }
+
+  /** Streaming merge: groupByKey(driver).transformWithState (J5 on the
+    * forward API; the pure kernel and the LWW/throttle semantics are
+    * unchanged from the mapGroupsWithState era — the parity fixtures in
+    * StreamingSpec prove it). `stateTtl` bounds state lifetime for
+    * drivers that go silent: after expiry the snapshots are dropped, so
+    * a lone lap packet no longer emits until a fresh telemetry packet
+    * re-pairs it — O(active keys) state instead of O(ever-seen keys).
+    *
+    * transformWithState requires the RocksDB state store provider; set
+    * it here (runtime conf, affects only queries started after) the
+    * same way QueryDsl.events sets its decode flag. */
   def merged(packets: Dataset[LivePacket],
-      throttleUs: Long = DefaultThrottleUs): Dataset[LiveSample] = {
+      throttleUs: Long = DefaultThrottleUs,
+      stateTtl: Option[java.time.Duration] = None): Dataset[LiveSample] = {
     val spark = packets.sparkSession
     import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     packets
       .groupByKey(_.driver)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        (driver: Long, it: Iterator[LivePacket], gs: GroupState[MergeState]) => {
-          val init = gs.getOption.getOrElse(MergeState(None, None, NeverEmitted))
-          val (out, st) = processPackets(driver,
-            it.toArray.sortBy(p => (p.tsUs, p.packetId)).iterator, init, throttleUs)
-          gs.update(st)
-          out.iterator
-        })
+      .transformWithState(new MergeProcessor(throttleUs, stateTtl),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 }

@@ -40,6 +40,26 @@ class CountMinSpec extends AnyFunSuite {
     assert(a.toSeq === c.toSeq)
   }
 
+  test("executor-side probe (xxh64_seeded + element_at) equals driver estimate") {
+    import spark.implicits._
+    XxHash64Seeded.register(spark)
+    val rows = (1 to 2000).map(i => s"k${i % 37}")
+    val df = rows.toDF("item")
+    val sk = df.agg(countMin(w, d)(col("item")).as("sk"))
+    val probes = (0 until d).map { r =>
+      element_at(col("sk"),
+        (expr(s"pmod(xxh64_seeded(item, ${r}L), $w)") + lit(r * w) + lit(1))
+          .cast("int"))
+    }
+    val got = df.distinct().crossJoin(broadcast(sk))
+      .select(col("item"), least(probes: _*).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val skArr = sketchOf(df)
+    got.foreach { case (k, est) =>
+      assert(est === estimate(skArr, w, d, k), s"probe mismatch for $k")
+    }
+  }
+
   test("total mass per depth row equals n") {
     import spark.implicits._
     val rows = (1 to 500).map(i => s"x$i")

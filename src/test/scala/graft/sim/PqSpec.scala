@@ -48,6 +48,32 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("IVFPQ store: pruned probe ≡ in-memory IVFADC, degenerate ≡ brute") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count().toInt
+    val path = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Pq.buildIvfPqStore(emb, path, cells = 8)
+    // degenerate settings: all cells probed + rerank ≥ corpus ≡ brute
+    val brute = Knn.bruteForceTopK(emb, numQueries = 5, k = 5)
+      .collect().map(key).toSet
+    val full = Pq.ivfPqStoreTopK(spark, path, emb, numQueries = 5, k = 5,
+      nprobe = 8, rerank = n).collect().map(key).toSet
+    assert(full === brute)
+    // default routing keeps the recall floor
+    val probed = Pq.ivfPqStoreTopK(spark, path, emb, numQueries = 5, k = 5,
+      nprobe = 2)
+    val recall = brute.map(t => (t._1, t._2))
+      .intersect(probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      .size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+    // and the ADC scan is PARTITION-pruned: the probed-cell filter must
+    // reach the file index as a partition filter, not a post-scan filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") ||
+      plan.matches("(?s).*PartitionFilters: \\[.*cell.*IN.*"),
+      s"expected partition pruning on cell in:\n$plan")
+  }
+
   test("default ADC + rerank keeps high recall vs brute force") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val brute = Knn.bruteForceTopK(emb, numQueries = 5, k = 5)

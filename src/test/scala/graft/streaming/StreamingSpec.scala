@@ -120,4 +120,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.map(_.getAs[Int]("Speed")).toSeq === Seq(100, 150, 200))
     } finally q.stop()
   }
+
+  test("state TTL drops a silent driver's snapshots (bounded state)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[LivePacket]
+    // TimeMode.ProcessingTime (which TTL requires) keeps the query
+    // running micro-batches even with no input, so processAllAvailable
+    // never settles — poll the sink instead.
+    def awaitCount(n: Long, timeoutMs: Long = 30000): Long = {
+      val deadline = System.nanoTime + timeoutMs * 1000000L
+      var c = spark.table("live_ttl").count()
+      while (c < n && System.nanoTime < deadline) {
+        Thread.sleep(200); c = spark.table("live_ttl").count()
+      }
+      c
+    }
+    val q = LiveMerge.merged(input.toDS(),
+        stateTtl = Some(java.time.Duration.ofMillis(500)))
+      .writeStream.format("memory").queryName("live_ttl")
+      .outputMode("append").start()
+    try {
+      // telemetry snapshot enters state, nothing emits yet
+      input.addData(tel(10000))
+      Thread.sleep(3000) // ≥ several triggers AND past the 500 ms TTL
+      assert(spark.table("live_ttl").count() === 0L)
+      // WITHOUT TTL this lap packet would pair with the held telemetry
+      // snapshot and emit; the expired state makes it a lone lap
+      input.addData(lap(250000))
+      Thread.sleep(3000)
+      assert(spark.table("live_ttl").count() === 0L)
+      // a fresh pair within one batch emits normally
+      input.addData(tel(400000, speed = 150), lap(410000))
+      assert(awaitCount(1) === 1L)
+      assert(spark.table("live_ttl").head.getAs[Int]("Speed") === 150)
+    } finally q.stop()
+  }
 }
