@@ -43,7 +43,12 @@ object Bench {
     // Warm the session once (parquet footer reads, first-job setup).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    // Local-iteration filter (builder-only, mirrors Verify): restricts
+    // the run to the named queries. Unset (the driver) = run all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val order = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (scala.util.hashing.MurmurHash3.stringHash(name), name) }
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean =
