@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import PacketCodec.LivePacket
 
 /** J5 stream-stream "latest state" merge + S10 write throttle
@@ -90,6 +91,16 @@ object LiveMerge {
     * not an operator-memory property; cap it upstream (rate-limit the
     * UDP bridge) rather than silently dropping packets here, since LWW
     * correctness needs the in-batch sort. */
+  /** Shared per-batch state fold for both processor variants. */
+  private def foldBatch(st: ValueState[MergeState], key: Long,
+      rows: Iterator[LivePacket], throttleUs: Long): Iterator[LiveSample] = {
+    val init0 = if (st.exists()) st.get() else MergeState(None, None, NeverEmitted)
+    val (out, next) = processPackets(key,
+      rows.toArray.sortBy(p => (p.tsUs, p.packetId)).iterator, init0, throttleUs)
+    st.update(next)
+    out.iterator
+  }
+
   class MergeProcessor(throttleUs: Long, ttl: Option[java.time.Duration])
       extends StatefulProcessor[Long, LivePacket, LiveSample] {
     @transient private var st: ValueState[MergeState] = _
@@ -100,13 +111,30 @@ object LiveMerge {
         ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: Long, rows: Iterator[LivePacket],
-        tv: TimerValues): Iterator[LiveSample] = {
-      val init0 = if (st.exists()) st.get() else MergeState(None, None, NeverEmitted)
-      val (out, next) = processPackets(key,
-        rows.toArray.sortBy(p => (p.tsUs, p.packetId)).iterator, init0, throttleUs)
-      st.update(next)
-      out.iterator
-    }
+        tv: TimerValues): Iterator[LiveSample] = foldBatch(st, key, rows, throttleUs)
+  }
+
+  /** [[MergeProcessor]] plus WARM START: per-key state is seeded before
+    * the first batch via transformWithState's initial-state channel —
+    * the recorder-restart path (a new stream resumes against the last
+    * PUBLISHED per-driver sample instead of re-pairing from nothing,
+    * so the emit throttle carries across the restart too). */
+  class MergeProcessorWithBootstrap(throttleUs: Long,
+      ttl: Option[java.time.Duration])
+      extends StatefulProcessorWithInitialState[Long, LivePacket, LiveSample,
+        MergeState] {
+    @transient private var st: ValueState[MergeState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MergeState]("merge",
+        Encoders.product[MergeState],
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInitialState(key: Long, initial: MergeState,
+        tv: TimerValues): Unit = st.update(initial)
+
+    override def handleInputRows(key: Long, rows: Iterator[LivePacket],
+        tv: TimerValues): Iterator[LiveSample] = foldBatch(st, key, rows, throttleUs)
   }
 
   /** Streaming merge: groupByKey(driver).transformWithState (J5 on the
@@ -132,5 +160,55 @@ object LiveMerge {
       .transformWithState(new MergeProcessor(throttleUs, stateTtl),
         if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** Warm-started streaming merge: like [[merged]], but per-driver
+    * state is seeded from `seed` before the first micro-batch. Parity
+    * note: the seed carries the last PUBLISHED sample (what a recording
+    * holds — the reference's restart sees only its persisted docs,
+    * F1-25_Telemetry_DB_Record.py:163-189), so a restart is equivalent
+    * to the continuous run whenever the cut happens on an emit
+    * boundary; unpaired packets after the final pre-restart emit are
+    * lost with the process, exactly as in the reference. */
+  def mergedBootstrapped(packets: Dataset[LivePacket],
+      seed: Dataset[(Long, MergeState)],
+      throttleUs: Long = DefaultThrottleUs,
+      stateTtl: Option[java.time.Duration] = None): Dataset[LiveSample] = {
+    val spark = packets.sparkSession
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    packets
+      .groupByKey(_.driver)
+      .transformWithState(new MergeProcessorWithBootstrap(throttleUs, stateTtl),
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(),
+        seed.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** Rebuild the per-driver merge state from a session recording
+    * ([[StreamOps.recordSession]] output / the live emission log): the
+    * latest sample per driver becomes the held telemetry+lap snapshots,
+    * its timestamp the throttle floor. */
+  def bootstrapFromRecording(recorded: org.apache.spark.sql.DataFrame)
+      : Dataset[(Long, MergeState)] = {
+    val spark = recorded.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max, struct}
+    recorded.groupBy(col("Driver"))
+      .agg(max(struct(col("Timestamp"), col("Speed"), col("Throttle"),
+        col("Brake"), col("Gear"), col("RPM"), col("Distance"),
+        col("LapNumber"))).as("_l"))
+      .select(col("Driver").cast("long").as("_d"),
+        col("_l.Timestamp"), col("_l.Speed"), col("_l.Throttle"),
+        col("_l.Brake"), col("_l.Gear"), col("_l.RPM"), col("_l.Distance"),
+        col("_l.LapNumber"))
+      .as[(Long, Double, Int, Double, Double, Int, Int, Double, Int)]
+      .map { case (d, ts, sp, th, br, g, rpm, dist, lap) =>
+        // Timestamp is tsUs/1e6; rint round-trips the microsecond count
+        // exactly for any epoch value < 2^53
+        (d, MergeState(Some(TelSnapshot(sp, th, br, g, rpm)),
+          Some(LapSnapshot(dist, lap)), math.rint(ts * 1e6).toLong))
+      }
   }
 }

@@ -121,6 +121,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("warm-start bootstrap: a restart seeded from the recording continues the stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // phase 1 — a normal run that ends on an emit boundary
+    val in1 = MemoryStream[LivePacket]
+    val q1 = LiveMerge.merged(in1.toDS())
+      .writeStream.format("memory").queryName("boot_phase1")
+      .outputMode("append").start()
+    try {
+      in1.addData(tel(10000, speed = 80), lap(20000))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val rec = spark.table("boot_phase1")
+    assert(rec.count() === 1L) // emitted at 20000
+
+    // continuous reference: the SAME packets in one uninterrupted run
+    val inC = MemoryStream[LivePacket]
+    val qc = LiveMerge.merged(inC.toDS())
+      .writeStream.format("memory").queryName("boot_cont")
+      .outputMode("append").start()
+    try {
+      inC.addData(tel(10000, speed = 80), lap(20000))
+      qc.processAllAvailable()
+      inC.addData(lap(60000), tel(250000, speed = 180))
+      qc.processAllAvailable()
+    } finally qc.stop()
+
+    // phase 2 — a NEW query warm-started from phase 1's recording:
+    // the lap at 60000 is within the 100 ms throttle of the seeded
+    // lastEmit (20000) → suppressed, exactly like the continuous run;
+    // the tel at 250000 pairs with the SEEDED lap snapshot and emits
+    val seed = LiveMerge.bootstrapFromRecording(rec)
+    assert(seed.collect().head._2.lastEmitUs === 20000L) // exact round-trip
+    val in2 = MemoryStream[LivePacket]
+    val q2 = LiveMerge.mergedBootstrapped(in2.toDS(), seed)
+      .writeStream.format("memory").queryName("boot_phase2")
+      .outputMode("append").start()
+    try {
+      in2.addData(lap(60000), tel(250000, speed = 180))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getAs[Double]("Timestamp"), r.getAs[Long]("Driver"),
+        r.getAs[Int]("Speed"), r.getAs[Int]("LapNumber"))).toSet
+    assert(rows("boot_phase1") ++ rows("boot_phase2") === rows("boot_cont"))
+    assert(rows("boot_phase2").head._3 === 180) // the warm-paired emit
+  }
+
   test("state TTL drops a silent driver's snapshots (bounded state)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
