@@ -1797,6 +1797,27 @@ object RelationalQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** Z-order layout math (ops.ZOrder): Morton codes over two bounded
+    * dimensions + the top-bits bucket a range-partitioned layout job
+    * would write — per-bucket counts and z-extents, all integer bit
+    * arithmetic so the oracle is exact. The write/pruning side
+    * (disjoint per-file z-ranges) is asserted in ZOrderSpec. */
+  private val oZorderCluster: Q = (s, d) =>
+    events(s, d)
+      .select(graft.ops.ZOrder.morton(
+        col("user_id") % 1024, col("event_id") % 1024, 10).as("zv"))
+      .groupBy(shiftright(col("zv"), 16).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("zv")).as("z_min"), max(col("zv")).as("z_max"))
+
+  private val oZorderClusterSql =
+    s"""SELECT (zv >> 16) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(zv) AS z_min, MAX(zv) AS z_max
+       |FROM (SELECT ${graft.ops.ZOrder.mortonSql(
+            "user_id % 1024", "event_id % 1024", 10)} AS zv
+       |      FROM events) t
+       |GROUP BY 1""".stripMargin
+
   /** Global total-order rank WITHOUT a single-partition window
     * (ops.GlobalRank): order-preserving range buckets + per-bucket
     * offsets, ranks assigned under partitionBy(bucket). The oracle IS
@@ -1945,6 +1966,7 @@ object RelationalQueries {
     ("quality_key_skew", qualityKeySkew, Some(qualityKeySkewSql)),
     ("quality_ref_integrity", qualityRefIntegrity, Some(qualityRefIntegritySql)),
     ("o_global_rank", oGlobalRank, Some(oGlobalRankSql)),
+    ("o_zorder_cluster", oZorderCluster, Some(oZorderClusterSql)),
     ("quality_join_cardinality", qualityJoinCardinality,
       Some(qualityJoinCardinalitySql)),
     ("a_attribution_linear", aAttributionLinear, Some(aAttributionLinearSql))
