@@ -555,6 +555,11 @@ object DocQueries {
     ("knn_pq_topk", knnPq, None),
     ("knn_ivfpq_topk", knnIvfPq, None),
     ("knn_ivfpq_store", knnIvfPqStore, None),
+    ("pipeline_bottomk_sample",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        CorpusPipeline.bottomKPerKey(table(s, d, "documents"),
+          "lang", "doc_id", k = 50)): Q,
+      Some(CorpusPipeline.bottomKPerKeySql("lang", "doc_id", k = 50))),
     ("text_tokens", textTokens, Some(TextAnalysis.tokenStatsSql)),
     ("text_quality", textQuality, Some(TextAnalysis.qualityScoreSql)),
     ("text_langid", textLangId, Some(TextAnalysis.langIdSql)),

@@ -280,7 +280,32 @@ object WarehouseGateQueries {
       |SELECT CAST(lap AS BIGINT) AS target_lap
       |FROM m ORDER BY last_ts DESC LIMIT 1 OFFSET 1""".stripMargin
 
+  // ---- Schema evolution: v1 files lack a column v2 files carry ----
+  // (the reference's bronze docs gain Compound/TyreLife over time —
+  // SURVEY §1.1); engine writes both generations, reads them conformed
+  // to the contract; oracle re-derives the null-filled union from
+  // events directly.
+  private val sSchemaEvolution: Q = (s, d) => {
+    val root = "/tmp/graft_gate_schema_evo"
+    val ev = events(s, d)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"))
+      .write.mode("overwrite").parquet(s"$root/v1")
+    ev.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.mode("overwrite").parquet(s"$root/v2")
+    graft.sources.SchemaEvolution.readConformed(s,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, user_id BIGINT, value DOUBLE"),
+      s"$root/v1", s"$root/v2")
+  }
+  private val sSchemaEvolutionSql =
+    """SELECT event_id, user_id,
+      |  CASE WHEN event_id % 2 = 1 THEN value END AS value
+      |FROM events""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("s_schema_evolution", sSchemaEvolution, Some(sSchemaEvolutionSql)),
     ("s5_partitioned_roundtrip", s5Roundtrip, Some(interopSql(s5Root))),
     ("s6_roundtrip_semantics", s6Semantics, Some(s6SemanticsSql)),
     ("s7_pruned_scan", s7Pruned,

@@ -411,6 +411,33 @@ object CorpusPipeline {
        |       THEN 'train' ELSE 'test' END AS split
        |FROM documents""".stripMargin
 
+  /** Deterministic EXACT-K per-stratum sample (min-wise / bottom-k
+    * sampling): keep the `k` docs with the smallest md5 rank inside
+    * each key — the cap-not-rate companion to [[stratifiedSplit]]
+    * (a fraction split can't promise "at most k per language"; this
+    * can, with the same rerun/partitioning stability, and bottom-k
+    * sets MERGE across shards by re-taking the k smallest, so a
+    * 1000-shard corpus samples in one tree-reduce). Tie-free order
+    * (md5, doc_id); the per-key window is bounded by the stratum. */
+  def bottomKPerKey(docs: DataFrame, keyCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    docs.select(col(idCol), col(keyCol))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  def bottomKPerKeySql(keyCol: String, idCol: String, k: Int): String =
+    s"""SELECT $idCol, $keyCol, sample_rank FROM (
+       |  SELECT $idCol, $keyCol,
+       |    CAST(row_number() OVER (PARTITION BY $keyCol
+       |      ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS INT)
+       |      AS sample_rank
+       |  FROM documents) t
+       |WHERE sample_rank <= $k""".stripMargin
+
   /** Curriculum staging: ntile-bucket documents into `stages` learning
     * stages per language, best quality (alpha ratio) first — the
     * "clean data early, noisy data late" ordering curriculum training
