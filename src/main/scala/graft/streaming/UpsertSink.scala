@@ -80,6 +80,28 @@ object UpsertSink {
     spark.read.parquet(currentDir(tableDir).getOrElse(
       sys.error(s"no committed version under $tableDir")))
 
+  /** Time travel: retained versions of the table, newest (by commit
+    * time) last, as (batchId, path). With `keepVersions` > 1 on
+    * [[maintain]], the versioned-dir layout doubles as a snapshot
+    * history — the poor man's Delta time travel, same read path.
+    * Ordering is commit recency (mtime), not batchId: ids restart per
+    * checkpoint lineage, so they only order versions WITHIN one. */
+  def versions(tableDir: String): Seq[(Long, String)] =
+    Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v_"))
+      .sortBy(f => (f.lastModified, f.getName))
+      .flatMap { f =>
+        f.getName.split("_").lastOption.flatMap(s =>
+          scala.util.Try(s.toLong).toOption).map(_ -> s"$tableDir/${f.getName}")
+      }
+
+  /** Read the newest retained version with batchId ≤ `asOfBatch`. */
+  def readAsOf(spark: SparkSession, tableDir: String, asOfBatch: Long): DataFrame = {
+    val vs = versions(tableDir).filter(_._1 <= asOfBatch)
+    require(vs.nonEmpty, s"no retained version ≤ batch $asOfBatch under $tableDir")
+    spark.read.parquet(vs.last._2)
+  }
+
   /** One checkpoint directory = one batchId lineage. */
   private def lineageKey(checkpointDir: String): String =
     Paths.get(checkpointDir).toAbsolutePath.normalize.toString
@@ -91,7 +113,8 @@ object UpsertSink {
     * mode); `false` keeps a live micro-batch loop (caller stops). */
   def maintain(spark: SparkSession, updates: DataFrame, tableDir: String,
       checkpointDir: String, keys: Seq[String], orderCol: String,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true, keepVersions: Int = 1): StreamingQuery = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
     require(updates.columns.contains(orderCol) && !keys.contains(orderCol),
       s"orderCol '$orderCol' must be a non-key column of the updates stream")
     val lineage = lineageKey(checkpointDir)
@@ -120,9 +143,13 @@ object UpsertSink {
         val newDir = s"v_${Integer.toHexString(lineage.hashCode)}_$batchId"
         merged.write.mode("overwrite").parquet(s"$tableDir/$newDir")
         writeCommit(tableDir, Commit(lineage, batchId, newDir))
-        // GC superseded versions; failures leave harmless garbage
+        // GC superseded versions beyond the retention window; failures
+        // leave harmless garbage
+        val retained = versions(tableDir).takeRight(keepVersions)
+          .map(_._2.substring(tableDir.length + 1)).toSet + newDir
         Option(new java.io.File(tableDir).listFiles()).toSeq.flatten
-          .filter(f => f.isDirectory && f.getName.startsWith("v_") && f.getName != newDir)
+          .filter(f => f.isDirectory && f.getName.startsWith("v_") &&
+            !retained.contains(f.getName))
           .foreach(d => scala.util.Try(
             org.apache.commons.io.FileUtils.deleteDirectory(d)))
       } // else: same-lineage replay of an absorbed batch — idempotent skip

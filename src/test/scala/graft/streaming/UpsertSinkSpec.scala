@@ -59,4 +59,27 @@ class UpsertSinkSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("v_"))
     assert(vDirs.length === 1)
   }
+
+  test("keepVersions retains snapshots; readAsOf time-travels") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("upsert_tt").toString
+    val table = s"$root/dim"
+    val input = MemoryStream[(Long, String, Long)]
+    val q = UpsertSink.maintain(spark,
+      input.toDS().toDF("k", "name", "version"), table, s"$root/ckpt",
+      Seq("k"), orderCol = "version", availableNow = false, keepVersions = 3)
+    try {
+      input.addData(Seq((1L, "a", 1L))); q.processAllAvailable()
+      input.addData(Seq((2L, "b", 1L))); q.processAllAvailable()
+      input.addData(Seq((1L, "a2", 2L))); q.processAllAvailable()
+    } finally q.stop()
+    val vs = UpsertSink.versions(table)
+    assert(vs.map(_._1) === Seq(0L, 1L, 2L))
+    // live = latest; as-of batch 0 = the first snapshot
+    assert(snapshot(table) === Set((1L, "a2", 2L), (2L, "b", 1L)))
+    val asOf0 = UpsertSink.readAsOf(spark, table, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(asOf0 === Set((1L, "a", 1L)))
+  }
 }
