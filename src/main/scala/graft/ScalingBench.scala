@@ -38,6 +38,7 @@ object ScalingBench {
       "pipeline_bpe_merges" -> "documents", "pipeline_bpe_encode" -> "documents",
       "dedup_containment" -> "documents",
       "dedup_prefix_filter" -> "documents",
+      "dedup_substring_hashed" -> "documents",
       "pipeline_e2e_build" -> "documents",
       "o_global_rank" -> "events", "w_resample_ohlc" -> "events",
       "j_skew_salted" -> "lineitem", "quality_join_cardinality" -> "lineitem",
@@ -89,7 +90,8 @@ object ScalingBench {
       }
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$xDir/documents.parquet")
-    val extrap = Seq("dedup_prefix_filter", "dedup_containment").map { q =>
+    val extrap = Seq("dedup_prefix_filter", "dedup_containment",
+        "dedup_substring_hashed").map { q =>
       val t1 = timeOnce(q, sfs.last)
       val t2 = timeOnce(q, xDir)
       val slope = math.log(t2 / t1) / math.log(4.0)

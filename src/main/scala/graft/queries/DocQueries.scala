@@ -658,6 +658,31 @@ object DocQueries {
     ("pipeline_curriculum", pipelineCurriculum,
       Some(CorpusPipeline.curriculumStagesSql())),
     ("pipeline_epoch_shuffle", pipelineEpochShuffle,
-      Some(CorpusPipeline.epochShuffleSql(epoch = 1)))
+      Some(CorpusPipeline.epochShuffleSql(epoch = 1))),
+    // substring-level (ExactSubstr-style) dedup: the exact-gram variant
+    // is the oracle witness; the rolling-hash scale path shares the
+    // SAME oracle, so its green hash proves losslessness end-to-end
+    ("dedup_substring_spans",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.SubstringDedup.duplicatedSpans(
+          table(s, d, "documents"))): Q,
+      Some(graft.text.SubstringDedup.spansSql())),
+    ("dedup_substring_hashed",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.SubstringDedup.duplicatedSpansHashed(
+          table(s, d, "documents"))): Q,
+      Some(graft.text.SubstringDedup.spansSql())),
+    ("dedup_substring_stats",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.SubstringDedup.dupStats(table(s, d, "documents"))): Q,
+      Some(graft.text.SubstringDedup.dupStatsSql())),
+    ("dedup_substring_clean",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.SubstringDedup.removeSpans(table(s, d, "documents"))
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("clean_text"))
+              .cast("long").as("clean_len"))): Q,
+      Some(graft.text.SubstringDedup.cleanLenSql()))
   )
 }
