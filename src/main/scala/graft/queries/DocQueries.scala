@@ -676,6 +676,22 @@ object DocQueries {
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.text.SubstringDedup.dupStats(table(s, d, "documents"))): Q,
       Some(graft.text.SubstringDedup.dupStatsSql())),
+    // incremental face: history = doc_id < 250 distilled to a gram
+    // index + bloom; batch spans must equal the full-corpus oracle
+    // restricted to batch docs — proving the bloom-route + semi-join
+    // path exactly reproduces a from-scratch recompute
+    ("dedup_substring_incremental",
+      ((s: org.apache.spark.sql.SparkSession, d: String) => {
+        val docs = table(s, d, "documents")
+        val hist = docs.where(
+          org.apache.spark.sql.functions.col("doc_id") < 250)
+        val batch = docs.where(
+          org.apache.spark.sql.functions.col("doc_id") >= 250)
+        graft.text.SubstringDedup.incrementalSpans(batch,
+          graft.text.SubstringDedup.gramIndex(hist),
+          expectedGrams = 2000000L)
+      }): Q,
+      Some(graft.text.SubstringDedup.incrementalSpansSql(refMax = 250))),
     ("dedup_substring_clean",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.text.SubstringDedup.removeSpans(table(s, d, "documents"))

@@ -1797,6 +1797,26 @@ object RelationalQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** Privacy audit (sources.Privacy): k-anonymity + l-diversity per
+    * quasi-identifier class on customer — (nation, segment) as the
+    * quasi key, the $1000 account-balance band as the sensitive
+    * attribute (floored BEFORE the bigint cast on both engines:
+    * Spark cast truncates, DuckDB rounds). Output is bounded by quasi
+    * cardinality, so enforcement broadcasts the verdicts back
+    * (PrivacySpec) instead of windowing the corpus. */
+  private val qualityKAnonymity: Q = (s, d) =>
+    graft.sources.Privacy.kAnonymityAudit(
+      table(s, d, "customer").withColumn("balance_band",
+        floor(col("c_acctbal") / 1000).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "balance_band", k = 8)
+
+  private val qualityKAnonymitySql =
+    graft.sources.Privacy.kAnonymityAuditSql(
+      """(SELECT c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balance_band
+        |  FROM customer)""".stripMargin,
+      Seq("c_nationkey", "c_mktsegment"), "balance_band", k = 8)
+
   /** Z-order layout math (ops.ZOrder): Morton codes over two bounded
     * dimensions + the top-bits bucket a range-partitioned layout job
     * would write — per-bucket counts and z-extents, all integer bit
@@ -1965,6 +1985,7 @@ object RelationalQueries {
     ("j_full_coalesce", jFullCoalesce, Some(jFullCoalesceSql)),
     ("quality_key_skew", qualityKeySkew, Some(qualityKeySkewSql)),
     ("quality_ref_integrity", qualityRefIntegrity, Some(qualityRefIntegritySql)),
+    ("quality_k_anonymity", qualityKAnonymity, Some(qualityKAnonymitySql)),
     ("o_global_rank", oGlobalRank, Some(oGlobalRankSql)),
     ("o_zorder_cluster", oZorderCluster, Some(oZorderClusterSql)),
     ("quality_join_cardinality", qualityJoinCardinality,

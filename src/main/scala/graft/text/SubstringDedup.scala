@@ -101,6 +101,12 @@ object SubstringDedup {
       .withColumn("rn", row_number().over(byGramOrd))
       .where(col("c") >= 2 && col("rn") > 1)
       .select("doc_id", "pos")
+    mergeFlagged(flagged, k)
+  }
+
+  /** Island-merge flagged (doc_id, pos) rows into maximal end-inclusive
+    * spans (gap ≤ k fuses — character ranges overlap or touch). */
+  private def mergeFlagged(flagged: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     flagged
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
@@ -177,6 +183,53 @@ object SubstringDedup {
       .select("doc_id", "clean_text")
   }
 
+  /** The persisted artifact of an ingested corpus: its distinct rolling
+    * gram hashes. At 100 TB this is the table the daily batch probes —
+    * written once, range-partitionable by hash, never re-derived from
+    * history text. */
+  def gramIndex(docs: DataFrame, k: Int = DefaultK): DataFrame =
+    hashedPositions(docs, k).select("gram").distinct()
+
+  /** Incremental face — duplicated spans of a NEW batch against an
+    * already-ingested HISTORY, without touching history text. History
+    * wins canonicality: a batch gram that exists in the index is
+    * flagged at EVERY batch position; a batch-only gram keeps its
+    * within-batch first occurrence. With history = all doc_ids below
+    * the batch's, this is EXACTLY `duplicatedSpans(history ∪ batch)`
+    * restricted to batch docs — which is what the gate's oracle checks.
+    *
+    * Scale shape (same routing contract as
+    * [[IncrementalDedup.newOnly]]): the index is distilled once into a
+    * broadcastable Bloom sketch ([[graft.functions.BloomFilterAgg]]),
+    * batch positions stream through the codegen'd membership expr, and
+    * only bloom-positive, not-already-flagged positions reach the
+    * exact semi-join — the join carries the duplicate volume plus
+    * ~fpp, never the batch volume. No false negatives, and the
+    * semi-join verifies away false positives, so the result is exact. */
+  def incrementalSpans(batch: DataFrame, historyIndex: DataFrame,
+      expectedGrams: Long, k: Int = DefaultK,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomFilterAgg(expectedGrams, fpp),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val bytes = historyIndex.agg(agg(col("gram")).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val fn = graft.functions.BloomMightContainLong.registerUnique(spark, bytes)
+    val byGram = Window.partitionBy("gram")
+    val byGramOrd = byGram.orderBy("doc_id", "pos")
+    val marked = hashedPositions(batch, k)
+      .withColumn("c", count(lit(1)).over(byGram))
+      .withColumn("rn", row_number().over(byGramOrd))
+    val batchDup = marked.where(col("c") >= 2 && col("rn") > 1)
+      .select("doc_id", "pos")
+    val histDup = marked
+      .where(!(col("c") >= 2 && col("rn") > 1) && expr(s"$fn(gram)"))
+      .join(historyIndex, Seq("gram"), "left_semi")
+      .select("doc_id", "pos")
+    mergeFlagged(batchDup.unionByName(histDup), k)
+  }
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB spelling of steps 1-3 (scalar `range` + `unnest` builds the
@@ -219,6 +272,14 @@ object SubstringDedup {
        |       COALESCE(a.dup_chars, 0) AS dup_chars,
        |       COALESCE(a.dup_chars, 0) * 5 > length(d.text) AS high_dup
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** Oracle for [[incrementalSpans]] with history = `doc_id < refMax`:
+    * the FULL-corpus span computation restricted to batch docs (the
+    * equivalence the incremental path must reproduce exactly — see its
+    * scaladoc; history ids all precede batch ids, so corpus-wide
+    * canonicality and history-wins coincide). */
+  def incrementalSpansSql(refMax: Long, k: Int = DefaultK): String =
+    s"""SELECT * FROM (${spansSql(k)}) WHERE doc_id >= $refMax"""
 
   /** Length invariant tying [[removeSpans]] to the span algebra:
     * `length(clean_text) = n_chars − dup_chars` for every doc. The

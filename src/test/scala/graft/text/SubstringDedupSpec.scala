@@ -113,6 +113,46 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(clean(2L) === "uvwxyzUVWX" + "KLMNOPQRST")  // middle span cut
   }
 
+  test("incremental spans: history always wins canonicality, batch-only keeps first") {
+    val p = "0123456789"
+    val hist = docs(1L -> (p + "abcdefghijklmnopqrstuvwxy"))
+    val batch = docs(
+      10L -> (p + "ABCDEFGHIJKLMNOPQRSTU"),          // p known to history
+      11L -> ("zyxwvutsrq" + "MNBVCXZLKJ"),          // batch-only gram, first copy
+      12L -> ("zyxwvutsrq" + "QWERTYUIOP"))          // second copy -> flagged
+    val got = SubstringDedup.incrementalSpans(batch,
+        SubstringDedup.gramIndex(hist, K), expectedGrams = 10000L, k = K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 10 pos 1 flagged even though it is the batch's first copy of p
+    // (history wins); doc 11 is the batch-canonical copy of zyxwvutsrq
+    assert(got === Set((10L, 1L, 10L), (12L, 1L, 10L)))
+  }
+
+  test("incremental spans equal the full recompute restricted to batch docs") {
+    val rnd = new scala.util.Random(13)
+    def blob(n: Int) = new String(Array.fill(n)(('a' + rnd.nextInt(26)).toChar))
+    val boiler = blob(40)
+    val all = (1L to 80L).map { i =>
+      val body = blob(40 + rnd.nextInt(100))
+      val t = if (i % 4 == 0) {
+        val cut = rnd.nextInt(body.length)
+        body.substring(0, cut) + boiler + body.substring(cut)
+      } else body
+      (i, t)
+    }
+    val d = docs(all: _*)
+    val hist = d.where(org.apache.spark.sql.functions.col("doc_id") < 40)
+    val batch = d.where(org.apache.spark.sql.functions.col("doc_id") >= 40)
+    val full = SubstringDedup.duplicatedSpans(d, K).collect()
+      .filter(_.getLong(0) >= 40)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inc = SubstringDedup.incrementalSpans(batch,
+        SubstringDedup.gramIndex(hist, K), expectedGrams = 100000L, k = K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.nonEmpty)
+    assert(inc === full)
+  }
+
   test("length invariant: clean length = n_chars - dup_chars for every doc") {
     val rnd = new scala.util.Random(7)
     def blob(n: Int) = new String(Array.fill(n)(('a' + rnd.nextInt(26)).toChar))
