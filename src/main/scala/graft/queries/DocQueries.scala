@@ -676,6 +676,11 @@ object DocQueries {
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.text.SubstringDedup.dupStats(table(s, d, "documents"))): Q,
       Some(graft.text.SubstringDedup.dupStatsSql())),
+    ("dedup_substring_words",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.SubstringDedup.wordGramSpans(
+          table(s, d, "documents"))): Q,
+      Some(graft.text.SubstringDedup.wordGramSpansSql())),
     // incremental face: history = doc_id < 250 distilled to a gram
     // index + bloom; batch spans must equal the full-corpus oracle
     // restricted to batch docs — proving the bloom-route + semi-join

@@ -183,6 +183,35 @@ object SubstringDedup {
       .select("doc_id", "clean_text")
   }
 
+  /** Default word-gram width for [[wordGramSpans]] — the paper's
+    * granularity is tokens, not characters; 8 words ≈ its 50-BPE-token
+    * threshold scaled to the short synthetic docs. */
+  val DefaultWordK = 8
+
+  /** Token-granularity variant (the paper's own coordinate system):
+    * k-word sliding grams over the single-space token stream, same
+    * canonical-first flagging and gap-≤-k island merge, spans in WORD
+    * coordinates. Entirely built-ins (`split`/`transform`/`slice`/
+    * `array_join` + `posexplode`), so the gram build stays inside one
+    * codegen stage; the downstream is the shared one-shuffle tail.
+    * Word-boundary alignment makes cuts splice cleanly at 100 TB
+    * (char-mode spans can cut mid-word); char mode remains the
+    * byte-exact witness. */
+  def wordGramSpans(docs: DataFrame, k: Int = DefaultWordK): DataFrame = {
+    val pos = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1})," +
+          s" i -> array_join(slice(w, i, $k), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+    spansFromPositions(pos, k)
+      .select(col("doc_id"), col("span_start").as("span_start_w"),
+        col("span_end").as("span_end_w"))
+  }
+
   /** The persisted artifact of an ingested corpus: its distinct rolling
     * gram hashes. At 100 TB this is the table the daily batch probes —
     * written once, range-partitionable by hash, never re-derived from
@@ -272,6 +301,35 @@ object SubstringDedup {
        |       COALESCE(a.dup_chars, 0) AS dup_chars,
        |       COALESCE(a.dup_chars, 0) * 5 > length(d.text) AS high_dup
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** DuckDB spelling of [[wordGramSpans]] (list slicing is 1-based
+    * inclusive, so `words[p : p+k-1]` is Spark's `slice(w, p, k)`). */
+  def wordGramSpansSql(k: Int = DefaultWordK): String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+       |         array_to_string(words[CAST(p AS INT):CAST(p + ${k - 1} AS INT)], ' ') AS gram
+       |  FROM (SELECT doc_id,
+       |          string_split(text, ' ') AS words,
+       |          unnest(range(1, 2 + len(string_split(text, ' ')) - $k)) AS p
+       |        FROM documents WHERE len(string_split(text, ' ')) >= $k)),
+       |flagged AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |           count(*) OVER (PARTITION BY gram) AS c,
+       |           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |    FROM pos)
+       |  WHERE c >= 2 AND rn > 1),
+       |lagged AS (
+       |  SELECT doc_id, pos,
+       |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM flagged),
+       |grp AS (
+       |  SELECT doc_id, pos,
+       |         sum(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM lagged)
+       |SELECT doc_id, min(pos) AS span_start_w, max(pos) + ${k - 1} AS span_end_w
+       |FROM grp GROUP BY doc_id, g""".stripMargin
 
   /** Oracle for [[incrementalSpans]] with history = `doc_id < refMax`:
     * the FULL-corpus span computation restricted to batch docs (the

@@ -113,6 +113,18 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(clean(2L) === "uvwxyzUVWX" + "KLMNOPQRST")  // middle span cut
   }
 
+  test("word-gram spans report WORD coordinates and merge like the char variant") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ") // 10 shared words
+    val d = docs(
+      1L -> (shared + " alpha beta gamma delta"),
+      2L -> ("pre1 pre2 " + shared + " omega1 omega2"))
+    // k=4 word grams: doc 2's copy starts at word 3; flagged word
+    // positions 3..9 (gram at 9 = words 9..12 of doc2 = tok7..tok10)
+    val got = SubstringDedup.wordGramSpans(d, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((2L, 3L, 12L)))
+  }
+
   test("incremental spans: history always wins canonicality, batch-only keeps first") {
     val p = "0123456789"
     val hist = docs(1L -> (p + "abcdefghijklmnopqrstuvwxy"))
