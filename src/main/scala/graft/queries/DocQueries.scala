@@ -676,6 +676,10 @@ object DocQueries {
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.text.SubstringDedup.dupStats(table(s, d, "documents"))): Q,
       Some(graft.text.SubstringDedup.dupStatsSql())),
+    ("pipeline_spanclean_rollup",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.SubstringDedup.cleanRollup(table(s, d, "documents"))): Q,
+      Some(graft.text.SubstringDedup.cleanRollupSql())),
     ("dedup_substring_words",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.text.SubstringDedup.wordGramSpans(

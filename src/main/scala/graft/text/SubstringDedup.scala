@@ -259,6 +259,25 @@ object SubstringDedup {
     mergeFlagged(batchDup.unionByName(histDup), k)
   }
 
+  /** Publish-side composition: the span cut joined back to the corpus
+    * dims and rolled up per lang — raw/clean/removed character
+    * accounting in ONE lazy plan (scan → hashed spans → HOF rebuild →
+    * broadcast-sized span join → aggregate), the dashboard a
+    * substring-dedup run publishes. Gating this (clean_chars comes
+    * from `length(clean_text)` of the REBUILT string, the oracle
+    * derives it arithmetically from the span algebra) proves the
+    * rebuild composes under joins and aggregation without a
+    * materialization barrier. */
+  def cleanRollup(docs: DataFrame, k: Int = DefaultK): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("raw_chars"))
+      .join(removeSpans(docs, k), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("raw_chars")).as("raw_chars"),
+        sum(length(col("clean_text")).cast("long")).as("clean_chars"))
+      .withColumn("removed_chars", col("raw_chars") - col("clean_chars"))
+
   // ---------------------------------------------------------------- oracles
 
   /** DuckDB spelling of steps 1-3 (scalar `range` + `unnest` builds the
@@ -338,6 +357,22 @@ object SubstringDedup {
     * canonicality and history-wins coincide). */
   def incrementalSpansSql(refMax: Long, k: Int = DefaultK): String =
     s"""SELECT * FROM (${spansSql(k)}) WHERE doc_id >= $refMax"""
+
+  /** Oracle for [[cleanRollup]]: per-lang rollup with clean_chars
+    * derived arithmetically from the span algebra. */
+  def cleanRollupSql(k: Int = DefaultK): String =
+    s"""WITH spans AS (${spansSql(k)}),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(span_end - span_start + 1) AS BIGINT)
+       |         AS dup_chars
+       |  FROM spans GROUP BY doc_id)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(length(d.text)) AS BIGINT) AS raw_chars,
+       |       CAST(SUM(length(d.text) - COALESCE(a.dup_chars, 0)) AS BIGINT)
+       |         AS clean_chars,
+       |       CAST(SUM(COALESCE(a.dup_chars, 0)) AS BIGINT) AS removed_chars
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
 
   /** Length invariant tying [[removeSpans]] to the span algebra:
     * `length(clean_text) = n_chars − dup_chars` for every doc. The
