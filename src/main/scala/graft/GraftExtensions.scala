@@ -73,6 +73,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NormalizeNfc(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash_grams"),
+      new ExpressionInfo(
+        classOf[graft.functions.RollingHashGrams].getName,
+        "rolling_hash_grams"),
+      (exprs: Seq[Expression]) => graft.functions.RollingHashGrams(
+        exprs.head, exprs(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => sys.error(
+            s"rolling_hash_grams k must be an int literal, got $other")
+        })))
     ext.injectOptimizerRule(_ => CollapseNfcNormalize)
     ext.injectOptimizerRule(_ => BandLevenshteinPredicate)
     ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin)

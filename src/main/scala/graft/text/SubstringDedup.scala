@@ -57,37 +57,20 @@ object SubstringDedup {
         col("text").substr(col("p"), lit(k)).as("gram"))
 
   /** Rolling-hash (doc_id, pos, gram=hash64) occurrence table: one
-    * narrow pass per doc, O(len) work, 8-byte shuffle key. Plain
-    * wrapping-Long polynomial hash (base 1000003) — a hash, not a
-    * cryptographic commitment; see class doc for the collision story. */
+    * narrow pass per doc, O(len) work, 8-byte shuffle key. The hash
+    * loop is the native codegen'd
+    * [[graft.functions.RollingHashGrams]] expression, so scan → hash →
+    * explode fuse into one Tungsten stage with no object-encoder
+    * boundary. Plain wrapping-Long polynomial hash (base 1000003) — a
+    * hash, not a cryptographic commitment; see class doc for the
+    * collision story. */
   private def hashedPositions(docs: DataFrame, k: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+    graft.functions.RollingHashGrams.register(docs.sparkSession)
     docs.where(length(col("text")) >= k)
-      .select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        val n = t.length
-        val B = 1000003L
-        var bk = 1L // B^(k-1)
-        var h = 0L
-        var i = 0
-        while (i < k) {
-          h = h * B + t.charAt(i)
-          if (i < k - 1) bk *= B
-          i += 1
-        }
-        val out = new Array[(Long, Long, Long)](n - k + 1)
-        out(0) = (id, 1L, h)
-        var p = 1
-        while (p <= n - k) {
-          h = (h - t.charAt(p - 1) * bk) * B + t.charAt(p + k - 1)
-          out(p) = (id, (p + 1).toLong, h)
-          p += 1
-        }
-        out.toSeq
-      }
-      .toDF("doc_id", "pos", "gram")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(expr(s"rolling_hash_grams(text, $k)")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
   }
 
   /** Shared tail: flag non-canonical repeated occurrences, merge into
