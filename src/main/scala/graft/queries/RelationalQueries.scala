@@ -1797,6 +1797,46 @@ object RelationalQueries {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** S2 upsert MERGE semantics as a direct oracle gate (previously
+    * ScalaTest-only — the one external seam whose ALGEBRA is fully
+    * SQL-expressible): updates win per key, untouched rows survive,
+    * brand-new keys insert. Updates = every 7th supplier renamed and
+    * re-balanced plus synthetic new keys from every 11th; engine runs
+    * [[graft.sources.Dims.upsert]] (full-outer + per-column coalesce,
+    * 1:1 with Delta MERGE INTO), oracle spells the same algebra. */
+  private val s2UpsertMerge: Q = (s, d) => {
+    val sup = table(s, d, "supplier")
+    val existing = sup.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val updates = sup.where(col("s_suppkey") % 7 === 0)
+      .select(col("s_suppkey"),
+        concat(lit("UPD_"), col("s_suppkey").cast("string")).as("s_name"),
+        col("s_nationkey"),
+        (col("s_acctbal") + 1000.0).as("s_acctbal"))
+      .unionByName(sup.where(col("s_suppkey") % 11 === 0)
+        .select((col("s_suppkey") + 100000L).as("s_suppkey"),
+          concat(lit("NEW_"), col("s_suppkey").cast("string")).as("s_name"),
+          col("s_nationkey"), lit(0.0).as("s_acctbal")))
+    graft.sources.Dims.upsert(existing, updates, Seq("s_suppkey"))
+  }
+
+  private val s2UpsertMergeSql =
+    """WITH existing AS (
+      |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier),
+      |upd AS (
+      |  SELECT s_suppkey, 'UPD_' || CAST(s_suppkey AS VARCHAR) AS s_name,
+      |         s_nationkey, s_acctbal + 1000.0 AS s_acctbal
+      |  FROM supplier WHERE s_suppkey % 7 = 0
+      |  UNION ALL
+      |  SELECT s_suppkey + 100000 AS s_suppkey,
+      |         'NEW_' || CAST(s_suppkey AS VARCHAR) AS s_name,
+      |         s_nationkey, CAST(0.0 AS DOUBLE) AS s_acctbal
+      |  FROM supplier WHERE s_suppkey % 11 = 0)
+      |SELECT COALESCE(u.s_suppkey, e.s_suppkey) AS s_suppkey,
+      |       COALESCE(u.s_name, e.s_name) AS s_name,
+      |       COALESCE(u.s_nationkey, e.s_nationkey) AS s_nationkey,
+      |       COALESCE(u.s_acctbal, e.s_acctbal) AS s_acctbal
+      |FROM existing e FULL OUTER JOIN upd u ON e.s_suppkey = u.s_suppkey""".stripMargin
+
   /** Privacy audit (sources.Privacy): k-anonymity + l-diversity per
     * quasi-identifier class on customer — (nation, segment) as the
     * quasi key, the $1000 account-balance band as the sensitive
@@ -1986,6 +2026,7 @@ object RelationalQueries {
     ("quality_key_skew", qualityKeySkew, Some(qualityKeySkewSql)),
     ("quality_ref_integrity", qualityRefIntegrity, Some(qualityRefIntegritySql)),
     ("quality_k_anonymity", qualityKAnonymity, Some(qualityKAnonymitySql)),
+    ("s2_upsert_merge", s2UpsertMerge, Some(s2UpsertMergeSql)),
     ("o_global_rank", oGlobalRank, Some(oGlobalRankSql)),
     ("o_zorder_cluster", oZorderCluster, Some(oZorderClusterSql)),
     ("quality_join_cardinality", qualityJoinCardinality,
