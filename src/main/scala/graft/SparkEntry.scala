@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalQueries.entries ++ ResampleQueries.entries ++
       DocQueries.entries ++ AsofQueries.entries ++ ExtendedQueries.entries ++
       MultimodalQueries.entries ++ F1GateQueries.entries ++
-      MlQueries.entries ++ WarehouseGateQueries.entries
+      MlQueries.entries ++ WarehouseGateQueries.entries ++
+      CodecQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Avoids the events table so it works on any session config (events

@@ -135,6 +135,24 @@ object WarehouseGateQueries {
     lowered(writeAndRead(s, d, s7Root)
       .filter(col("Year") === 2021 && col("Round") === 3))
 
+  // ---- S5b: small-file compaction — content-identical bounded rewrite ----
+  // The fragmented input (16-way pre-shuffle → ~16 files per partition)
+  // is compacted to one sorted file per partition; the oracle reads the
+  // COMPACTED files with DuckDB, so a hash match proves the rewrite is
+  // lossless and the layout stays foreign-readable. File-count bounds
+  // are asserted in CompactionSpec.
+  private val s5cIn = "/tmp/graft_gate_wh_compact_in"
+  private val s5cOut = "/tmp/graft_gate_wh_compact_out"
+  private val s5Compaction: Q = (s, d) => {
+    import s.implicits._
+    WarehouseBuild.writeWarehouse(
+      fixture(s, d).repartition(16).as[TelemetryPoint], s5cIn)
+    graft.ops.Compaction.compact(s, s5cIn, s5cOut,
+      partitionCols = Seq("year", "round"),
+      sortCols = Seq("Driver", "LapNumber", "Distance"))
+    lowered(WarehouseBuild.readWarehouse(s, s5cOut))
+  }
+
   // ---- S3: per-round delete-then-insert as dynamic partition overwrite ----
   private val s3Root = "/tmp/graft_gate_wh_s3"
   private val s3Overwrite: Q = (s, d) => {
@@ -307,6 +325,7 @@ object WarehouseGateQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("s_schema_evolution", sSchemaEvolution, Some(sSchemaEvolutionSql)),
     ("s5_partitioned_roundtrip", s5Roundtrip, Some(interopSql(s5Root))),
+    ("s5_compaction", s5Compaction, Some(interopSql(s5cOut))),
     ("s6_roundtrip_semantics", s6Semantics, Some(s6SemanticsSql)),
     ("s7_pruned_scan", s7Pruned,
       Some(interopSql(s7Root, "WHERE year = 2021 AND round = 3"))),
