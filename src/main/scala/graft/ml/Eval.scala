@@ -233,4 +233,157 @@ object Eval {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
        |    / CAST(tot_np AS DOUBLE) AS cum_capture
        |FROM b""".stripMargin
+
+  /** Calibration (reliability) table + exact per-bucket Brier score.
+    *
+    * Scores arrive as INTEGERS `kCol` ∈ [0, scale] (probability =
+    * k/scale) — the form a quantized model head emits — so everything
+    * reduces to long sufficient statistics:
+    *   Σ(lab − k/s)² = (s²·Σlab − 2s·Σ(lab·k) + Σk²) / s²
+    * and each output double is one IEEE divide on exact operands.
+    * Bucket = ⌊k·buckets/scale⌋ (top edge clamped), pure integer math.
+    *
+    * @return (bucket, n, n_pos, avg_p, frac_pos, brier) */
+  def calibration(df: DataFrame, kCol: String, scale: Int,
+      labelCol: String, buckets: Int = 10): DataFrame = {
+    val s2 = scale.toLong * scale
+    // NB: Column./ is double division — floor() makes the bucket an
+    // integer ⌊k·b/s⌋ (exact: integer-valued quotients are exactly
+    // representable, so floor never straddles the boundary).
+    df.withColumn("_b",
+        least(floor(col(kCol).cast("long") * buckets / scale).cast("long"),
+          lit(buckets - 1L)))
+      .withColumn("_lab", when(col(labelCol), 1L).otherwise(0L))
+      .groupBy(col("_b").as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_lab")).as("n_pos"),
+        sum(col(kCol).cast("long")).as("_sk"),
+        sum(col(kCol).cast("long") * col(kCol)).as("_sk2"),
+        sum(col("_lab") * col(kCol)).as("_slk"))
+      .withColumn("avg_p",
+        col("_sk").cast("double") / (col("n") * scale).cast("double"))
+      .withColumn("frac_pos",
+        col("n_pos").cast("double") / col("n").cast("double"))
+      .withColumn("brier",
+        (lit(s2) * col("n_pos") - lit(2L * scale) * col("_slk") + col("_sk2"))
+          .cast("double") / (col("n") * s2).cast("double"))
+      .select("bucket", "n", "n_pos", "avg_p", "frac_pos", "brier")
+  }
+
+  /** DuckDB mirror of [[calibration]]. */
+  def calibrationSql(srcSql: String, kSql: String, scale: Int,
+      labelSql: String, buckets: Int = 10): String = {
+    val s2 = scale.toLong * scale
+    s"""WITH src AS ($srcSql),
+       |r AS (
+       |  SELECT LEAST(($kSql) * $buckets // $scale, ${buckets - 1}) AS bucket,
+       |    CASE WHEN $labelSql THEN 1 ELSE 0 END AS lab, ($kSql) AS k
+       |  FROM src),
+       |g AS (
+       |  SELECT bucket, COUNT(*) AS n, CAST(SUM(lab) AS BIGINT) AS n_pos,
+       |    CAST(SUM(k) AS BIGINT) AS sk, CAST(SUM(k*k) AS BIGINT) AS sk2,
+       |    CAST(SUM(lab*k) AS BIGINT) AS slk
+       |  FROM r GROUP BY 1)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n, n_pos,
+       |  CAST(sk AS DOUBLE) / CAST(n * $scale AS DOUBLE) AS avg_p,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+       |  CAST($s2 * n_pos - ${2L * scale} * slk + sk2 AS DOUBLE)
+       |    / CAST(n * $s2 AS DOUBLE) AS brier
+       |FROM g""".stripMargin
+  }
+
+  /** Per-group confusion matrix + precision/recall/F1 for boolean
+    * predictions — long counts, one divide per metric (NULL when the
+    * denominator is 0, the metric is undefined not 0). */
+  def confusionF1(df: DataFrame, groupCol: String, predCol: String,
+      labelCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        sum(when(col(predCol) && col(labelCol), 1L).otherwise(0L)).as("tp"),
+        sum(when(col(predCol) && !col(labelCol), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col(predCol) && col(labelCol), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col(predCol) && !col(labelCol), 1L).otherwise(0L)).as("tn"))
+      .withColumn("prec", when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+      .withColumn("rec", when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      .withColumn("f1", when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+        (lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double")))
+
+  /** DuckDB mirror of [[confusionF1]]. */
+  def confusionF1Sql(srcSql: String, groupSql: String, predSql: String,
+      labelSql: String): String =
+    s"""WITH src AS ($srcSql),
+       |g AS (
+       |  SELECT $groupSql AS grp,
+       |    CAST(SUM(CASE WHEN ($predSql) AND ($labelSql) THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN ($predSql) AND NOT ($labelSql) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT ($predSql) AND ($labelSql) THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |    CAST(SUM(CASE WHEN NOT ($predSql) AND NOT ($labelSql) THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM src GROUP BY 1)
+       |SELECT grp, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS prec,
+       |  CASE WHEN tp + fn > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rec,
+       |  CASE WHEN 2*tp + fp + fn > 0
+       |    THEN CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE) END AS f1
+       |FROM g""".stripMargin
+
+  /** Per-group Cohen's κ for two boolean raters — the inter-annotator
+    * agreement check a labeling pipeline runs before trusting labels.
+    *
+    * Single-divide exactness: κ = (po−pe)/(1−pe) algebraically
+    * rearranged over a common denominator n² so both numerator and
+    * denominator are LONG products:
+    *   κ = (n·agree − marg) / (n² − marg),
+    *   marg = (n11+n10)(n11+n01) + (n01+n00)(n10+n00).
+    * po and pe are also emitted (one divide each). κ is NULL for the
+    * degenerate pe = 1 case. */
+  def cohensKappa(df: DataFrame, groupCol: String, r1Col: String,
+      r2Col: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(r1Col) && col(r2Col), 1L).otherwise(0L)).as("_n11"),
+        sum(when(col(r1Col) && !col(r2Col), 1L).otherwise(0L)).as("_n10"),
+        sum(when(!col(r1Col) && col(r2Col), 1L).otherwise(0L)).as("_n01"),
+        sum(when(!col(r1Col) && !col(r2Col), 1L).otherwise(0L)).as("_n00"))
+      .withColumn("_agree", col("_n11") + col("_n00"))
+      .withColumn("_marg",
+        (col("_n11") + col("_n10")) * (col("_n11") + col("_n01")) +
+          (col("_n01") + col("_n00")) * (col("_n10") + col("_n00")))
+      .withColumn("po", col("_agree").cast("double") / col("n").cast("double"))
+      .withColumn("pe",
+        col("_marg").cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("kappa",
+        when(col("n") * col("n") =!= col("_marg"),
+          (col("n") * col("_agree") - col("_marg")).cast("double") /
+            (col("n") * col("n") - col("_marg")).cast("double")))
+      .select(col(groupCol), col("n"), col("po"), col("pe"), col("kappa"))
+
+  /** DuckDB mirror of [[cohensKappa]]. */
+  def cohensKappaSql(srcSql: String, groupSql: String, r1Sql: String,
+      r2Sql: String): String =
+    s"""WITH src AS ($srcSql),
+       |g AS (
+       |  SELECT $groupSql AS grp, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN ($r1Sql) AND ($r2Sql) THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(SUM(CASE WHEN ($r1Sql) AND NOT ($r2Sql) THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(SUM(CASE WHEN NOT ($r1Sql) AND ($r2Sql) THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(SUM(CASE WHEN NOT ($r1Sql) AND NOT ($r2Sql) THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM src GROUP BY 1),
+       |k AS (
+       |  SELECT grp, n, n11 + n00 AS agree,
+       |    (n11 + n10)*(n11 + n01) + (n01 + n00)*(n10 + n00) AS marg
+       |  FROM g)
+       |SELECT grp, n,
+       |  CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       |  CAST(marg AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+       |  CASE WHEN n * n <> marg THEN
+       |    CAST(n * agree - marg AS DOUBLE) / CAST(n * n - marg AS DOUBLE)
+       |  END AS kappa
+       |FROM k""".stripMargin
 }

@@ -167,7 +167,55 @@ object MlQueries {
       |  CAST(floor(l_tax * 100.0) AS BIGINT) AS x3
       |FROM lineitem""".stripMargin, iters = 3)
 
+  /** Calibration + exact Brier over a quantized score head: k ∈ [0,100]
+    * from the order keys, label = returned line. */
+  private val mlCalibration: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .withColumn("_k", (col("l_orderkey") * 31 + col("l_linenumber") * 7) % 101)
+      .withColumn("_lab", col("l_returnflag") === "R")
+      .transform(df => graft.ml.Eval.calibration(df, "_k", 100, "_lab", 10))
+
+  private val mlCalibrationSql = graft.ml.Eval.calibrationSql(
+    "SELECT * FROM lineitem",
+    "(l_orderkey * 31 + l_linenumber * 7) % 101", 100,
+    "l_returnflag = 'R'", 10)
+
+  /** Per-status confusion matrix / precision / recall / F1 for the
+    * thresholded quantized score. */
+  private val mlConfusionF1: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .withColumn("_pred",
+        (col("l_orderkey") * 31 + col("l_linenumber") * 7) % 101 >= 50)
+      .withColumn("_lab", col("l_returnflag") === "R")
+      .transform(df => graft.ml.Eval.confusionF1(df, "l_linestatus",
+        "_pred", "_lab"))
+      .withColumnRenamed("l_linestatus", "grp")
+
+  private val mlConfusionF1Sql = graft.ml.Eval.confusionF1Sql(
+    "SELECT * FROM lineitem", "l_linestatus",
+    "(l_orderkey * 31 + l_linenumber * 7) % 101 >= 50",
+    "l_returnflag = 'R'")
+
+  /** Inter-annotator agreement (Cohen's κ) between two deterministic
+    * raters over events, grouped by event type — the label-quality
+    * audit run before trusting a crowd batch. */
+  private val mlCohensKappa: Q = (s, d) =>
+    events(s, d)
+      .withColumn("_r1", col("event_id") % 7 < 3)
+      .withColumn("_r2", (col("event_id") % 7 < 3) === (col("event_id") % 9 < 6))
+      .transform(df => graft.ml.Eval.cohensKappa(df, "event_type",
+        "_r1", "_r2"))
+      .withColumnRenamed("event_type", "grp")
+
+  private val mlCohensKappaSql = graft.ml.Eval.cohensKappaSql(
+    "SELECT * FROM events", "event_type",
+    "event_id % 7 < 3",
+    "(event_id % 7 < 3) = (event_id % 9 < 6)")
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ml_calibration", mlCalibration, Some(mlCalibrationSql)),
+    ("ml_confusion_f1", mlConfusionF1, Some(mlConfusionF1Sql)),
+    ("ml_cohens_kappa", mlCohensKappa, Some(mlCohensKappaSql)),
     ("ml_logreg_gd", mlLogregGd, Some(mlLogregGdSql)),
     ("ml_auc_roc", mlAucRoc, Some(mlAucRocSql)),
     ("ml_gains_table", mlGainsTable, Some(mlGainsTableSql)),
