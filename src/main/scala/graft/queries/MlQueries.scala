@@ -212,7 +212,18 @@ object MlQueries {
     "event_id % 7 < 3",
     "(event_id % 7 < 3) = (event_id % 9 < 6)")
 
+  /** LTTB-style trace downsampling: one visual representative per
+    * 30-minute bucket per user over the events value channel. */
+  private val wLttbDownsample: Q = (s, d) =>
+    graft.ops.Lttb.downsample(events(s, d), "user_id", "ev_us", "value",
+      "event_id", 1800000000L)
+
+  private val wLttbDownsampleSql = graft.ops.Lttb.downsampleSql(
+    s"SELECT user_id, event_id, value, $evUsSql AS ev_us FROM events",
+    "user_id", "ev_us", "value", "event_id", 1800000000L)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("w_lttb_downsample", wLttbDownsample, Some(wLttbDownsampleSql)),
     ("ml_calibration", mlCalibration, Some(mlCalibrationSql)),
     ("ml_confusion_f1", mlConfusionF1, Some(mlConfusionF1Sql)),
     ("ml_cohens_kappa", mlCohensKappa, Some(mlCohensKappaSql)),
