@@ -40,7 +40,9 @@ object ScalingBench {
       "dedup_prefix_filter" -> "documents",
       "dedup_substring_hashed" -> "documents",
       "pipeline_e2e_build" -> "documents",
+      "pipeline_unigram_lm" -> "documents",
       "o_global_rank" -> "events", "w_resample_ohlc" -> "events",
+      "w_lttb_downsample" -> "events", "s9_codec_roundtrip" -> "events",
       "j_skew_salted" -> "lineitem", "quality_join_cardinality" -> "lineitem",
       "quality_key_skew" -> "lineitem")
 

@@ -264,6 +264,26 @@ object DocQueries {
   private val pipelineBpeMerges: Q = (s, d) =>
     graft.text.Bpe.learnMerges(table(s, d, "documents"), bpeRounds)
 
+  /** Unigram-LM (SentencePiece-style) tokenizer: EM-trained piece
+    * table, and the corpus encoded with it. Rows-only (float EM
+    * iteration has no cross-engine SQL spelling — same class as the
+    * ANN gates); UnigramLmSpec anchors coverage, roundtrip, and
+    * partitioning-invariance. */
+  private val unigramParams = (300, 5, 2, 1500) // vocab, maxLen, iters, seed
+  private val pipelineUnigramLm: Q = (s, d) => {
+    val (v, m, i, sd) = unigramParams
+    graft.text.UnigramLm.train(table(s, d, "documents").select("text"),
+      vocabSize = v, maxPieceLen = m, iters = i, seedSize = sd)
+  }
+  private val pipelineUnigramEncode: Q = (s, d) => {
+    val (v, m, i, sd) = unigramParams
+    val docs = table(s, d, "documents")
+    val model = graft.text.UnigramLm.train(docs.select("text"), v, m, i, sd)
+      .select("piece", "q9_logp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap // bounded artifact
+    graft.text.UnigramLm.encode(docs.select("doc_id", "text"), model, m)
+  }
+
   /** Compression-ratio quality signal: rows-only (zlib has no DuckDB
     * spelling); 6-dp rounding for a stable dump. */
   private val textCompressionRatio: Q = (s, d) =>
@@ -615,6 +635,8 @@ object DocQueries {
       Some(graft.text.Bpe.trainAndEncodeSql(bpeRounds))),
     ("pipeline_bpe_roundtrip", pipelineBpeRoundtrip,
       Some(pipelineBpeRoundtripSql)),
+    ("pipeline_unigram_lm", pipelineUnigramLm, None),
+    ("pipeline_unigram_encode", pipelineUnigramEncode, None),
     ("pipeline_length_buckets",
       ((s, d) => CorpusPipeline.lengthBuckets(table(s, d, "documents"))): Q,
       Some(CorpusPipeline.lengthBucketsSql())),
