@@ -637,6 +637,12 @@ object DocQueries {
       Some(pipelineBpeRoundtripSql)),
     ("pipeline_unigram_lm", pipelineUnigramLm, None),
     ("pipeline_unigram_encode", pipelineUnigramEncode, None),
+    ("knn_random_projection",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.sim.RandomProjection.project(table(s, d, "embeddings"),
+          "embedding", d = 64, k = 8)): Q,
+      Some(graft.sim.RandomProjection.projectSql(
+        "SELECT * FROM embeddings", "embedding", d = 64, k = 8))),
     ("pipeline_length_buckets",
       ((s, d) => CorpusPipeline.lengthBuckets(table(s, d, "documents"))): Q,
       Some(CorpusPipeline.lengthBucketsSql())),
