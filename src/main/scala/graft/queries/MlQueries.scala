@@ -222,7 +222,26 @@ object MlQueries {
     s"SELECT user_id, event_id, value, $evUsSql AS ev_us FROM events",
     "user_id", "ev_us", "value", "event_id", 1800000000L)
 
+  /** PCA over the embedding corpus: exact quantized covariance fold →
+    * driver eigensolve → shipped loading table / fused projection.
+    * Rows-only (eigensolve has no SQL spelling); PcaSpec anchors it. */
+  private val mlPca: Q = (s, d) => {
+    import s.implicits._
+    val ds = table(s, d, "embeddings").select(col("embedding"))
+      .as[Array[Float]]
+    graft.ml.Pca.modelFrame(s, graft.ml.Pca.fit(ds, k = 8))
+  }
+
+  private val mlPcaProject: Q = (s, d) => {
+    import s.implicits._
+    val t = table(s, d, "embeddings")
+    val m = graft.ml.Pca.fit(t.select(col("embedding")).as[Array[Float]], k = 4)
+    graft.ml.Pca.project(t, "embedding", m)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ml_pca", mlPca, None),
+    ("ml_pca_project", mlPcaProject, None),
     ("w_lttb_downsample", wLttbDownsample, Some(wLttbDownsampleSql)),
     ("ml_calibration", mlCalibration, Some(mlCalibrationSql)),
     ("ml_confusion_f1", mlConfusionF1, Some(mlConfusionF1Sql)),
