@@ -239,7 +239,28 @@ object MlQueries {
     graft.ml.Pca.project(t, "embedding", m)
   }
 
+  /** Declarative publish-gate expectation suite over lineitem — mixed
+    * passing and (deliberately) failing rules, folded in one pass. */
+  private val expectationRules = {
+    import graft.sources.Expectations._
+    Seq(
+      NotNull("l_shipdate"),
+      Unique("l_orderkey", 0.2),
+      InRange("l_quantity", 1, 50),
+      InRange("l_discount", 0.0, 0.05), // fails: discounts reach 0.10
+      InSet("l_returnflag", Seq("A", "N", "R")),
+      MatchesRegex("l_linestatus", "^[OF]$"))
+  }
+  private val qualityExpectations: Q = (s, d) =>
+    graft.sources.Expectations.evaluate(table(s, d, "lineitem"),
+      expectationRules)
+  private val qualityExpectationsSql =
+    graft.sources.Expectations.evaluateSql("SELECT * FROM lineitem",
+      expectationRules)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("quality_expectations", qualityExpectations,
+      Some(qualityExpectationsSql)),
     ("ml_pca", mlPca, None),
     ("ml_pca_project", mlPcaProject, None),
     ("w_lttb_downsample", wLttbDownsample, Some(wLttbDownsampleSql)),
