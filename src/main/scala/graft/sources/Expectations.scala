@@ -60,6 +60,14 @@ object Expectations {
     case _: Unique => lit(true) // handled via countDistinct
   }
 
+  /** Conjunction of the ROW-scoped rules (Unique is table-scoped and
+    * excluded) — the predicate a validated-ingest path routes on. */
+  def rowPredicate(rules: Seq[Rule]): Column = {
+    val rowRules = rules.filterNot(_.isInstanceOf[Unique])
+    require(rowRules.nonEmpty, "no row-scoped rules")
+    rowRules.map(satisfied).reduce(_ && _)
+  }
+
   /** Evaluate the suite in one aggregate pass.
     * @return (rule, column, observed, threshold, pass) — one row per
     *         rule, deterministic order (the declared one). */
