@@ -487,6 +487,12 @@ object DocQueries {
   private val knnPq: Q = (s, d) =>
     Pq.pqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
 
+  /** PCA × PQ (OPQ-lite): eigenbasis rotation + compaction before the
+    * product split, exact original-space rescore (rows-only;
+    * rerank≥corpus ≡ brute anchor and recall floor in PqSpec). */
+  private val knnPcaPq: Q = (s, d) =>
+    Pq.pcaPqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+
   /** IVF × PQ composed (IVFADC): cell routing + ADC on probed cells +
     * exact rerank — the billion-vector path (rows-only; probes=all ∧
     * rerank≥corpus ≡ brute anchor and recall floor tested in PqSpec). */
@@ -573,6 +579,7 @@ object DocQueries {
     ("knn_lsh_topk", knnLsh, None),
     ("knn_ivf_topk", knnIvf, None),
     ("knn_pq_topk", knnPq, None),
+    ("knn_pca_pq", knnPcaPq, None),
     ("knn_ivfpq_topk", knnIvfPq, None),
     ("knn_ivfpq_store", knnIvfPqStore, None),
     ("pipeline_bottomk_sample",

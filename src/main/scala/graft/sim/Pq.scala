@@ -126,6 +126,49 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
 
+  /** PCA × PQ — OPQ-lite: decorrelate and compact the vectors with a
+    * PCA front-end (graft.ml.Pca — exact covariance fold, driver
+    * eigensolve), PQ-code the PROJECTED vectors for candidate
+    * generation, then exact-rescore candidates in the ORIGINAL space.
+    * Rotating into the eigenbasis before product-splitting is the
+    * standard fix for PQ's weakness (correlated subspaces waste
+    * codebook entropy — the motivation behind OPQ; PCA is its
+    * no-iteration first step), and the projected vectors are
+    * `pcaDims`-wide, so codes AND luts shrink by d/pcaDims.
+    *
+    * Scale: the PCA model and codebooks are bounded driver artifacts
+    * (like every codebook here); candidates stream through the same
+    * broadcast-LUT mapPartitions as [[pqTopK]]; the original-space
+    * rescore touches `rerank` rows per query only. */
+  def pcaPqTopK(emb: DataFrame, numQueries: Int, k: Int,
+      pcaDims: Int = 32, subspaces: Int = 8, centroidsPerSub: Int = 32,
+      rerank: Int = 64): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val m = graft.ml.Pca.fit(
+      emb.select(col("embedding")).as[Array[Float]], pcaDims)
+    val projEmb = graft.ml.Pca.project(emb, "embedding", m)
+      .select(col("vec_id"),
+        array((0 until pcaDims).map(i => col(s"pc$i").cast("float")): _*)
+          .as("embedding"))
+    val candidates = pqTopK(projEmb, numQueries, k = rerank, subspaces,
+      centroidsPerSub, rerank)
+      .select("query_id", "neighbor_id")
+    // exact rescore in the ORIGINAL space
+    graft.functions.VecDotFloat.register(spark)
+    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(q), "query_id")
+      .join(n, "neighbor_id")
+      .withColumn("cosine", round(expr(Knn.dotExpr), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
+  }
+
   /** IVF × PQ — the composed billion-vector architecture (IVFADC,
     * Jégou et al. §IV): k-means cells route each query to its `nprobe`
     * nearest cells, ADC scores ONLY the PQ codes stored in those cells,

@@ -48,6 +48,27 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("PCA x PQ with rerank >= corpus equals brute force exactly") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count().toInt
+    val brute = Knn.bruteForceTopK(emb, numQueries = 5, k = 5)
+      .collect().map(key).toSet
+    // rerank ≥ corpus → the original-space rescore IS brute force
+    val pq = Pq.pcaPqTopK(emb, numQueries = 5, k = 5, rerank = n)
+      .collect().map(key).toSet
+    assert(pq === brute)
+  }
+
+  test("PCA x PQ default settings keep a recall floor vs brute force") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val brute = Knn.bruteForceTopK(emb, numQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Pq.pcaPqTopK(emb, numQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("IVFPQ store: pruned probe ≡ in-memory IVFADC, degenerate ≡ brute") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count().toInt
