@@ -258,7 +258,17 @@ object MlQueries {
     graft.sources.Expectations.evaluateSql("SELECT * FROM lineitem",
       expectationRules)
 
+  /** Exact Pearson correlation matrix across the lineitem value
+    * channels — one aggregate, decimal-exact sums. */
+  private val corrCols = Seq("l_quantity", "l_extendedprice",
+    "l_discount", "l_tax")
+  private val aCorrMatrix: Q = (s, d) =>
+    graft.sim.Covariance.corrMatrix(table(s, d, "lineitem"), corrCols)
+  private val aCorrMatrixSql = graft.sim.Covariance.corrMatrixSql(
+    "SELECT * FROM lineitem", corrCols)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("a_corr_matrix", aCorrMatrix, Some(aCorrMatrixSql)),
     ("quality_expectations", qualityExpectations,
       Some(qualityExpectationsSql)),
     ("ml_pca", mlPca, None),

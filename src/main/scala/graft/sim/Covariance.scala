@@ -136,4 +136,60 @@ object Covariance {
       }
       .toDF("label", "dim_i", "dim_j", "n", "s_i", "s_j", "s_ij")
   }
+
+  /** Exact Pearson correlation matrix over named numeric columns: ONE
+    * aggregate folds every Σx, Σx², Σxy as order-immune decimals, then
+    * each pair's r = (n·Sxy − Sx·Sy) / (√(n·Sxx−Sx²)·√(n·Syy−Sy²)) is
+    * a handful of IEEE ops on exact operands — cross-engine
+    * hash-identical (the channel-correlation audit: is Throttle
+    * actually redundant with Speed before a feature is dropped?).
+    * Output (col_x, col_y, n, corr), upper triangle i < j. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2)
+    import graft.queries.QueryDsl.dsum
+    val aggs = count(lit(1)).as("_n") +:
+      (cols.map(c => dsum(col(c)).as(s"_s_$c")) ++
+        cols.map(c => dsum(col(c) * col(c)).as(s"_q_$c")) ++
+        (for (i <- cols.indices; j <- cols.indices if i < j)
+          yield dsum(col(cols(i)) * col(cols(j)))
+            .as(s"_p_${cols(i)}_${cols(j)}")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield {
+      val (x, y) = (cols(i), cols(j))
+      val n = col("_n").cast("double")
+      val num = n * col(s"_p_${x}_$y") - col(s"_s_$x") * col(s"_s_$y")
+      val dx = sqrt(n * col(s"_q_$x") - col(s"_s_$x") * col(s"_s_$x"))
+      val dy = sqrt(n * col(s"_q_$y") - col(s"_s_$y") * col(s"_s_$y"))
+      struct(lit(x).as("col_x"), lit(y).as("col_y"), col("_n").as("n"),
+        when(dx > 0 && dy > 0, num / (dx * dy)).as("corr"))
+    }
+    one.select(explode(array(pairs: _*)).as("v"))
+      .select(col("v.col_x"), col("v.col_y"), col("v.n"), col("v.corr"))
+  }
+
+  /** DuckDB mirror of [[corrMatrix]]. */
+  def corrMatrixSql(fromSql: String, cols: Seq[String]): String = {
+    import graft.queries.QueryDsl.dsumSql
+    val sums = (s"COUNT(*) AS n" +:
+      (cols.map(c => s"${dsumSql(c)} AS s_$c") ++
+        cols.map(c => s"${dsumSql(s"$c * $c")} AS q_$c") ++
+        (for (i <- cols.indices; j <- cols.indices if i < j)
+          yield s"${dsumSql(s"${cols(i)} * ${cols(j)}")} AS p_${cols(i)}_${cols(j)}")))
+      .mkString(",\n  ")
+    val sel = (for (i <- cols.indices; j <- cols.indices if i < j) yield {
+      val (x, y) = (cols(i), cols(j))
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+         |  CASE WHEN sqrt(CAST(n AS DOUBLE) * q_$x - s_$x * s_$x) > 0
+         |        AND sqrt(CAST(n AS DOUBLE) * q_$y - s_$y * s_$y) > 0
+         |    THEN (CAST(n AS DOUBLE) * p_${x}_$y - s_$x * s_$y)
+         |      / (sqrt(CAST(n AS DOUBLE) * q_$x - s_$x * s_$x)
+         |         * sqrt(CAST(n AS DOUBLE) * q_$y - s_$y * s_$y))
+         |  END AS corr
+         |FROM g""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT $sums
+       |  FROM ($fromSql))
+       |$sel""".stripMargin
+  }
 }
