@@ -267,7 +267,18 @@ object MlQueries {
   private val aCorrMatrixSql = graft.sim.Covariance.corrMatrixSql(
     "SELECT * FROM lineitem", corrCols)
 
+  /** Hourly seasonal decomposition of the per-type value stream with
+    * 3σ residual anomaly flags (period = 24 h). */
+  private val wSeasonalAnomaly: Q = (s, d) =>
+    graft.ops.Seasonal.decompose(events(s, d), "event_type", "ev_us",
+      "value", bucketUs = 3600000000L, period = 24)
+
+  private val wSeasonalAnomalySql = graft.ops.Seasonal.decomposeSql(
+    s"SELECT event_type, value, $evUsSql AS ev_us FROM events",
+    "event_type", "ev_us", "value", bucketUs = 3600000000L, period = 24)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("w_seasonal_anomaly", wSeasonalAnomaly, Some(wSeasonalAnomalySql)),
     ("a_corr_matrix", aCorrMatrix, Some(aCorrMatrixSql)),
     ("quality_expectations", qualityExpectations,
       Some(qualityExpectationsSql)),
