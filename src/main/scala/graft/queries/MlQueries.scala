@@ -277,7 +277,18 @@ object MlQueries {
     s"SELECT event_type, value, $evUsSql AS ev_us FROM events",
     "event_type", "ev_us", "value", bucketUs = 3600000000L, period = 24)
 
+  /** Isotonic (PAV) calibration of the quantized score per line status
+    * — rows-only (PAV's merge loop has no SQL spelling; IsotonicSpec
+    * anchors the textbook pools + invariances). */
+  private val mlIsotonic: Q = (s, d) =>
+    table(s, d, "lineitem")
+      .withColumn("_k", (col("l_orderkey") * 31 + col("l_linenumber") * 7) % 101)
+      .withColumn("_lab", col("l_returnflag") === "R")
+      .transform(df => graft.ml.Isotonic.calibrate(df, "l_linestatus",
+        "_k", "_lab"))
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("ml_isotonic_calibration", mlIsotonic, None),
     ("w_seasonal_anomaly", wSeasonalAnomaly, Some(wSeasonalAnomalySql)),
     ("a_corr_matrix", aCorrMatrix, Some(aCorrMatrixSql)),
     ("quality_expectations", qualityExpectations,
