@@ -287,7 +287,34 @@ object MlQueries {
       .transform(df => graft.ml.Isotonic.calibrate(df, "l_linestatus",
         "_k", "_lab"))
 
+  /** Record linkage: reconcile a perturbed customer feed against the
+    * canonical table (nation block + length bands + bounded edit
+    * distance, best match per probe). */
+  private val jRecordLinkage: Q = (s, d) => {
+    val cust = table(s, d, "customer")
+    val probe = cust.select(col("c_custkey"), col("c_nationkey"),
+      when(col("c_custkey") % 3 === 0,
+        concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+        .when(col("c_custkey") % 5 === 0, concat(lit("Z"), col("c_name")))
+        .otherwise(col("c_name")).as("c_name"))
+    graft.ops.RecordLinkage.bestMatch(probe, cust,
+      probeKey = "c_custkey", refKey = "c_custkey", nameCol = "c_name",
+      blockCols = Seq("c_nationkey"), maxEdit = 2)
+  }
+
+  private val jRecordLinkageSql = graft.ops.RecordLinkage.bestMatchSql(
+    probeSql = """SELECT c_custkey, c_nationkey,
+                 |  CASE WHEN c_custkey % 3 = 0
+                 |         THEN substring(c_name, 1, length(c_name) - 1) || 'X'
+                 |       WHEN c_custkey % 5 = 0 THEN 'Z' || c_name
+                 |       ELSE c_name END AS c_name
+                 |FROM customer""".stripMargin,
+    refSql = "SELECT c_custkey, c_nationkey, c_name FROM customer",
+    probeKey = "c_custkey", refKey = "c_custkey", nameCol = "c_name",
+    blockCols = Seq("c_nationkey"), maxEdit = 2)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("j_record_linkage", jRecordLinkage, Some(jRecordLinkageSql)),
     ("ml_isotonic_calibration", mlIsotonic, None),
     ("w_seasonal_anomaly", wSeasonalAnomaly, Some(wSeasonalAnomalySql)),
     ("a_corr_matrix", aCorrMatrix, Some(aCorrMatrixSql)),
