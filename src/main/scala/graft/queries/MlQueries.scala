@@ -313,7 +313,51 @@ object MlQueries {
     probeKey = "c_custkey", refKey = "c_custkey", nameCol = "c_name",
     blockCols = Seq("c_nationkey"), maxEdit = 2)
 
+  /** Next-event-prediction training examples: per user, the previous 3
+    * event types (history window) → current type (label), with a
+    * deterministic hash split — the sequence-model dataset builder.
+    * One keyed window on the user shuffle; rows with incomplete
+    * history are dropped (no padding tokens to disagree over). */
+  private val pipelineNextEvent: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ev_us"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ev_us"), col("event_id"),
+        col("event_type"))
+      .withColumn("h1", lag(col("event_type"), 1).over(w))
+      .withColumn("h2", lag(col("event_type"), 2).over(w))
+      .withColumn("h3", lag(col("event_type"), 3).over(w))
+      .filter(col("h3").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        concat_ws(">", col("h3"), col("h2"), col("h1")).as("history"),
+        col("event_type").as("label"),
+        when(substring(md5(concat_ws("_", col("user_id"), col("event_id"))),
+          1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9",
+          "a", "b"), "train").otherwise("eval").as("split"))
+  }
+
+  private val pipelineNextEventSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, $evUsSql AS ev_us
+       |  FROM events),
+       |h AS (
+       |  SELECT user_id, event_id, event_type,
+       |    lag(event_type, 1) OVER w AS h1,
+       |    lag(event_type, 2) OVER w AS h2,
+       |    lag(event_type, 3) OVER w AS h3
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ev_us, event_id))
+       |SELECT user_id, event_id,
+       |  h3 || '>' || h2 || '>' || h1 AS history,
+       |  event_type AS label,
+       |  CASE WHEN substring(md5(user_id || '_' || event_id), 1, 1)
+       |    IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+       |    THEN 'train' ELSE 'eval' END AS split
+       |FROM h WHERE h3 IS NOT NULL""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("pipeline_next_event_examples", pipelineNextEvent,
+      Some(pipelineNextEventSql)),
     ("j_record_linkage", jRecordLinkage, Some(jRecordLinkageSql)),
     ("ml_isotonic_calibration", mlIsotonic, None),
     ("w_seasonal_anomaly", wSeasonalAnomaly, Some(wSeasonalAnomalySql)),
