@@ -10,51 +10,99 @@ import org.apache.spark.sql.functions._
   * that reconciles a re-crawled/vendor-delivered entity list against
   * the canonical dimension at ingest.
   *
-  * Shape (Fellegi–Sunter blocking + bounded scoring):
-  *  1. '''Block''': candidates must share the exact block columns AND
-  *     sit within ±1 length band (band = len div `bandWidth`). Since
-  *     edit distance ≤ maxEdit bounds the length gap by maxEdit, a
-  *     band width > maxEdit guarantees NO true match is lost — the
-  *     blocking is lossless by construction, not a recall gamble. The
-  *     probe side explodes to its 3 candidate bands (3× a table is
-  *     free; candidate pairs collapse from n·m to Σ block sizes).
-  *  2. '''Score''': `levenshtein(nameL, nameR) <= maxEdit` — the
-  *     injected BandLevenshteinPredicate rule rewrites this to the
-  *     banded O(len·maxEdit) form automatically.
-  *  3. '''Resolve''': best match per probe = lowest distance, ties to
-  *     the smallest reference key (total order), via one keyed window.
+  * Shape (Fellegi–Sunter blocking, q-gram prefix-filter candidates):
+  *  1. '''Block''': candidates must share the exact block columns.
+  *  2. '''Candidates, losslessly''': two strings within edit distance
+  *     e share ≥ max(len)−q+1−e·q q-grams, so (prefix-filter family,
+  *     same algebra as Shingles.prefixFilter) each record keeps only
+  *     its e·q+1 RAREST grams under a global (df, gram) order and
+  *     candidate pairs must collide on one of them — the ubiquitous
+  *     grams (shared template prefixes like "Customer#") rank last
+  *     and never generate pairs, which is what collapses the n·m
+  *     block cross-product. A record below the pigeonhole bound
+  *     (distinct-gram count ≤ e·q — short OR degenerately repetitive)
+  *     instead pairs against its whole block, so the candidate set
+  *     stays exactly lossless.
+  *  3. '''Score''': length pre-filter, then the 3-arg BANDED
+  *     levenshtein (O(len·e) per pair, −1-past-bound doubles as the
+  *     filter) — only on the collided candidates.
+  *  4. '''Resolve''': best match per probe = lowest distance, ties to
+  *     the smallest reference key, via one keyed window.
   *
-  * Oracle-exact: integer edit distances, integer bands, deterministic
-  * tiebreaks — the whole result hash-matches DuckDB running the same
-  * blocking algebra (spelled as a band BETWEEN range join there).
+  * Oracle-exact: integer edit distances and deterministic tiebreaks;
+  * the DuckDB mirror scores every in-block pair directly (candidate
+  * generation is lossless, so the results coincide — the same
+  * "exactness witness" pattern as dedup_prefix_filter).
   */
 object RecordLinkage {
 
   /** @param probe     records to resolve: `probeKey`, `nameCol`, blocks
     * @param reference canonical records: `refKey`, `nameCol`, blocks
     * @param blockCols exact-match blocking columns (both sides)
-    * @param bandWidth length-band width; must be > maxEdit for
-    *                  lossless blocking
+    * @param q         gram width for the prefix filter
     * @return (probe_key, ref_key, probe_name, ref_name, edit_dist) —
     *         at most one row per probe (unmatched probes are absent) */
   def bestMatch(probe: DataFrame, reference: DataFrame, probeKey: String,
       refKey: String, nameCol: String, blockCols: Seq[String],
-      maxEdit: Int, bandWidth: Int = 4): DataFrame = {
-    require(bandWidth > maxEdit, "bandWidth must exceed maxEdit for lossless blocking")
+      maxEdit: Int, q: Int = 3): DataFrame = {
+    val prefixLen = maxEdit * q + 1
+    val blocks = blockCols.map(c => s"_b_$c")
+
     val l = probe.select(
       col(probeKey).as("probe_key") +: col(nameCol).as("probe_name") +:
         blockCols.map(c => col(c).as(s"_b_$c")): _*)
-      .withColumn("_band",
-        explode(array(expr(s"length(probe_name) div $bandWidth") - 1,
-          expr(s"length(probe_name) div $bandWidth"),
-          expr(s"length(probe_name) div $bandWidth") + 1)))
     val r = reference.select(
       col(refKey).as("ref_key") +: col(nameCol).as("ref_name") +:
         blockCols.map(c => col(c).as(s"_b_$c")): _*)
-      .withColumn("_band", expr(s"length(ref_name) div $bandWidth"))
-    val joined = l.join(r, blockCols.map(c => s"_b_$c") :+ "_band")
-      .withColumn("edit_dist", levenshtein(col("probe_name"), col("ref_name")))
-      .filter(col("edit_dist") <= maxEdit)
+
+    def grams(df: DataFrame, keyCol: String, nc: String) = df
+      .select(col(keyCol) +: col(nc).as("_nm") +: blocks.map(col): _*)
+      .select(col(keyCol) +: blocks.map(col) :+
+        explode(expr(
+          s"""array_distinct(transform(
+             |  sequence(1, greatest(1, length(_nm) - $q + 1)),
+             |  i -> substring(_nm, i, $q)))""".stripMargin)).as("gram"): _*)
+
+    val lg = grams(l, "probe_key", "probe_name")
+    val rg = grams(r, "ref_key", "ref_name")
+
+    // one global rarity order shared by both sides
+    val df_ = lg.select(col("gram")).unionByName(rg.select(col("gram")))
+      .groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+    def prefixOf(g: DataFrame, keyCol: String) = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(col("_df"), col("gram"))
+      g.join(df_, "gram")
+        .withColumn("_pr", row_number().over(w))
+        .filter(col("_pr") <= prefixLen)
+        .select(col(keyCol) +: col("gram") +: blocks.map(col): _*)
+    }
+
+    val gramCands = prefixOf(lg, "probe_key")
+      .join(prefixOf(rg, "ref_key"), "gram" +: blocks)
+      .select("probe_key", "ref_key")
+    // pigeonhole needs |grams| > e·q on BOTH sides; a record below that
+    // (short or degenerately repetitive) pairs against its whole block
+    val gcL = lg.groupBy(col("probe_key")).agg(count(lit(1)).as("_gc"))
+    val gcR = rg.groupBy(col("ref_key")).agg(count(lit(1)).as("_gc"))
+    val shortL = l.join(gcL.filter(col("_gc") <= maxEdit * q), "probe_key")
+      .select(col("probe_key") +: blocks.map(col): _*)
+      .join(r.select(col("ref_key") +: blocks.map(col): _*), blocks)
+      .select("probe_key", "ref_key")
+    val shortR = r.join(gcR.filter(col("_gc") <= maxEdit * q), "ref_key")
+      .select(col("ref_key") +: blocks.map(col): _*)
+      .join(l.select(col("probe_key") +: blocks.map(col): _*), blocks)
+      .select("probe_key", "ref_key")
+    val candidates = gramCands.unionByName(shortL).unionByName(shortR)
+      .distinct()
+
+    val joined = candidates
+      .join(l.select(col("probe_key"), col("probe_name")), Seq("probe_key"))
+      .join(r.select(col("ref_key"), col("ref_name")), Seq("ref_key"))
+      .filter(abs(length(col("probe_name")) - length(col("ref_name"))) <= maxEdit)
+      .withColumn("edit_dist",
+        expr(s"levenshtein(probe_name, ref_name, $maxEdit)"))
+      .filter(col("edit_dist") >= 0)
     val w = Window.partitionBy(col("probe_key"))
       .orderBy(col("edit_dist"), col("ref_key"))
     joined.withColumn("_rn", row_number().over(w))
@@ -63,11 +111,12 @@ object RecordLinkage {
         col("ref_name"), col("edit_dist"))
   }
 
-  /** DuckDB mirror of [[bestMatch]] (the band explode spelled as a
-    * BETWEEN range join — same algebra). */
+  /** DuckDB mirror of [[bestMatch]]: scores every in-block pair
+    * directly — hash-equality with the engine proves the prefix-filter
+    * candidate generation lossless. */
   def bestMatchSql(probeSql: String, refSql: String, probeKey: String,
       refKey: String, nameCol: String, blockCols: Seq[String],
-      maxEdit: Int, bandWidth: Int = 4): String = {
+      maxEdit: Int): String = {
     val blockEq = blockCols.map(c => s"l.$c = r.$c").mkString(" AND ")
     s"""WITH l AS ($probeSql), r AS ($refSql),
        |cand AS (
@@ -75,10 +124,8 @@ object RecordLinkage {
        |    l.$nameCol AS probe_name, r.$nameCol AS ref_name,
        |    levenshtein(l.$nameCol, r.$nameCol) AS edit_dist
        |  FROM l JOIN r ON $blockEq
-       |    AND length(r.$nameCol) // $bandWidth
-       |        BETWEEN length(l.$nameCol) // $bandWidth - 1
-       |            AND length(l.$nameCol) // $bandWidth + 1
-       |  WHERE levenshtein(l.$nameCol, r.$nameCol) <= $maxEdit),
+       |  WHERE abs(length(l.$nameCol) - length(r.$nameCol)) <= $maxEdit
+       |    AND levenshtein(l.$nameCol, r.$nameCol) <= $maxEdit),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY probe_key
        |    ORDER BY edit_dist, ref_key) AS rn

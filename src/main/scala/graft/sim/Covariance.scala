@@ -167,6 +167,68 @@ object Covariance {
       .select(col("v.col_x"), col("v.col_y"), col("v.n"), col("v.corr"))
   }
 
+  /** [[corrMatrix]] with LONG sufficient statistics — the fast path
+    * when every column is integer-valued and bounded so that
+    * Σx·y < 2⁶³ (e.g. quantized telemetry channels): plain long sums
+    * stay inside whole-stage codegen instead of the BigDecimal
+    * aggregation path (~6× on the bench precedent, a_moments).
+    * Caller guarantees the bound; the algebra is identical. */
+  def corrMatrixLong(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2)
+    val aggs = count(lit(1)).as("_n") +:
+      (cols.map(c => sum(col(c).cast("long")).as(s"_s_$c")) ++
+        cols.map(c => sum(col(c).cast("long") * col(c).cast("long"))
+          .as(s"_q_$c")) ++
+        (for (i <- cols.indices; j <- cols.indices if i < j)
+          yield sum(col(cols(i)).cast("long") * col(cols(j)).cast("long"))
+            .as(s"_p_${cols(i)}_${cols(j)}")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = for (i <- cols.indices; j <- cols.indices if i < j) yield {
+      val (x, y) = (cols(i), cols(j))
+      val n = col("_n").cast("double")
+      val num = n * col(s"_p_${x}_$y").cast("double") -
+        col(s"_s_$x").cast("double") * col(s"_s_$y").cast("double")
+      val dx = sqrt(n * col(s"_q_$x").cast("double") -
+        col(s"_s_$x").cast("double") * col(s"_s_$x").cast("double"))
+      val dy = sqrt(n * col(s"_q_$y").cast("double") -
+        col(s"_s_$y").cast("double") * col(s"_s_$y").cast("double"))
+      struct(lit(x).as("col_x"), lit(y).as("col_y"), col("_n").as("n"),
+        when(dx > 0 && dy > 0, num / (dx * dy)).as("corr"))
+    }
+    one.select(explode(array(pairs: _*)).as("v"))
+      .select(col("v.col_x"), col("v.col_y"), col("v.n"), col("v.corr"))
+  }
+
+  /** DuckDB mirror of [[corrMatrixLong]]. */
+  def corrMatrixLongSql(fromSql: String, cols: Seq[String]): String = {
+    val sums = (s"COUNT(*) AS n" +:
+      (cols.map(c => s"CAST(SUM($c) AS BIGINT) AS s_$c") ++
+        cols.map(c => s"CAST(SUM($c * $c) AS BIGINT) AS q_$c") ++
+        (for (i <- cols.indices; j <- cols.indices if i < j)
+          yield s"CAST(SUM(${cols(i)} * ${cols(j)}) AS BIGINT) AS p_${cols(i)}_${cols(j)}")))
+      .mkString(",\n  ")
+    val sel = (for (i <- cols.indices; j <- cols.indices if i < j) yield {
+      val (x, y) = (cols(i), cols(j))
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+         |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(q_$x AS DOUBLE)
+         |             - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE)) > 0
+         |        AND sqrt(CAST(n AS DOUBLE) * CAST(q_$y AS DOUBLE)
+         |             - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE)) > 0
+         |    THEN (CAST(n AS DOUBLE) * CAST(p_${x}_$y AS DOUBLE)
+         |          - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE))
+         |      / (sqrt(CAST(n AS DOUBLE) * CAST(q_$x AS DOUBLE)
+         |              - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))
+         |         * sqrt(CAST(n AS DOUBLE) * CAST(q_$y AS DOUBLE)
+         |                - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE)))
+         |  END AS corr
+         |FROM g""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+       |  SELECT $sums
+       |  FROM ($fromSql))
+       |$sel""".stripMargin
+  }
+
   /** DuckDB mirror of [[corrMatrix]]. */
   def corrMatrixSql(fromSql: String, cols: Seq[String]): String = {
     import graft.queries.QueryDsl.dsumSql

@@ -85,4 +85,87 @@ object ItemSim {
        |    ORDER BY cosine DESC, other) AS INT) AS rank
        |  FROM both_dir) t
        |WHERE rank <= $k""".stripMargin
+
+  /** Pairwise association rules (market-basket a→b): support,
+    * confidence, and lift from the SAME capped co-occurrence counts as
+    * [[topkCosine]] — the interpretable face of the recommender
+    * ("X implies Y with lift 3.2"), emitted in BOTH directions since
+    * confidence is asymmetric.
+    *
+    * Exactness: support = c_ab/N, confidence = c_ab/c_a, lift =
+    * c_ab·N/(c_a·c_b) — each one IEEE divide of long products.
+    * Scale: identical to topkCosine (basket cap bounds the
+    * pair explosion); the rule filter (minPairCount) prunes before the
+    * count joins. */
+  def associationRules(baskets: DataFrame, basketCol: String,
+      itemCol: String, minPairCount: Long, maxBasket: Int): DataFrame = {
+    val b = baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    val kept = b.join(
+      b.groupBy(col("_b")).agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBasket).select(col("_b")),
+      Seq("_b"))
+    val totals = kept.select(countDistinct(col("_b")).as("_N"))
+    val itemN = kept.groupBy(col("_i")).agg(count(lit(1)).as("_n"))
+    val pairs = kept.as("l")
+      .join(kept.as("r"), expr("l._b = r._b AND l._i < r._i"))
+      .groupBy(col("l._i").as("_a"), col("r._i").as("_c"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    val scored = pairs
+      .join(itemN.withColumnRenamed("_i", "_a").withColumnRenamed("_n", "_na"),
+        Seq("_a"))
+      .join(itemN.withColumnRenamed("_i", "_c").withColumnRenamed("_n", "_nc"),
+        Seq("_c"))
+      .crossJoin(broadcast(totals))
+    val dir = scored.select(col("_a").as("antecedent"),
+        col("_c").as("consequent"), col("n_pair"), col("_na").as("_nl"),
+        col("_nc").as("_nr"), col("_N"))
+      .unionByName(scored.select(col("_c").as("antecedent"),
+        col("_a").as("consequent"), col("n_pair"), col("_nc").as("_nl"),
+        col("_na").as("_nr"), col("_N")))
+    dir
+      .withColumn("support",
+        col("n_pair").cast("double") / col("_N").cast("double"))
+      .withColumn("confidence",
+        col("n_pair").cast("double") / col("_nl").cast("double"))
+      .withColumn("lift",
+        (col("n_pair") * col("_N")).cast("double") /
+          (col("_nl") * col("_nr")).cast("double"))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("support"), col("confidence"), col("lift"))
+  }
+
+  /** DuckDB mirror of [[associationRules]]. */
+  def associationRulesSql(srcSql: String, basketSql: String,
+      itemSql: String, minPairCount: Long, maxBasket: Int): String =
+    s"""WITH b AS (
+       |  SELECT DISTINCT $basketSql AS bk, $itemSql AS it
+       |  FROM ($srcSql) raw),
+       |kept AS (
+       |  SELECT * FROM b WHERE bk IN (
+       |    SELECT bk FROM b GROUP BY bk HAVING COUNT(*) <= $maxBasket)),
+       |totals AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS nb FROM kept),
+       |item_n AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+       |pairs AS (
+       |  SELECT l.it AS a, r.it AS c, CAST(COUNT(*) AS BIGINT) AS n_pair
+       |  FROM kept l JOIN kept r ON l.bk = r.bk AND l.it < r.it
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $minPairCount),
+       |scored AS (
+       |  SELECT a, c, n_pair, na.n AS nl, nc.n AS nr, t.nb
+       |  FROM pairs JOIN item_n na ON a = na.it
+       |    JOIN item_n nc ON c = nc.it, totals t),
+       |dir AS (
+       |  SELECT a AS antecedent, c AS consequent, n_pair, nl, nr, nb
+       |  FROM scored
+       |  UNION ALL
+       |  SELECT c AS antecedent, a AS consequent, n_pair, nr AS nl,
+       |    nl AS nr, nb
+       |  FROM scored)
+       |SELECT antecedent, consequent, n_pair,
+       |  CAST(n_pair AS DOUBLE) / CAST(nb AS DOUBLE) AS support,
+       |  CAST(n_pair AS DOUBLE) / CAST(nl AS DOUBLE) AS confidence,
+       |  CAST(n_pair * nb AS DOUBLE) / CAST(nl * nr AS DOUBLE) AS lift
+       |FROM dir""".stripMargin
 }
