@@ -70,8 +70,11 @@ class PlanLintSpec extends AnyFunSuite {
     "ml_logreg_gd",           // 1-row quantized weight vector broadcast
                               // into the scan each GD iteration — the
                               // sufficient-statistics pattern itself
-    "quality_key_skew"        // rides GlobalRank over the key vocab:
+    "quality_key_skew",       // rides GlobalRank over the key vocab:
                               // its 1-row (min, max) stats broadcast
+    "rec_association_rules"   // 1-row basket-count total crossed into
+                              // the rule frame (support denominator —
+                              // the text_bm25/ml_gains pattern)
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
