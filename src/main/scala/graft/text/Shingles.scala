@@ -124,17 +124,27 @@ object Shingles {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
-      .select(col("doc_id"), col("shingle"), col("sz"))
-    // length filter, also lossless: J ≥ t ⇒ |A∩B| ≤ min(|A|,|B|) and
-    // |A∩B| ≥ t·max(|A|,|B|) ⇒ min ≥ t·max — prunes cross-size pairs
-    // before they reach the distinct + verify join
+      .select(col("doc_id"), col("shingle"), col("sz"), col("rn"))
+    // two more LOSSLESS prunes before the distinct + verify join:
+    //  - length filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|);
+    //  - PPJoin positional filter: a collision at prefix ranks
+    //    (i, j) bounds the overlap by 1 + min(|A|−i, |B|−j); J ≥ t
+    //    needs overlap ≥ ⌈t/(1+t)·(|A|+|B|)⌉, and a qualifying pair's
+    //    FIRST shared shingle always passes (all other shared
+    //    shingles rank after it on both sides), so pruning the later
+    //    collisions loses no pair. The 1e-9 slack keeps the ceil on
+    //    the safe side of float wobble (under-pruning, never over).
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("_sza") + col("_szb")) - lit(1e-9))
     val cands = prefix.select(col("doc_id").as("doc_a"),
-        col("shingle"), col("sz").as("_sza"))
+        col("shingle"), col("sz").as("_sza"), col("rn").as("_rna"))
       .join(prefix.select(col("doc_id").as("doc_b"),
-        col("shingle"), col("sz").as("_szb")), "shingle")
+        col("shingle"), col("sz").as("_szb"), col("rn").as("_rnb")), "shingle")
       .filter(col("doc_a") < col("doc_b") &&
         least(col("_sza"), col("_szb")).cast("double") >=
-          lit(threshold) * greatest(col("_sza"), col("_szb")).cast("double"))
+          lit(threshold) * greatest(col("_sza"), col("_szb")).cast("double") &&
+        lit(1) + least(col("_sza") - col("_rna"), col("_szb") - col("_rnb"))
+          >= alpha)
       .select("doc_a", "doc_b").distinct()
     // exact verify on candidates only — same tail as exactJaccardPairs
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
