@@ -642,6 +642,10 @@ object DocQueries {
       Some(graft.text.Bpe.trainAndEncodeSql(bpeRounds))),
     ("pipeline_bpe_roundtrip", pipelineBpeRoundtrip,
       Some(pipelineBpeRoundtripSql)),
+    ("text_zipf_slope",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.TextAnalysis.zipfSlope(table(s, d, "documents"))): Q,
+      Some(graft.text.TextAnalysis.zipfSlopeSql())),
     ("pipeline_unigram_lm", pipelineUnigramLm, None),
     ("pipeline_unigram_encode", pipelineUnigramEncode, None),
     ("knn_random_projection",

@@ -463,4 +463,69 @@ object TextAnalysis {
 
   val fingerprintSql: String =
     raw"SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents"
+
+  /** Zipf-law fit over the word-frequency spectrum: OLS slope of
+    * ln(freq) vs ln(rank) over the top-`topN` words — the corpus-health
+    * number (natural text ≈ −1; a slope collapsing toward 0 flags
+    * template/boilerplate floods, steeper flags vocabulary collapse).
+    *
+    * Scale shape: one token-count aggregate (vocab-sized output), rank
+    * via the bucketed [[graft.ops.GlobalRank]] (no single-partition
+    * window), then a 5-sum OLS fold. Oracle-exactness: each ln term is
+    * rounded to the 6-dp grid BEFORE the decimal-exact sums (libm ln is
+    * not correctly-rounded cross-engine; the grid absorbs last-ulp
+    * wobble — the entropy-kernel precedent), and slope/intercept are a
+    * fixed IEEE op sequence on the exact fold results.
+    *
+    * @return one row: (n, slope, intercept) */
+  def zipfSlope(docs: DataFrame, topN: Int = 1000): DataFrame = {
+    import graft.queries.QueryDsl.dsum
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val ranked = graft.ops.GlobalRank.withGlobalRank(
+      words.withColumn("_negf", -col("freq").cast("double")), "_negf", "w",
+      "rank")
+      .filter(col("rank") <= topN)
+      .select(round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      dsum(col("x")).as("_sx"), dsum(col("y")).as("_sy"),
+      dsum(col("x") * col("x")).as("_sxx"),
+      dsum(col("x") * col("y")).as("_sxy"))
+      .withColumn("slope",
+        (col("n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("n") * col("_sxx") - col("_sx") * col("_sx")))
+      .withColumn("intercept",
+        (col("_sy") - col("slope") * col("_sx")) / col("n").cast("double"))
+      .select(col("n"), col("slope"), col("intercept"))
+  }
+
+  /** DuckDB mirror of [[zipfSlope]] (plain global window — GlobalRank
+    * recreates it distributively; ties broken identically on word). */
+  def zipfSlopeSql(topN: Int = 1000): String = {
+    import graft.queries.QueryDsl.dsumSql
+    s"""WITH w AS (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+       |  WHERE word <> '' GROUP BY 1),
+       |r AS (
+       |  SELECT ROUND(ln(CAST(row_number() OVER
+       |      (ORDER BY -CAST(freq AS DOUBLE), word) AS DOUBLE)), 6) AS x,
+       |    ROUND(ln(CAST(freq AS DOUBLE)), 6) AS y,
+       |    row_number() OVER (ORDER BY -CAST(freq AS DOUBLE), word) AS rnk
+       |  FROM w),
+       |f AS (SELECT * FROM r WHERE rnk <= $topN),
+       |g AS (
+       |  SELECT COUNT(*) AS n, ${dsumSql("x")} AS sx, ${dsumSql("y")} AS sy,
+       |    ${dsumSql("x * x")} AS sxx, ${dsumSql("x * y")} AS sxy
+       |  FROM f)
+       |SELECT n,
+       |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+       |    / CAST(n AS DOUBLE) AS intercept
+       |FROM g""".stripMargin
+  }
 }
