@@ -72,9 +72,11 @@ class PlanLintSpec extends AnyFunSuite {
                               // sufficient-statistics pattern itself
     "quality_key_skew",       // rides GlobalRank over the key vocab:
                               // its 1-row (min, max) stats broadcast
-    "rec_association_rules"   // 1-row basket-count total crossed into
+    "rec_association_rules",  // 1-row basket-count total crossed into
                               // the rule frame (support denominator —
                               // the text_bm25/ml_gains pattern)
+    "text_zipf_slope"         // rides GlobalRank over the word vocab:
+                              // its 1-row (min, max) stats broadcast
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
