@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryDsl.{dsum, dsumSql}
+
+/** Poisson bootstrap confidence intervals — uncertainty quantification
+  * for grouped metrics at corpus scale WITHOUT resampling shuffles
+  * (Chamandy et al., "Estimating Uncertainty for Massive Data Streams";
+  * the standard web-scale bootstrap).
+  *
+  * Classic bootstrap resamples n-of-n per replicate — unusable when
+  * rows live on 1000 executors. The Poisson trick: row r's multiplicity
+  * in replicate b is an independent Poisson(1) draw, so each row emits
+  * its (replicate, multiplicity) pairs LOCALLY — one narrow explode of
+  * B replicate ids per row, one (group, replicate) aggregate, one
+  * bounded per-group order statistic over the B estimates. Nothing
+  * global, no per-replicate scans.
+  *
+  * Determinism/oracle-exactness: the "draw" is the md5-derived integer
+  * u = conv(md5(id:b)[1..6], 16) mod 10⁶ cut by the Poisson(1) CDF
+  * thresholds (0.367879/0.735759/0.919699/0.980998/0.996340 — the
+  * partial sums of e⁻¹/k!, capped at 5) — reproducible on any engine
+  * with md5, which is the same trick the weighted sampler uses
+  * (Sampling.weightedSample). Replicate means are decimal-exact sums
+  * with one divide; the CI bounds are exact order statistics (index
+  * ⌈p·B⌉, no interpolation) over the B replicate estimates.
+  *
+  * @return (group, n, mean, ci_lo, ci_hi, b) one row per group */
+object Bootstrap {
+
+  private val CdfThresholds = Seq(367879L, 735759L, 919699L, 980998L, 996340L)
+
+  /** Multiplicity column from the deterministic per-(row, replicate)
+    * uniform: inverse Poisson(1) CDF over the 10⁶ grid. */
+  private def multiplicity(idCol: String) = {
+    val u = conv(substring(md5(concat_ws(":", col(idCol), col("b"))), 1, 6),
+      16, 10).cast("long") % 1000000L
+    CdfThresholds.zipWithIndex.foldRight(lit(CdfThresholds.size): org.apache.spark.sql.Column) {
+      case ((thr, k), acc) => when(u < thr, k).otherwise(acc)
+    }
+  }
+
+  private def multiplicitySql(idSql: String): String = {
+    val u = s"CAST(concat('0x', substring(md5(concat($idSql, ':', b)), 1, 6)) AS BIGINT) % 1000000"
+    val cases = CdfThresholds.zipWithIndex
+      .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }.mkString(" ")
+    s"CASE $cases ELSE ${CdfThresholds.size} END"
+  }
+
+  /** Bootstrap CI for the per-group MEAN of `valueCol`. `idCol` must be
+    * a unique row id (the randomness seed). `loPct`/`hiPct` in (0,1). */
+  /** @param integerValued caller guarantees `valueCol` is
+    *        integer-valued with bounded Σ|v|·m < 2⁶³ — replicate sums
+    *        then ride codegen'd LONG aggregation instead of the
+    *        BigDecimal path (measured 55.7 s → see gate notes). */
+  def meanCi(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, b: Int = 100, loPct: Double = 0.025,
+      hiPct: Double = 0.975, integerValued: Boolean = false): DataFrame = {
+    require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
+    val exploded = df
+      .select(col(groupCol).as("grp"), col(valueCol).as("v"), col(idCol).as("_id"))
+      .withColumn("b", explode(expr(s"sequence(0, ${b - 1})")))
+      .withColumn("m", multiplicity("_id"))
+    val repSum =
+      if (integerValued) sum(col("v").cast("long") * col("m")).cast("double")
+      else dsum(col("v") * col("m"))
+    val perReplicate = exploded
+      .groupBy(col("grp"), col("b"))
+      .agg((repSum / sum(col("m"))).as("est"))
+    // exact order statistics over the B replicate estimates (B is
+    // bounded and small — the window partitions by group)
+    val w = Window.partitionBy(col("grp")).orderBy(col("est"), col("b"))
+    val loIdx = math.ceil(loPct * b).toLong
+    val hiIdx = math.ceil(hiPct * b).toLong
+    val cis = perReplicate
+      .withColumn("_r", row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(
+        max(when(col("_r") === loIdx, col("est"))).as("ci_lo"),
+        max(when(col("_r") === hiIdx, col("est"))).as("ci_hi"),
+        count(lit(1)).as("b"))
+    val meanSum =
+      if (integerValued) sum(col("v").cast("long")).cast("double")
+      else dsum(col("v"))
+    val means = df.select(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), (meanSum / count(lit(1))).as("mean"))
+    means.join(cis, "grp")
+      .select(col("grp"), col("n"), col("mean"), col("ci_lo"),
+        col("ci_hi"), col("b"))
+  }
+
+  /** DuckDB mirror of [[meanCi]]. */
+  def meanCiSql(srcSql: String, groupSql: String, valueSql: String,
+      idSql: String, b: Int = 100, loPct: Double = 0.025,
+      hiPct: Double = 0.975, integerValued: Boolean = false): String = {
+    val loIdx = math.ceil(loPct * b).toLong
+    val hiIdx = math.ceil(hiPct * b).toLong
+    val repSum =
+      if (integerValued) "CAST(CAST(SUM(CAST(v AS BIGINT) * m) AS BIGINT) AS DOUBLE)"
+      else dsumSql("v * m")
+    val meanSum =
+      if (integerValued) s"CAST(CAST(SUM(CAST($valueSql AS BIGINT)) AS BIGINT) AS DOUBLE)"
+      else dsumSql(valueSql)
+    s"""WITH src AS ($srcSql),
+       |x AS (
+       |  SELECT $groupSql AS grp, $valueSql AS v, $idSql AS id, b
+       |  FROM src, (SELECT unnest(generate_series(0, ${b - 1})) AS b) reps),
+       |wm AS (
+       |  SELECT grp, v, b, ${multiplicitySql("id")} AS m FROM x),
+       |per_rep AS (
+       |  SELECT grp, b, $repSum / CAST(SUM(m) AS BIGINT) AS est
+       |  FROM wm GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY est, b) AS r
+       |  FROM per_rep),
+       |cis AS (
+       |  SELECT grp,
+       |    MAX(CASE WHEN r = $loIdx THEN est END) AS ci_lo,
+       |    MAX(CASE WHEN r = $hiIdx THEN est END) AS ci_hi,
+       |    COUNT(*) AS b
+       |  FROM ranked GROUP BY 1),
+       |means AS (
+       |  SELECT $groupSql AS grp, COUNT(*) AS n,
+       |    $meanSum / COUNT(*) AS mean
+       |  FROM src GROUP BY 1)
+       |SELECT means.grp, n, mean, ci_lo, ci_hi, cis.b
+       |FROM means JOIN cis ON means.grp = cis.grp""".stripMargin
+  }
+}

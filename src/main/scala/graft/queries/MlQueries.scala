@@ -379,7 +379,29 @@ object MlQueries {
     "SELECT * FROM lineitem", "l_orderkey", "l_partkey",
     minPairCount = 2L, maxBasket = 5)
 
+  /** Poisson-bootstrap 90% CI for mean quantity per return flag —
+    * uncertainty quantification without resampling shuffles. Gate runs
+    * on a 1-in-10 orderkey sample: the per-(row, replicate) md5 draw is
+    * the honest cross-engine randomness but the slowest expression in
+    * the suite (native xxhash64 is ~25× faster — measured in
+    * PLANS_NOTES — and is what a Spark-only deployment would use), so
+    * the gate bounds its md5 volume while exercising the full op. */
+  private val aBootstrapCi: Q = (s, d) =>
+    graft.ops.Bootstrap.meanCi(
+      table(s, d, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .withColumn("_id", expr("l_orderkey * 10 + l_linenumber")),
+      "l_returnflag", "l_quantity", "_id", b = 50,
+      loPct = 0.05, hiPct = 0.95, integerValued = true)
+
+  private val aBootstrapCiSql = graft.ops.Bootstrap.meanCiSql(
+    """SELECT *, l_orderkey * 10 + l_linenumber AS id FROM lineitem
+      |WHERE l_orderkey % 10 = 0""".stripMargin,
+    "l_returnflag", "l_quantity", "id", b = 50,
+    loPct = 0.05, hiPct = 0.95, integerValued = true)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("a_bootstrap_ci", aBootstrapCi, Some(aBootstrapCiSql)),
     ("rec_association_rules", recAssociationRules,
       Some(recAssociationRulesSql)),
     ("pipeline_next_event_examples", pipelineNextEvent,
