@@ -400,7 +400,47 @@ object MlQueries {
     "l_returnflag", "l_quantity", "id", b = 50,
     loPct = 0.05, hiPct = 0.95, integerValued = true)
 
+  /** Gini coefficient of quantity per return flag — the
+    * value-concentration skew metric (who holds the volume), via the
+    * rank identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over the keyed
+    * (value, id) rank: pure long sums, one divide. */
+  private val aGini: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("q"), col("_id"))
+    table(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("q"),
+        expr("l_orderkey * 10 + l_linenumber").as("_id"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("i") * col("q")).as("_siv"),
+        sum(col("q")).as("_sv"))
+      .withColumn("gini",
+        (lit(2L) * col("_siv") - (col("n") + 1L) * col("_sv")).cast("double") /
+          (col("n") * col("_sv")).cast("double"))
+      .select(col("grp"), col("n"), col("gini"))
+  }
+
+  private val aGiniSql =
+    """WITH r AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(floor(l_quantity) AS BIGINT) AS q,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY CAST(floor(l_quantity) AS BIGINT),
+      |               l_orderkey * 10 + l_linenumber) AS i
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT grp, COUNT(*) AS n, CAST(SUM(i * q) AS BIGINT) AS siv,
+      |    CAST(SUM(q) AS BIGINT) AS sv
+      |  FROM r GROUP BY 1)
+      |SELECT grp, n,
+      |  CAST(2 * siv - (n + 1) * sv AS DOUBLE)
+      |    / CAST(n * sv AS DOUBLE) AS gini
+      |FROM g""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("a_gini", aGini, Some(aGiniSql)),
     ("a_bootstrap_ci", aBootstrapCi, Some(aBootstrapCiSql)),
     ("rec_association_rules", recAssociationRules,
       Some(recAssociationRulesSql)),
