@@ -341,10 +341,13 @@ object Eval {
     *   κ = (n·agree − marg) / (n² − marg),
     *   marg = (n11+n10)(n11+n01) + (n01+n00)(n10+n00).
     * po and pe are also emitted (one divide each). κ is NULL for the
-    * degenerate pe = 1 case. */
+    * degenerate pe = 1 case. Rows where EITHER rater is NULL are
+    * excluded entirely (they can land in none of the four cells, so
+    * counting them in n would silently bias po/pe/κ). */
   def cohensKappa(df: DataFrame, groupCol: String, r1Col: String,
       r2Col: String): DataFrame =
-    df.groupBy(col(groupCol))
+    df.filter(col(r1Col).isNotNull && col(r2Col).isNotNull)
+      .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),
         sum(when(col(r1Col) && col(r2Col), 1L).otherwise(0L)).as("_n11"),
@@ -374,7 +377,9 @@ object Eval {
        |    CAST(SUM(CASE WHEN ($r1Sql) AND NOT ($r2Sql) THEN 1 ELSE 0 END) AS BIGINT) AS n10,
        |    CAST(SUM(CASE WHEN NOT ($r1Sql) AND ($r2Sql) THEN 1 ELSE 0 END) AS BIGINT) AS n01,
        |    CAST(SUM(CASE WHEN NOT ($r1Sql) AND NOT ($r2Sql) THEN 1 ELSE 0 END) AS BIGINT) AS n00
-       |  FROM src GROUP BY 1),
+       |  FROM src
+       |  WHERE ($r1Sql) IS NOT NULL AND ($r2Sql) IS NOT NULL
+       |  GROUP BY 1),
        |k AS (
        |  SELECT grp, n, n11 + n00 AS agree,
        |    (n11 + n10)*(n11 + n01) + (n01 + n00)*(n10 + n00) AS marg

@@ -25,7 +25,12 @@ import graft.queries.QueryDsl.{dsum, dsumSql}
   * with md5, which is the same trick the weighted sampler uses
   * (Sampling.weightedSample). Replicate means are decimal-exact sums
   * with one divide; the CI bounds are exact order statistics (index
-  * ⌈p·B⌉, no interpolation) over the B replicate estimates.
+  * ⌈p·B'⌉, no interpolation) over the B' NON-NULL replicate estimates.
+  * A replicate whose total multiplicity is 0 (probability e^-n per
+  * replicate — ~37% per replicate for a 1-row group) has no estimate
+  * and is excluded on BOTH engines before ranking; the returned `b`
+  * column reports the surviving replicate count, so small-group CIs
+  * are order statistics over b ≤ B replicates rather than NULL.
   *
   * @return (group, n, mean, ci_lo, ci_hi, b) one row per group */
 object Bootstrap {
@@ -69,17 +74,25 @@ object Bootstrap {
     val perReplicate = exploded
       .groupBy(col("grp"), col("b"))
       .agg((repSum / sum(col("m"))).as("est"))
-    // exact order statistics over the B replicate estimates (B is
-    // bounded and small — the window partitions by group)
+      // a replicate whose total multiplicity is 0 (probability e^-n per
+      // replicate — real for 1-row groups) yields est = sum/0 = NULL;
+      // Spark ranks NULLs first while DuckDB ranks them last, so NULLs
+      // must never reach the ranking. Drop them and index off the
+      // per-group NON-NULL count (== b when no replicate degenerates,
+      // so large-group results are unchanged).
+      .filter(col("est").isNotNull)
+    // exact order statistics over the surviving replicate estimates
+    // (bounded by B, small — the window partitions by group)
     val w = Window.partitionBy(col("grp")).orderBy(col("est"), col("b"))
-    val loIdx = math.ceil(loPct * b).toLong
-    val hiIdx = math.ceil(hiPct * b).toLong
     val cis = perReplicate
       .withColumn("_r", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col("grp"))))
       .groupBy(col("grp"))
       .agg(
-        max(when(col("_r") === loIdx, col("est"))).as("ci_lo"),
-        max(when(col("_r") === hiIdx, col("est"))).as("ci_hi"),
+        max(when(col("_r") === ceil(lit(loPct) * col("_cnt")), col("est")))
+          .as("ci_lo"),
+        max(when(col("_r") === ceil(lit(hiPct) * col("_cnt")), col("est")))
+          .as("ci_hi"),
         count(lit(1)).as("b"))
     val meanSum =
       if (integerValued) sum(col("v").cast("long")).cast("double")
@@ -96,8 +109,6 @@ object Bootstrap {
   def meanCiSql(srcSql: String, groupSql: String, valueSql: String,
       idSql: String, b: Int = 100, loPct: Double = 0.025,
       hiPct: Double = 0.975, integerValued: Boolean = false): String = {
-    val loIdx = math.ceil(loPct * b).toLong
-    val hiIdx = math.ceil(hiPct * b).toLong
     val repSum =
       if (integerValued) "CAST(CAST(SUM(CAST(v AS BIGINT) * m) AS BIGINT) AS DOUBLE)"
       else dsumSql("v * m")
@@ -114,12 +125,13 @@ object Bootstrap {
        |  SELECT grp, b, $repSum / CAST(SUM(m) AS BIGINT) AS est
        |  FROM wm GROUP BY 1, 2),
        |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY est, b) AS r
-       |  FROM per_rep),
+       |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY est, b) AS r,
+       |    COUNT(*) OVER (PARTITION BY grp) AS cnt
+       |  FROM per_rep WHERE est IS NOT NULL),
        |cis AS (
        |  SELECT grp,
-       |    MAX(CASE WHEN r = $loIdx THEN est END) AS ci_lo,
-       |    MAX(CASE WHEN r = $hiIdx THEN est END) AS ci_hi,
+       |    MAX(CASE WHEN r = CAST(ceil(CAST($loPct AS DOUBLE) * cnt) AS BIGINT) THEN est END) AS ci_lo,
+       |    MAX(CASE WHEN r = CAST(ceil(CAST($hiPct AS DOUBLE) * cnt) AS BIGINT) THEN est END) AS ci_hi,
        |    COUNT(*) AS b
        |  FROM ranked GROUP BY 1),
        |means AS (

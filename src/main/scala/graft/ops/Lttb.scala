@@ -28,7 +28,8 @@ import graft.queries.QueryDsl.{dsum, dsumSql}
   * hash join back to points on (series, bucket), one keyed row_number.
   * Nothing global, nothing driver-side.
   *
-  * Oracle-exactness: bucket ids are integer `div`; bucket averages are
+  * Oracle-exactness: bucket ids are FLOOR division (matching DuckDB's
+  * `//`, including for negative/pre-epoch timestamps); bucket averages are
   * decimal-exact sums with one IEEE divide; the area form
   * |(tₚ−tₙ)(y−yₚ) − (tₚ−t)(yₙ−yₚ)| is per-row IEEE arithmetic on
   * identical operands — bit-equal across engines — and the argmax is
@@ -47,7 +48,11 @@ object Lttb {
       col(tCol).cast("long").as("t"),
       col(yCol).cast("double").as("y"),
       col(keyCol).as("k"),
-      expr(s"$tCol div $bucketWidth").as("bucket"))
+      // floor division (not `div`, which truncates toward zero) so
+      // pre-epoch timestamps bucket identically to the DuckDB `//`
+      // mirror: (t - pmod(t, w)) is always the floor multiple.
+      expr(s"(CAST($tCol AS BIGINT) - pmod(CAST($tCol AS BIGINT), $bucketWidth)) div $bucketWidth")
+        .as("bucket"))
 
     val wS = Window.partitionBy(col("series")).orderBy(col("bucket"))
     val summaries = pts

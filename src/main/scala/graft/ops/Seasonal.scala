@@ -45,7 +45,9 @@ object Seasonal {
     val half = period / 2
     val buckets = df
       .select(col(seriesCol).as("series"),
-        expr(s"$tUsCol div $bucketUs").as("bucket"),
+        // floor division (matches DuckDB `//` for pre-epoch timestamps)
+        expr(s"(CAST($tUsCol AS BIGINT) - pmod(CAST($tUsCol AS BIGINT), $bucketUs)) div $bucketUs")
+          .as("bucket"),
         col(valCol).as("_v"))
       .groupBy(col("series"), col("bucket"))
       .agg(dsum(col("_v")).as("y"))
@@ -94,7 +96,7 @@ object Seasonal {
        |  SELECT $seriesSql AS series, CAST($tUsSql AS BIGINT) // $bucketUs AS bucket,
        |    ${dsumSql(valSql)} AS y
        |  FROM src GROUP BY 1, 2),
-       |ph AS (SELECT *, bucket % $period AS phase FROM b),
+       |ph AS (SELECT *, ((bucket % $period) + $period) % $period AS phase FROM b),
        |tr AS (
        |  SELECT *,
        |    CAST(SUM(CAST(y AS DECIMAL(38,6))) OVER w AS DOUBLE)

@@ -55,17 +55,20 @@ object Expectations {
     case NotNull(c, _) => col(c).isNotNull
     case InRange(c, lo, hi, _) =>
       col(c).isNotNull && col(c) >= lo && col(c) <= hi
-    case InSet(c, vs, _) => col(c).isInCollection(vs)
+    case InSet(c, vs, _) => col(c).isNotNull && col(c).isInCollection(vs)
     case MatchesRegex(c, p, _) => col(c).isNotNull && col(c).rlike(p)
     case _: Unique => lit(true) // handled via countDistinct
   }
 
   /** Conjunction of the ROW-scoped rules (Unique is table-scoped and
-    * excluded) — the predicate a validated-ingest path routes on. */
+    * excluded) — the predicate a validated-ingest path routes on.
+    * Wrapped in coalesce(..., false) so a NULL predicate value (e.g. a
+    * null column under a rule whose satisfied() is three-valued) routes
+    * to quarantine instead of vanishing from both branches. */
   def rowPredicate(rules: Seq[Rule]): Column = {
     val rowRules = rules.filterNot(_.isInstanceOf[Unique])
     require(rowRules.nonEmpty, "no row-scoped rules")
-    rowRules.map(satisfied).reduce(_ && _)
+    coalesce(rowRules.map(satisfied).reduce(_ && _), lit(false))
   }
 
   /** Evaluate the suite in one aggregate pass.

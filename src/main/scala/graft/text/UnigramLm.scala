@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *  - Floats: piece scores are log-probs quantized to 1e-9 units
   *    (integer longs) before broadcast, so the Viterbi argmax compares
   *    LONG sums — bit-deterministic across runs, partitionings, and
-  *    JVMs; ties break on fewer-pieces-then-lexicographic, making the
-  *    segmentation total.
+  *    JVMs; ties break on fewer-pieces-then-latest-final-cut (the
+  *    largest last piece wins among equal-score, equal-length
+  *    segmentations), making the segmentation total.
   *
   * The EM iteration itself is float-seeded (ln of count ratios), so the
   * trained table carries no cross-engine SQL oracle — same class as the
@@ -107,9 +108,22 @@ object UnigramLm {
     * weighted word frame, count-fold M-step, prune to `vocabSize` by
     * (count, piece) keeping all single chars).
     *
+    * Driver-materialization contract: the ONLY collects are the model
+    * artifact itself — ≤ max(seedSize, vocabSize) + |alphabet| rows per
+    * EM round (the table being broadcast back out, exactly like Bpe's
+    * merge list). Both knobs are hard-capped at 1,000,000 pieces so the
+    * bound is explicit rather than caller-trusted; a 10⁶-piece model is
+    * ~50 MB broadcast, far beyond any published subword vocab.
+    *
     * @return (piece, cnt, logp) — the shipped tokenizer model */
   def train(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 6,
       iters: Int = 3, seedSize: Int = 4000): DataFrame = {
+    require(seedSize > 0 && seedSize <= 1000000,
+      s"seedSize=$seedSize outside (0, 1e6]: the seed vocab is collected " +
+        "to the driver as the model artifact and must stay bounded")
+    require(vocabSize > 0 && vocabSize <= 1000000,
+      s"vocabSize=$vocabSize outside (0, 1e6]: the trained vocab is " +
+        "collected to the driver as the model artifact and must stay bounded")
     val spark = docs.sparkSession
     import spark.implicits._
     val words = wordCounts(docs).as[(String, Long)].cache()

@@ -26,15 +26,16 @@ class StreamMetricsSpec extends AnyFunSuite {
     try {
       input.addData(Seq((1L, 5.0, "A"), (2L, 500.0, "A"), (3L, 7.0, "Z")))
       q.processAllAvailable()
-      input.addData(Seq((4L, 8.0, "B")))
+      // null in_set value counts as a violation (not a silent non-count)
+      input.addData(Seq((4L, 8.0, "B"), (5L, 9.0, null)))
       q.processAllAvailable()
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
     }
     val r = listener.readings.filter(_.rows > 0)
-    assert(r.map(_.rows).sum == 4)
-    assert(r.map(_.violations).sum == 2)
-    assert(listener.violationRate.contains(0.5))
+    assert(r.map(_.rows).sum == 5)
+    assert(r.map(_.violations).sum == 3)
+    assert(listener.violationRate.contains(0.6))
   }
 }

@@ -23,16 +23,18 @@ class ValidatedIngestSpec extends AnyFunSuite {
       (1L, Some(10.0), "A"),   // good
       (2L, None, "A"),         // not_null fails (first in order)
       (3L, Some(500.0), "B"),  // in_range fails
-      (4L, Some(20.0), "Z"))   // in_set fails
+      (4L, Some(20.0), "Z"),   // in_set fails
+      (5L, Some(30.0), null))  // NULL in_set column must quarantine, not vanish
       .toDF("id", "v", "flag")
     val good = tmp(); val bad = tmp()
     val (ng, nb) = ValidatedIngest.writeBatch(batch, rules, good, bad, 0L)
-    assert(ng == 1 && nb == 3)
+    assert(ng == 1 && nb == 4)
     val q = spark.read.parquet(s"$bad/batch=0")
       .select("id", "_violation").as[(Long, String)].collect().toMap
     assert(q(2L) == "not_null(v)")
     assert(q(3L) == "in_range(v,0.0,100.0)")
     assert(q(4L) == "in_set(flag)")
+    assert(q(5L) == "in_set(flag)")
     assert(spark.read.parquet(s"$good/batch=0").count() == 1)
   }
 
