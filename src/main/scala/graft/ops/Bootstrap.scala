@@ -47,6 +47,21 @@ object Bootstrap {
     }
   }
 
+  /** Production multiplicity: same inverse-CDF grid, but the uniform
+    * comes from Spark's native codegen'd xxhash64 over (id, b) instead
+    * of the md5→hex→conv string chain — measured ~25× faster on the
+    * explode+hash stage (PLANS_NOTES.md). No DuckDB spelling (DuckDB
+    * lacks xxhash64), so gates on this path are Spark-anchored:
+    * n/mean are randomness-independent and must equal the md5 path's;
+    * the draw itself is pinned by partitioning-invariance and interval
+    * sanity in BootstrapSpec. */
+  private def multiplicityFast(idCol: String) = {
+    val u = pmod(xxhash64(col(idCol), col("b")), lit(1000000L))
+    CdfThresholds.zipWithIndex.foldRight(lit(CdfThresholds.size): org.apache.spark.sql.Column) {
+      case ((thr, k), acc) => when(u < thr, k).otherwise(acc)
+    }
+  }
+
   private def multiplicitySql(idSql: String): String = {
     val u = s"CAST(concat('0x', substring(md5(concat($idSql, ':', b)), 1, 6)) AS BIGINT) % 1000000"
     val cases = CdfThresholds.zipWithIndex
@@ -62,18 +77,22 @@ object Bootstrap {
     *        BigDecimal path (measured 55.7 s → see gate notes). */
   def meanCi(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, b: Int = 100, loPct: Double = 0.025,
-      hiPct: Double = 0.975, integerValued: Boolean = false): DataFrame = {
+      hiPct: Double = 0.975, integerValued: Boolean = false,
+      fastHash: Boolean = false): DataFrame = {
     require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
     val exploded = df
       .select(col(groupCol).as("grp"), col(valueCol).as("v"), col(idCol).as("_id"))
       .withColumn("b", explode(expr(s"sequence(0, ${b - 1})")))
-      .withColumn("m", multiplicity("_id"))
+      .withColumn("m",
+        if (fastHash) multiplicityFast("_id") else multiplicity("_id"))
     val repSum =
       if (integerValued) sum(col("v").cast("long") * col("m")).cast("double")
       else dsum(col("v") * col("m"))
     val perReplicate = exploded
       .groupBy(col("grp"), col("b"))
-      .agg((repSum / sum(col("m"))).as("est"))
+      // the when() guard keeps ANSI mode from raising DIVIDE_BY_ZERO on
+      // a degenerate replicate — its est is NULL, dropped just below
+      .agg(when(sum(col("m")) > 0L, repSum / sum(col("m"))).as("est"))
       // a replicate whose total multiplicity is 0 (probability e^-n per
       // replicate — real for 1-row groups) yields est = sum/0 = NULL;
       // Spark ranks NULLs first while DuckDB ranks them last, so NULLs
@@ -122,7 +141,9 @@ object Bootstrap {
        |wm AS (
        |  SELECT grp, v, b, ${multiplicitySql("id")} AS m FROM x),
        |per_rep AS (
-       |  SELECT grp, b, $repSum / CAST(SUM(m) AS BIGINT) AS est
+       |  SELECT grp, b,
+       |    CASE WHEN SUM(m) > 0
+       |      THEN $repSum / CAST(SUM(m) AS BIGINT) END AS est
        |  FROM wm GROUP BY 1, 2),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY est, b) AS r,

@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.{ByteBuffer, ByteOrder}
 
 import org.apache.spark.sql.functions._
-import graft.streaming.PacketCodec
+import graft.streaming.{LiveMerge, PacketCodec}
 import QueryDsl._
 
 /** Flat decoded frame for the S9 roundtrip gate (options collapsed to
@@ -128,6 +128,107 @@ object CodecQueries {
        |  MIN(us) AS min_us, MAX(us) AS max_us
        |FROM r GROUP BY 1""".stripMargin
 
+  /** CORRECTNESS gate for the S10 write throttle
+    * (F1-25_Telemetry_DB_Record.py:183-191: `if time.time() -
+    * last_update_time >= update_interval` before each doc write) —
+    * the last oracle-able §2 row that carried only ScalaTest evidence.
+    *
+    * The throttle is measured on PACKET timestamps (LiveMerge.scala
+    * parity note), which makes the emission chain deterministic and
+    * therefore gateable. The fixture gives each of 24 drivers a
+    * REGULAR packet cadence δ = (driver%8+1)·25 ms, alternating
+    * telemetry/lap frames, with per-packet channel values derived from
+    * the packet index. Under a regular cadence the stateful fold has a
+    * CLOSED FORM the oracle derives independently in pure SQL: pairing
+    * completes at packet 2 (first emit), and after an emit at packet e
+    * the next emit is the first i with (i−e)·δ > T, i.e. every
+    * s = ⌊T/δ⌋+1 packets — so emitted i ⇔ i ≥ 2 ∧ (i−2) mod s = 0,
+    * and the emitted Speed/… (Distance/…) channels are the LATEST
+    * telemetry (lap) packet at or before i: i rounded down to
+    * odd (even). A hash match proves the throttle edge (δ = 100 ms
+    * drivers pin the STRICT `>` — exactly-T gaps must NOT emit), the
+    * pairing gate (packet 1 must not emit), last-write-wins snapshot
+    * state, and the sample-and-hold merge, against an oracle that
+    * never runs the fold.
+    *
+    * The Spark side runs the PRODUCTION kernel — [[LiveMerge
+    * .processPackets]], the exact fold `transformWithState` executes
+    * per micro-batch (foldBatch delegates to it) — over a
+    * groupByKey(driver) in batch, from a cold MergeState. Exactness:
+    * timestamps are exact-integer micros with one IEEE divide by 1e6
+    * (the LiveSample face); throttle/brake are quarter/half fractions
+    * ×100; everything else is integer.
+    *
+    * Scale shape: one shuffle on driver (the same key the streaming
+    * path shards state by), rank + fold per group, no driver-side
+    * anything. */
+  private val s10Throttle: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val throttleUs = LiveMerge.DefaultThrottleUs // 100 ms
+    events(s, d).select(col("event_id"))
+      .withColumn("driver", col("event_id") % 24)
+      .withColumn("i",
+        row_number().over(Window.partitionBy(col("driver"))
+          .orderBy(col("event_id"))))
+      .select(col("driver"), col("i"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (dr, rows) =>
+        val deltaUs = (dr % 8 + 1) * 25000L
+        val packets = rows.map(_._2).toArray.sorted.iterator.map { i =>
+          val ts = i * deltaUs
+          if (i % 2 == 1)
+            PacketCodec.LivePacket(ts, dr, PacketCodec.PacketIdTelemetry,
+              speed = Some(i % 350), throttle = Some((i % 5) * 25.0),
+              brake = Some((i % 3) * 50.0), gear = Some(i % 10 - 1),
+              rpm = Some(i % 15000), distance = None, lapNumber = None)
+          else
+            PacketCodec.LivePacket(ts, dr, PacketCodec.PacketIdLap,
+              speed = None, throttle = None, brake = None, gear = None,
+              rpm = None, distance = Some((i % 7000).toDouble),
+              lapNumber = Some(i % 256))
+        }
+        val (out, _) = LiveMerge.processPackets(dr, packets,
+          LiveMerge.MergeState(None, None, LiveMerge.NeverEmitted), throttleUs)
+        out.iterator
+      }
+      .toDF()
+      .select(col("Driver").as("driver"), col("Timestamp").as("t_sec"),
+        col("Speed").as("speed"), col("Throttle").as("throttle"),
+        col("Brake").as("brake"), col("Gear").as("gear"),
+        col("RPM").as("rpm"), col("Distance").as("distance"),
+        col("LapNumber").as("lap_number"))
+  }
+
+  private val s10ThrottleSql =
+    """WITH src AS (
+      |  SELECT event_id % 24 AS driver,
+      |    CAST(row_number() OVER (PARTITION BY event_id % 24
+      |         ORDER BY event_id) AS BIGINT) AS i
+      |  FROM events),
+      |p AS (
+      |  SELECT driver, i, ((driver % 8) + 1) * 25000 AS delta
+      |  FROM src),
+      |em AS (
+      |  SELECT driver, i, delta,
+      |    CASE WHEN i % 2 = 1 THEN i ELSE i - 1 END AS tel_i,
+      |    CASE WHEN i % 2 = 0 THEN i ELSE i - 1 END AS lap_i
+      |  FROM p
+      |  WHERE i >= 2
+      |    AND (i - 2) % (100000 // delta + 1) = 0)
+      |SELECT driver,
+      |  CAST(i * delta AS DOUBLE) / 1000000.0 AS t_sec,
+      |  CAST(tel_i % 350 AS INT) AS speed,
+      |  (tel_i % 5) * 25.0 AS throttle,
+      |  (tel_i % 3) * 50.0 AS brake,
+      |  CAST(tel_i % 10 - 1 AS INT) AS gear,
+      |  CAST(tel_i % 15000 AS INT) AS rpm,
+      |  CAST(lap_i % 7000 AS DOUBLE) AS distance,
+      |  CAST(lap_i % 256 AS INT) AS lap_number
+      |FROM em""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
-    ("s9_codec_roundtrip", s9Roundtrip, Some(s9RoundtripSql)))
+    ("s9_codec_roundtrip", s9Roundtrip, Some(s9RoundtripSql)),
+    ("s10_throttled_sink", s10Throttle, Some(s10ThrottleSql)))
 }

@@ -400,6 +400,22 @@ object MlQueries {
     "l_returnflag", "l_quantity", "id", b = 50,
     loPct = 0.05, hiPct = 0.95, integerValued = true)
 
+  /** The bootstrap's PRODUCTION hash path at FULL volume: same Poisson
+    * bootstrap, but the per-(row, replicate) draw rides the native
+    * codegen'd xxhash64 instead of the cross-engine md5 chain, and the
+    * 1-in-10 orderkey sample is dropped. Rows-only gate (DuckDB lacks
+    * xxhash64): the draw is anchored by BootstrapSpec instead —
+    * n/mean must equal the md5 twin's exactly (randomness-independent),
+    * the draw is partitioning-invariant, and the intervals bracket the
+    * mean. This is the deployment path whose cost/exponent SCALING.json
+    * tracks; the md5 twin above remains the cross-engine witness. */
+  private val aBootstrapCiFast: Q = (s, d) =>
+    graft.ops.Bootstrap.meanCi(
+      table(s, d, "lineitem")
+        .withColumn("_id", expr("l_orderkey * 10 + l_linenumber")),
+      "l_returnflag", "l_quantity", "_id", b = 50,
+      loPct = 0.05, hiPct = 0.95, integerValued = true, fastHash = true)
+
   /** Gini coefficient of quantity per return flag — the
     * value-concentration skew metric (who holds the volume), via the
     * rank identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over the keyed
@@ -442,6 +458,7 @@ object MlQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("a_gini", aGini, Some(aGiniSql)),
     ("a_bootstrap_ci", aBootstrapCi, Some(aBootstrapCiSql)),
+    ("a_bootstrap_ci_fast", aBootstrapCiFast, None),
     ("rec_association_rules", recAssociationRules,
       Some(recAssociationRulesSql)),
     ("pipeline_next_event_examples", pipelineNextEvent,

@@ -44,4 +44,43 @@ class BootstrapSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("1-row groups: degenerate replicates drop, CIs stay non-NULL") {
+    // a 1-row group draws multiplicity 0 with prob e^-1 per replicate;
+    // the op must never rank a NULL estimate (ADVICE r7) — surviving
+    // count b < B, bounds defined, and the single value IS the CI.
+    val df = (mk(300, "big", 5, 2) ++ Seq(("tiny", "tiny-1", 42.0)))
+      .toDF("g", "id", "v")
+    val rows = Bootstrap.meanCi(df, "g", "v", "id", b = 100)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t = rows("tiny")
+    assert(!t.isNullAt(3) && !t.isNullAt(4), "CI bounds non-NULL")
+    assert(t.getDouble(3) == 42.0 && t.getDouble(4) == 42.0,
+      "1-row group: every surviving replicate estimates the single value")
+    assert(t.getLong(5) < 100 && t.getLong(5) > 0,
+      s"some replicates degenerate (got b=${t.getLong(5)})")
+    assert(rows("big").getLong(5) == 100, "large group keeps all replicates")
+  }
+
+  test("fast xxhash64 path: same n/mean, valid intervals, partition-invariant") {
+    val df = (mk(500, "a", 20, 6) ++ mk(900, "b", -3, 2)).toDF("g", "id", "v")
+    val slow = Bootstrap.meanCi(df, "g", "v", "id", b = 60)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val fast = Bootstrap.meanCi(df, "g", "v", "id", b = 60, fastHash = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- Seq("a", "b")) {
+      // n and mean are randomness-independent: must match the md5 twin
+      assert(fast(g).getLong(1) == slow(g).getLong(1))
+      assert(fast(g).getDouble(2) == slow(g).getDouble(2))
+      // the fast draw still yields a bracketing, nonzero-width interval
+      assert(fast(g).getDouble(3) < fast(g).getDouble(4))
+      assert(fast(g).getDouble(3) <= fast(g).getDouble(2) &&
+        fast(g).getDouble(2) <= fast(g).getDouble(4))
+    }
+    val p1 = Bootstrap.meanCi(df.repartition(2), "g", "v", "id", b = 60,
+      fastHash = true).collect().map(_.toSeq).sortBy(_.head.toString)
+    val p7 = Bootstrap.meanCi(df.repartition(7), "g", "v", "id", b = 60,
+      fastHash = true).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(p1.toSeq == p7.toSeq)
+  }
 }
