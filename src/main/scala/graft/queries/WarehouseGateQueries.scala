@@ -322,7 +322,84 @@ object WarehouseGateQueries {
       |  CASE WHEN event_id % 2 = 1 THEN value END AS value
       |FROM events""".stripMargin
 
+  // ---- E3: the full serving lifecycle as ONE composed plan ----
+  // (F1_web_dashboard_app.py:104-591): partition-pruned warehouse read
+  // → driver slice → min-max scale (:451-453) → 20-step stride-5
+  // sequence windows (:455-460) → inference hook (:476-494, stub) →
+  // inverse scale → human/AI union for the comparison chart (:543-580).
+  // Every piece is individually gated (s7, w6, p13, o6); this row is
+  // the single-plan witness that they COMPOSE — one lazy DataFrame from
+  // pruned scan to union, no intermediate materialization
+  // (ServingE2ESpec asserts partition pruning survives the whole plan).
+  //
+  // Oracle-exactness through the float path: the stub's prediction is a
+  // LEFT-FOLD float32 sum of the window's f_speed features divided by
+  // 20f; the mirror reproduces the same IEEE-754 single-precision chain
+  // with nested CAST(... AS FLOAT) additions over lag() — verified
+  // bit-identical cross-engine — then one double multiply (×360)
+  // for the inverse scale, exactly like inverseScaleSpeed.
+  private val e3Root = "/tmp/graft_gate_wh_e3"
+  private val f1E2eServing: Q = (s, d) => {
+    import graft.f1.{F1Constants, SequenceWindows}
+    val slice = writeAndRead(s, d, e3Root)
+      .filter(col("Year") === 2021 && col("Round") === 3) // partition prune
+      .filter(col("Driver") === 1)                        // dashboard slice
+    val scaled = SequenceWindows.scaled(slice, trackLength = 1000.0)
+    val wins = SequenceWindows.windows(scaled,
+      seqLen = F1Constants.SeqLen, stride = 5)
+    val preds = graft.ml.InferenceHook.withPredictions(
+      wins, graft.ml.InferenceHook.MeanSpeedStub)
+    val ai = SequenceWindows.inverseScaleSpeed(preds, "prediction")
+      .select(lit("ai").as("source"), col("Driver").as("driver"),
+        col("LapNumber").as("lapnumber"),
+        col("Distance").cast("double").as("distance"),
+        col("pred_speed").as("speed"))
+    val human = slice.select(lit("human").as("source"),
+      col("Driver").as("driver"), col("LapNumber").as("lapnumber"),
+      col("Distance").cast("double").as("distance"),
+      col("Speed").cast("double").as("speed"))
+    human.unionByName(ai)
+  }
+
+  /** The stub's sequential float32 accumulation, oldest step first —
+    * fl32(...fl32(fl32(0 + f₋₁₉) + f₋₁₈)... + f₀). */
+  private val f32Fold = (19 to 0 by -1)
+    .foldLeft("CAST(0.0 AS FLOAT)") { (acc, k) =>
+      s"CAST(($acc + lag(fs, $k) OVER w) AS FLOAT)"
+    }
+
+  private val f1E2eServingSql =
+    s"""$fixtureSql,
+       |sl AS (
+       |  SELECT driver, lapnumber,
+       |    CAST(di * 10 AS FLOAT) AS distf,
+       |    CAST(e % 300 AS FLOAT) AS speedf
+       |  FROM f
+       |  WHERE year = 2021 AND round = 3 AND driver = 1),
+       |o AS (
+       |  SELECT driver, lapnumber, distf, speedf,
+       |    row_number() OVER (PARTITION BY driver, lapnumber
+       |                       ORDER BY distf) AS rn,
+       |    CAST(CAST(speedf AS DOUBLE) / 360.0 AS FLOAT) AS fs
+       |  FROM sl),
+       |acc AS (
+       |  SELECT driver, lapnumber, distf, rn, $f32Fold AS sfold
+       |  FROM o
+       |  WINDOW w AS (PARTITION BY driver, lapnumber ORDER BY rn)),
+       |ai AS (
+       |  SELECT 'ai' AS source, driver, lapnumber,
+       |    CAST(distf AS DOUBLE) AS distance,
+       |    CAST(CAST(sfold / CAST(20 AS FLOAT) AS FLOAT) AS DOUBLE) * 360.0
+       |      AS speed
+       |  FROM acc WHERE rn >= 20 AND rn % 5 = 0),
+       |hu AS (
+       |  SELECT 'human' AS source, driver, lapnumber,
+       |    CAST(distf AS DOUBLE) AS distance, CAST(speedf AS DOUBLE) AS speed
+       |  FROM sl)
+       |SELECT * FROM hu UNION ALL SELECT * FROM ai""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("f1_e2e_serving", f1E2eServing, Some(f1E2eServingSql)),
     ("s_schema_evolution", sSchemaEvolution, Some(sSchemaEvolutionSql)),
     ("s5_partitioned_roundtrip", s5Roundtrip, Some(interopSql(s5Root))),
     ("s5_compaction", s5Compaction, Some(interopSql(s5cOut))),
