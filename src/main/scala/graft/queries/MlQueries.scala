@@ -239,6 +239,118 @@ object MlQueries {
     graft.ml.Pca.project(t, "embedding", m)
   }
 
+  /** PLANTED-SPECTRUM PCA gate — the cross-engine anchor the free-data
+    * `ml_pca` gate can't be: a 4-dim fixture whose columns are
+    * amplitude-scaled Walsh ±1 patterns (x_c = A_c·(1−2·parity(t₁₆&A_c)),
+    * A = 8,4,2,1, t₁₆ cycling over complete 16-row blocks), so the
+    * EMPIRICAL covariance is exactly diagonal with planted spectrum
+    * {64,16,4,1}: column sums are exactly 0 and cross-products cancel
+    * exactly in integer arithmetic. The eigensystem is then
+    * SQL-derivable WITHOUT an eigensolve — eigenvalues are the diagonal
+    * (one exact-long→double cast + one divide, mirrored op-for-op) and
+    * the principal axes are the coordinate axes, so the projection
+    * variance table equals the raw column moments.
+    *
+    * The Spark side runs the REAL production path (CovSumsAgg fold →
+    * power-iteration eigensolve → fused projection); power iteration on
+    * an exactly-diagonal matrix with spectral ratios ≤ 1/4 converges to
+    * the axes up to ~1 ulp in 200 iterations, so emitted figures are
+    * quantized (round ·1e6 / ·1e9 — values sit ≥ 10 orders of magnitude
+    * from any rounding boundary, documented safe). A hash match proves
+    * the whole fit recovers a KNOWN spectrum, not merely that it is
+    * deterministic.
+    *
+    * The 1-in-7 sample + complete-block truncation bounds n so the
+    * quantized second moments stay far inside long range at any SF; the
+    * global row_number is over the SAMPLED frame only (fixture
+    * construction, not a corpus-path pattern). */
+  private val mlPcaPlanted: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = events(s, d).filter(col("event_id") % 7 === 0)
+      .select(col("event_id"))
+    val nt = base.count() / 16 * 16
+    val fx = base
+      .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
+      .filter(col("rn") <= nt)
+      .withColumn("t16", (col("rn") - 1) % 16)
+      .select(col("event_id").as("vec_id"),
+        expr("""transform(array(8, 4, 2, 1),
+                a -> cast(a * (1 - 2 * (bit_count(t16 & a) % 2)) as float))""")
+          .as("emb"))
+    val model = graft.ml.Pca.fit(fx.select(col("emb")).as[Array[Float]], k = 4)
+    val modelDf = Seq.tabulate(4)(c => (c, model.eigenvalues(c),
+      model.eigenvalues(c) / model.totalVar)).toDF("component", "eig", "ratio")
+    val stats = graft.ml.Pca.project(fx, "emb", model)
+      .select(explode(array((0 until 4).map(c =>
+        struct(lit(c).as("component"),
+          (col(s"pc$c") * col(s"pc$c")).as("sq"))): _*)).as("e"))
+      .select(col("e.component"), col("e.sq"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n"), sum(col("sq")).as("ss"))
+    modelDf.join(stats, "component")
+      .select(col("component"),
+        round(col("eig") * 1e6).cast("long").as("eig_q6"),
+        round(col("ratio") * 1e9).cast("long").as("ratio_q9"),
+        col("n"),
+        round(col("ss")).cast("long").as("ss_round"),
+        round(col("ss") / col("n") * lit(1e6)).cast("long").as("var_q6"))
+  }
+
+  private val mlPcaPlantedSql =
+    """WITH base AS (
+      |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
+      |  FROM events WHERE event_id % 7 = 0),
+      |cut AS (SELECT (COUNT(*) // 16) * 16 AS nt FROM base),
+      |t AS (
+      |  SELECT (rn - 1) % 16 AS t16 FROM base, cut WHERE rn <= nt),
+      |x AS (
+      |  SELECT
+      |    CAST(8 * (1 - 2 * (bit_count(CAST(t16 AS BIGINT) & 8) % 2)) AS BIGINT) AS x0,
+      |    CAST(4 * (1 - 2 * (bit_count(CAST(t16 AS BIGINT) & 4) % 2)) AS BIGINT) AS x1,
+      |    CAST(2 * (1 - 2 * (bit_count(CAST(t16 AS BIGINT) & 2) % 2)) AS BIGINT) AS x2,
+      |    CAST(1 * (1 - 2 * (bit_count(CAST(t16 AS BIGINT) & 1) % 2)) AS BIGINT) AS x3
+      |  FROM t),
+      |mo AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(x0 * x0) AS BIGINT) AS ss0,
+      |    CAST(SUM(x1 * x1) AS BIGINT) AS ss1,
+      |    CAST(SUM(x2 * x2) AS BIGINT) AS ss2,
+      |    CAST(SUM(x3 * x3) AS BIGINT) AS ss3
+      |  FROM x),
+      |lam AS (
+      |  SELECT n, ss0, ss1, ss2, ss3,
+      |    CAST(ss0 * 1000000000000 AS DOUBLE)
+      |      / ((CAST(n AS DOUBLE) * 1000000.0) * 1000000.0) AS l0,
+      |    CAST(ss1 * 1000000000000 AS DOUBLE)
+      |      / ((CAST(n AS DOUBLE) * 1000000.0) * 1000000.0) AS l1,
+      |    CAST(ss2 * 1000000000000 AS DOUBLE)
+      |      / ((CAST(n AS DOUBLE) * 1000000.0) * 1000000.0) AS l2,
+      |    CAST(ss3 * 1000000000000 AS DOUBLE)
+      |      / ((CAST(n AS DOUBLE) * 1000000.0) * 1000000.0) AS l3
+      |  FROM mo),
+      |tv AS (SELECT *, ((l0 + l1) + l2) + l3 AS tot FROM lam)
+      |SELECT 0 AS component, CAST(round(l0 * 1000000.0) AS BIGINT) AS eig_q6,
+      |  CAST(round(l0 / tot * 1000000000.0) AS BIGINT) AS ratio_q9, n,
+      |  ss0 AS ss_round,
+      |  CAST(round(CAST(ss0 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT) AS var_q6
+      |FROM tv
+      |UNION ALL
+      |SELECT 1, CAST(round(l1 * 1000000.0) AS BIGINT),
+      |  CAST(round(l1 / tot * 1000000000.0) AS BIGINT), n, ss1,
+      |  CAST(round(CAST(ss1 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+      |FROM tv
+      |UNION ALL
+      |SELECT 2, CAST(round(l2 * 1000000.0) AS BIGINT),
+      |  CAST(round(l2 / tot * 1000000000.0) AS BIGINT), n, ss2,
+      |  CAST(round(CAST(ss2 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+      |FROM tv
+      |UNION ALL
+      |SELECT 3, CAST(round(l3 * 1000000.0) AS BIGINT),
+      |  CAST(round(l3 / tot * 1000000000.0) AS BIGINT), n, ss3,
+      |  CAST(round(CAST(ss3 AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+      |FROM tv""".stripMargin
+
   /** Declarative publish-gate expectation suite over lineitem — mixed
     * passing and (deliberately) failing rules, folded in one pass. */
   private val expectationRules = {
@@ -470,6 +582,7 @@ object MlQueries {
     ("quality_expectations", qualityExpectations,
       Some(qualityExpectationsSql)),
     ("ml_pca", mlPca, None),
+    ("ml_pca_planted_spectrum", mlPcaPlanted, Some(mlPcaPlantedSql)),
     ("ml_pca_project", mlPcaProject, None),
     ("w_lttb_downsample", wLttbDownsample, Some(wLttbDownsampleSql)),
     ("ml_calibration", mlCalibration, Some(mlCalibrationSql)),
