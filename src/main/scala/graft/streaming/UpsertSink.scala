@@ -154,6 +154,17 @@ object UpsertSink {
             org.apache.commons.io.FileUtils.deleteDirectory(d)))
       } // else: same-lineage replay of an absorbed batch — idempotent skip
     }
+    // The replay guard intentionally does NOT execute a replayed
+    // batch's plan. With a STATEFUL updates stream (e.g. LiveMerge →
+    // maintain), Spark 4.1's state-store commit validation fails the
+    // query on exactly that legitimate skip (0 commits reported for the
+    // skipped batch) — and it also races the final batch's async commit
+    // reports under foreachBatch. Queries started here therefore run
+    // without it; the commit-file protocol above is the exactly-once
+    // mechanism for this sink. (Runtime conf: affects queries started
+    // after, the same pattern LiveMerge.merged uses for its provider.)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.commitValidation.enabled", "false")
     val w = updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(mergeBatch)

@@ -43,4 +43,27 @@ class FileIngestSpec extends AnyFunSuite {
     assert(all.select("id").distinct().count() === 100L)
     assert(all.filter(col("n_tokens") =!= 2).count() === 0L)
   }
+
+  // Regression net (ADVICE r6 defect 5): a recentProgress-based batch
+  // count is a ring buffer capped at 100 entries, so a long backfill
+  // at file-per-trigger granularity under-reported. The commit-log
+  // delta must report EVERY committed trigger past that cap.
+  test("a >100-trigger backfill reports the exact committed batch count") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ingest_big").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val nFiles = 110
+    // parallelize with nFiles slices → exactly one file per slice
+    // (repartition would let AQE coalesce below nFiles)
+    spark.sparkContext
+      .parallelize((1 to nFiles).map(i => (i.toLong, s"doc $i")), nFiles)
+      .toDF("id", "body").write.parquet(src)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, body STRING")
+    val batches = FileIngest.ingestAvailableNow(spark, src, schema,
+      identity, out, ckpt, maxFilesPerTrigger = 1)
+    assert(batches === nFiles.toLong,
+      s"commit-log count must survive the 100-entry progress cap (got $batches)")
+    assert(spark.read.parquet(out).count() === nFiles.toLong)
+  }
 }

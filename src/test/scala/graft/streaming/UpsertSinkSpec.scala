@@ -82,4 +82,53 @@ class UpsertSinkSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(asOf0 === Set((1L, "a", 1L)))
   }
+
+  // Regression net (ADVICE r6 defect 3): the pre-fix two-rename swap
+  // had a window with NO current directory, so a crash between the
+  // data write and the publish truncated the table. The commit-file
+  // protocol must leave the PREVIOUS version fully live through any
+  // such crash, and a replay must absorb the orphan.
+  test("crash between data write and publish leaves the previous version live") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("upsert_crash").toString
+    val table = s"$root/dim"
+    val input = MemoryStream[(Long, String, Long)]
+    val q = UpsertSink.maintain(spark,
+      input.toDS().toDF("k", "name", "version"), table, s"$root/ckpt",
+      Seq("k"), orderCol = "version", availableNow = false)
+    try {
+      input.addData(Seq((1L, "a", 1L))); q.processAllAvailable()
+    } finally q.stop()
+    val committed = snapshot(table)
+
+    // simulate the crash: batch 1's versioned data dir hits disk but
+    // the process dies BEFORE the commit-file move — plus a stale
+    // half-written _commit.tmp, the worst-case debris
+    val lin = java.nio.file.Paths.get(s"$root/ckpt")
+      .toAbsolutePath.normalize.toString
+    val orphan = s"v_${Integer.toHexString(lin.hashCode)}_1"
+    Seq((1L, "CRASHED", 2L)).toDF("k", "name", "version")
+      .write.parquet(s"$table/$orphan")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/_commit.tmp"),
+      "garbage".getBytes("UTF-8"))
+
+    // the table still reads the previous committed version — the
+    // orphan is invisible (the defect shape: read() would have found
+    // no/next current dir and returned truncated/uncommitted data)
+    assert(snapshot(table) === committed)
+
+    // recovery: the next stream (MemoryStream can't resume a
+    // checkpoint, so recovery rides a fresh lineage here) publishes
+    // over the debris; the orphan's uncommitted content never leaks
+    val input2 = MemoryStream[(Long, String, Long)]
+    val q2 = UpsertSink.maintain(spark,
+      input2.toDS().toDF("k", "name", "version"), table, s"$root/ckpt2",
+      Seq("k"), orderCol = "version", availableNow = false)
+    try {
+      input2.addData(Seq((1L, "recovered", 2L))); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(snapshot(table) === Set((1L, "recovered", 2L)))
+  }
 }
