@@ -39,12 +39,16 @@ object ScalingBench {
       "dedup_containment" -> "documents",
       "dedup_prefix_filter" -> "documents",
       "dedup_substring_hashed" -> "documents",
+      "dedup_substring_spans" -> "documents",
       "pipeline_e2e_build" -> "documents",
       "pipeline_unigram_lm" -> "documents",
       "o_global_rank" -> "events", "w_resample_ohlc" -> "events",
       "w_lttb_downsample" -> "events", "s9_codec_roundtrip" -> "events",
       "j_skew_salted" -> "lineitem", "quality_join_cardinality" -> "lineitem",
-      "quality_key_skew" -> "lineitem")
+      "quality_key_skew" -> "lineitem",
+      "j_record_linkage" -> "customer",
+      "a_bootstrap_ci" -> "lineitem",
+      "a_bootstrap_ci_fast" -> "lineitem")
 
     def timeOnce(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -92,8 +96,20 @@ object ScalingBench {
       }
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$xDir/documents.parquet")
+    // ×4 customer corpus for the linkage extrapolation: copies get
+    // disjoint key AND nationkey ranges — nationkey is the blocking
+    // column, so cross-copy probe/ref pairs can never meet and the
+    // linkage structure replicates exactly instead of densifying.
+    val cust = spark.read.parquet(s"${sfs.last}/customer.parquet")
+    (0 until 4).map { r =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(r * 100000000L))
+          .withColumn("c_nationkey", col("c_nationkey") + lit(r * 100))
+      }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$xDir/customer.parquet")
     val extrap = Seq("dedup_prefix_filter", "dedup_containment",
-        "dedup_substring_hashed").map { q =>
+        "dedup_substring_hashed", "dedup_substring_spans",
+        "j_record_linkage").map { q =>
       val t1 = timeOnce(q, sfs.last)
       val t2 = timeOnce(q, xDir)
       val slope = math.log(t2 / t1) / math.log(4.0)

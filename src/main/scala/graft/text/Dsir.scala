@@ -1,0 +1,122 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via hashed n-gram importance resampling
+  * (Xie et al. 2023, "Data Selection for Language Models via
+  * Importance Resampling") — pick the raw-corpus documents whose
+  * hashed unigram+bigram feature distribution looks most like a
+  * TARGET corpus. The standard pretraining-mix curation step between
+  * quality filtering and dedup.
+  *
+  * Mechanics, exactly the paper's bag-of-hashed-ngrams estimator:
+  * features are unigrams + bigrams of whitespace tokens hashed into B
+  * buckets; p̂ (target) and q̂ (raw) are add-one-smoothed bucket
+  * distributions; a document's importance is
+  * log w(x) = Σ_b c_b(x)·(ln p̂_b − ln q̂_b), and selection takes the
+  * top-k by weight (the paper's Gumbel-noise resampling degenerates to
+  * this deterministic top-k as temperature → 0; a seeded-hash Gumbel
+  * variant drops in by adding an md5-derived term per doc).
+  *
+  * Oracle-exactness: the bucket hash is the shared md5→hex→int
+  * currency; p̂/q̂ are ratios of exact longs through ONE IEEE divide
+  * each; the two ln() calls match across engines (the Tfidf/LmScore
+  * precedent) and the per-bucket log-ratio is quantized to integer
+  * MICRO-units (round ·1e6 → long) before any per-document math — doc
+  * weights are then pure LONG sums, order-immune and cross-engine
+  * exact. (split/string_split of an empty text yields [""] on BOTH
+  * engines, so even empty documents carry one near-neutral feature
+  * row — mirrored identically.)
+  *
+  * Scale shape (the reason DSIR works at 10¹² docs): the corpus is
+  * read once into a narrow gram explode; both distributions fold in
+  * ONE B-bounded aggregate (B = a few thousand in production — the
+  * model is bucket counts, never vocabulary); the B-row log-ratio
+  * table broadcasts back; per-doc weights are one shuffle on doc_id;
+  * selection is a distributed TakeOrdered top-k. Nothing driver-side,
+  * no vocabulary materialization.
+  */
+object Dsir {
+
+  /** Select the `k` raw docs with the highest hashed-ngram importance
+    * weight toward the target slice.
+    *
+    * @param targetPred boolean column marking the TARGET corpus rows
+    * @return (doc_id, w_micro) — weight in 1e-6 log units, top-k by
+    *         (weight, doc_id) */
+  def select(docs: DataFrame, targetPred: Column, buckets: Int = 256,
+      k: Int = 200): DataFrame = {
+    require(buckets > 0 && k > 0)
+    val grams = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("_t", targetPred)
+      .select(col("doc_id"), col("_t"),
+        explode(concat(
+          col("ws"),
+          when(size(col("ws")) >= 2,
+            expr("transform(sequence(1, size(ws) - 1), " +
+              "i -> concat_ws(' ', slice(ws, i, 2)))"))
+            .otherwise(array().cast("array<string>")))).as("gram"))
+      .select(col("doc_id"), col("_t"),
+        (conv(substring(md5(col("gram").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % buckets).as("b"))
+    val perBucket = grams.groupBy(col("b")).agg(
+      count(lit(1)).as("s_cnt"),
+      sum(when(col("_t"), 1L).otherwise(0L)).as("t_cnt"))
+    val totals = perBucket.agg(
+      sum(col("s_cnt")).as("s_tot"), sum(col("t_cnt")).as("t_tot"))
+    // B-row model table: quantized per-bucket log-ratio (micro-units)
+    val lw = perBucket.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((col("t_cnt") + 1L).cast("double") /
+                 (col("t_tot") + buckets.toLong).cast("double")) -
+               log((col("s_cnt") + 1L).cast("double") /
+                 (col("s_tot") + buckets.toLong).cast("double"))) * 1e6)
+          .cast("long").as("lw"))
+    grams.join(broadcast(lw), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lw")).as("w_micro"))
+      .orderBy(col("w_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[select]] over the `documents` table with
+    * `targetSql` as the target predicate. */
+  def selectSql(targetSql: String, buckets: Int = 256,
+      k: Int = 200): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, ($targetSql) AS t, string_split(text, ' ') AS w
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, t, w[i] AS gram
+       |  FROM ws, unnest(generate_series(1, len(w))) u(i)
+       |  UNION ALL
+       |  SELECT doc_id, t, array_to_string(w[i:i+1], ' ') AS gram
+       |  FROM ws, unnest(generate_series(1, len(w) - 1)) u(i)
+       |  WHERE len(w) >= 2),
+       |bkt AS (
+       |  SELECT doc_id, t,
+       |    CAST(concat('0x', substring(md5(gram), 1, 6)) AS BIGINT)
+       |      % $buckets AS b
+       |  FROM grams),
+       |bc AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS s_cnt,
+       |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+       |  FROM bkt GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(s_cnt) AS BIGINT) AS s_tot,
+       |    CAST(SUM(t_cnt) AS BIGINT) AS t_tot
+       |  FROM bc),
+       |lw AS (
+       |  SELECT b,
+       |    CAST(round((ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_tot + $buckets AS DOUBLE))
+       |        - ln(CAST(s_cnt + 1 AS DOUBLE) / CAST(s_tot + $buckets AS DOUBLE)))
+       |      * 1000000.0) AS BIGINT) AS lw
+       |  FROM bc, tot),
+       |w AS (
+       |  SELECT doc_id, CAST(SUM(lw) AS BIGINT) AS w_micro
+       |  FROM bkt JOIN lw USING (b) GROUP BY 1)
+       |SELECT doc_id, w_micro FROM w
+       |ORDER BY w_micro DESC, doc_id LIMIT $k""".stripMargin
+}

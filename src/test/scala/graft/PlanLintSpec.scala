@@ -75,8 +75,12 @@ class PlanLintSpec extends AnyFunSuite {
     "rec_association_rules",  // 1-row basket-count total crossed into
                               // the rule frame (support denominator —
                               // the text_bm25/ml_gains pattern)
-    "text_zipf_slope"         // rides GlobalRank over the word vocab:
+    "text_zipf_slope",        // rides GlobalRank over the word vocab:
                               // its 1-row (min, max) stats broadcast
+    "pipeline_dsir_select"    // 1-row (s_tot, t_tot) smoothing
+                              // denominators crossed into the B-row
+                              // bucket-distribution table (the
+                              // text_bm25 pattern; B ≤ a few thousand)
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  /** Planted corpus: target docs speak vocabulary A, half the raw pool
+    * speaks A too, the other half speaks disjoint vocabulary Z. */
+  private def corpus() = {
+    val target = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta tok$i", "tgt"))
+    val rawLikeTarget = (101 to 140).map(i =>
+      (i.toLong, s"alpha beta gamma delta raw$i", "raw"))
+    val rawUnlike = (201 to 240).map(i =>
+      (i.toLong, s"zork quux blarg frobnitz raw$i", "raw"))
+    (target ++ rawLikeTarget ++ rawUnlike).toDF("doc_id", "text", "kind")
+  }
+
+  test("target-like raw docs outrank disjoint-vocabulary raw docs") {
+    val out = Dsir.select(corpus(), col("kind") === "tgt",
+      buckets = 64, k = 120)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val likeW = (101 to 140).map(i => out(i.toLong))
+    val unlikeW = (201 to 240).map(i => out(i.toLong))
+    assert(likeW.min > unlikeW.max,
+      s"every target-like doc must outweigh every disjoint doc " +
+        s"(min like ${likeW.min} vs max unlike ${unlikeW.max})")
+  }
+
+  test("top-k is deterministic and partitioning-invariant") {
+    val df = corpus()
+    val a = Dsir.select(df.repartition(1), col("kind") === "tgt",
+      buckets = 64, k = 30).collect().map(_.toSeq)
+    val b = Dsir.select(df.repartition(13), col("kind") === "tgt",
+      buckets = 64, k = 30).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("an empty doc scores near-neutral and never beats target-like docs") {
+    val df = corpus().union(Seq((999L, "", "raw")).toDF("doc_id", "text", "kind"))
+    val out = Dsir.select(df, col("kind") === "tgt", buckets = 64, k = 10)
+      .collect()
+    assert(out.length == 10)
+    assert(!out.map(_.getLong(0)).contains(999L))
+  }
+}
