@@ -664,6 +664,13 @@ object DocQueries {
         graft.sim.KmeansStep.train(table(s, d, "embeddings"), k = 8,
           iters = 3)): Q,
       Some(graft.sim.KmeansStep.trainSql(k = 8, iters = 3))),
+    // SemDeDup: k-means-bucketed semantic dedup, lowest-id keep policy
+    // — composes the gated trainer with the exact quantized cosine test
+    ("dedup_semantic",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.sim.SemDedup.dedup(table(s, d, "embeddings"), k = 8,
+          iters = 2, tau = 0.8)): Q,
+      Some(graft.sim.SemDedup.dedupSql(k = 8, iters = 2, tau = 0.8))),
     ("pipeline_pack_whole_docs", pipelinePackWhole,
       Some(CorpusPipeline.packWholeDocsSql())),
     ("a_countmin_freq", aCountminFreq, None),

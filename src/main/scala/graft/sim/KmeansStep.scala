@@ -102,7 +102,10 @@ object KmeansStep {
   /** DuckDB mirror of [[train]]: one CTE pair per iteration with the
     * identical seed rule, integer distances, tie-break, floor-mean
     * feedback, and list reassembly ordered by dim. */
-  def trainSql(k: Int, iters: Int = 3, dims: Int = 64): String = {
+  /** The shared CTE chain (`q`, `c0`..`c$iters`) behind [[trainSql]] —
+    * exposed so composed oracles (SemDedup) reuse the exact same
+    * training spelling and only add their own stages after it. */
+  private[sim] def trainCtes(k: Int, iters: Int, dims: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""d$i AS (
          |  SELECT q.vec_id, c.cid,
@@ -129,16 +132,22 @@ object KmeansStep {
          |  SELECT cid, list(cqv ORDER BY dim) AS cq, max(n) AS n_members
          |  FROM m$i GROUP BY cid)""".stripMargin
     }
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(x * $Q) AS BIGINT)) AS vq
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, vq AS cq FROM q ORDER BY vec_id LIMIT $k),
-       |${steps.mkString(",\n")}
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  def trainSql(k: Int, iters: Int = 3, dims: Int = 64): String =
+    s"""WITH ${trainCtes(k, iters, dims)}
        |SELECT cid AS cluster_id, CAST(g.i - 1 AS INT) AS dim, n_members,
        |  cq[CAST(g.i AS INT)] AS cq
        |FROM c$iters, unnest(generate_series(1, $dims)) g(i)""".stripMargin
-  }
+
+  /** The quantization constant, shared with composed ops. */
+  private[sim] def quant: Long = Q
 
   /** DuckDB oracle: identical quantization, seed rule, integer
     * distances, tie-break, and mean arithmetic (`dims` must match the
