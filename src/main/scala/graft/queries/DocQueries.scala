@@ -762,6 +762,13 @@ object DocQueries {
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.text.Dsir.select(table(s, d, "documents"),
           org.apache.spark.sql.functions.col("lang") === "en")): Q,
-      Some(graft.text.Dsir.selectSql("lang = 'en'")))
+      Some(graft.text.Dsir.selectSql("lang = 'en'"))),
+    // the paper's Gumbel-top-k resampler with a seeded md5 draw —
+    // temperature 1 trades target-fit for diversity deterministically
+    ("pipeline_dsir_sample",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.Dsir.sample(table(s, d, "documents"),
+          org.apache.spark.sql.functions.col("lang") === "en")): Q,
+      Some(graft.text.Dsir.sampleSql("lang = 'en'")))
   )
 }

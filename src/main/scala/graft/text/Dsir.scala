@@ -39,15 +39,12 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Select the `k` raw docs with the highest hashed-ngram importance
-    * weight toward the target slice.
-    *
-    * @param targetPred boolean column marking the TARGET corpus rows
-    * @return (doc_id, w_micro) — weight in 1e-6 log units, top-k by
-    *         (weight, doc_id) */
-  def select(docs: DataFrame, targetPred: Column, buckets: Int = 256,
-      k: Int = 200): DataFrame = {
-    require(buckets > 0 && k > 0)
+  /** Full per-doc importance-weight frame: (doc_id, w_micro), weight
+    * in 1e-6 natural-log units. [[select]] and [[sample]] are top-k
+    * policies over this. */
+  def weights(docs: DataFrame, targetPred: Column,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0)
     val grams = docs
       .withColumn("ws", split(col("text"), " "))
       .withColumn("_t", targetPred)
@@ -77,15 +74,51 @@ object Dsir {
     grams.join(broadcast(lw), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("lw")).as("w_micro"))
+  }
+
+  /** Select the `k` raw docs with the highest hashed-ngram importance
+    * weight toward the target slice (the paper's temperature-0 limit).
+    *
+    * @param targetPred boolean column marking the TARGET corpus rows
+    * @return (doc_id, w_micro) — top-k by (weight, doc_id) */
+  def select(docs: DataFrame, targetPred: Column, buckets: Int = 256,
+      k: Int = 200): DataFrame = {
+    require(k > 0)
+    weights(docs, targetPred, buckets)
       .orderBy(col("w_micro").desc, col("doc_id"))
       .limit(k)
   }
 
-  /** DuckDB mirror of [[select]] over the `documents` table with
-    * `targetSql` as the target predicate. */
-  def selectSql(targetSql: String, buckets: Int = 256,
-      k: Int = 200): String =
-    s"""WITH ws AS (
+  /** The paper's actual sampler: draw k docs with probability
+    * ∝ exp(log w / T) via the Gumbel-top-k trick — score = w/T + g,
+    * g = −ln(−ln(u)) — with u a DETERMINISTIC md5-derived uniform per
+    * (seed, doc), so the "random" draw is reproducible on any engine
+    * with md5 (the Bootstrap/weightedSample currency). T → 0 recovers
+    * [[select]]; larger T trades target-fit for diversity. Scores are
+    * quantized to micro-units AFTER the float chain (two ln() calls,
+    * mirrored op-for-op — the Tfidf precedent).
+    *
+    * @return (doc_id, score_micro) — top-k by (score, doc_id) */
+  def sample(docs: DataFrame, targetPred: Column, buckets: Int = 256,
+      k: Int = 200, temperature: Double = 1.0,
+      seed: String = "dsir"): DataFrame = {
+    require(k > 0 && temperature > 0)
+    val u = (conv(substring(md5(
+        concat_ws(":", lit(seed), col("doc_id")).cast("binary")), 1, 6), 16, 10)
+      .cast("double") + 0.5) / 16777216.0
+    weights(docs, targetPred, buckets)
+      .withColumn("score_micro",
+        round((col("w_micro").cast("double") / 1e6 / temperature -
+          log(-log(u))) * 1e6).cast("long"))
+      .select(col("doc_id"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Shared CTE chain producing the per-doc weight table `w`
+    * (doc_id, w_micro) — the mirror of [[weights]]. */
+  private def weightCtes(targetSql: String, buckets: Int): String =
+    s"""ws AS (
        |  SELECT doc_id, ($targetSql) AS t, string_split(text, ' ') AS w
        |  FROM documents),
        |grams AS (
@@ -116,7 +149,28 @@ object Dsir {
        |  FROM bc, tot),
        |w AS (
        |  SELECT doc_id, CAST(SUM(lw) AS BIGINT) AS w_micro
-       |  FROM bkt JOIN lw USING (b) GROUP BY 1)
+       |  FROM bkt JOIN lw USING (b) GROUP BY 1)""".stripMargin
+
+  /** DuckDB mirror of [[select]] over the `documents` table with
+    * `targetSql` as the target predicate. */
+  def selectSql(targetSql: String, buckets: Int = 256,
+      k: Int = 200): String =
+    s"""WITH ${weightCtes(targetSql, buckets)}
        |SELECT doc_id, w_micro FROM w
        |ORDER BY w_micro DESC, doc_id LIMIT $k""".stripMargin
+
+  /** DuckDB mirror of [[sample]]. */
+  def sampleSql(targetSql: String, buckets: Int = 256, k: Int = 200,
+      temperature: Double = 1.0, seed: String = "dsir"): String =
+    s"""WITH ${weightCtes(targetSql, buckets)},
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(round((CAST(w_micro AS DOUBLE) / 1000000.0 / $temperature
+       |      - ln(-ln((CAST(CAST(concat('0x',
+       |          substring(md5(concat('$seed', ':', doc_id)), 1, 6))
+       |          AS BIGINT) AS DOUBLE) + 0.5) / 16777216.0)))
+       |      * 1000000.0) AS BIGINT) AS score_micro
+       |  FROM w)
+       |SELECT doc_id, score_micro FROM sc
+       |ORDER BY score_micro DESC, doc_id LIMIT $k""".stripMargin
 }

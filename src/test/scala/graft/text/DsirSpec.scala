@@ -39,6 +39,31 @@ class DsirSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("gumbel sampler: deterministic, seed-sensitive, low-T recovers select") {
+    val df = corpus()
+    val s1 = Dsir.sample(df, col("kind") === "tgt", buckets = 64, k = 25,
+      temperature = 1.0, seed = "a").collect().map(_.getLong(0)).toSeq
+    val s2 = Dsir.sample(df.repartition(9), col("kind") === "tgt",
+      buckets = 64, k = 25, temperature = 1.0, seed = "a")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "same seed → identical draw, any partitioning")
+    val s3 = Dsir.sample(df, col("kind") === "tgt", buckets = 64, k = 25,
+      temperature = 1.0, seed = "b").collect().map(_.getLong(0)).toSeq
+    assert(s1 != s3, "different seed → different draw")
+    // tiny temperature: weights dominate the bounded Gumbel noise, so
+    // the sample converges to the deterministic top-k up to ties —
+    // equal-weight docs at the boundary may swap (select breaks ties
+    // by doc_id, the sampler by Gumbel), so compare the WEIGHT
+    // multiset, which tie-swaps preserve
+    val w = Dsir.weights(df, col("kind") === "tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = Dsir.sample(df, col("kind") === "tgt", buckets = 64, k = 25,
+      temperature = 1e-4, seed = "a").collect().map(_.getLong(0))
+    val top = Dsir.select(df, col("kind") === "tgt", buckets = 64, k = 25)
+      .collect().map(_.getLong(0))
+    assert(cold.map(w).sorted.toSeq == top.map(w).sorted.toSeq)
+  }
+
   test("an empty doc scores near-neutral and never beats target-like docs") {
     val df = corpus().union(Seq((999L, "", "raw")).toDF("doc_id", "text", "kind"))
     val out = Dsir.select(df, col("kind") === "tgt", buckets = 64, k = 10)
