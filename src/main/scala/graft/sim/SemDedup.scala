@@ -57,6 +57,12 @@ object SemDedup {
       .withColumn("nq", expr(
         "aggregate(zip_with(vq, vq, (x, y) -> x * y), " +
           "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      // referenced three times below (pair LHS, pair RHS, output rows)
+      // with a full Lloyd train upstream — materialize once instead of
+      // recomputing the training lineage per reference (the
+      // DedupClusters checkpoint precedent; at scale the assignment
+      // table is what a production SemDeDup persists anyway)
+      .localCheckpoint(true)
     val tau2 = tau * tau
     val dropped = assigned.as("a")
       .join(assigned.as("b"),

@@ -77,10 +77,15 @@ class PlanLintSpec extends AnyFunSuite {
                               // the text_bm25/ml_gains pattern)
     "text_zipf_slope",        // rides GlobalRank over the word vocab:
                               // its 1-row (min, max) stats broadcast
-    "pipeline_dsir_select"    // 1-row (s_tot, t_tot) smoothing
+    "pipeline_dsir_select",   // 1-row (s_tot, t_tot) smoothing
                               // denominators crossed into the B-row
                               // bucket-distribution table (the
                               // text_bm25 pattern; B ≤ a few thousand)
+    "pipeline_dsir_sample",   // same weight frame as dsir_select —
+                              // the identical 1-row totals cross
+    "dedup_semantic"          // k=8-row broadcast centroid fan for
+                              // cluster assignment — the
+                              // knn_kmeans_step pattern it composes
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
