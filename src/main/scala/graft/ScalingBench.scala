@@ -48,7 +48,10 @@ object ScalingBench {
       "quality_key_skew" -> "lineitem",
       "j_record_linkage" -> "customer",
       "a_bootstrap_ci" -> "lineitem",
-      "a_bootstrap_ci_fast" -> "lineitem")
+      "a_bootstrap_ci_fast" -> "lineitem",
+      "dedup_lines_c4" -> "documents",
+      "text_kneser_ney" -> "documents",
+      "knn_int8_topk" -> "embeddings")
 
     def timeOnce(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -109,7 +112,7 @@ object ScalingBench {
       .write.mode("overwrite").parquet(s"$xDir/customer.parquet")
     val extrap = Seq("dedup_prefix_filter", "dedup_containment",
         "dedup_substring_hashed", "dedup_substring_spans",
-        "j_record_linkage").map { q =>
+        "j_record_linkage", "dedup_lines_c4").map { q =>
       val t1 = timeOnce(q, sfs.last)
       val t2 = timeOnce(q, xDir)
       val slope = math.log(t2 / t1) / math.log(4.0)

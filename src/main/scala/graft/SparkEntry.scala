@@ -18,7 +18,7 @@ object SparkEntry {
       DocQueries.entries ++ AsofQueries.entries ++ ExtendedQueries.entries ++
       MultimodalQueries.entries ++ F1GateQueries.entries ++
       MlQueries.entries ++ WarehouseGateQueries.entries ++
-      CodecQueries.entries
+      CodecQueries.entries ++ CorpusOpsQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Avoids the events table so it works on any session config (events

@@ -1,0 +1,47 @@
+package graft.queries
+
+import QueryDsl._
+import graft.ml.TimeSeriesCv
+import graft.sim.ScalarQuant
+import graft.sources.TextFormats
+import graft.text.{GopherRules, KneserNey, LineDedup}
+
+/** Round-8 extension gates: C4-style corpus-global span dedup, the
+  * Kneser-Ney perplexity-filter LM, int8 scalar-quantized vector
+  * search, JSONL/CSV foreign-engine interop, and purged time-series CV
+  * folds. All oracle-exact (the int8 gate included — its arithmetic is
+  * pure integer, so unlike the float knn gates there is no epsilon). */
+object CorpusOpsQueries {
+
+  private val chunkWords = 8
+  private val sqQueries = 25
+  private val sqK = 10
+
+  private val dedupLinesC4: Q = (s, d) =>
+    LineDedup.dedupChunks(table(s, d, "documents"), chunkWords)
+
+  private val textKneserNey: Q = (s, d) =>
+    KneserNey.bigramKn(table(s, d, "documents"))
+
+  private val knnInt8: Q = (s, d) =>
+    ScalarQuant.int8TopK(table(s, d, "embeddings"), sqQueries, sqK)
+
+  private val mlTimeseriesCv: Q = (s, d) =>
+    TimeSeriesCv.quarterlyFolds(table(s, d, "orders"))
+
+  private val textGopherRules: Q = (s, d) =>
+    GopherRules.audit(table(s, d, "documents"))
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+    ("dedup_lines_c4", dedupLinesC4, Some(LineDedup.dedupChunksSql(chunkWords))),
+    ("text_kneser_ney", textKneserNey, Some(KneserNey.bigramKnSql())),
+    ("knn_int8_topk", knnInt8, Some(ScalarQuant.int8TopKSql(sqQueries, sqK))),
+    ("source_jsonl_interop", TextFormats.jsonlInterop _,
+      Some(TextFormats.jsonlInteropSql)),
+    ("source_csv_interop", TextFormats.csvInterop _,
+      Some(TextFormats.csvInteropSql)),
+    ("ml_timeseries_cv", mlTimeseriesCv, Some(TimeSeriesCv.quarterlyFoldsSql())),
+    ("text_gopher_rules", textGopherRules, Some(GopherRules.auditSql)),
+    ("source_orc_roundtrip", TextFormats.orcRoundtrip _,
+      Some(TextFormats.orcRoundtripSql)))
+}

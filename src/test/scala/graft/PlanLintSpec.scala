@@ -83,9 +83,21 @@ class PlanLintSpec extends AnyFunSuite {
                               // text_bm25 pattern; B ≤ a few thousand)
     "pipeline_dsir_sample",   // same weight frame as dsir_select —
                               // the identical 1-row totals cross
-    "dedup_semantic"          // k=8-row broadcast centroid fan for
+    "dedup_semantic",         // k=8-row broadcast centroid fan for
                               // cluster assignment — the
                               // knn_kmeans_step pattern it composes
+    "knn_int8_topk",          // 25-row quantized query side fanned
+                              // against the corpus scan (the
+                              // knn_cosine_topk brute-force pattern)
+                              // + the 1-row per-dimension scale array
+                              // broadcast into the encoder
+    "text_kneser_ney",        // 1-row (N1+(·,·), Vcont) smoothing
+                              // scalars crossed into the test bigram
+                              // stream — the text_lm_score pattern
+    "ml_timeseries_cv"        // day-frame × quarter-fold-frame theta
+                              // joins: BOTH sides are dimension-sized
+                              // (days, quarters), corpus rows never
+                              // enter the nested loop
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {

