@@ -4,7 +4,7 @@ import QueryDsl._
 import graft.ml.TimeSeriesCv
 import graft.sim.ScalarQuant
 import graft.sources.TextFormats
-import graft.text.{GopherRules, KneserNey, LineDedup}
+import graft.text.{CcnetBuckets, DedupClusters, GopherRules, KneserNey, LineDedup}
 
 /** Round-8 extension gates: C4-style corpus-global span dedup, the
   * Kneser-Ney perplexity-filter LM, int8 scalar-quantized vector
@@ -32,6 +32,17 @@ object CorpusOpsQueries {
   private val textGopherRules: Q = (s, d) =>
     GopherRules.audit(table(s, d, "documents"))
 
+  // same threshold/DF-cap as the dedup_clusters gate (the scale path)
+  private val ccThreshold = 0.5
+  private val ccMaxDF = 12L
+
+  private val pipelineCcnetBuckets: Q = (s, d) =>
+    CcnetBuckets.buckets(table(s, d, "documents"))
+
+  private val pipelineDedupCanonical: Q = (s, d) =>
+    DedupClusters.canonicalRetention(table(s, d, "documents"),
+      ccThreshold, ccMaxDF)
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_lines_c4", dedupLinesC4, Some(LineDedup.dedupChunksSql(chunkWords))),
     ("text_kneser_ney", textKneserNey, Some(KneserNey.bigramKnSql())),
@@ -43,5 +54,9 @@ object CorpusOpsQueries {
     ("ml_timeseries_cv", mlTimeseriesCv, Some(TimeSeriesCv.quarterlyFoldsSql())),
     ("text_gopher_rules", textGopherRules, Some(GopherRules.auditSql)),
     ("source_orc_roundtrip", TextFormats.orcRoundtrip _,
-      Some(TextFormats.orcRoundtripSql)))
+      Some(TextFormats.orcRoundtripSql)),
+    ("pipeline_ccnet_buckets", pipelineCcnetBuckets,
+      Some(CcnetBuckets.bucketsSql())),
+    ("pipeline_dedup_canonical", pipelineDedupCanonical,
+      Some(DedupClusters.canonicalRetentionSql(ccThreshold, ccMaxDF))))
 }

@@ -121,6 +121,44 @@ object DedupClusters {
        |lab AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
   }
 
+  /** END-TO-END canonicalization — the step a production dedup run
+    * actually ships: pairs → components → drop every non-canonical
+    * member → per-language retention rollup (docs and chars kept vs
+    * total), i.e. the "what did dedup cost each language" report every
+    * corpus release publishes. Unclustered docs (no near-dup edge) are
+    * kept by definition (left join, kept = coalesce(is_canonical,
+    * true)). One extra broadcast-sized join over [[fromDocuments]] —
+    * the cluster frame is bounded by near-dup density, not corpus
+    * size. */
+  def canonicalRetention(docs: DataFrame, threshold: Double,
+      maxShingleDF: Long = 0L): DataFrame = {
+    val clusters = fromDocuments(docs, threshold, maxShingleDF)
+      .select(col("doc_id"), col("is_canonical"))
+    docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("is_canonical"), lit(true)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept").cast("long")).as("kept_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(when(col("kept"), col("n_chars")).otherwise(lit(0L)))
+          .as("kept_chars"))
+  }
+
+  /** DuckDB mirror of [[canonicalRetention]]. */
+  def canonicalRetentionSql(threshold: Double,
+      maxShingleDF: Long = 0L): String =
+    s"""${labCtes(threshold, maxShingleDF)},
+       |flags AS (
+       |  SELECT d.lang, d.n_chars,
+       |    COALESCE(l.doc_id = l.cluster_id, TRUE) AS kept
+       |  FROM documents d LEFT JOIN lab l USING (doc_id))
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(CASE WHEN kept THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS kept_chars
+       |FROM flags GROUP BY 1""".stripMargin
+
   /** DuckDB mirror: same jaccard pairs, transitive closure via a
     * recursive CTE, min reachable id as the cluster label. */
   def clustersSql(threshold: Double, maxShingleDF: Long = 0L): String =

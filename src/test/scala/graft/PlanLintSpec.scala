@@ -94,10 +94,14 @@ class PlanLintSpec extends AnyFunSuite {
     "text_kneser_ney",        // 1-row (N1+(·,·), Vcont) smoothing
                               // scalars crossed into the test bigram
                               // stream — the text_lm_score pattern
-    "ml_timeseries_cv"        // day-frame × quarter-fold-frame theta
+    "ml_timeseries_cv",       // day-frame × quarter-fold-frame theta
                               // joins: BOTH sides are dimension-sized
                               // (days, quarters), corpus rows never
                               // enter the nested loop
+    "pipeline_ccnet_buckets"  // 1-row LM vocab scalar (text_lm_score
+                              // pattern) + GlobalRank's 1-row (min,
+                              // max) stats + a 1-row corpus count for
+                              // the tercile cut
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
