@@ -4,7 +4,7 @@ import QueryDsl._
 import graft.ml.TimeSeriesCv
 import graft.sim.ScalarQuant
 import graft.sources.TextFormats
-import graft.text.{CcnetBuckets, DedupClusters, GopherRules, KneserNey, LineDedup}
+import graft.text.{CcnetBuckets, DedupClusters, FinewebFunnel, GopherRules, KneserNey, LineDedup, WordPiece}
 
 /** Round-8 extension gates: C4-style corpus-global span dedup, the
   * Kneser-Ney perplexity-filter LM, int8 scalar-quantized vector
@@ -58,5 +58,11 @@ object CorpusOpsQueries {
     ("pipeline_ccnet_buckets", pipelineCcnetBuckets,
       Some(CcnetBuckets.bucketsSql())),
     ("pipeline_dedup_canonical", pipelineDedupCanonical,
-      Some(DedupClusters.canonicalRetentionSql(ccThreshold, ccMaxDF))))
+      Some(DedupClusters.canonicalRetentionSql(ccThreshold, ccMaxDF))),
+    ("pipeline_fineweb_funnel",
+      ((s, d) => FinewebFunnel.funnel(table(s, d, "documents"))): Q,
+      Some(FinewebFunnel.funnelSql())),
+    ("pipeline_wordpiece_encode",
+      ((s, d) => WordPiece.encode(table(s, d, "documents"))): Q,
+      Some(WordPiece.encodeSql())))
 }

@@ -57,13 +57,15 @@ object GopherRules {
           col("ok_alpha") && col("ok_stopwords"))
   }
 
-  /** DuckDB mirror — identical counts and threshold algebra. */
-  def auditSql: String = {
+  /** DuckDB mirror — identical counts and threshold algebra. `from`
+    * parameterizes the source relation for composed pipelines. */
+  def auditSql: String = auditSql("documents")
+  def auditSql(from: String): String = {
     val swList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH t AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS ws,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS word_count
-       |  FROM documents),
+       |  FROM $from),
        |m AS (
        |  SELECT doc_id, word_count,
        |    CAST(length(text) - (word_count - 1) AS DOUBLE)

@@ -55,20 +55,29 @@ object LineDedup {
           " ").as("clean_text"))
   }
 
-  /** DuckDB mirror: identical chunking, keeper rule, and rebuild. */
-  def dedupChunksSql(chunkWords: Int = 8): String =
-    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** DuckDB mirror: identical chunking, keeper rule, and rebuild.
+    * `from` parameterizes the source relation so composed pipelines
+    * (the FineWeb funnel) can reuse the same CTE chain. */
+  def dedupChunksSql(chunkWords: Int = 8, from: String = "documents"): String =
+    s"""WITH ${dedupChunksCtes(chunkWords, from)}
+       |SELECT * FROM rebuilt""".stripMargin
+
+  /** The CTE chain up to `rebuilt(doc_id, n_chunks, n_kept,
+    * clean_text)` — shared by [[dedupChunksSql]] and composed gates. */
+  def dedupChunksCtes(chunkWords: Int = 8, from: String = "documents"): String =
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM $from),
        |ch AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS ci,
        |    array_to_string(w[CAST(i AS INT) * $chunkWords + 1 :
        |                     (CAST(i AS INT) + 1) * $chunkWords], ' ') AS chunk,
        |    doc_id * 1000 + CAST(i AS BIGINT) AS occ_key
        |  FROM ws, unnest(generate_series(0, (len(w) + ${chunkWords - 1}) // $chunkWords - 1)) t(i)),
-       |keep AS (SELECT chunk, MIN(occ_key) AS keep_key FROM ch GROUP BY 1)
-       |SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-       |  CAST(SUM(CASE WHEN ch.occ_key = k.keep_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       |  COALESCE(string_agg(CASE WHEN ch.occ_key = k.keep_key THEN ch.chunk END, ' '
-       |                      ORDER BY ch.ci), '') AS clean_text
-       |FROM ch JOIN keep k USING (chunk)
-       |GROUP BY 1""".stripMargin
+       |keep AS (SELECT chunk, MIN(occ_key) AS keep_key FROM ch GROUP BY 1),
+       |rebuilt AS (
+       |  SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |    CAST(SUM(CASE WHEN ch.occ_key = k.keep_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    COALESCE(string_agg(CASE WHEN ch.occ_key = k.keep_key THEN ch.chunk END, ' '
+       |                        ORDER BY ch.ci), '') AS clean_text
+       |  FROM ch JOIN keep k USING (chunk)
+       |  GROUP BY 1)""".stripMargin
 }

@@ -1,0 +1,174 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenization (Wu et al. 2016 §4.1; the BERT tokenizer's
+  * greedy variant, Devlin et al. 2019): per word, repeatedly take the
+  * LONGEST vocabulary piece matching at the cursor — continuation
+  * pieces carry the `##` prefix — and emit `[UNK]` for the whole word
+  * when no piece matches. Third tokenizer family next to the gated BPE
+  * (merge ranks) and unigram-LM (Viterbi): WordPiece is longest-match
+  *-first, which neither of those reduces to.
+  *
+  * Vocabulary (deterministic, corpus-derived, bounded — vocab
+  * LIKELIHOOD learning is out of scope exactly as BPE's merge learning
+  * is bounded to its gated rounds): every single character in both
+  * start and `##` form (so `[UNK]` never fires on in-corpus text —
+  * the BERT property), the `topWords` most frequent whole words, and
+  * the `topPrefixes` most frequent 3-char word prefixes, ties broken
+  * lexicographically.
+  *
+  * Execution shape: the vocab is two bounded top-k aggregates + a
+  * char-set aggregate collapsed to ONE broadcast array row; encoding
+  * is a stateless whole-stage-codegen projection — the greedy loop is
+  * a higher-order `aggregate` fold over the word's character budget
+  * (each step consumes ≥ 1 char, so `length(w)` iterations bound it),
+  * with the longest match found by `filter` over DESCENDING candidate
+  * lengths. No UDF, no shuffle of the corpus, no driver loop. The
+  * DuckDB oracle unrolls the same fold as chained CTE steps (the
+  * TextRank fixed-iteration pattern) — exact because every operation
+  * is string/integer.
+  */
+object WordPiece {
+
+  val MaxPieceLen = 8
+
+  /** 1-row vocab frame: (vocab array<string>). */
+  def buildVocab(docs: DataFrame, topWords: Int = 64,
+      topPrefixes: Int = 32): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+    val wordFreq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val topW = wordFreq
+      .orderBy(col("c").desc, col("w")).limit(topWords).select(col("w").as("p"))
+    val topP = wordFreq.filter(length(col("w")) >= 4)
+      .select(substring(col("w"), 1, 3).as("p"), col("c"))
+      .groupBy("p").agg(sum(col("c")).as("c"))
+      .orderBy(col("c").desc, col("p")).limit(topPrefixes).select("p")
+    val chars = words.select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("ch"))
+      .distinct()
+      .select(col("ch").as("p"))
+      .union(words.select(explode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("ch"))
+        .distinct()
+        .select(concat(lit("##"), col("ch")).as("p")))
+    topW.union(topP).union(chars).distinct()
+      .agg(sort_array(collect_list(col("p"))).as("vocab"))
+  }
+
+  /** The greedy fold over one word column `w` with vocab column
+    * `vocab`; yields the piece array. */
+  private def tokenizeExpr: String = {
+    // longest candidate length at the cursor: filter DESCENDING
+    // lengths by vocab membership, take the head
+    def cands(pos: String) =
+      s"""filter(sequence(least($MaxPieceLen, length(w) - $pos + 1), 1, -1),
+         |  l -> array_contains(vocab, IF($pos = 1,
+         |    substring(w, $pos, l), concat('##', substring(w, $pos, l)))))"""
+        .stripMargin
+    s"""aggregate(
+       |  sequence(1, length(w)),
+       |  named_struct('pos', 1, 'ps', CAST(array() AS array<string>),
+       |               'unk', false),
+       |  (st, it) -> IF(st.unk OR st.pos > length(w), st,
+       |    IF(size(${cands("st.pos")}) = 0,
+       |       named_struct('pos', length(w) + 1, 'ps', st.ps, 'unk', true),
+       |       named_struct(
+       |         'pos', st.pos + element_at(${cands("st.pos")}, 1),
+       |         'ps', array_append(st.ps, IF(st.pos = 1,
+       |           substring(w, st.pos, element_at(${cands("st.pos")}, 1)),
+       |           concat('##', substring(w, st.pos,
+       |             element_at(${cands("st.pos")}, 1))))),
+       |         'unk', false))),
+       |  st -> IF(st.unk, array('[UNK]'), st.ps))""".stripMargin
+  }
+
+  /** Per-doc encoding digest: (doc_id, n_words, n_pieces, n_unk,
+    * pieces_md5) where pieces_md5 hashes the space-joined piece
+    * stream — pinning the exact piece sequence without row bloat. */
+  def encode(docs: DataFrame, topWords: Int = 64,
+      topPrefixes: Int = 32): DataFrame =
+    encodeWithVocab(docs, buildVocab(docs, topWords, topPrefixes))
+
+  /** Encode against an explicit 1-row (vocab array<string>) frame —
+    * the seam the specs drive with hand vocabularies. */
+  def encodeWithVocab(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    docs.crossJoin(broadcast(vocab))
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("pieces",
+        expr(s"flatten(transform(ws, w -> $tokenizeExpr))"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        expr("size(filter(pieces, p -> p = '[UNK]'))").cast("long").as("n_unk"),
+        md5(concat_ws(" ", col("pieces")).cast("binary")).as("pieces_md5"))
+  }
+
+  /** DuckDB mirror: identical vocab, the fold unrolled as `MaxPieceLen`
+    * chained projection steps per word (each consumes ≥1 char; corpus
+    * words are ≤ 8 chars, enforced by a length guard that any longer
+    * word would fail loudly via [UNK] count mismatch). */
+  def encodeSql(topWords: Int = 64, topPrefixes: Int = 32): String = {
+    val candsExpr =
+      s"""list_filter(generate_series(least($MaxPieceLen, length(w) - pos + 1), 1, -1),
+         |    l -> list_contains(vocab, CASE WHEN pos = 1 THEN substr(w, pos, l)
+         |         ELSE '##' || substr(w, pos, l) END))""".stripMargin
+    def step(i: Int): String =
+      s"""s$i AS (
+         |  SELECT doc_id, wid, w, vocab,
+         |    CASE WHEN unk OR pos > length(w) THEN pos
+         |         WHEN cand IS NULL THEN length(w) + 1
+         |         ELSE pos + cand END AS pos,
+         |    CASE WHEN unk OR pos > length(w) THEN ps
+         |         WHEN cand IS NULL THEN ps
+         |         WHEN ps = '' THEN piece
+         |         ELSE ps || ' ' || piece END AS ps,
+         |    CASE WHEN unk THEN true
+         |         WHEN pos <= length(w) AND cand IS NULL THEN true
+         |         ELSE false END AS unk
+         |  FROM (
+         |    SELECT *, ($candsExpr)[1] AS cand,
+         |      CASE WHEN pos = 1 THEN substr(w, pos, ($candsExpr)[1])
+         |           ELSE '##' || substr(w, pos, ($candsExpr)[1]) END AS piece
+         |    FROM s${i - 1}))""".stripMargin
+    s"""WITH wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |topw AS (SELECT w AS p FROM wf ORDER BY c DESC, w LIMIT $topWords),
+       |topp AS (
+       |  SELECT p FROM (
+       |    SELECT substr(w, 1, 3) AS p, SUM(c) AS c FROM wf
+       |    WHERE length(w) >= 4 GROUP BY 1)
+       |  ORDER BY c DESC, p LIMIT $topPrefixes),
+       |chars AS (
+       |  SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS ch
+       |  FROM wf, unnest(generate_series(1, length(w))) t(i)),
+       |vocab AS (
+       |  SELECT list_sort(list(DISTINCT p)) AS vocab FROM (
+       |    SELECT p FROM topw UNION SELECT p FROM topp
+       |    UNION SELECT ch FROM chars UNION SELECT '##' || ch FROM chars)),
+       |wrds AS (
+       |  SELECT doc_id, CAST(i AS INT) AS wid, ws[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |       unnest(generate_series(1, len(ws))) t(i)),
+       |s0 AS (
+       |  SELECT wrds.doc_id, wrds.wid, wrds.w, v.vocab,
+       |    1 AS pos, '' AS ps, false AS unk
+       |  FROM wrds CROSS JOIN vocab v),
+       |${(1 to MaxPieceLen).map(step).mkString(",\n")},
+       |toks AS (
+       |  SELECT doc_id, wid,
+       |    CASE WHEN unk THEN '[UNK]' ELSE ps END AS wps,
+       |    CASE WHEN unk THEN 1
+       |         ELSE len(string_split(ps, ' ')) END AS np,
+       |    CASE WHEN unk THEN 1 ELSE 0 END AS nu
+       |  FROM s$MaxPieceLen)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nu) AS BIGINT) AS n_unk,
+       |  md5(string_agg(wps, ' ' ORDER BY wid)) AS pieces_md5
+       |FROM toks GROUP BY 1""".stripMargin
+  }
+}

@@ -98,10 +98,12 @@ class PlanLintSpec extends AnyFunSuite {
                               // joins: BOTH sides are dimension-sized
                               // (days, quarters), corpus rows never
                               // enter the nested loop
-    "pipeline_ccnet_buckets"  // 1-row LM vocab scalar (text_lm_score
+    "pipeline_ccnet_buckets", // 1-row LM vocab scalar (text_lm_score
                               // pattern) + GlobalRank's 1-row (min,
                               // max) stats + a 1-row corpus count for
                               // the tercile cut
+    "pipeline_wordpiece_encode" // 1-row vocabulary array broadcast
+                              // into the stateless greedy-fold encoder
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {

@@ -1,0 +1,92 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+class WordPieceSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  private def vocabDf(pieces: String*) = {
+    import spark.implicits._
+    Seq(pieces).toDF("vocab")
+  }
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Run the Spark encoder on a 1-doc corpus and prove its EXACT piece
+    * stream equals a driver-side greedy reference (via the md5 digest
+    * the encoder emits); returns the reference stream for the caller's
+    * readable assertions. */
+  private def pieces(text: String, vocab: Seq[String]): Seq[String] = {
+    val r = WordPiece.encodeWithVocab(docs(text), vocabDf(vocab: _*))
+      .collect()(0)
+    def greedy(w: String): Seq[String] = {
+      var pos = 0
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos < w.length) {
+        val maxL = math.min(WordPiece.MaxPieceLen, w.length - pos)
+        val hit = (maxL to 1 by -1).find { l =>
+          val raw = w.substring(pos, pos + l)
+          vocab.contains(if (pos == 0) raw else "##" + raw)
+        }
+        hit match {
+          case Some(l) =>
+            val raw = w.substring(pos, pos + l)
+            out += (if (pos == 0) raw else "##" + raw); pos += l
+          case None => return Seq("[UNK]")
+        }
+      }
+      out.toSeq
+    }
+    val expected = text.split(" ").toSeq.flatMap(greedy)
+    assert(r.getLong(2) === expected.length.toLong, "n_pieces vs reference")
+    assert(r.getLong(3) === expected.count(_ == "[UNK]").toLong,
+      "n_unk vs reference")
+    assert(r.getString(4) === md5Hex(expected.mkString(" ")),
+      "piece stream md5 vs reference")
+    expected
+  }
+
+  test("greedy longest-match-first with ## continuations") {
+    // vocab has both "unaff" and "un": longest wins
+    val v = Seq("un", "unaff", "##able", "##aff", "a", "##a", "b", "##b",
+      "f", "##f", "l", "##l", "e", "##e", "n", "##n", "u", "##u")
+    val got = pieces("unaffable", v)
+    assert(got === Seq("unaff", "##able"))
+  }
+
+  test("whole-word vocab hit is a single piece; unknown char -> [UNK]") {
+    val v = Seq("hello", "h", "##e", "##l", "##o", "e", "l", "o")
+    assert(pieces("hello", v) === Seq("hello"))
+    // 'z' has no piece in any form -> whole word UNK
+    assert(pieces("hz", v) === Seq("[UNK]"))
+  }
+
+  test("char fallback covers words absent from the word vocab") {
+    val v = Seq("h", "##e", "##l", "##o")
+    assert(pieces("hello", v) === Seq("h", "##e", "##l", "##l", "##o"))
+  }
+
+  test("corpus encode: zero UNK, pieces >= words, repartition-invariant") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = WordPiece.encode(corpus).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    // single chars in both forms are always in vocab -> BERT's
+    // no-UNK-on-training-text property
+    assert(a.forall(_._4 === 0L))
+    assert(a.forall(r => r._3 >= r._2))
+    val b = WordPiece.encode(corpus.repartition(7)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(a === b)
+  }
+}
