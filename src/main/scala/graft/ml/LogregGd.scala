@@ -43,7 +43,19 @@ object LogregGd {
     * Returns (feature_idx, w_q): the quantized weight per feature,
     * starting from w = 0. */
   def train(xy: DataFrame, iters: Int = 3, lrDen: Long = 2L): DataFrame = {
-    val spark = xy.sparkSession
+    val feats = Seq("x0", "x1", "x2", "x3")
+    val w = trainWeights(xy, iters, lrDen)
+    // melt the weight row to (feature_idx, w_q) for a stable gate shape
+    val melted = feats.zipWithIndex.map { case (f, j) =>
+      w.select(lit(j).as("feature_idx"), col(s"w_$f").as("w_q"))
+    }
+    melted.reduce(_.union(_)).orderBy("feature_idx")
+  }
+
+  /** The 1-row weight frame (n, w_x0..w_x3) after `iters` GD steps —
+    * the composition seam: downstream scorers broadcast this row. */
+  def trainWeights(xy: DataFrame, iters: Int = 3,
+      lrDen: Long = 2L): DataFrame = {
     val feats = Seq("x0", "x1", "x2", "x3")
     // n rides inside the single-row weight frame so each iteration is
     // one broadcast join + one aggregate, no driver round-trip.
@@ -66,11 +78,7 @@ object LogregGd {
             floor(col(s"g_$f") / (lit(lrDen.toDouble) * col("n")))
               .cast("long")).as(s"w_$f")): _*)
     }
-    // melt the weight row to (feature_idx, w_q) for a stable gate shape
-    val melted = feats.zipWithIndex.map { case (f, j) =>
-      w.select(lit(j).as("feature_idx"), col(s"w_$f").as("w_q"))
-    }
-    melted.reduce(_.union(_)).orderBy("feature_idx")
+    w
   }
 
   /** DuckDB mirror: identical init, activation, quantization, and
@@ -78,6 +86,19 @@ object LogregGd {
     * yield columns (y, x0, x1, x2, x3) with the same integerization
     * as the Spark side. */
   def trainSql(srcSql: String, iters: Int = 3, lrDen: Long = 2L): String = {
+    val feats = Seq("x0", "x1", "x2", "x3")
+    val out = feats.zipWithIndex.map { case (f, j) =>
+      s"SELECT $j AS feature_idx, w_$f AS w_q FROM w$iters"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${trainCtes(srcSql, iters, lrDen)}
+       |$out
+       |ORDER BY feature_idx""".stripMargin
+  }
+
+  /** The CTE chain `x, w0, z1, w1, …, w<iters>` (no WITH keyword) —
+    * shared by [[trainSql]] and composed gates that score with the
+    * final weight row `w<iters>`. */
+  def trainCtes(srcSql: String, iters: Int = 3, lrDen: Long = 2L): String = {
     val feats = Seq("x0", "x1", "x2", "x3")
     val init =
       s"""w0 AS (SELECT CAST(count(*) AS BIGINT) AS n,
@@ -98,13 +119,8 @@ object LogregGd {
          |  FROM z$i GROUP BY n, ${feats.map(f => s"w_$f").mkString(", ")})"""
         .stripMargin
     }
-    val out = feats.zipWithIndex.map { case (f, j) =>
-      s"SELECT $j AS feature_idx, w_$f AS w_q FROM w$iters"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH x AS ($srcSql),
+    s"""x AS ($srcSql),
        |$init,
-       |${steps.mkString(",\n")}
-       |$out
-       |ORDER BY feature_idx""".stripMargin
+       |${steps.mkString(",\n")}""".stripMargin
   }
 }

@@ -64,5 +64,8 @@ object CorpusOpsQueries {
       Some(FinewebFunnel.funnelSql())),
     ("pipeline_wordpiece_encode",
       ((s, d) => WordPiece.encode(table(s, d, "documents"))): Q,
-      Some(WordPiece.encodeSql())))
+      Some(WordPiece.encodeSql())),
+    ("pipeline_quality_classifier",
+      ((s, d) => graft.ml.QualityClassifier.classify(table(s, d, "documents"))): Q,
+      Some(graft.ml.QualityClassifier.classifySql())))
 }

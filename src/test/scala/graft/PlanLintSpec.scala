@@ -102,8 +102,11 @@ class PlanLintSpec extends AnyFunSuite {
                               // pattern) + GlobalRank's 1-row (min,
                               // max) stats + a 1-row corpus count for
                               // the tercile cut
-    "pipeline_wordpiece_encode" // 1-row vocabulary array broadcast
+    "pipeline_wordpiece_encode", // 1-row vocabulary array broadcast
                               // into the stateless greedy-fold encoder
+    "pipeline_quality_classifier" // the ml_logreg_gd pattern: 1-row
+                              // weight vector broadcast into the scan
+                              // per GD iteration + once for scoring
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
