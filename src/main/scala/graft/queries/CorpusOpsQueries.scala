@@ -115,5 +115,8 @@ object CorpusOpsQueries {
     ("pipeline_quality_classifier",
       ((s, d) => graft.ml.QualityClassifier.classify(table(s, d, "documents"))): Q,
       Some(graft.ml.QualityClassifier.classifySql())),
-    ("j_golden_record", jGoldenRecord, Some(jGoldenRecordSql)))
+    ("j_golden_record", jGoldenRecord, Some(jGoldenRecordSql)),
+    ("pipeline_wordpiece_roundtrip",
+      ((s, d) => WordPiece.roundtrip(table(s, d, "documents"))): Q,
+      Some(WordPiece.roundtripSql)))
 }

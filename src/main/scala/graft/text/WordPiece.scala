@@ -105,6 +105,36 @@ object WordPiece {
         md5(concat_ws(" ", col("pieces")).cast("binary")).as("pieces_md5"))
   }
 
+  /** Detokenization roundtrip: rebuild each document from its piece
+    * stream (strip `##`, concat within word, join words) — WordPiece
+    * with a char-complete vocab is lossless, so the rebuilt text
+    * hash-equals the original. The oracle is just md5(text) from the
+    * source table: the ENGINE does encode∘decode, the oracle pins the
+    * identity (the s9 codec-roundtrip pattern). */
+  def roundtrip(docs: DataFrame, topWords: Int = 64,
+      topPrefixes: Int = 32): DataFrame =
+    roundtripWithVocab(docs, buildVocab(docs, topWords, topPrefixes))
+
+  /** Roundtrip against an explicit vocab — the UNK-fallback test seam. */
+  def roundtripWithVocab(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    docs.crossJoin(broadcast(vocab))
+      .withColumn("ws", split(col("text"), " "))
+      // a word that tokenized to [UNK] cannot be rebuilt from pieces;
+      // fall back to the raw word so the identity stays total (on the
+      // corpus vocab UNK never fires — chars are complete — but the
+      // op must not silently corrupt foreign text)
+      .withColumn("rebuilt", expr(
+        s"""array_join(transform(ws, w ->
+           |  CASE WHEN element_at($tokenizeExpr, 1) = '[UNK]' THEN w
+           |       ELSE replace(array_join($tokenizeExpr, ''), '##', '') END),
+           |  ' ')""".stripMargin))
+      .select(col("doc_id"),
+        md5(col("rebuilt").cast("binary")).as("roundtrip_md5"))
+  }
+
+  def roundtripSql: String =
+    "SELECT doc_id, md5(text) AS roundtrip_md5 FROM documents"
+
   /** DuckDB mirror: identical vocab, the fold unrolled as `MaxPieceLen`
     * chained projection steps per word (each consumes ≥1 char; corpus
     * words are ≤ 8 chars, enforced by a length guard that any longer

@@ -104,9 +104,11 @@ class PlanLintSpec extends AnyFunSuite {
                               // the tercile cut
     "pipeline_wordpiece_encode", // 1-row vocabulary array broadcast
                               // into the stateless greedy-fold encoder
-    "pipeline_quality_classifier" // the ml_logreg_gd pattern: 1-row
+    "pipeline_quality_classifier", // the ml_logreg_gd pattern: 1-row
                               // weight vector broadcast into the scan
                               // per GD iteration + once for scoring
+    "pipeline_wordpiece_roundtrip" // the same 1-row vocabulary array
+                              // broadcast as pipeline_wordpiece_encode
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {

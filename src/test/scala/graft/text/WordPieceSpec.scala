@@ -75,6 +75,24 @@ class WordPieceSpec extends AnyFunSuite {
     assert(pieces("hello", v) === Seq("h", "##e", "##l", "##l", "##o"))
   }
 
+  test("roundtrip rebuilds the exact text, UNK words fall back raw") {
+    import spark.implicits._
+    // corpus path: encode∘decode = id on every doc
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mismatches = WordPiece.roundtrip(corpus)
+      .join(corpus, "doc_id")
+      .where(col("roundtrip_md5") =!=
+        md5(col("text").cast("binary"))).count()
+    assert(mismatches === 0L)
+    // foreign text with an un-tokenizable word: raw-word fallback
+    // keeps the identity (vocab lacks 'z' entirely)
+    val v = vocabDf("h", "##i")
+    val enc = WordPiece.encodeWithVocab(docs("hi zz hi"), v).collect()(0)
+    assert(enc.getLong(3) === 1L) // the 'zz' word is [UNK]
+    val rt = WordPiece.roundtripWithVocab(docs("hi zz hi"), v).collect()(0)
+    assert(rt.getString(1) === md5Hex("hi zz hi"))
+  }
+
   test("corpus encode: zero UNK, pieces >= words, repartition-invariant") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = WordPiece.encode(corpus).orderBy("doc_id").collect()
