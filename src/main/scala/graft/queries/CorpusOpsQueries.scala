@@ -90,6 +90,92 @@ object CorpusOpsQueries {
     refKey = "c_custkey", probeKey = "c_custkey", nameCol = "c_name",
     numAttr = "c_acctbal", catAttr = "c_mktsegment")
 
+  /** Weighted median per group — the duplication-free form of "median
+    * price weighted by quantity": lower weighted median = smallest v
+    * whose cumulative weight reaches half the total (2·cumw ≥ W, all
+    * integer). One keyed aggregate to (group, value) granularity, one
+    * keyed window over that REDUCED frame (partitioned by group — no
+    * global window), one min — never a corpus-wide sort or an
+    * explode-by-weight. Exact: integer weights, no interpolation. */
+  private val aWeightedMedian: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val li = table(s, d, "lineitem")
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").as("v"),
+        floor(col("l_quantity")).cast("long").as("w"))
+    val byValue = li.groupBy(col("g"), col("v")).agg(sum(col("w")).as("vw"))
+    val cum = byValue.withColumn("cumw",
+      sum(col("vw")).over(Window.partitionBy(col("g")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("vw")).over(Window.partitionBy(col("g"))))
+    cum.filter(col("cumw") * 2 >= col("total"))
+      .groupBy(col("g")).agg(min(col("v")).as("weighted_median"),
+        max(col("total")).as("w_total"))
+      .select(col("g").as("l_returnflag"), col("weighted_median"),
+        col("w_total"))
+  }
+
+  private val aWeightedMedianSql =
+    """WITH byv AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS v,
+      |    CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS vw
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, v, vw,
+      |    SUM(vw) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(vw) OVER (PARTITION BY g) AS total
+      |  FROM byv)
+      |SELECT g AS l_returnflag, MIN(v) AS weighted_median,
+      |  CAST(MAX(total) AS BIGINT) AS w_total
+      |FROM cum WHERE cumw * 2 >= total
+      |GROUP BY 1""".stripMargin
+
+  /** Per-doc unigram KL divergence vs the corpus distribution — the
+    * "how unlike the corpus is this document" novelty/quality signal
+    * (outlier docs score high, boilerplate scores near 0). Terms are
+    * 6-dp-rounded and decimal-summed (the text_lm_score cross-engine
+    * contract); p_corpus > 0 always since the corpus includes the
+    * doc, so no smoothing is needed and the score is total. */
+  private val textKlDivergence: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val words = table(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val docCounts = words.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val docTotals = docCounts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val corpusCounts = words.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val corpusTotal = corpusCounts.agg(sum(col("cc")).cast("double").as("nn"))
+    docCounts.join(docTotals, "doc_id").join(corpusCounts, "w")
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("term", round(
+        (col("c").cast("double") / col("n").cast("double")) *
+          log((col("c").cast("double") / col("n").cast("double")) /
+            (col("cc").cast("double") / col("nn"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_words"),
+        sum(col("term").cast("decimal(38,6)")).cast("double").as("kl"))
+  }
+
+  private val textKlDivergenceSql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+      |       FROM words GROUP BY 1, 2),
+      |dt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM dc GROUP BY 1),
+      |cc AS (SELECT w, CAST(count(*) AS BIGINT) AS cc FROM words GROUP BY 1),
+      |ct AS (SELECT CAST(SUM(cc) AS DOUBLE) AS nn FROM cc),
+      |terms AS (
+      |  SELECT dc.doc_id, dt.n,
+      |    round((CAST(dc.c AS DOUBLE) / CAST(dt.n AS DOUBLE)) *
+      |      ln((CAST(dc.c AS DOUBLE) / CAST(dt.n AS DOUBLE)) /
+      |         (CAST(cc.cc AS DOUBLE) / ct.nn)), 6) AS term
+      |  FROM dc JOIN dt USING (doc_id) JOIN cc USING (w) CROSS JOIN ct)
+      |SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_words,
+      |  CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS kl
+      |FROM terms GROUP BY 1""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_lines_c4", dedupLinesC4, Some(LineDedup.dedupChunksSql(chunkWords))),
     ("text_kneser_ney", textKneserNey, Some(KneserNey.bigramKnSql())),
@@ -118,5 +204,7 @@ object CorpusOpsQueries {
     ("j_golden_record", jGoldenRecord, Some(jGoldenRecordSql)),
     ("pipeline_wordpiece_roundtrip",
       ((s, d) => WordPiece.roundtrip(table(s, d, "documents"))): Q,
-      Some(WordPiece.roundtripSql)))
+      Some(WordPiece.roundtripSql)),
+    ("a_weighted_median", aWeightedMedian, Some(aWeightedMedianSql)),
+    ("text_kl_divergence", textKlDivergence, Some(textKlDivergenceSql)))
 }

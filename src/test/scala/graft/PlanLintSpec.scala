@@ -107,8 +107,11 @@ class PlanLintSpec extends AnyFunSuite {
     "pipeline_quality_classifier", // the ml_logreg_gd pattern: 1-row
                               // weight vector broadcast into the scan
                               // per GD iteration + once for scoring
-    "pipeline_wordpiece_roundtrip" // the same 1-row vocabulary array
+    "pipeline_wordpiece_roundtrip", // the same 1-row vocabulary array
                               // broadcast as pipeline_wordpiece_encode
+    "text_kl_divergence"      // 1-row corpus-token-total scalar crossed
+                              // into the doc-term stream (text_bm25
+                              // pattern)
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
