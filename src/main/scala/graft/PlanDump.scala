@@ -50,7 +50,10 @@ object PlanDump {
     "pipeline_dsir_select" -> "DSIR selection: B-bounded distribution fold, broadcast log-ratios, top-k",
     "dedup_lines_c4" -> "C4 span dedup: one chunk explode, keeper hash-agg, join-back, per-doc rebuild",
     "knn_int8_topk" -> "SQ8 search: 1-row scale array broadcast into the encoder, query fan over the scan",
-    "text_kneser_ney" -> "Kneser-Ney LM: three count aggregates, bounded tables LEFT-join the test stream")
+    "text_kneser_ney" -> "Kneser-Ney LM: three count aggregates, bounded tables LEFT-join the test stream",
+    "pipeline_fineweb_funnel" -> "FineWeb funnel: gopher audit -> span dedup -> length floor, one plan, flag rollup",
+    "pipeline_quality_classifier" -> "quality filter: GD weight row broadcast per iteration, scoring is a stateless map",
+    "pipeline_wordpiece_encode" -> "WordPiece: greedy fold fully inside codegen, vocab is one broadcast array row")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -51,7 +51,10 @@ object ScalingBench {
       "a_bootstrap_ci_fast" -> "lineitem",
       "dedup_lines_c4" -> "documents",
       "text_kneser_ney" -> "documents",
-      "knn_int8_topk" -> "embeddings")
+      "knn_int8_topk" -> "embeddings",
+      "pipeline_wordpiece_encode" -> "documents",
+      "j_golden_record" -> "customer",
+      "pipeline_fineweb_funnel" -> "documents")
 
     def timeOnce(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)

@@ -29,15 +29,20 @@ object GoldenRecord {
   def survivorship(reference: DataFrame, probe: DataFrame,
       pairs: DataFrame, refKey: String, probeKey: String, nameCol: String,
       numAttr: String, catAttr: String): DataFrame = {
-    val linked = pairs.select(col("ref_key").as("entity")).distinct()
+    // pairs feeds BOTH member branches; materialize once so an
+    // expensive upstream (a full linkage run) doesn't execute twice
+    // (the SemDedup assigned-table checkpoint precedent — measured
+    // 9.0 → 6.2 s on the gate at sf0.1)
+    val p = pairs.select(col("probe_key"), col("ref_key"))
+      .localCheckpoint(true)
+    val linked = p.select(col("ref_key").as("entity")).distinct()
     val refMembers = reference
       .join(linked, reference(refKey) === linked("entity"))
       .select(col("entity"), col(nameCol).as("name"),
         col(numAttr).as("num"), col(catAttr).as("cat"),
         lit(true).as("is_ref"))
     val probeMembers = probe
-      .join(pairs.select(col("probe_key"), col("ref_key")),
-        probe(probeKey) === col("probe_key"))
+      .join(p, probe(probeKey) === col("probe_key"))
       .select(col("ref_key").as("entity"), col(nameCol).as("name"),
         col(numAttr).as("num"), col(catAttr).as("cat"),
         lit(false).as("is_ref"))

@@ -44,10 +44,16 @@ object TextFormats {
       md5(col("text").cast("binary")).as("text_md5"))
 
   /** Write documents as newline-delimited JSON, read back through the
-    * explicit schema. The oracle reads the same part files. */
-  def jsonlInterop(s: SparkSession, d: String): DataFrame = {
-    docs(s, d).write.mode("overwrite").json(jsonlRoot)
-    digest(s.read.schema(docSchema).json(jsonlRoot))
+    * explicit schema. The oracle reads the same part files. `root` is
+    * overridable so SPECS write to their own tree — a concurrent test
+    * run must never clobber the gate fixture between the gate's write
+    * and the oracle's read (observed once when verify and the test
+    * suite ran concurrently; distinct paths remove the class). */
+  def jsonlInterop(s: SparkSession, d: String): DataFrame =
+    jsonlInterop(s, d, jsonlRoot)
+  def jsonlInterop(s: SparkSession, d: String, root: String): DataFrame = {
+    docs(s, d).write.mode("overwrite").json(root)
+    digest(s.read.schema(docSchema).json(root))
   }
 
   def jsonlInteropSql: String =
@@ -60,9 +66,11 @@ object TextFormats {
     * schema. Corpus text is word-and-space only, but the writer is
     * standard RFC-4180 quoting either way — the foreign read IS the
     * check that nothing needed escaping that didn't get it. */
-  def csvInterop(s: SparkSession, d: String): DataFrame = {
-    docs(s, d).write.mode("overwrite").option("header", "true").csv(csvRoot)
-    digest(s.read.schema(docSchema).option("header", "true").csv(csvRoot))
+  def csvInterop(s: SparkSession, d: String): DataFrame =
+    csvInterop(s, d, csvRoot)
+  def csvInterop(s: SparkSession, d: String, root: String): DataFrame = {
+    docs(s, d).write.mode("overwrite").option("header", "true").csv(root)
+    digest(s.read.schema(docSchema).option("header", "true").csv(root))
   }
 
   def csvInteropSql: String =
@@ -77,9 +85,11 @@ object TextFormats {
     * is a SEMANTIC gate (the s6 style): the oracle re-derives the
     * digest from the parquet source table, and any value mangled or
     * row lost through the ORC columnar round-trip hash-mismatches. */
-  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    docs(s, d).write.mode("overwrite").orc(orcRoot)
-    digest(s.read.schema(docSchema).orc(orcRoot))
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame =
+    orcRoundtrip(s, d, orcRoot)
+  def orcRoundtrip(s: SparkSession, d: String, root: String): DataFrame = {
+    docs(s, d).write.mode("overwrite").orc(root)
+    digest(s.read.schema(docSchema).orc(root))
   }
 
   def orcRoundtripSql: String =

