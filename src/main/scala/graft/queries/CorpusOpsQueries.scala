@@ -176,6 +176,63 @@ object CorpusOpsQueries {
       |  CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS kl
       |FROM terms GROUP BY 1""".stripMargin
 
+  /** Largest-remainder (Hamilton) apportionment of an integer token
+    * budget across languages — the exact-quota step of a mixture
+    * build: floor shares from pure integer division, the leftover
+    * distributed to the largest fractional remainders (ties by lang),
+    * so Σ quota = budget EXACTLY (spec-pinned; proportional rounding
+    * can't promise that). All arithmetic is integer → oracle-exact.
+    * Everything after the one corpus aggregate runs on the
+    * language-bounded frame (window rides the GlobalRank pmod
+    * constant-partition trick — no WARN, and the frame is
+    * dimension-sized by construction). */
+  private val budgetTokens = 100000L
+  private val pipelineApportionBudget: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = table(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("words"))
+    val tot = w.agg(sum(col("words")).as("w_total"))
+    val q = w.crossJoin(broadcast(tot))
+      .withColumn("floor_quota",
+        expr(s"$budgetTokens * words div w_total"))
+      .withColumn("rem", expr(s"($budgetTokens * words) % w_total"))
+    val leftover = q.agg(
+      (lit(budgetTokens) - sum(col("floor_quota"))).as("leftover"))
+    q.crossJoin(broadcast(leftover))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(pmod(col("floor_quota"), lit(1)))
+          .orderBy(col("rem").desc, col("lang"))))
+      .select(col("lang"), col("words"), col("floor_quota"),
+        col("rem"),
+        (col("rnk") <= col("leftover")).as("extra"),
+        (col("floor_quota") +
+          when(col("rnk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+  }
+
+  private val pipelineApportionBudgetSql =
+    s"""WITH w AS (
+       |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS words
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(words) AS BIGINT) AS w_total FROM w),
+       |q AS (
+       |  SELECT lang, words,
+       |    $budgetTokens * words // w_total AS floor_quota,
+       |    ($budgetTokens * words) % w_total AS rem
+       |  FROM w CROSS JOIN tot),
+       |lo AS (SELECT $budgetTokens - CAST(SUM(floor_quota) AS BIGINT)
+       |         AS leftover FROM q),
+       |r AS (
+       |  SELECT q.*, lo.leftover,
+       |    row_number() OVER (ORDER BY rem DESC, lang) AS rnk
+       |  FROM q CROSS JOIN lo)
+       |SELECT lang, words, CAST(floor_quota AS BIGINT) AS floor_quota,
+       |  CAST(rem AS BIGINT) AS rem, (rnk <= leftover) AS extra,
+       |  CAST(floor_quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+       |       AS BIGINT) AS quota
+       |FROM r""".stripMargin
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("dedup_lines_c4", dedupLinesC4, Some(LineDedup.dedupChunksSql(chunkWords))),
     ("text_kneser_ney", textKneserNey, Some(KneserNey.bigramKnSql())),
@@ -206,5 +263,7 @@ object CorpusOpsQueries {
       ((s, d) => WordPiece.roundtrip(table(s, d, "documents"))): Q,
       Some(WordPiece.roundtripSql)),
     ("a_weighted_median", aWeightedMedian, Some(aWeightedMedianSql)),
-    ("text_kl_divergence", textKlDivergence, Some(textKlDivergenceSql)))
+    ("text_kl_divergence", textKlDivergence, Some(textKlDivergenceSql)),
+    ("pipeline_apportion_budget", pipelineApportionBudget,
+      Some(pipelineApportionBudgetSql)))
 }

@@ -109,9 +109,11 @@ class PlanLintSpec extends AnyFunSuite {
                               // per GD iteration + once for scoring
     "pipeline_wordpiece_roundtrip", // the same 1-row vocabulary array
                               // broadcast as pipeline_wordpiece_encode
-    "text_kl_divergence"      // 1-row corpus-token-total scalar crossed
+    "text_kl_divergence",     // 1-row corpus-token-total scalar crossed
                               // into the doc-term stream (text_bm25
                               // pattern)
+    "pipeline_apportion_budget" // 1-row total + 1-row leftover crossed
+                              // into the language-bounded quota frame
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {

@@ -51,6 +51,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(gate === expected)
   }
 
+  test("apportionment quotas sum EXACTLY to the budget with quota monotone in weight") {
+    val got = graft.SparkEntry.queries("pipeline_apportion_budget")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5)))
+    assert(got.map(_._3).sum === 100000L) // the Hamilton guarantee
+    // monotone: more words never yields a smaller quota
+    val byWords = got.sortBy(_._2)
+    byWords.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3 + 1, s"$a vs $b") // +1 remainder slack
+    }
+    // every quota within 1 of the exact proportional share
+    val totW = got.map(_._2).sum
+    got.foreach { case (lang, w, q) =>
+      val exact = 100000.0 * w / totW
+      assert(math.abs(q - exact) < 1.0, s"$lang quota $q vs exact $exact")
+    }
+  }
+
   test("KL novelty is nonnegative (log-sum bound) and discriminates") {
     val d = "/root/testdata/sf0.001"
     val a = graft.SparkEntry.queries("text_kl_divergence")(spark, d)
