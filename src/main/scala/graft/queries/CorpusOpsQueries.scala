@@ -265,5 +265,10 @@ object CorpusOpsQueries {
     ("a_weighted_median", aWeightedMedian, Some(aWeightedMedianSql)),
     ("text_kl_divergence", textKlDivergence, Some(textKlDivergenceSql)),
     ("pipeline_apportion_budget", pipelineApportionBudget,
-      Some(pipelineApportionBudgetSql)))
+      Some(pipelineApportionBudgetSql)),
+    ("graph_label_propagation",
+      ((s, d) => graft.ops.LabelPropagation.itemCommunities(
+        table(s, d, "lineitem"))): Q,
+      Some(graft.ops.LabelPropagation.itemCommunitiesSql(
+        "SELECT * FROM lineitem"))))
 }
