@@ -266,6 +266,22 @@ object CorpusOpsQueries {
     ("text_kl_divergence", textKlDivergence, Some(textKlDivergenceSql)),
     ("pipeline_apportion_budget", pipelineApportionBudget,
       Some(pipelineApportionBudgetSql)),
+    ("ml_quantile_regression",
+      ((s, d) => graft.ml.QuantileReg.train(
+        table(s, d, "lineitem").select(
+          org.apache.spark.sql.functions.col("l_quantity")
+            .as("y"),
+          org.apache.spark.sql.functions.lit(1L).as("x0"),
+          org.apache.spark.sql.functions.expr("l_orderkey % 5").as("x1"),
+          org.apache.spark.sql.functions.col("l_linenumber").cast("long")
+            .as("x2"),
+          org.apache.spark.sql.functions.expr("l_suppkey % 7").as("x3")),
+        iters = 8, etaQ = 20000000L)): Q,
+      Some(graft.ml.QuantileReg.trainSql(
+        """SELECT l_quantity AS y, CAST(1 AS BIGINT) AS x0,
+          |  l_orderkey % 5 AS x1, CAST(l_linenumber AS BIGINT) AS x2,
+          |  l_suppkey % 7 AS x3
+          |FROM lineitem""".stripMargin, iters = 8, etaQ = 20000000L))),
     ("graph_label_propagation",
       ((s, d) => graft.ops.LabelPropagation.itemCommunities(
         table(s, d, "lineitem"))): Q,

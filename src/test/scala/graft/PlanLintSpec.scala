@@ -112,8 +112,11 @@ class PlanLintSpec extends AnyFunSuite {
     "text_kl_divergence",     // 1-row corpus-token-total scalar crossed
                               // into the doc-term stream (text_bm25
                               // pattern)
-    "pipeline_apportion_budget" // 1-row total + 1-row leftover crossed
+    "pipeline_apportion_budget", // 1-row total + 1-row leftover crossed
                               // into the language-bounded quota frame
+    "ml_quantile_regression"  // the ml_logreg_gd pattern: 1-row weight
+                              // vector broadcast into the scan per
+                              // subgradient step
   )
 
   test("no gate query plans a cartesian product or an unintended nested loop") {
