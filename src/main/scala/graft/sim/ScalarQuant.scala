@@ -37,12 +37,17 @@ object ScalarQuant {
       .select(expr(s"transform(sequence(0, $dims - 1), i -> CAST(sm[i] AS DOUBLE))")
         .as("scales"))
 
-  /** Encoded corpus: (vec_id, label, codes array<int> in [-127, 127]). */
+  /** Encoded corpus: (vec_id, label, codes array<int> in [-127, 127]).
+    * A dimension whose max|x| is 0 (constant-zero column) has scale 0;
+    * both engines emit code 0 for it rather than dividing by zero —
+    * without the guard Spark would yield NaN→null codes while DuckDB
+    * errors on CAST(NaN AS INT), i.e. the engines would fail
+    * DIFFERENTLY instead of agreeing. */
   def encode(emb: DataFrame, dims: Int = 64): DataFrame =
     emb.crossJoin(broadcast(scales(emb, dims)))
       .select(col("vec_id"), col("label"),
-        expr("zip_with(embedding, scales, (x, s) -> " +
-          "CAST(round(CAST(x AS DOUBLE) / s * 127) AS INT))").as("codes"))
+        expr("zip_with(embedding, scales, (x, s) -> IF(s = 0D, 0, " +
+          "CAST(round(CAST(x AS DOUBLE) / s * 127) AS INT)))").as("codes"))
 
   /** Exact top-k under the quantized integer dot product: queries =
     * vec_id < numQueries, score = Σ codeᵢ(q)·codeᵢ(n) as BIGINT,
@@ -78,7 +83,8 @@ object ScalarQuant {
        |  FROM embeddings),
        |codes AS (
        |  SELECT f.vec_id,
-       |    list(CAST(round(CAST(f.x AS DOUBLE) / d.s * 127) AS INT)
+       |    list(CASE WHEN d.s = 0 THEN 0
+       |         ELSE CAST(round(CAST(f.x AS DOUBLE) / d.s * 127) AS INT) END
        |         ORDER BY f.p) AS codes
        |  FROM flat f JOIN dimmax d ON f.p = d.p
        |  GROUP BY 1),

@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   * split as SubstringDedup); the gate keeps the raw string so the
   * DuckDB oracle is exact on the text itself.
   *
-  * The (doc_id, chunk_idx) pair is encoded as `doc_id * 1000 +
-  * chunk_idx` for the min-aggregate; valid while docs stay under 1000
-  * chunks (guarded). Lexicographic-min equals numeric-min under that
-  * bound.
+  * The global keeper is the lexicographic minimum of the (doc_id,
+  * chunk_idx) pair, taken as `min(struct(doc_id, ci))` on the Spark
+  * side and `MIN(ROW(doc_id, ci))` in DuckDB — no scalar encoding, so
+  * there is no chunk-count bound on document length.
   */
 object LineDedup {
 
@@ -42,7 +42,7 @@ object LineDedup {
              |              array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' ') AS chunk))"""
             .stripMargin)).as("c"))
       .select(col("doc_id"), col("c.ci").as("ci"), col("c.chunk").as("chunk"),
-        (col("doc_id") * 1000 + col("c.ci")).as("occ_key"))
+        struct(col("doc_id"), col("c.ci")).as("occ_key"))
     val keeper = chunks.groupBy(col("chunk"))
       .agg(min(col("occ_key")).as("keep_key"))
     chunks.join(keeper, Seq("chunk"))
@@ -70,7 +70,7 @@ object LineDedup {
        |  SELECT doc_id, CAST(i AS BIGINT) AS ci,
        |    array_to_string(w[CAST(i AS INT) * $chunkWords + 1 :
        |                     (CAST(i AS INT) + 1) * $chunkWords], ' ') AS chunk,
-       |    doc_id * 1000 + CAST(i AS BIGINT) AS occ_key
+       |    ROW(doc_id, CAST(i AS BIGINT)) AS occ_key
        |  FROM ws, unnest(generate_series(0, (len(w) + ${chunkWords - 1}) // $chunkWords - 1)) t(i)),
        |keep AS (SELECT chunk, MIN(occ_key) AS keep_key FROM ch GROUP BY 1),
        |rebuilt AS (

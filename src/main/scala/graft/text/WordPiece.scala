@@ -37,7 +37,11 @@ object WordPiece {
   /** 1-row vocab frame: (vocab array<string>). */
   def buildVocab(docs: DataFrame, topWords: Int = 64,
       topPrefixes: Int = 32): DataFrame = {
+    // empty words (leading/trailing/double spaces) carry no pieces and
+    // must not leak '' into the vocab (Spark's sequence(1, 0) is the
+    // DESCENDING [1, 0], not empty — it would manufacture '' chars)
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
     val wordFreq = words.groupBy("w").agg(count(lit(1)).as("c"))
     val topW = wordFreq
       .orderBy(col("c").desc, col("w")).limit(topWords).select(col("w").as("p"))
@@ -75,7 +79,9 @@ object WordPiece {
          |  l -> array_contains(vocab, IF(st.pos = 1,
          |    substring(w, st.pos, l), concat('##', substring(w, st.pos, l)))))"""
         .stripMargin
-    s"""IF(length(w) <= $MaxPieceLen AND array_contains(vocab, w),
+    s"""IF(length(w) = 0,
+       |  CAST(array() AS array<string>),
+       |IF(length(w) <= $MaxPieceLen AND array_contains(vocab, w),
        |  array(w),
        |  aggregate(
        |    sequence(1, length(w)),
@@ -91,7 +97,7 @@ object WordPiece {
        |               substring(w, st.pos, element_at(cs, 1)),
        |               concat('##', substring(w, st.pos, element_at(cs, 1))))),
        |             'unk', false))), 1)),
-       |    st -> IF(st.unk, array('[UNK]'), st.ps)))""".stripMargin
+       |    st -> IF(st.unk, array('[UNK]'), st.ps))))""".stripMargin
   }
 
   /** Per-doc encoding digest: (doc_id, n_words, n_pieces, n_unk,
@@ -149,9 +155,14 @@ object WordPiece {
     "SELECT doc_id, md5(text) AS roundtrip_md5 FROM documents"
 
   /** DuckDB mirror: identical vocab, the fold unrolled as `MaxPieceLen`
-    * chained projection steps per word (each consumes ≥1 char; corpus
-    * words are ≤ 8 chars, enforced by a length guard that any longer
-    * word would fail loudly via [UNK] count mismatch). */
+    * chained projection steps per word (each consumes ≥1 char, which
+    * finishes every word of ≤ `MaxPieceLen` chars — the corpus bound).
+    * A LONGER word can exit s$MaxPieceLen unfinished (pos ≤ length(w),
+    * unk = false); the final `toks` CTE maps that state to `[UNK]`, so
+    * a corpus that violates the bound fails LOUDLY in the gate (n_unk
+    * and pieces_md5 both diverge from the Spark fold, which runs the
+    * full length(w) iterations) instead of silently truncating the
+    * piece stream. Empty words carry zero pieces in both engines. */
   def encodeSql(topWords: Int = 64, topPrefixes: Int = 32): String = {
     val candsExpr =
       s"""list_filter(generate_series(least($MaxPieceLen, length(w) - pos + 1), 1, -1),
@@ -178,6 +189,7 @@ object WordPiece {
     s"""WITH wf AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0
        |  GROUP BY 1),
        |topw AS (SELECT w AS p FROM wf ORDER BY c DESC, w LIMIT $topWords),
        |topp AS (
@@ -202,16 +214,23 @@ object WordPiece {
        |  FROM wrds CROSS JOIN vocab v),
        |${(1 to MaxPieceLen).map(step).mkString(",\n")},
        |toks AS (
+       |  -- pos <= length(w) after the last step = word did not finish
+       |  -- inside the unroll bound -> UNK (loud divergence from the
+       |  -- Spark fold, which always finishes); length(w) = 0 = empty
+       |  -- word -> zero pieces (NULL wps is skipped by string_agg)
        |  SELECT doc_id, wid,
-       |    CASE WHEN unk THEN '[UNK]' ELSE ps END AS wps,
-       |    CASE WHEN unk THEN 1
+       |    CASE WHEN length(w) = 0 THEN NULL
+       |         WHEN unk OR pos <= length(w) THEN '[UNK]' ELSE ps END AS wps,
+       |    CASE WHEN length(w) = 0 THEN 0
+       |         WHEN unk OR pos <= length(w) THEN 1
        |         ELSE len(string_split(ps, ' ')) END AS np,
-       |    CASE WHEN unk THEN 1 ELSE 0 END AS nu
+       |    CASE WHEN length(w) = 0 THEN 0
+       |         WHEN unk OR pos <= length(w) THEN 1 ELSE 0 END AS nu
        |  FROM s$MaxPieceLen)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(SUM(np) AS BIGINT) AS n_pieces,
        |  CAST(SUM(nu) AS BIGINT) AS n_unk,
-       |  md5(string_agg(wps, ' ' ORDER BY wid)) AS pieces_md5
+       |  md5(COALESCE(string_agg(wps, ' ' ORDER BY wid), '')) AS pieces_md5
        |FROM toks GROUP BY 1""".stripMargin
   }
 }

@@ -18,6 +18,22 @@ class ScalarQuantSpec extends AnyFunSuite {
     assert(lo === -127 || hi === 127)
   }
 
+  test("constant-zero dimension quantizes to code 0, not NaN/null") {
+    // Regression: scale 0 divided x/s to NaN (Spark null codes, DuckDB
+    // CAST error) — the guard emits code 0 in both engines.
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a", Array(0.0f, 1.0f, -2.0f)),
+      (1L, "b", Array(0.0f, 0.5f, 2.0f))).toDF("vec_id", "label", "embedding")
+    val codes = ScalarQuant.encode(d, 3).orderBy("vec_id").collect()
+      .map(_.getSeq[Int](2))
+    assert(codes(0) === Seq(0, 127, -127))
+    assert(codes(1) === Seq(0, 64, 127))
+    // and the downstream dot product stays defined
+    val dots = ScalarQuant.int8TopK(d, 2, 1, 3).select("dot").collect()
+    assert(dots.forall(!_.isNullAt(0)))
+  }
+
   test("quantized top-k recalls the float-cosine top-k (recall@10 >= 0.7)") {
     // Measured 0.788 on the sf0.001 fixture — above the PQ (0.5) and
     // LSH (0.6) floors, as SQ8 should be; the floor leaves headroom

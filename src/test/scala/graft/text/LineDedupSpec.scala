@@ -54,6 +54,17 @@ class LineDedupSpec extends AnyFunSuite {
     assert(base.head._4 === "a b c d e f g h")
   }
 
+  test("docs with 1000+ chunks dedup correctly (struct keeper, no key encoding)") {
+    // Regression: the old doc_id*1000+ci encoding collided (0, ci=1000)
+    // with (1, ci=0), marking BOTH occurrences of a shared chunk as
+    // kept. doc0 has 1001 one-word chunks ending in "z"; doc1 starts
+    // with "z" — only doc0's instance may survive.
+    val long0 = (0 until 1000).map(i => s"w$i").mkString(" ") + " z"
+    val got = run(docs(long0, "z tail"), 1)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq === Seq((0L, 1001L, 1001L), (1L, 2L, 1L)))
+    assert(got(1)._4 === "tail")
+  }
+
   test("kept-chunk totals are consistent on the real corpus") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = LineDedup.dedupChunks(corpus, 8)

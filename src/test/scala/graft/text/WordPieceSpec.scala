@@ -75,6 +75,41 @@ class WordPieceSpec extends AnyFunSuite {
     assert(pieces("hello", v) === Seq("h", "##e", "##l", "##l", "##o"))
   }
 
+  test("words longer than MaxPieceLen still encode fully (fold runs length(w) steps)") {
+    // 12-char word from a char-only vocab: 12 greedy steps, piece
+    // count = char count — the Spark fold is not bounded by the
+    // oracle's 8-step unroll.
+    val v = "abcdefghijkl".map(_.toString).flatMap(c => Seq(c, "##" + c))
+    val got = pieces("abcdefghijkl", v)
+    assert(got.length === 12)
+    assert(got === Seq("a") ++ "bcdefghijkl".map("##" + _))
+    // and a long word with a long-prefix piece: greedy takes the
+    // 8-char cap first, then chars
+    val v2 = Seq("abcdefgh") ++ v
+    assert(pieces("abcdefghijkl", v2) ===
+      Seq("abcdefgh", "##i", "##j", "##k", "##l"))
+  }
+
+  test("empty words (double/leading spaces) carry zero pieces and stay out of vocab") {
+    import spark.implicits._
+    val d = docs("a  b", " a b")
+    // vocab built from this corpus must not contain '' in any form
+    val vocab = WordPiece.buildVocab(d).collect()(0)
+      .getSeq[String](0)
+    assert(!vocab.contains(""))
+    assert(!vocab.contains("##"))
+    val out = WordPiece.encode(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // 3 split slots per doc, 2 real words, 2 pieces, no UNK — the
+    // empty slot contributes nothing to the piece stream
+    assert(out(0) === (3L, 2L, 0L, md5Hex("a b")))
+    assert(out(1) === (3L, 2L, 0L, md5Hex("a b")))
+    // all-empty doc: empty piece stream, md5('')
+    val empty = WordPiece.encodeWithVocab(docs(""), vocabDf("x")).collect()(0)
+    assert(empty.getLong(2) === 0L)
+    assert(empty.getString(4) === md5Hex(""))
+  }
+
   test("roundtrip rebuilds the exact text, UNK words fall back raw") {
     import spark.implicits._
     // corpus path: encode∘decode = id on every doc
