@@ -275,11 +275,18 @@ object DocQueries {
     graft.text.UnigramLm.train(table(s, d, "documents").select("text"),
       vocabSize = v, maxPieceLen = m, iters = i, seedSize = sd)
   }
+  /** Encode gate: the trained model is ALSO written to a fixed parquet
+    * path so the DuckDB oracle can replay the Viterbi segmentation over
+    * the same (piece, q9_logp) table — train stays rows-only (float
+    * EM), the segmentation itself is cross-engine hash-exact. */
+  private val unigramModelPath = "/tmp/graft_gate_unigram_model"
   private val pipelineUnigramEncode: Q = (s, d) => {
     val (v, m, i, sd) = unigramParams
     val docs = table(s, d, "documents")
-    val model = graft.text.UnigramLm.train(docs.select("text"), v, m, i, sd)
-      .select("piece", "q9_logp").collect()
+    val modelDf = graft.text.UnigramLm.train(docs.select("text"), v, m, i, sd)
+      .select("piece", "q9_logp")
+    modelDf.write.mode("overwrite").parquet(unigramModelPath)
+    val model = modelDf.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap // bounded artifact
     graft.text.UnigramLm.encode(docs.select("doc_id", "text"), model, m)
   }
@@ -647,7 +654,9 @@ object DocQueries {
         graft.text.TextAnalysis.zipfSlope(table(s, d, "documents"))): Q,
       Some(graft.text.TextAnalysis.zipfSlopeSql())),
     ("pipeline_unigram_lm", pipelineUnigramLm, None),
-    ("pipeline_unigram_encode", pipelineUnigramEncode, None),
+    ("pipeline_unigram_encode", pipelineUnigramEncode,
+      Some(graft.text.UnigramLm.encodeOracleSql(
+        s"$unigramModelPath/*.parquet"))),
     ("knn_random_projection",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.sim.RandomProjection.project(table(s, d, "embeddings"),

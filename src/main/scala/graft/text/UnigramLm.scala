@@ -188,4 +188,67 @@ object UnigramLm {
       .select(col("doc_id"), col("n_tokens"),
         md5(col("tok_stream").cast("binary")).as("tokens_md5"))
   }
+
+  /** DuckDB mirror of [[encode]] against an ENGINE-WRITTEN model
+    * (the S5 pattern: the oracle reads the parquet files this library
+    * wrote, so the cross-engine check covers the Viterbi SEGMENTATION —
+    * the train step's float EM stays rows-only).
+    *
+    * The integer DP is spelled as exhaustive segmentation enumeration:
+    * a word of length n has 2^(n-1) binary cut masks (fixture words are
+    * ≤ 8 chars → ≤ 128 candidates; words beyond the 12-char/4096-mask
+    * enumeration bound surface as a '[OVERLEN]' sentinel that diverges
+    * LOUDLY from the Spark fold, the WordPiece-oracle convention), each
+    * scored by the exact LONG q9 sum, ranked by the total order the DP
+    * induces: score DESC, piece count ASC, then the cut positions read
+    * from the END descending (`list_reverse(bounds) DESC`) — the
+    * enumeration spelling of the DP's nested latest-final-cut
+    * tie-break; randomized cross-validation against the Scala DP lives
+    * in tools/ stress runs and UnigramLmSpec. Runs over DISTINCT words
+    * (vocab-sized), joined back to doc word slots — the same memoized
+    * shape the engine's mapPartitions uses. */
+  def encodeOracleSql(modelGlob: String): String =
+    s"""WITH m AS (
+       |  SELECT map_from_entries(list(ROW(piece, q9_logp))) AS mm
+       |  FROM read_parquet('$modelGlob')),
+       |wrds AS (
+       |  SELECT doc_id, CAST(i AS INT) AS wid, ws[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |       unnest(generate_series(1, len(ws))) t(i)
+       |  WHERE length(ws[CAST(i AS INT)]) > 0),
+       |dw AS (SELECT DISTINCT w FROM wrds WHERE length(w) <= 12),
+       |segs AS (
+       |  SELECT w, mask,
+       |    list_prepend(0, list_append(
+       |      [CAST(i AS INT) FOR i IN generate_series(1, length(w)-1)
+       |       IF (mask >> (i-1)) & 1 = 1],
+       |      length(w))) AS bounds
+       |  FROM dw,
+       |    unnest(generate_series(0, CAST(2**(length(w)-1) AS BIGINT) - 1)) t(mask)),
+       |scored AS (
+       |  SELECT w, bounds,
+       |    [substr(w, CAST(bounds[k] AS INT) + 1,
+       |            CAST(bounds[k+1] - bounds[k] AS INT))
+       |     FOR k IN generate_series(1, len(bounds) - 1)] AS pieces,
+       |    [mm[p][1] FOR p IN pieces] AS scs
+       |  FROM segs CROSS JOIN m),
+       |valid AS (
+       |  SELECT w, bounds, pieces,
+       |    CAST(list_aggregate(scs, 'sum') AS BIGINT) AS score,
+       |    len(pieces) AS np
+       |  FROM scored
+       |  WHERE NOT list_contains([s IS NULL FOR s IN scs], true)),
+       |best AS (
+       |  SELECT w, array_to_string(pieces, ' ') AS wps, np FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+       |      ORDER BY score DESC, np ASC, list_reverse(bounds) DESC) AS rn
+       |    FROM valid) WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(SUM(COALESCE(b.np, 1)), 0) AS BIGINT) AS n_tokens,
+       |  md5(COALESCE(string_agg(COALESCE(b.wps, '[OVERLEN]'), ' '
+       |      ORDER BY w2.wid), '')) AS tokens_md5
+       |FROM documents d
+       |LEFT JOIN wrds w2 USING (doc_id)
+       |LEFT JOIN best b ON w2.w = b.w
+       |GROUP BY 1""".stripMargin
 }

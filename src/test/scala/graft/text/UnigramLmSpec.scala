@@ -57,6 +57,39 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("viterbi DP equals enumeration under (score, pieces, rev-bounds) order") {
+    // The DuckDB oracle for pipeline_unigram_encode enumerates all
+    // 2^(n-1) cut masks and ranks by score DESC, piece count ASC,
+    // reversed cut positions DESC; this pins that total order to the
+    // DP's nested latest-final-cut tie-break, over tie-heavy random
+    // models (scores proportional to length so segmentations collide).
+    val rnd = new scala.util.Random(7)
+    val alpha = "ab"
+    for (_ <- 1 to 200) {
+      val pieces = (alpha.map(_.toString) ++
+        (1 to 12).map(_ => (1 to (2 + rnd.nextInt(3))).map(_ =>
+          alpha(rnd.nextInt(2))).mkString)).distinct
+      val score: Map[String, Long] =
+        pieces.map(p => p -> (-100L * (1 + rnd.nextInt(2)) * p.length)).toMap
+      val w = (1 to (1 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(2))).mkString
+      val dp = UnigramLm.viterbi(w, score, 4)
+      // enumeration reference
+      val n = w.length
+      val cands = (0 until (1 << (n - 1))).flatMap { mask =>
+        val bounds = 0 +: (1 until n).filter(i => ((mask >> (i - 1)) & 1) == 1) :+ n
+        val ps = bounds.sliding(2).map { case Seq(a, b) => w.substring(a, b) }.toList
+        if (ps.forall(p => p.length <= 4 && score.contains(p)))
+          Some((ps.map(score).sum, ps.length, bounds.reverse, ps))
+        else None
+      }
+      val best = cands.sortBy { case (s, np, rb, _) =>
+        (-s, np, rb.map(-_).toList: Seq[Int]) }(
+        Ordering.Tuple3(Ordering.Long, Ordering.Int,
+          Ordering.Implicits.seqOrdering[Seq, Int])).head._4
+      assert(dp === best, s"word=$w")
+    }
+  }
+
   test("encode: digest face is deterministic and counts pieces") {
     val model = UnigramLm.train(toyDocs, 20, 4, 2, 50)
       .select("piece", "q9_logp").collect()
