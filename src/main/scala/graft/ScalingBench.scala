@@ -58,13 +58,21 @@ object ScalingBench {
       "dedup_semantic" -> "embeddings",
       "f1_e2e_serving" -> "events")
 
+    // Min-of-3 after one warm run: the r9 SCALING refresh shipped four
+    // false superlinear exponents caused by concurrent-load noise on a
+    // single timed sample (judge idle re-measure refuted all four).
+    // The min of three timed runs is the standard noise-robust point
+    // estimate for a deterministic plan — background interference only
+    // ever ADDS time, so min converges on the uncontended cost.
     def timeDf(mk: () => org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
       mk().write.mode("overwrite").format("noop").save() // warm
-      spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
-      val t0 = System.nanoTime()
-      mk().write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      (1 to 3).map { _ =>
+        spark.catalog.clearCache(); System.gc(); Thread.sleep(200)
+        val t0 = System.nanoTime()
+        mk().write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     def timeOnce(name: String, dir: String): Double =
       timeDf(() => SparkEntry.queries(name)(spark, dir))
@@ -163,7 +171,13 @@ object ScalingBench {
       val t1 = timeDf(sem(sfs.last, 8))
       val t2 = timeDf(sem(xDir, 32))
       val slope = math.log(t2 / t1) / math.log(4.0)
-      s""""dedup_semantic_x4":{"sec":{"sf0.1":${f3(t1)},"x4":${f3(t2)}},"exponent":${f3(slope)}}"""
+      // "contract":"k∝N" marks that k GROWS with the corpus between the
+      // two timed points (8 → 32), so this exponent measures the
+      // deployment contract (constant cluster size), NOT the fixed-plan
+      // scaling every sibling row reports — don't compare them.
+      s""""dedup_semantic_x4":{"sec":{"sf0.1":${f3(t1)},"x4":${f3(t2)}},""" +
+        s""""exponent":${f3(slope)},"contract":"k\\u221dN",""" +
+        s""""k":{"sf0.1":8,"x4":32}}"""
     }
 
     val json = (results ++ extrap :+ semExtrap).mkString("{", ",", "}")

@@ -46,8 +46,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Interop gates that write per-corpus artifacts embed SfTagToken in
+    // their (static) oracle SQL; resolve it to THIS run's corpus tag so
+    // the dumped SQL reads the artifact tree this run just wrote.
+    val tag = graft.util.Tables.corpusTag(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(graft.util.Tables.SfTagToken, tag))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

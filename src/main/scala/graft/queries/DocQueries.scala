@@ -275,21 +275,36 @@ object DocQueries {
     graft.text.UnigramLm.train(table(s, d, "documents").select("text"),
       vocabSize = v, maxPieceLen = m, iters = i, seedSize = sd)
   }
-  /** Encode gate: the trained model is ALSO written to a fixed parquet
-    * path so the DuckDB oracle can replay the Viterbi segmentation over
+  /** Encode gate: the trained model is ALSO written to a parquet path
+    * so the DuckDB oracle can replay the Viterbi segmentation over
     * the same (piece, q9_logp) table — train stays rows-only (float
-    * EM), the segmentation itself is cross-engine hash-exact. */
-  private val unigramModelPath = "/tmp/graft_gate_unigram_model"
+    * EM), the segmentation itself is cross-engine hash-exact. The
+    * path is per-corpus ([[graft.util.Tables.corpusTag]]): interleaved
+    * runs against different SF dirs each get their own model tree, and
+    * [[graft.Verify]] rewrites the [[graft.util.Tables.SfTagToken]] in
+    * the oracle SQL to the matching tag at dump time. */
+  private def unigramModelPath(tag: String) =
+    s"/tmp/graft_gate_unigram_model_$tag"
   private val pipelineUnigramEncode: Q = (s, d) => {
     val (v, m, i, sd) = unigramParams
+    import s.implicits._
     val docs = table(s, d, "documents")
     val modelDf = graft.text.UnigramLm.train(docs.select("text"), v, m, i, sd)
       .select("piece", "q9_logp")
-    modelDf.write.mode("overwrite").parquet(unigramModelPath)
+    modelDf.write.mode("overwrite")
+      .parquet(unigramModelPath(graft.util.Tables.corpusTag(d)))
     val model = modelDf.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap // bounded artifact
-    graft.text.UnigramLm.encode(docs.select("doc_id", "text"), model, m)
+    // Sentinel whitespace-only doc keeps the empty-document path of the
+    // encoder AND its DuckDB mirror permanently exercised by the gate
+    // (the r9 ADVICE edge class: 0 tokens / md5('') on both engines).
+    val withEmpty = docs.select("doc_id", "text")
+      .unionAll(Seq((-1L, " ")).toDF("doc_id", "text"))
+    graft.text.UnigramLm.encode(withEmpty, model, m)
   }
+  private val unigramEncodeDocsRel =
+    "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT CAST(-1 AS BIGINT), ' ')"
 
   /** Compression-ratio quality signal: rows-only (zlib has no DuckDB
     * spelling); 6-dp rounding for a stable dump. */
@@ -656,7 +671,8 @@ object DocQueries {
     ("pipeline_unigram_lm", pipelineUnigramLm, None),
     ("pipeline_unigram_encode", pipelineUnigramEncode,
       Some(graft.text.UnigramLm.encodeOracleSql(
-        s"$unigramModelPath/*.parquet"))),
+        s"${unigramModelPath(graft.util.Tables.SfTagToken)}/*.parquet",
+        unigramEncodeDocsRel))),
     ("knn_random_projection",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.sim.RandomProjection.project(table(s, d, "embeddings"),

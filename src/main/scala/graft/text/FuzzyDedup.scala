@@ -35,8 +35,7 @@ object FuzzyDedup {
     // pays an O(position) UTF8 boundary scan per gram = O(len²) per
     // doc — measured 6× slower than this narrow pass. Join currency
     // is the md5-60 long (8 bytes, and what the DuckDB oracle
-    // recomputes). Cached: the DF filter and both sides of the
-    // candidate self-join reuse it.
+    // recomputes). Scanned exactly once, by the posting-list agg below.
     val grams = TextAnalysis.balanced(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
@@ -44,24 +43,31 @@ object FuzzyDedup {
           .iterator.map(h => (id, h))
       })
       .toDF("doc_id", "g")
-      .cache()
-    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxGramDF).select("g")
-    val rareGrams = grams.join(rare, "g")
-    // Materialize the (small — bounded by near-dups found, not n²)
-    // candidate pair list eagerly, then drop the gram cache: without
-    // this the cached gram table leaks executor storage memory for the
-    // life of the session every time the operator runs. localCheckpoint
-    // keeps the pairs as in-memory blocks (fine: pairs are tiny, and a
-    // lost executor re-runs the query, not the cluster's week).
-    val candidates = rareGrams.select(col("g"), col("doc_id").as("doc_a"))
-      .join(rareGrams.select(col("g"), col("doc_id").as("doc_b")), "g")
-      .filter(col("doc_a") < col("doc_b"))
+    // Posting-list candidate generation in ONE pass over the gram
+    // stream: aggregate each gram's doc list with the skew-capped
+    // BoundedCollectAgg (buffer never exceeds maxGramDF+1 longs, so a
+    // corpus-frequency stop-gram can't hot-key an executor), keep only
+    // true rare grams (complete lists: 2..maxGramDF), and explode the
+    // ≤ maxGramDF² ordered pairs per gram inline. Replaces the earlier
+    // cache + df-agg + rare-join + self-join chain — one shuffle on g
+    // instead of three, and no cached n·grams-row intermediate pinned
+    // in executor storage memory. The pair list (bounded by near-dups
+    // found, not n²) is then localCheckpoint'd: the rescore join reads
+    // it twice and a lost executor re-runs the query, not the
+    // cluster's week.
+    val candidates = grams.groupBy("g")
+      .agg(graft.functions.BoundedCollectAgg
+        .boundedCollect(maxGramDF.toInt + 1)(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxGramDF.toInt))
+      .select(explode(expr(
+        "flatten(transform(ids, a -> filter(transform(ids, b -> " +
+          "struct(a AS doc_a, b AS doc_b)), p -> p.doc_a < p.doc_b)))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minSharedGrams)
       .select("doc_a", "doc_b")
       .localCheckpoint(true)
-    grams.unpersist(false)
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     candidates.join(ta, "doc_a").join(tb, "doc_b")

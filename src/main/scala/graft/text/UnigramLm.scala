@@ -196,7 +196,7 @@ object UnigramLm {
     *
     * The integer DP is spelled as exhaustive segmentation enumeration:
     * a word of length n has 2^(n-1) binary cut masks (fixture words are
-    * ≤ 8 chars → ≤ 128 candidates; words beyond the 12-char/4096-mask
+    * ≤ 8 chars → ≤ 128 candidates; words beyond the 12-char/2048-mask
     * enumeration bound surface as a '[OVERLEN]' sentinel that diverges
     * LOUDLY from the Spark fold, the WordPiece-oracle convention), each
     * scored by the exact LONG q9 sum, ranked by the total order the DP
@@ -207,13 +207,15 @@ object UnigramLm {
     * in tools/ stress runs and UnigramLmSpec. Runs over DISTINCT words
     * (vocab-sized), joined back to doc word slots — the same memoized
     * shape the engine's mapPartitions uses. */
-  def encodeOracleSql(modelGlob: String): String =
-    s"""WITH m AS (
+  def encodeOracleSql(modelGlob: String,
+      docsRel: String = "documents"): String =
+    s"""WITH docs AS (SELECT doc_id, text FROM $docsRel),
+       |m AS (
        |  SELECT map_from_entries(list(ROW(piece, q9_logp))) AS mm
        |  FROM read_parquet('$modelGlob')),
        |wrds AS (
        |  SELECT doc_id, CAST(i AS INT) AS wid, ws[CAST(i AS INT)] AS w
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM docs),
        |       unnest(generate_series(1, len(ws))) t(i)
        |  WHERE length(ws[CAST(i AS INT)]) > 0),
        |dw AS (SELECT DISTINCT w FROM wrds WHERE length(w) <= 12),
@@ -244,10 +246,12 @@ object UnigramLm {
        |      ORDER BY score DESC, np ASC, list_reverse(bounds) DESC) AS rn
        |    FROM valid) WHERE rn = 1)
        |SELECT d.doc_id,
-       |  CAST(COALESCE(SUM(COALESCE(b.np, 1)), 0) AS BIGINT) AS n_tokens,
-       |  md5(COALESCE(string_agg(COALESCE(b.wps, '[OVERLEN]'), ' '
+       |  CAST(COALESCE(SUM(CASE WHEN w2.wid IS NULL THEN NULL
+       |    ELSE COALESCE(b.np, 1) END), 0) AS BIGINT) AS n_tokens,
+       |  md5(COALESCE(string_agg(CASE WHEN w2.wid IS NULL THEN NULL
+       |      ELSE COALESCE(b.wps, '[OVERLEN]') END, ' '
        |      ORDER BY w2.wid), '')) AS tokens_md5
-       |FROM documents d
+       |FROM docs d
        |LEFT JOIN wrds w2 USING (doc_id)
        |LEFT JOIN best b ON w2.w = b.w
        |GROUP BY 1""".stripMargin
