@@ -16,105 +16,113 @@ class PlanLintSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   // The complete, justified inventory of intended nested-loop joins
-  // (measured with this very test run on an empty allowlist). Each is
-  // a tiny broadcast side by construction:
-  private val scalarBroadcastOk: Set[String] = Set(
-    "text_bm25",              // 1-row corpus stats (n_docs, avgdl)
-    "text_tfidf",             // 1-row n_docs
-    "pipeline_temperature_mix", // 1-row Σ√n normalizer
-    "knn_cosine_topk",        // 5-row query side vs corpus scan — the
+  // (measured with this very test run on an empty allowlist), each
+  // with a MACHINE-ENFORCED build-side row bound: the second test
+  // below executes every entry and reads the broadcast exchange's
+  // runtime numOutputRows metric — a prose justification that drifts
+  // from reality (a "1-row scalar" that grows corpus-sized) fails the
+  // suite even though the name stays allowlisted. Bounds are the
+  // documented structural size with slack (scalars 4; k-row centroid /
+  // query sides 16-64; DSIR's 256-bucket table 512; timeseries-cv's
+  // day frame 1024) — all far below even the sf0.001 corpus row
+  // counts, so a corpus-sized side can never pass as "scalar".
+  private val scalarBroadcastOk: Map[String, Long] = Map(
+    "text_bm25" -> 4L,              // 1-row corpus stats (n_docs, avgdl)
+    "text_tfidf" -> 4L,             // 1-row n_docs
+    "pipeline_temperature_mix" -> 4L, // 1-row Σ√n normalizer
+    "knn_cosine_topk" -> 16L,        // 5-row query side vs corpus scan — the
                               // definition of brute-force kNN; the
                               // blocked/IVF/PQ variants are the scale
                               // path and plan no nested loop
-    "text_lm_score",          // 1-row vocabulary-size scalar
-    "retrieval_rrf",          // composes text_bm25 (1-row stats) +
+    "text_lm_score" -> 4L,          // 1-row vocabulary-size scalar
+    "retrieval_rrf" -> 64L,          // composes text_bm25 (1-row stats) +
                               // knn_cosine_topk (1-row query side) —
                               // both already justified above; the
                               // fusion itself is an equi full-outer
                               // join of two ≤depth-row frames
-    "quality_profile",        // cross of the TWO 1-row aggregate
+    "quality_profile" -> 4L,        // cross of the TWO 1-row aggregate
                               // branches (basics × distincts) — the
                               // split that avoids the Expand-carried
                               // min/max trap (see Profile scaladoc)
-    "knn_kmeans_step",        // k=8-row broadcast centroid table
+    "knn_kmeans_step" -> 16L,        // k=8-row broadcast centroid table
                               // fanned against the corpus scan — the
                               // definition of Lloyd assignment (same
                               // class as knn_cosine_topk's query side)
-    "text_pmi",               // 1-row n_docs scalar (the a8_global/
+    "text_pmi" -> 4L,               // 1-row n_docs scalar (the a8_global/
                               // bm25 pattern) crossed into the small
                               // pair table
-    "pipeline_negative_sampling", // 1-row n_docs scalar crossed into
+    "pipeline_negative_sampling" -> 4L, // 1-row n_docs scalar crossed into
                               // the anchors frame (draw modulus)
-    "quality_ref_integrity",  // per-relation cross of the TWO 1-row
+    "quality_ref_integrity" -> 4L,  // per-relation cross of the TWO 1-row
                               // count aggregates (n_child × n_orphans)
                               // — the quality_profile pattern, ×3
                               // relations unioned
-    "o_global_rank",          // 1-row global (min, max) stats broadcast
+    "o_global_rank" -> 4L,          // 1-row global (min, max) stats broadcast
                               // back for range bucketing — the
                               // feature-scale pattern at global scope
-    "ml_gains_table",         // rides GlobalRank (1-row min/max stats)
+    "ml_gains_table" -> 4L,         // rides GlobalRank (1-row min/max stats)
                               // + its own 1-row (N, NP) totals cross
-    "o_skyline_pareto",       // 1-row global x-range stats broadcast
+    "o_skyline_pareto" -> 4L,       // 1-row global x-range stats broadcast
                               // back for the distinct-x range buckets
                               // (the GlobalRank bucketing trick)
-    "text_chi2_terms",        // 1-row corpus doc count crossed into
+    "text_chi2_terms" -> 4L,        // 1-row corpus doc count crossed into
                               // the vocab-sized contingency frame
-    "ml_naive_bayes",         // ≤L-row label-totals + 1-row vocab-size
+    "ml_naive_bayes" -> 64L,         // ≤L-row label-totals + 1-row vocab-size
                               // crosses building the vocab×L model;
                               // 1-row train-doc total for priors
-    "w_quantile_normalize",   // GlobalRank's 1-row min/max stats + its
+    "w_quantile_normalize" -> 4L,   // GlobalRank's 1-row min/max stats + its
                               // own 1-row corpus count broadcast
-    "knn_kmeans_train",       // the same k=8-row broadcast centroid
+    "knn_kmeans_train" -> 16L,       // the same k=8-row broadcast centroid
                               // fan as knn_kmeans_step, once per fixed
                               // Lloyd iteration
-    "ml_logreg_gd",           // 1-row quantized weight vector broadcast
+    "ml_logreg_gd" -> 4L,           // 1-row quantized weight vector broadcast
                               // into the scan each GD iteration — the
                               // sufficient-statistics pattern itself
-    "quality_key_skew",       // rides GlobalRank over the key vocab:
+    "quality_key_skew" -> 4L,       // rides GlobalRank over the key vocab:
                               // its 1-row (min, max) stats broadcast
-    "rec_association_rules",  // 1-row basket-count total crossed into
+    "rec_association_rules" -> 4L,  // 1-row basket-count total crossed into
                               // the rule frame (support denominator —
                               // the text_bm25/ml_gains pattern)
-    "text_zipf_slope",        // rides GlobalRank over the word vocab:
+    "text_zipf_slope" -> 4L,        // rides GlobalRank over the word vocab:
                               // its 1-row (min, max) stats broadcast
-    "pipeline_dsir_select",   // 1-row (s_tot, t_tot) smoothing
+    "pipeline_dsir_select" -> 512L,   // 1-row (s_tot, t_tot) smoothing
                               // denominators crossed into the B-row
                               // bucket-distribution table (the
                               // text_bm25 pattern; B ≤ a few thousand)
-    "pipeline_dsir_sample",   // same weight frame as dsir_select —
+    "pipeline_dsir_sample" -> 512L,   // same weight frame as dsir_select —
                               // the identical 1-row totals cross
-    "dedup_semantic",         // k=8-row broadcast centroid fan for
+    "dedup_semantic" -> 16L,         // k=8-row broadcast centroid fan for
                               // cluster assignment — the
                               // knn_kmeans_step pattern it composes
-    "knn_int8_topk",          // 25-row quantized query side fanned
+    "knn_int8_topk" -> 64L,          // 25-row quantized query side fanned
                               // against the corpus scan (the
                               // knn_cosine_topk brute-force pattern)
                               // + the 1-row per-dimension scale array
                               // broadcast into the encoder
-    "text_kneser_ney",        // 1-row (N1+(·,·), Vcont) smoothing
+    "text_kneser_ney" -> 4L,        // 1-row (N1+(·,·), Vcont) smoothing
                               // scalars crossed into the test bigram
                               // stream — the text_lm_score pattern
-    "ml_timeseries_cv",       // day-frame × quarter-fold-frame theta
+    "ml_timeseries_cv" -> 1024L,       // day-frame × quarter-fold-frame theta
                               // joins: BOTH sides are dimension-sized
                               // (days, quarters), corpus rows never
                               // enter the nested loop
-    "pipeline_ccnet_buckets", // 1-row LM vocab scalar (text_lm_score
+    "pipeline_ccnet_buckets" -> 4L, // 1-row LM vocab scalar (text_lm_score
                               // pattern) + GlobalRank's 1-row (min,
                               // max) stats + a 1-row corpus count for
                               // the tercile cut
-    "pipeline_wordpiece_encode", // 1-row vocabulary array broadcast
+    "pipeline_wordpiece_encode" -> 4L, // 1-row vocabulary array broadcast
                               // into the stateless greedy-fold encoder
-    "pipeline_quality_classifier", // the ml_logreg_gd pattern: 1-row
+    "pipeline_quality_classifier" -> 4L, // the ml_logreg_gd pattern: 1-row
                               // weight vector broadcast into the scan
                               // per GD iteration + once for scoring
-    "pipeline_wordpiece_roundtrip", // the same 1-row vocabulary array
+    "pipeline_wordpiece_roundtrip" -> 4L, // the same 1-row vocabulary array
                               // broadcast as pipeline_wordpiece_encode
-    "text_kl_divergence",     // 1-row corpus-token-total scalar crossed
+    "text_kl_divergence" -> 4L,     // 1-row corpus-token-total scalar crossed
                               // into the doc-term stream (text_bm25
                               // pattern)
-    "pipeline_apportion_budget", // 1-row total + 1-row leftover crossed
+    "pipeline_apportion_budget" -> 4L, // 1-row total + 1-row leftover crossed
                               // into the language-bounded quota frame
-    "ml_quantile_regression"  // the ml_logreg_gd pattern: 1-row weight
+    "ml_quantile_regression" -> 4L  // the ml_logreg_gd pattern: 1-row weight
                               // vector broadcast into the scan per
                               // subgradient step
   )
@@ -135,5 +143,75 @@ class PlanLintSpec extends AnyFunSuite {
         }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("every allowlisted nested-loop build side is runtime-row-bounded") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case q: QueryStageExec => unwrap(q.plan)
+      case r: ReusedExchangeExec => unwrap(r.child)
+      case other => other
+    }
+    // Full traversal: AQE's final plan holds materialized stages as
+    // LEAF QueryStageExec nodes, which collect()/collectWithSubqueries
+    // do not descend into — a naive sweep finds zero joins and passes
+    // vacuously (the anti-vacuity floor below caught exactly that).
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case q: QueryStageExec => allNodes(q.plan)
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case r: ReusedExchangeExec => allNodes(r.child)
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(allNodes)) ++ through ++
+        p.subqueries.flatMap(allNodes)
+    }
+    // First numOutputRows down the build side in pre-order = the
+    // broadcast exchange's own output row count (runtime, not stats).
+    def buildRows(p: SparkPlan): Option[Long] =
+      allNodes(unwrap(p)).collectFirst {
+        case n if n.metrics.contains("numOutputRows") =>
+          n.metrics("numOutputRows").value
+      }
+    var gatesWithBnlj = 0
+    val violations = scalarBroadcastOk.toSeq.sortBy(_._1).flatMap {
+      case (name, bound) =>
+        try {
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.collect() // drive to completion so broadcast metrics fill
+          val finalPlan = df.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          }
+          val bnljs = allNodes(finalPlan).collect {
+            case b: BroadcastNestedLoopJoinExec => b
+          }
+          if (bnljs.nonEmpty) gatesWithBnlj += 1
+          bnljs.flatMap { b =>
+            val build = if (b.buildSide == BuildLeft) b.left else b.right
+            buildRows(build) match {
+              case Some(rows) if rows > bound =>
+                Some(s"$name: BNLJ build side $rows rows > bound $bound")
+              case None =>
+                Some(s"$name: BNLJ build side has no numOutputRows metric")
+              case _ => None
+            }
+          }
+        } catch {
+          case e: Throwable => Seq(s"$name: execution failed: ${e.getMessage}")
+        }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+    // anti-vacuity: the enforcement must have actually inspected real
+    // nested loops — if AQE or a refactor made most entries BNLJ-free,
+    // the allowlist (and this floor) needs re-measuring, not silence.
+    assert(gatesWithBnlj >= 25,
+      s"only $gatesWithBnlj/${scalarBroadcastOk.size} allowlisted gates " +
+        "planned a BNLJ — allowlist is stale, re-measure it")
   }
 }
