@@ -40,6 +40,7 @@ object ScalingBench {
       "dedup_prefix_filter" -> "documents",
       "dedup_substring_hashed" -> "documents",
       "dedup_substring_spans" -> "documents",
+      "dedup_fuzzy_levenshtein" -> "documents",
       "pipeline_e2e_build" -> "documents",
       "pipeline_unigram_lm" -> "documents",
       "o_global_rank" -> "events", "w_resample_ohlc" -> "events",
@@ -152,7 +153,11 @@ object ScalingBench {
     val extrap = Seq("dedup_prefix_filter", "dedup_containment",
         "dedup_substring_hashed", "dedup_substring_spans",
         "j_record_linkage", "dedup_lines_c4",
-        "j_golden_record", "a_bootstrap_ci").map { q =>
+        "j_golden_record", "a_bootstrap_ci",
+        // r10: the reshaped posting-list candidate generation — the
+        // vowel-rotated copies keep cross-copy grams disjoint, so the
+        // rare-gram index and pair structure replicate linearly
+        "dedup_fuzzy_levenshtein").map { q =>
       val t1 = timeOnce(q, sfs.last)
       val t2 = timeOnce(q, xDir)
       val slope = math.log(t2 / t1) / math.log(4.0)

@@ -516,6 +516,73 @@ object Multimodal {
       })
   }
 
+  /** Integer-exact keyframe variant for the cross-engine gate: the
+    * same decode + frame-MAD loop as [[keyframes]], but the emitted
+    * score is micro-unit floor-divided (mad_e6 = Σ|Δpx|·10⁶ / nPx,
+    * exact long arithmetic) and the threshold compare is the integer
+    * equivalent Σ|Δpx| > threshold·nPx — identical accept set to the
+    * float kernel for integer thresholds (both sides exact), and a
+    * value DuckDB reproduces bit-for-bit with `//`. */
+  def keyframesMicro(media: Dataset[MediaRow], threshold: Long):
+      Dataset[(Long, Int, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions(_.flatMap { row =>
+        StubCodec.decode(row.payload) match {
+          case Some((w, h, c, px)) =>
+            val frameH = w
+            val numFrames = h / math.max(frameH, 1)
+            val frameBytes = w * frameH * c
+            (0 until numFrames).iterator.flatMap { f =>
+              if (f == 0) Iterator.single((row.media_id, 0, 0L))
+              else {
+                val off = f * frameBytes
+                var s = 0L
+                var i = 0
+                while (i < frameBytes) {
+                  s += math.abs((px(off + i) & 0xff) -
+                    (px(off - frameBytes + i) & 0xff))
+                  i += 1
+                }
+                if (s > threshold * frameBytes)
+                  Iterator.single((row.media_id, f, s * 1000000L / frameBytes))
+                else Iterator.empty
+              }
+            }
+          case None => Iterator.empty
+        }
+      }).toDF("media_id", "frame_index", "mad_e6")
+      .as[(Long, Int, Long)]
+  }
+
+  /** Integer-exact audio stats for the cross-engine gate: peak,
+    * zero-crossings, Σs² (exact long — ≤ 2³¹·n stays far under 2⁶³),
+    * and micro-second duration by floor division. RMS = √(Σs²/n) is a
+    * monotone presentation of sq_sum and stays on [[audioFeatures]]. */
+  def audioStats(audio: Dataset[DecodedAudio]):
+      Dataset[(Long, Int, Long, Long, Int, Long, Long)] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.map { a =>
+      val n = a.samples.length
+      var sq = 0L; var peak = 0; var zc = 0L
+      var i = 0
+      while (i < n) {
+        val v = a.samples(i).toInt
+        sq += v.toLong * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && ((a.samples(i - 1) < 0) != (v < 0))) zc += 1
+        i += 1
+      }
+      (a.media_id, a.sampleRate, n.toLong,
+        if (a.sampleRate > 0) n.toLong * 1000000L / a.sampleRate else 0L,
+        peak, zc, sq)
+    }).toDF("media_id", "sample_rate", "n_samples", "dur_us",
+      "peak", "zero_crossings", "sq_sum")
+      .as[(Long, Int, Long, Long, Int, Long, Long)]
+  }
+
   /** Fixture generator: a deterministic media table mixing REAL
     * containers (PNG via ImageIO, WAV via javax.sound — decoded by the
     * real JDK codecs in the gate) with stub-format rows (the seam for

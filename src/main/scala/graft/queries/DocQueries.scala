@@ -794,6 +794,16 @@ object DocQueries {
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.text.Dsir.sample(table(s, d, "documents"),
           org.apache.spark.sql.functions.col("lang") === "en")): Q,
-      Some(graft.text.Dsir.sampleSql("lang = 'en'")))
+      Some(graft.text.Dsir.sampleSql("lang = 'en'"))),
+    // deployment twin: identical estimator with codegen'd xxhash64
+    // buckets + draw in place of md5 (the a_bootstrap_ci_fast
+    // convention — md5 stays the cross-engine witness above; this row
+    // tracks the production cost). Rows-only by design.
+    ("pipeline_dsir_sample_fast",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        graft.text.Dsir.sample(table(s, d, "documents"),
+          org.apache.spark.sql.functions.col("lang") === "en",
+          fastHash = true)): Q,
+      None)
   )
 }

@@ -41,9 +41,16 @@ object Dsir {
 
   /** Full per-doc importance-weight frame: (doc_id, w_micro), weight
     * in 1e-6 natural-log units. [[select]] and [[sample]] are top-k
-    * policies over this. */
+    * policies over this.
+    *
+    * `fastHash = true` swaps the md5 bucket hash for codegen'd
+    * xxhash64 — the production path (the Bootstrap fastHash
+    * convention: md5 is the only cross-engine uniform, so the md5
+    * variant stays the DuckDB-gated witness while this one carries
+    * the deployed cost/exponent). Bucket marginals differ hash-to-hash
+    * but the estimator's semantics are identical. */
   def weights(docs: DataFrame, targetPred: Column,
-      buckets: Int = 256): DataFrame = {
+      buckets: Int = 256, fastHash: Boolean = false): DataFrame = {
     require(buckets > 0)
     val grams = docs
       .withColumn("ws", split(col("text"), " "))
@@ -56,8 +63,9 @@ object Dsir {
               "i -> concat_ws(' ', slice(ws, i, 2)))"))
             .otherwise(array().cast("array<string>")))).as("gram"))
       .select(col("doc_id"), col("_t"),
-        (conv(substring(md5(col("gram").cast("binary")), 1, 6), 16, 10)
-          .cast("long") % buckets).as("b"))
+        (if (fastHash) pmod(xxhash64(col("gram")), lit(buckets.toLong))
+         else conv(substring(md5(col("gram").cast("binary")), 1, 6), 16, 10)
+           .cast("long") % buckets).as("b"))
     val perBucket = grams.groupBy(col("b")).agg(
       count(lit(1)).as("s_cnt"),
       sum(when(col("_t"), 1L).otherwise(0L)).as("t_cnt"))
@@ -101,12 +109,17 @@ object Dsir {
     * @return (doc_id, score_micro) — top-k by (score, doc_id) */
   def sample(docs: DataFrame, targetPred: Column, buckets: Int = 256,
       k: Int = 200, temperature: Double = 1.0,
-      seed: String = "dsir"): DataFrame = {
+      seed: String = "dsir", fastHash: Boolean = false): DataFrame = {
     require(k > 0 && temperature > 0)
-    val u = (conv(substring(md5(
-        concat_ws(":", lit(seed), col("doc_id")).cast("binary")), 1, 6), 16, 10)
-      .cast("double") + 0.5) / 16777216.0
-    weights(docs, targetPred, buckets)
+    val draw =
+      if (fastHash)
+        pmod(xxhash64(concat_ws(":", lit(seed), col("doc_id"))),
+          lit(16777216L)).cast("double")
+      else conv(substring(md5(
+          concat_ws(":", lit(seed), col("doc_id")).cast("binary")), 1, 6), 16, 10)
+        .cast("double")
+    val u = (draw + 0.5) / 16777216.0
+    weights(docs, targetPred, buckets, fastHash)
       .withColumn("score_micro",
         round((col("w_micro").cast("double") / 1e6 / temperature -
           log(-log(u))) * 1e6).cast("long"))

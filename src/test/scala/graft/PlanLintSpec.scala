@@ -89,6 +89,8 @@ class PlanLintSpec extends AnyFunSuite {
                               // denominators crossed into the B-row
                               // bucket-distribution table (the
                               // text_bm25 pattern; B ≤ a few thousand)
+    "pipeline_dsir_sample_fast" -> 512L, // the xxhash64 deployment twin
+                              // of dsir_sample — identical plan shape
     "pipeline_dsir_sample" -> 512L,   // same weight frame as dsir_select —
                               // the identical 1-row totals cross
     "dedup_semantic" -> 16L,         // k=8-row broadcast centroid fan for

@@ -64,6 +64,27 @@ class DsirSpec extends AnyFunSuite {
     assert(cold.map(w).sorted.toSeq == top.map(w).sorted.toSeq)
   }
 
+  test("fastHash twin: deterministic, k rows, same cold-temperature limit") {
+    val df = corpus()
+    val f1 = Dsir.sample(df, col("kind") === "tgt", buckets = 64, k = 25,
+      temperature = 1.0, seed = "a", fastHash = true)
+      .collect().map(_.getLong(0)).toSeq
+    val f2 = Dsir.sample(df, col("kind") === "tgt", buckets = 64, k = 25,
+      temperature = 1.0, seed = "a", fastHash = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(f1 == f2, "xxhash64 draw is deterministic")
+    assert(f1.length == 25)
+    // temperature → 0: the twin converges to ITS OWN weight top-k
+    // (xxhash64 buckets differ from md5's, so compare within-variant)
+    val wf = Dsir.weights(df, col("kind") === "tgt", buckets = 64,
+      fastHash = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold = Dsir.sample(df, col("kind") === "tgt", buckets = 64, k = 25,
+      temperature = 1e-4, seed = "a", fastHash = true)
+      .collect().map(_.getLong(0))
+    val top = wf.toSeq.sortBy { case (id, w) => (-w, id) }.take(25).map(_._1)
+    assert(cold.map(wf).sorted.toSeq == top.map(wf).sorted.toSeq)
+  }
+
   test("an empty doc scores near-neutral and never beats target-like docs") {
     val df = corpus().union(Seq((999L, "", "raw")).toDF("doc_id", "text", "kind"))
     val out = Dsir.select(df, col("kind") === "tgt", buckets = 64, k = 10)
