@@ -34,6 +34,7 @@ object KmeansStep {
     * Returns (cluster_id, dim, n_members, mean_q) — the updated
     * centroid table in quantized units. */
   def step(emb: DataFrame, k: Int): DataFrame = {
+    graft.functions.VecDotLong.register(emb.sparkSession)
     val q = emb.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(x * $Q) AS BIGINT))").as("vq"))
     val cents = q.orderBy("vec_id").limit(k)
@@ -42,9 +43,7 @@ object KmeansStep {
     // per vec (cid is a vec_id), so vq rides along without ever
     // deciding the min — it just survives to the next stage
     val assigned = q.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(vq, cq, (x, c) -> (x - c) * (x - c)), " +
-          "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .withColumn("dist", expr("vec_sqdist_long(vq, cq)"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"), col("vq"))).as("m"))
     assigned
@@ -68,15 +67,14 @@ object KmeansStep {
     * that lose all members drop out, identically in both engines.
     * Returns the final (cluster_id, dim, n_members, cq) table. */
   def train(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    graft.functions.VecDotLong.register(emb.sparkSession)
     val q = emb.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(x * $Q) AS BIGINT))").as("vq"))
     var cents = q.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("vq").as("cq"))
     for (_ <- 1 to iters) {
       val assigned = q.crossJoin(broadcast(cents))
-        .withColumn("dist", expr(
-          "aggregate(zip_with(vq, cq, (x, c) -> (x - c) * (x - c)), " +
-            "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+        .withColumn("dist", expr("vec_sqdist_long(vq, cq)"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("cid"), col("vq"))).as("m"))
       // floor-quantized mean per (cluster, dim), then the per-cluster

@@ -39,6 +39,7 @@ object SemDedup {
   def dedup(emb: DataFrame, k: Int = 8, iters: Int = 2,
       tau: Double = 0.8): DataFrame = {
     require(k >= 1 && iters >= 1 && tau > 0 && tau < 1)
+    graft.functions.VecDotLong.register(emb.sparkSession)
     val Q = KmeansStep.quant
     val q = emb.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(x * $Q) AS BIGINT))").as("vq"))
@@ -48,15 +49,14 @@ object SemDedup {
       .agg(expr("transform(array_sort(collect_list(struct(dim, cq))), s -> s.cq)")
         .as("cq"))
     val assigned = q.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(vq, cq, (x, c) -> (x - c) * (x - c)), " +
-          "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      // codegen'd native kernels (VecSqDistLong/VecDotLong) in place of
+      // the interpreted aggregate(zip_with(...)) folds — bit-identical
+      // long sums, ~all the pair-stage CPU back
+      .withColumn("dist", expr("vec_sqdist_long(vq, cq)"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"), col("vq"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cluster_id"), col("m.vq").as("vq"))
-      .withColumn("nq", expr(
-        "aggregate(zip_with(vq, vq, (x, y) -> x * y), " +
-          "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .withColumn("nq", expr("vec_dot_long(vq, vq)"))
       // referenced three times below (pair LHS, pair RHS, output rows)
       // with a full Lloyd train upstream — materialize once instead of
       // recomputing the training lineage per reference (the
@@ -68,9 +68,7 @@ object SemDedup {
       .join(assigned.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(a.vq, b.vq, (x, y) -> x * y), " +
-          "CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .withColumn("dot", expr("vec_dot_long(a.vq, b.vq)"))
       .filter(col("dot") > 0L &&
         col("dot").cast("double") * col("dot").cast("double") >=
           (lit(tau2) * col("a.nq").cast("double")) * col("b.nq").cast("double"))
