@@ -4,6 +4,14 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Interop gates that write per-corpus artifacts embed
+    * [[graft.util.Tables.SfTagToken]] in their (static) oracle SQL;
+    * resolve it to the given run's corpus tag so the dumped SQL reads
+    * the artifact tree that run just wrote. */
+  def resolveOracleSql(sql: String, sfDir: String): String =
+    sql.replace(graft.util.Tables.SfTagToken,
+      graft.util.Tables.corpusTag(sfDir))
+
   def main(args: Array[String]): Unit = {
     if (args.length != 2) {
       System.err.println("usage: graft.Verify <sfDir> <outDir>")
@@ -46,13 +54,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Interop gates that write per-corpus artifacts embed SfTagToken in
-    // their (static) oracle SQL; resolve it to THIS run's corpus tag so
-    // the dumped SQL reads the artifact tree this run just wrote.
-    val tag = graft.util.Tables.corpusTag(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) =>
-        s"${q(k)}: ${q(v.replace(graft.util.Tables.SfTagToken, tag))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(resolveOracleSql(v, sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
