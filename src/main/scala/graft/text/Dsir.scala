@@ -66,9 +66,19 @@ object Dsir {
         (if (fastHash) pmod(xxhash64(col("gram")), lit(buckets.toLong))
          else conv(substring(md5(col("gram").cast("binary")), 1, 6), 16, 10)
            .cast("long") % buckets).as("b"))
-    val perBucket = grams.groupBy(col("b")).agg(
-      count(lit(1)).as("s_cnt"),
-      sum(when(col("_t"), 1L).otherwise(0L)).as("t_cnt"))
+    // Collapse the gram stream to per-doc bucket counts FIRST: the
+    // explode + md5 lineage (the expensive pass) then feeds exactly ONE
+    // aggregation, and both the bucket marginals and the per-doc
+    // weights derive from the ≤ docs×B count table. Σ_gram lw(b) ≡
+    // Σ_(b) cnt·lw(b) in exact longs, so the result (and the DuckDB
+    // oracle) is unchanged — this is purely the single-pass spelling of
+    // the same estimator.
+    val bcnt = grams.groupBy(col("doc_id"), col("_t"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val perBucket = bcnt.groupBy(col("b")).agg(
+      sum(col("cnt")).as("s_cnt"),
+      sum(when(col("_t"), col("cnt")).otherwise(0L)).as("t_cnt"))
     val totals = perBucket.agg(
       sum(col("s_cnt")).as("s_tot"), sum(col("t_cnt")).as("t_tot"))
     // B-row model table: quantized per-bucket log-ratio (micro-units)
@@ -79,9 +89,9 @@ object Dsir {
                log((col("s_cnt") + 1L).cast("double") /
                  (col("s_tot") + buckets.toLong).cast("double"))) * 1e6)
           .cast("long").as("lw"))
-    grams.join(broadcast(lw), "b")
+    bcnt.join(broadcast(lw), "b")
       .groupBy(col("doc_id"))
-      .agg(sum(col("lw")).as("w_micro"))
+      .agg(sum(col("cnt") * col("lw")).as("w_micro"))
   }
 
   /** Select the `k` raw docs with the highest hashed-ngram importance
