@@ -27,7 +27,7 @@ object CountMinAgg {
       extends Aggregator[Item, Array[Long], Array[Long]] {
     require(width > 0 && depth > 0)
 
-    private def slot(d: Int, key: String): Int = {
+    protected def slot(d: Int, key: String): Int = {
       val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(key),
         org.apache.spark.sql.types.StringType, d.toLong)
@@ -76,4 +76,29 @@ object CountMinAgg {
   /** UDAF form: `countMin(256, 4)(col("item"))`. */
   def countMin(width: Int, depth: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new CountMin(width, depth), Encoders.product[Item])
+
+  /** 60-bit-md5 slot — the repo's cross-engine hash currency
+    * (`conv(substring(md5("d:key"),1,15),16,10) mod width`, ≡ DuckDB
+    * `CAST('0x' || substr(md5(..),1,15) AS BIGINT) % width`). The
+    * value is 60-bit non-negative, so plain % is already floorMod. */
+  private[graft] def md5Slot(d: Int, key: String, width: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(s"$d:$key".getBytes("UTF-8"))
+    val hex = dig.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % width).toInt
+  }
+
+  /** [[CountMin]] with the md5 hash family instead of xxhash64 — the
+    * oracle twin: every cell is Σ counts of colliding keys, so the
+    * whole sketch (and any point query) has an exact DuckDB spelling.
+    * xxhash64 stays the deployment path (~25× cheaper per row). */
+  class CountMinMd5(width: Int, depth: Int)
+      extends CountMin(width, depth) {
+    override protected def slot(d: Int, key: String): Int =
+      d * width + md5Slot(d, key, width)
+  }
+
+  /** UDAF form of the md5-hashed oracle twin. */
+  def countMinMd5(width: Int, depth: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new CountMinMd5(width, depth), Encoders.product[Item])
 }

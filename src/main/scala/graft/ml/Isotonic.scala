@@ -19,10 +19,21 @@ import org.apache.spark.sql.functions._
   * Determinism: PAV pools are decided by exact long cross-products
   * (rate_i > rate_{i+1} ⇔ pos_i·n_{i+1} > pos_{i+1}·n_i — no float
   * compare), so the fit is bit-stable under any partitioning; the
-  * emitted rates are one IEEE divide per pool. No SQL oracle (PAV's
-  * data-dependent merge loop has no DuckDB spelling) — IsotonicSpec
-  * anchors the textbook example, monotonicity, pool-mean preservation,
-  * and partitioning invariance.
+  * emitted rates are one IEEE divide per pool.
+  *
+  * SQL oracle: PAV's merge loop has no direct SQL spelling, but its
+  * VALUE does — the classic minimax characterization of weighted L²
+  * isotonic regression (Robertson, Wright & Dykstra 1988, Thm 1.4.4):
+  * iso(k) = max_{i≤k} min_{j≥k} (Σpos[i..j] / Σn[i..j]). With ≤B
+  * buckets per group that is O(B³) interval triples — bounded (the
+  * gate quantizes to ≤101 buckets), so [[calibrateSql]] enumerates
+  * them from window prefix sums. Bit-exactness across engines: each
+  * interval rate is ONE correctly-rounded IEEE divide of two longs,
+  * and round-to-nearest is monotone, so min/max over the rounded
+  * doubles equals the rounded rational minimax — which is the pooled
+  * pos/n this impl emits. IsotonicSpec additionally anchors the
+  * textbook pools, monotonicity, pool-mean preservation, partitioning
+  * invariance, and PAV≡minimax on randomized inputs.
   */
 object Isotonic {
 
@@ -72,4 +83,37 @@ object Isotonic {
       }
       .toDF("grp", "k", "n", "n_pos", "raw_rate", "iso_rate")
   }
+
+  /** DuckDB oracle for [[calibrate]] via the minimax characterization
+    * (see object doc). `bucketsSql` must yield one row per (grp, k)
+    * with BIGINT n / pos — the same sufficient statistics the engine
+    * aggregates to. O(B³) per group; intended for oracle scale only.
+    */
+  def calibrateSql(bucketsSql: String): String =
+    s"""WITH base AS ($bucketsSql),
+       |ord AS (
+       |  SELECT grp, k, n, pos,
+       |         ROW_NUMBER() OVER w AS r,
+       |         SUM(n) OVER w AS cn,
+       |         SUM(pos) OVER w AS cp
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY grp ORDER BY k)
+       |),
+       |iv AS (
+       |  SELECT lo.grp, lo.r AS i, hi.r AS j,
+       |         CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
+       |           / CAST(hi.cn - lo.cn + lo.n AS DOUBLE) AS a
+       |  FROM ord lo JOIN ord hi ON lo.grp = hi.grp AND lo.r <= hi.r
+       |),
+       |im AS (
+       |  SELECT iv.grp, iv.i, o.r AS kr, MIN(iv.a) AS m
+       |  FROM iv JOIN ord o
+       |    ON o.grp = iv.grp AND o.r >= iv.i AND o.r <= iv.j
+       |  GROUP BY 1, 2, 3
+       |),
+       |iso AS (SELECT grp, kr, MAX(m) AS iso_rate FROM im GROUP BY 1, 2)
+       |SELECT o.grp, o.k, o.n, o.pos AS n_pos,
+       |       CAST(o.pos AS DOUBLE) / CAST(o.n AS DOUBLE) AS raw_rate,
+       |       iso.iso_rate
+       |FROM ord o JOIN iso ON iso.grp = o.grp AND iso.kr = o.r""".stripMargin
 }

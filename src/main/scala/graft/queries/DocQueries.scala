@@ -418,7 +418,8 @@ object DocQueries {
     * so the whole query is one plan with zero driver materialization.
     * Rows-only — the xxhash64-seeded grid has no DuckDB spelling;
     * CountMinSpec pins the one-sided error bound and
-    * partitioning-invariance instead. */
+    * partitioning-invariance, and [[aCountminFreqMd5]] is the
+    * hash-matched md5 twin of the identical plan. */
   private val aCountminFreq: Q = (s, d) => {
     val (w, dep) = (256, 4)
     graft.functions.XxHash64Seeded.register(s)
@@ -437,6 +438,58 @@ object DocQueries {
         least(probes: _*).as("n_est"))
       .orderBy("lang", "source")
   }
+
+  /** md5-hashed oracle twin of [[aCountminFreq]]: same 256×4 grid and
+    * broadcast-probe plan, but slots come from the repo's cross-engine
+    * 60-bit-md5 currency — so the ENTIRE sketch semantics (cell load =
+    * Σ exact counts of colliding keys; answer = min over depth rows)
+    * has an exact DuckDB spelling and the gate hash-matches, making
+    * this the anchored witness for the xxh64 deployment sketch. */
+  private val aCountminFreqMd5: Q = (s, d) => {
+    val (w, dep) = (256, 4)
+    val docs = table(s, d, "documents")
+    val sk = docs
+      .groupBy("lang")
+      .agg(graft.functions.CountMinAgg.countMinMd5(w, dep)(col("source"))
+        .as("sk"))
+    val probes = (0 until dep).map { r =>
+      element_at(col("sk"),
+        (pmod(conv(substring(md5(
+            concat(lit(r).cast("string"), lit(":"), col("source"))), 1, 15),
+            16, 10).cast("long"), lit(w.toLong))
+          + lit(r * w) + lit(1)).cast("int"))
+    }
+    docs.groupBy("lang", "source").count()
+      .join(broadcast(sk), "lang")
+      .select(col("lang"), col("source"), col("count").as("n_exact"),
+        least(probes: _*).as("n_est"))
+      .orderBy("lang", "source")
+  }
+
+  private val aCountminFreqMd5Sql =
+    """WITH ex AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |slots AS (
+      |  SELECT ex.lang, ex.source, ex.n_exact, d.d,
+      |         CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || ex.source),
+      |              1, 15) AS BIGINT) % 256 AS slot
+      |  FROM ex, (SELECT unnest(range(4)) AS d) d
+      |),
+      |cells AS (
+      |  SELECT lang, d, slot, SUM(n_exact) AS cell
+      |  FROM slots GROUP BY 1, 2, 3
+      |),
+      |est AS (
+      |  SELECT s.lang, s.source, CAST(MIN(c.cell) AS BIGINT) AS n_est
+      |  FROM slots s JOIN cells c
+      |    ON c.lang = s.lang AND c.d = s.d AND c.slot = s.slot
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ex.lang, ex.source, ex.n_exact, est.n_est
+      |FROM ex JOIN est ON est.lang = ex.lang AND est.source = ex.source
+      |ORDER BY 1, 2""".stripMargin
 
   /** Next-fit whole-doc packing: 256-token bins, docs never split. */
   private val pipelinePackWhole: Q = (s, d) =>
@@ -699,6 +752,7 @@ object DocQueries {
     ("pipeline_pack_whole_docs", pipelinePackWhole,
       Some(CorpusPipeline.packWholeDocsSql())),
     ("a_countmin_freq", aCountminFreq, None),
+    ("a_countmin_freq_md5", aCountminFreqMd5, Some(aCountminFreqMd5Sql)),
     ("quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiSql)),
     ("quality_ks_drift", qualityKsDrift, Some(qualityKsDriftSql)),
     ("pipeline_negative_sampling",

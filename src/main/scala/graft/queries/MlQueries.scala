@@ -403,15 +403,24 @@ object MlQueries {
     s"SELECT event_type, value, $evUsSql AS ev_us FROM events",
     "event_type", "ev_us", "value", bucketUs = 3600000000L, period = 24)
 
-  /** Isotonic (PAV) calibration of the quantized score per line status
-    * — rows-only (PAV's merge loop has no SQL spelling; IsotonicSpec
-    * anchors the textbook pools + invariances). */
+  /** Isotonic (PAV) calibration of the quantized score per line status.
+    * Oracle'd via the minimax characterization of isotonic regression
+    * (Isotonic.calibrateSql — PAV's VALUE is max-min over interval
+    * averages, bit-exact through one IEEE divide per interval). */
   private val mlIsotonic: Q = (s, d) =>
     table(s, d, "lineitem")
       .withColumn("_k", (col("l_orderkey") * 31 + col("l_linenumber") * 7) % 101)
       .withColumn("_lab", col("l_returnflag") === "R")
       .transform(df => graft.ml.Isotonic.calibrate(df, "l_linestatus",
         "_k", "_lab"))
+
+  private val mlIsotonicSql = graft.ml.Isotonic.calibrateSql(
+    """SELECT CAST(l_linestatus AS VARCHAR) AS grp,
+      |       (l_orderkey * 31 + l_linenumber * 7) % 101 AS k,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS pos
+      |FROM lineitem GROUP BY 1, 2""".stripMargin)
 
   /** Record linkage: reconcile a perturbed customer feed (1-in-7
     * sample) against the full canonical table. NB the TPC-H name
@@ -581,7 +590,7 @@ object MlQueries {
     ("pipeline_next_event_examples", pipelineNextEvent,
       Some(pipelineNextEventSql)),
     ("j_record_linkage", jRecordLinkage, Some(jRecordLinkageSql)),
-    ("ml_isotonic_calibration", mlIsotonic, None),
+    ("ml_isotonic_calibration", mlIsotonic, Some(mlIsotonicSql)),
     ("w_seasonal_anomaly", wSeasonalAnomaly, Some(wSeasonalAnomalySql)),
     ("a_corr_matrix", aCorrMatrix, Some(aCorrMatrixSql)),
     ("quality_expectations", qualityExpectations,

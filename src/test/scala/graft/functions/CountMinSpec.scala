@@ -60,6 +60,39 @@ class CountMinSpec extends AnyFunSuite {
     }
   }
 
+  test("md5 twin: SQL-side probe expression equals the JVM slot function") {
+    import spark.implicits._
+    // the gate's probe column must address the same cell the aggregator
+    // incremented — i.e. Spark's conv(substring(md5("d:key"),1,15),16,10)
+    // mod w must equal CountMinAgg.md5Slot for every key.
+    val keys = (1 to 300).map(i => s"src-$i ümläut")
+    val got = keys.toDF("item").select(col("item"),
+      array((0 until d).map { r =>
+        pmod(conv(substring(md5(
+          concat(lit(r).cast("string"), lit(":"), col("item"))), 1, 15),
+          16, 10).cast("long"), lit(w.toLong)).cast("int")
+      }: _*).as("slots"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    keys.foreach { k =>
+      val exp = (0 until d).map(r => CountMinAgg.md5Slot(r, k, w))
+      assert(got(k) === exp, s"slot mismatch for $k")
+    }
+  }
+
+  test("md5 twin sketch: cell load equals sum of colliding exact counts") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => s"k${i % 61}")
+    val sk = rows.toDF("item").agg(countMinMd5(w, d)(col("item")))
+      .collect()(0).getSeq[Long](0).toArray
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (depth <- 0 until d; s <- 0 until w) {
+      val expected = exact.collect {
+        case (k, c) if md5Slot(depth, k, w) == s => c
+      }.sum
+      assert(sk(depth * w + s) === expected)
+    }
+  }
+
   test("total mass per depth row equals n") {
     import spark.implicits._
     val rows = (1 to 500).map(i => s"x$i")

@@ -48,6 +48,34 @@ class IsotonicSpec extends AnyFunSuite {
       "pooling preserves the weighted mean")
   }
 
+  test("PAV equals the minimax characterization (the DuckDB oracle's formula)") {
+    // iso(k) = max_{i<=k} min_{j>=k} pooled-rate[i..j], decided on exact
+    // rationals (cross-multiplication) then rounded by ONE IEEE divide —
+    // the same contract calibrateSql relies on. Randomized buckets.
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      val nb = 1 + rnd.nextInt(12)
+      val stats = (0 until nb).map { k =>
+        val n = 1L + rnd.nextInt(9)
+        (k.toLong, n, rnd.nextLong(n + 1))
+      }
+      val out = Isotonic.calibrate(mk(stats), "grp", "k", "lab")
+        .orderBy("k").collect().map(_.getDouble(5))
+      val exp = (0 until nb).map { k =>
+        // max over i<=k of (min over j>=k of interval rate), rationals
+        val best = (0 to k).map { i =>
+          (k until nb).map { j =>
+            val p = stats.slice(i, j + 1).map(_._3).sum
+            val n = stats.slice(i, j + 1).map(_._2).sum
+            (p, n)
+          }.reduce((a, b) => if (a._1 * b._2 <= b._1 * a._2) a else b)
+        }.reduce((a, b) => if (a._1 * b._2 >= b._1 * a._2) a else b)
+        best._1.toDouble / best._2
+      }
+      assert(out.toSeq == exp, s"stats=$stats")
+    }
+  }
+
   test("groups are independent and fit is partition-invariant") {
     val df = mk(Seq((0L, 4L, 3L), (1L, 4L, 1L))) // one group, violator
       .union(mk(Seq((0L, 4L, 0L), (1L, 4L, 4L)), grp = "h"))
