@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.text.{Bm25, ChunkDedup, Chunker, CorpusPipeline, DedupClusters,
-  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, Shingles, SimHash,
-  TextAnalysis, Tfidf}
+  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, PreferencePairs,
+  Shingles, SimHash, TextAnalysis, Tfidf}
 import graft.sim.{Knn, Pq}
 import QueryDsl._
 
@@ -751,6 +751,12 @@ object DocQueries {
       Some(graft.sim.SemDedup.dedupSql(k = 8, iters = 2, tau = 0.8))),
     ("pipeline_pack_whole_docs", pipelinePackWhole,
       Some(CorpusPipeline.packWholeDocsSql())),
+    ("pipeline_preference_pairs",
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        PreferencePairs.pairs(table(s, d, "documents"))
+          .orderBy("lang", "source", "chosen_id", "rejected_id")): Q,
+      Some(PreferencePairs.pairsSql() +
+        "\nORDER BY lang, source, chosen_id, rejected_id")),
     ("a_countmin_freq", aCountminFreq, None),
     ("a_countmin_freq_md5", aCountminFreqMd5, Some(aCountminFreqMd5Sql)),
     ("quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiSql)),
