@@ -27,12 +27,11 @@ object ItemSim {
     *         per item by cosine desc, partner id asc. */
   def topkCosine(baskets: DataFrame, basketCol: String, itemCol: String,
       k: Int, maxBasket: Int): DataFrame = {
-    val b = baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct()
-    val kept = b.join(
-      b.groupBy(col("_b")).agg(count(lit(1)).as("_bsz"))
-        .filter(col("_bsz") <= maxBasket).select(col("_b")),
-      Seq("_b"))
+    // the capped basket-item frame feeds item counts AND both sides of
+    // the pair self-join — materialize once (bounded: ≤ corpus rows of
+    // two keys) instead of re-running scan+distinct per consumer; the
+    // alias renames below defeat ReuseExchange's canonicalization
+    val kept = cappedBasketItems(baskets, basketCol, itemCol, maxBasket)
     val itemN = kept.groupBy(col("_i")).agg(count(lit(1)).as("_n"))
     val pairs = kept.as("l")
       .join(kept.as("r"), expr("l._b = r._b AND l._i < r._i"))
@@ -46,15 +45,34 @@ object ItemSim {
       .withColumn("cosine",
         col("n_pair").cast("double") /
           sqrt((col("_na") * col("_nc")).cast("double")))
-    // symmetric: each pair serves both endpoints' top-k lists
-    val both = scored.select(col("_a").as("item"), col("_c").as("other"),
-        col("n_pair"), col("cosine"))
-      .unionByName(scored.select(col("_c").as("item"), col("_a").as("other"),
-        col("n_pair"), col("cosine")))
+    // symmetric: each pair serves both endpoints' top-k lists. explode,
+    // not union — a union of two projections would duplicate the whole
+    // pair-join lineage into two plan branches and execute it twice
+    val both = scored.select(explode(array(
+        struct(col("_a").as("item"), col("_c").as("other"),
+          col("n_pair"), col("cosine")),
+        struct(col("_c").as("item"), col("_a").as("other"),
+          col("n_pair"), col("cosine")))).as("_e"))
+      .select(col("_e.item").as("item"), col("_e.other").as("other"),
+        col("_e.n_pair").as("n_pair"), col("_e.cosine").as("cosine"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("cosine").desc, col("other"))
     both.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Distinct (basket, item) rows of baskets with ≤ `maxBasket` items,
+    * eagerly materialized: every caller fans this frame into ≥ 3 plan
+    * branches whose alias renames block exchange reuse. */
+  private def cappedBasketItems(baskets: DataFrame, basketCol: String,
+      itemCol: String, maxBasket: Int): DataFrame = {
+    val b = baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
+      .distinct()
+    b.join(
+      b.groupBy(col("_b")).agg(count(lit(1)).as("_bsz"))
+        .filter(col("_bsz") <= maxBasket).select(col("_b")),
+      Seq("_b"))
+      .localCheckpoint(true)
   }
 
   /** DuckDB mirror of [[topkCosine]]. */
@@ -99,12 +117,7 @@ object ItemSim {
     * count joins. */
   def associationRules(baskets: DataFrame, basketCol: String,
       itemCol: String, minPairCount: Long, maxBasket: Int): DataFrame = {
-    val b = baskets.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct()
-    val kept = b.join(
-      b.groupBy(col("_b")).agg(count(lit(1)).as("_bsz"))
-        .filter(col("_bsz") <= maxBasket).select(col("_b")),
-      Seq("_b"))
+    val kept = cappedBasketItems(baskets, basketCol, itemCol, maxBasket)
     val totals = kept.select(countDistinct(col("_b")).as("_N"))
     val itemN = kept.groupBy(col("_i")).agg(count(lit(1)).as("_n"))
     val pairs = kept.as("l")
@@ -118,12 +131,19 @@ object ItemSim {
       .join(itemN.withColumnRenamed("_i", "_c").withColumnRenamed("_n", "_nc"),
         Seq("_c"))
       .crossJoin(broadcast(totals))
-    val dir = scored.select(col("_a").as("antecedent"),
-        col("_c").as("consequent"), col("n_pair"), col("_na").as("_nl"),
-        col("_nc").as("_nr"), col("_N"))
-      .unionByName(scored.select(col("_c").as("antecedent"),
-        col("_a").as("consequent"), col("n_pair"), col("_nc").as("_nl"),
-        col("_na").as("_nr"), col("_N")))
+    // both directions via explode (confidence is asymmetric) — a union
+    // of two projections would execute the pair-join lineage twice
+    val dir = scored.select(explode(array(
+        struct(col("_a").as("antecedent"), col("_c").as("consequent"),
+          col("n_pair"), col("_na").as("_nl"), col("_nc").as("_nr"),
+          col("_N")),
+        struct(col("_c").as("antecedent"), col("_a").as("consequent"),
+          col("n_pair"), col("_nc").as("_nl"), col("_na").as("_nr"),
+          col("_N")))).as("_e"))
+      .select(col("_e.antecedent").as("antecedent"),
+        col("_e.consequent").as("consequent"),
+        col("_e.n_pair").as("n_pair"), col("_e._nl").as("_nl"),
+        col("_e._nr").as("_nr"), col("_e._N").as("_N"))
     dir
       .withColumn("support",
         col("n_pair").cast("double") / col("_N").cast("double"))
