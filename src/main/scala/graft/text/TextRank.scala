@@ -51,16 +51,22 @@ object TextRank {
     val wdeg = edges.groupBy("u").agg(sum(col("w")).as("wdeg"))
       .localCheckpoint(true)
     val n = wdeg.count().toDouble
+    // hoist the iteration-INVARIANT edges⨝wdeg join out of the loop and
+    // pre-partition by the aggregation key: each round is then one
+    // broadcast of the vocab-sized pr table + a shuffle-free aggregate
+    val edgesW = edges.join(wdeg, "u")
+      .select(col("v"), col("u"), col("w"), col("wdeg"))
+      .repartition(col("v"))
+      .localCheckpoint(true)
     var pr = wdeg.select(col("u").as("v"), lit(1.0 / n).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(wdeg, "u")
-        .join(pr.select(col("v").as("u"), col("pr")), "u")
+      val contrib = edgesW
+        .join(broadcast(pr.select(col("v").as("u"), col("pr"))), "u")
         .select(col("v"), (col("pr") * col("w") / col("wdeg")).as("c"))
         .groupBy("v").agg(sum(col("c")).as("inflow"))
       pr = wdeg.select(col("u").as("v"))
-        .join(contrib, Seq("v"), "left")
+        .join(broadcast(contrib), Seq("v"), "left")
         .select(col("v"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
@@ -93,12 +99,18 @@ object TextRank {
     // verbatim by the oracle's FLOOR expressions over CAST(COUNT(*))
     val init9 = math.floor(1e9 / n).toLong
     val base9 = math.floor((1 - damping) / n * 1e9).toLong
+    // iteration-invariant edges⨝wdeg hoisted + partitioned on the
+    // aggregation key (see [[keywords]]); the arithmetic below is
+    // UNCHANGED — only the join/partitioning shape moves
+    val edgesW = edges.join(wdeg, "u")
+      .select(col("v"), col("u"), col("w"), col("wdeg"))
+      .repartition(col("v"))
+      .localCheckpoint(true)
     var pr = wdeg.select(col("u").as("v"), lit(init9).as("pr9"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(wdeg, "u")
-        .join(pr.select(col("v").as("u"), col("pr9")), "u")
+      val contrib = edgesW
+        .join(broadcast(pr.select(col("v").as("u"), col("pr9"))), "u")
         // pr9 ≤ 1e9 and w ≤ corpus bigram count keep the product well
         // under 2^53, so the double multiply is exact; the divide is
         // one deterministic IEEE op; floor pins the result to BIGINT
@@ -106,7 +118,7 @@ object TextRank {
           floor(col("pr9").cast("double") * col("w") / col("wdeg")).as("c9"))
         .groupBy("v").agg(sum(col("c9")).as("inflow9"))
       pr = wdeg.select(col("u").as("v"))
-        .join(contrib, Seq("v"), "left")
+        .join(broadcast(contrib), Seq("v"), "left")
         .select(col("v"),
           (lit(base9) +
             floor(lit(damping) * coalesce(col("inflow9"), lit(0L)).cast("double"))).as("pr9"))
