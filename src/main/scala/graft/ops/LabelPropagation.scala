@@ -59,7 +59,10 @@ object LabelPropagation {
       .distinct()
     val small = items.groupBy(col("bid")).agg(count(lit(1)).as("bs"))
       .filter(col("bs") <= maxBasket).select("bid")
-    val inB = items.join(small, "bid")
+    // both sides of the pair self-join read this frame; materialize
+    // once (the ItemSim cappedBasketItems move — alias renames would
+    // otherwise defeat ReuseExchange and run scan+distinct twice)
+    val inB = items.join(small, "bid").localCheckpoint(true)
     val edges = inB.as("a")
       .join(inB.as("b"),
         col("a.bid") === col("b.bid") && col("a.item") < col("b.item"))
