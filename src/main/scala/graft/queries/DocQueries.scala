@@ -548,6 +548,10 @@ object DocQueries {
   private val knnBrute: Q = (s, d) =>
     Knn.bruteForceTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
 
+  /** Hard-negative mining: top-5 cross-label neighbors per anchor. */
+  private val knnHardNegatives: Q = (s, d) =>
+    Knn.hardNegatives(table(s, d, "embeddings"), numQueries = 5, k = 5)
+
   /** LSH-bucketed approximate top-k (rows-only; recall tested). */
   private val knnLsh: Q = (s, d) =>
     Knn.lshTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
@@ -637,6 +641,7 @@ object DocQueries {
     ("dedup_simhash", dedupSimhash, None),
     ("dedup_simhash_md5", dedupSimhashMd5, Some(SimHash.md5OracleSql(3))),
     ("knn_cosine_topk", knnBrute, Some(Knn.bruteForceTopKSql(5, 5))),
+    ("knn_hard_negatives", knnHardNegatives, Some(Knn.hardNegativesSql(5, 5))),
     ("dedup_embedding_cosine",
       (s: org.apache.spark.sql.SparkSession, d: String) =>
         Knn.cosineNearDupPairs(table(s, d, "embeddings"), 0.4),

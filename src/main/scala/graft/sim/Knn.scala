@@ -57,6 +57,57 @@ object Knn extends Serializable {
        |  FROM scored) t
        |WHERE rnk <= $k""".stripMargin
 
+  /** Hard-negative mining — the contrastive-training data op (SimCLR/
+    * DPR-style): for each anchor vector, the `k` most-similar vectors
+    * whose LABEL differs (the negatives the model is most likely to
+    * confuse; random negatives are too easy to carry gradient). Same
+    * broadcast-anchors × candidates shape as [[bruteForceTopK]] with
+    * the label-mismatch predicate pushed into the join, so the per-
+    * anchor window never sees in-class rows. The brute scan is the
+    * witness; at corpus scale the candidate side routes through the
+    * IVF/LSH stores exactly as for plain kNN (hard negatives are a
+    * top-k over the same similarity — every ANN path applies).
+    *
+    * @return (query_id, anchor_label, neighbor_id, neighbor_label,
+    *         cosine, rnk) — `k` hardest negatives per anchor. */
+  def hardNegatives(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    graft.functions.VecDotFloat.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("anchor_label"),
+        col("embedding").as("qe"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("embedding").as("ne"))
+    val scored = c.join(broadcast(q),
+        col("anchor_label") =!= col("neighbor_label"))
+      .withColumn("cosine", round(expr(dotExpr), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("anchor_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rnk"))
+  }
+
+  /** DuckDB mirror of [[hardNegatives]]. */
+  def hardNegativesSql(numQueries: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS anchor_label,
+       |             CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id < $numQueries),
+       |c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+       |             CAST(embedding AS DOUBLE[]) AS ne
+       |      FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, anchor_label, neighbor_id, neighbor_label,
+       |    ROUND(list_dot_product(qe, ne), 6) AS cosine
+       |  FROM q, c WHERE anchor_label <> neighbor_label)
+       |SELECT query_id, anchor_label, neighbor_id, neighbor_label,
+       |       cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $k""".stripMargin
+
   /** Approximate NN, the scale path: multi-table random-hyperplane LSH
     * with 1-bit multiprobe. Each of `numTables` tables sketches a
     * vector to a `planes`-bit bucket (sign of the dot product against

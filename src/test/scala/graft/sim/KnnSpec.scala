@@ -146,4 +146,28 @@ class KnnSpec extends AnyFunSuite {
     assert(approxRows <= 25)
     assert(n > 100) // sanity: corpus non-trivial
   }
+
+  test("hard negatives: cross-label only, ranked like brute with in-class removed") {
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Knn.hardNegatives(emb, numQueries = 5, k = 5).collect()
+    assert(out.length === 25)
+    out.foreach { r =>
+      assert(r.getInt(1) === labels(r.getLong(0)))     // anchor_label faithful
+      assert(r.getInt(3) === labels(r.getLong(2)))     // neighbor_label faithful
+      assert(r.getInt(1) !== r.getInt(3))              // NEGATIVE: labels differ
+    }
+    // equivalence: hard negatives == brute-force ranking restricted to
+    // cross-label candidates (the mining is a filter, not a new metric)
+    val brute = Knn.bruteForceTopK(emb, 5, emb.count().toInt).collect()
+    val expected = brute
+      .filter(r => labels(r.getLong(1)) != labels(r.getLong(0)))
+      .groupBy(_.getLong(0)).toSeq
+      .flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r.getDouble(2), r.getLong(1))).take(5)
+          .map(r => (q, r.getLong(1), r.getDouble(2)))
+      }.toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(2), r.getDouble(4))).toSet
+    assert(got === expected)
+  }
 }
