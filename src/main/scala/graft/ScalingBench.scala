@@ -57,7 +57,11 @@ object ScalingBench {
       "j_golden_record" -> "customer",
       "pipeline_fineweb_funnel" -> "documents",
       "dedup_semantic" -> "embeddings",
-      "f1_e2e_serving" -> "events")
+      "f1_e2e_serving" -> "events",
+      "pipeline_preference_pairs" -> "documents",
+      "knn_hard_negatives" -> "embeddings",
+      "rec_association_rules" -> "lineitem",
+      "text_textrank" -> "documents")
 
     // Min-of-3 after one warm run: the r9 SCALING refresh shipped four
     // false superlinear exponents caused by concurrent-load noise on a

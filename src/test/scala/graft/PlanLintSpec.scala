@@ -34,6 +34,9 @@ class PlanLintSpec extends AnyFunSuite {
                               // definition of brute-force kNN; the
                               // blocked/IVF/PQ variants are the scale
                               // path and plan no nested loop
+    "knn_hard_negatives" -> 16L,     // same 5-row anchor side as
+                              // knn_cosine_topk, with the label-mismatch
+                              // predicate as the (non-equi) join filter
     "text_lm_score" -> 4L,          // 1-row vocabulary-size scalar
     "retrieval_rrf" -> 64L,          // composes text_bm25 (1-row stats) +
                               // knn_cosine_topk (1-row query side) —
