@@ -232,11 +232,47 @@ object MlQueries {
     graft.ml.Pca.modelFrame(s, graft.ml.Pca.fit(ds, k = 8))
   }
 
+  /** PCA projection, oracle-exact via the engine-written-artifact
+    * pattern (the unigram-encode precedent): the eigensolve stays the
+    * documented engine-side float seam, but the engine WRITES its
+    * (pc, mean, component) table to a per-corpus parquet path and
+    * DuckDB replays the projection over it — `list_reduce` mirrors
+    * Spark's `aggregate` fold op-for-op (same 0-init, same index
+    * order, each step one correctly-rounded IEEE op), so the projected
+    * values are bit-identical before the 6-dp dump rounding. */
+  private def pcaModelPath(tag: String) = s"/tmp/graft_gate_pca_model_$tag"
   private val mlPcaProject: Q = (s, d) => {
     import s.implicits._
     val t = table(s, d, "embeddings")
     val m = graft.ml.Pca.fit(t.select(col("embedding")).as[Array[Float]], k = 4)
+    s.createDataFrame(m.components.zipWithIndex.toSeq
+        .map { case (w, c) => (c, m.mean.toSeq, w.toSeq) })
+      .toDF("pc", "mu", "w")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(pcaModelPath(graft.util.Tables.corpusTag(d)))
     graft.ml.Pca.project(t, "embedding", m)
+      .select(col("vec_id") +:
+        (0 until 4).map(i => round(col(s"pc$i"), 6).as(s"pc$i")): _*)
+      .orderBy("vec_id")
+  }
+
+  private val mlPcaProjectSql = {
+    val path =
+      s"/tmp/graft_gate_pca_model_${graft.util.Tables.SfTagToken}/*.parquet"
+    s"""WITH m AS (SELECT pc, mu, w FROM read_parquet('$path')),
+       |proj AS (
+       |  SELECT e.vec_id, m.pc,
+       |    ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(e.embedding)),
+       |        i -> (CAST(e.embedding[i] AS DOUBLE) - m.mu[i]) * m.w[i])),
+       |      (acc, x) -> acc + x), 6) AS v
+       |  FROM embeddings e, m)
+       |SELECT vec_id,
+       |  MAX(CASE WHEN pc = 0 THEN v END) AS pc0,
+       |  MAX(CASE WHEN pc = 1 THEN v END) AS pc1,
+       |  MAX(CASE WHEN pc = 2 THEN v END) AS pc2,
+       |  MAX(CASE WHEN pc = 3 THEN v END) AS pc3
+       |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
   /** PLANTED-SPECTRUM PCA gate — the cross-engine anchor the free-data
@@ -597,7 +633,7 @@ object MlQueries {
       Some(qualityExpectationsSql)),
     ("ml_pca", mlPca, None),
     ("ml_pca_planted_spectrum", mlPcaPlanted, Some(mlPcaPlantedSql)),
-    ("ml_pca_project", mlPcaProject, None),
+    ("ml_pca_project", mlPcaProject, Some(mlPcaProjectSql)),
     ("w_lttb_downsample", wLttbDownsample, Some(wLttbDownsampleSql)),
     ("ml_calibration", mlCalibration, Some(mlCalibrationSql)),
     ("ml_confusion_f1", mlConfusionF1, Some(mlConfusionF1Sql)),
