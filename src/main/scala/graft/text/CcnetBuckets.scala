@@ -56,6 +56,11 @@ object CcnetBuckets {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("term").cast("decimal(38,6)")).cast("double").as("sum_lp"))
       .withColumn("avg_lp", col("sum_lp") / col("n_bigrams").cast("double"))
+      // one row per doc, 4 columns — bounded. GlobalRank references its
+      // input three times (stats, bucketing, offsets) and the tercile
+      // cut counts it a fourth; without this the bigram explode + model
+      // joins above re-execute per reference (SemDedup precedent).
+      .localCheckpoint(true)
     // distributed rank by (avg_lp desc, doc_id): negate for GlobalRank's
     // ascending order; NTILE(3) = (rn-1)*3 div N + 1, all-integer.
     val ranked = graft.ops.GlobalRank.withGlobalRank(

@@ -125,6 +125,12 @@ object Shingles {
       .filter(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
       .select(col("doc_id"), col("shingle"), col("sz"), col("rn"))
+      // both sides of the candidate self-join read this frame, and the
+      // rename-heavy selects defeat ReuseExchange canonicalization (the
+      // rec_item_similarity lesson) — without this the df-join + two
+      // windows execute twice. Prefix rows ≤ (1−t)·|shingles| per doc,
+      // the same bounded-materialization call j_record_linkage makes.
+      .localCheckpoint(true)
     // two more LOSSLESS prunes before the distinct + verify join:
     //  - length filter: J ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|);
     //  - PPJoin positional filter: a collision at prefix ranks
