@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Physical-plan parquet-scan census — the regression net behind the
+  * round-10 ReuseExchange findings: three separate gates were measured
+  * re-executing an expensive explode/join lineage because alias renames
+  * defeated exchange canonicalization (rec_item_similarity, text_textrank,
+  * ml_quantile_regression — see PLANS_NOTES.md). The static physical plan
+  * shows that duplication as the SAME parquet table scanned N times, so a
+  * checked-in per-gate scan-count baseline turns "a refactor quietly
+  * doubled a lineage" into a failing test instead of a bench-drift hunt.
+  *
+  * Counts are taken from the pre-execution plan (AQE initial plan),
+  * descending into subqueries; `ReusedExchangeExec` children are NOT
+  * re-counted (a reused exchange is the fix, not the bug). Counting is
+  * config-sensitive, so the dump main and the ratchet spec must build
+  * plans under the SAME session settings — both pin the SparkTestBase
+  * config (local[4], 4 shuffle partitions) and sf0.001.
+  */
+object PlanScans {
+
+  /** Per-table FileSourceScan counts for one physical plan. */
+  def scanCounts(plan: SparkPlan): Map[String, Int] = {
+    def tableName(f: FileSourceScanExec): String = {
+      val root = f.relation.location.rootPaths.headOption
+        .map(_.toString).getOrElse("unknown")
+      // .../sf0.001/documents.parquet -> documents; engine-written
+      // artifact dirs keep their basename.
+      root.split('/').lastOption.getOrElse(root)
+        .stripSuffix(".parquet")
+    }
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val through = p match {
+        case q: QueryStageExec => allNodes(q.plan)
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        // do NOT descend: a reused exchange reads the sibling's
+        // materialized output — charging its subtree twice would
+        // penalize exactly the sharing this census exists to protect.
+        case _: ReusedExchangeExec => Seq.empty
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(allNodes)) ++ through ++
+        p.subqueries.flatMap(allNodes)
+    }
+    allNodes(plan)
+      .collect { case f: FileSourceScanExec => tableName(f) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+  }
+
+  /** Build every gate's plan on `sfDir` and census its scans. */
+  def census(spark: SparkSession, sfDir: String)
+      : Seq[(String, Map[String, Int], Option[String])] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        (name, scanCounts(plan), None)
+      } catch {
+        case e: Throwable => (name, Map.empty[String, Int], Some(e.getMessage))
+      }
+    }
+
+  def toJson(rows: Seq[(String, Map[String, Int])]): String =
+    rows.sortBy(_._1).map { case (name, counts) =>
+      val inner = counts.toSeq.sorted
+        .map { case (t, n) => s""""$t":$n""" }.mkString(",")
+      s"""  "$name":{$inner}"""
+    }.mkString("{\n", ",\n", "\n}\n")
+
+  def parseJson(text: String): Map[String, Map[String, Int]] = {
+    // minimal parser for the flat {"gate":{"table":n,...},...} shape
+    // this object writes (avoids a JSON dependency).
+    val gate = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+    val kv = """"([^"]+)"\s*:\s*(\d+)""".r
+    gate.findAllMatchIn(text).map { m =>
+      m.group(1) -> kv.findAllMatchIn(m.group(2)).map { p =>
+        p.group(1) -> p.group(2).toInt
+      }.toMap
+    }.toMap
+  }
+}
+
+/** Writes tools/plan_scans_baseline.json — run after any intentional
+  * plan-shape change, with the diff reviewed like any other artifact. */
+object PlanScanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1) else "tools/plan_scans_baseline.json"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = PlanScans.census(spark, sfDir)
+    rows.collect { case (n, _, Some(err)) => s"$n: $err" } match {
+      case Seq() =>
+      case errs =>
+        System.err.println(s"[plan-scans] ${errs.size} gates failed to plan:")
+        errs.foreach(e => System.err.println(s"  $e"))
+        sys.exit(1)
+    }
+    val json = PlanScans.toJson(rows.map { case (n, c, _) => (n, c) })
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    println(s"[plan-scans] wrote ${rows.size} gates to $out")
+    spark.stop()
+  }
+}
