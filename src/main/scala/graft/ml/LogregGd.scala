@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * Scale shape at 100 TB: per iteration the weight vector (d+1 longs)
   * BROADCASTS to the scan, and the gradient comes back as ONE global
   * aggregate of d+1 partial sums — the shuffle carries d+1 numbers per
-  * partition per iteration, never rows. T iterations = T corpus scans
-  * (cache the projected feature frame when iterating seriously), zero
-  * driver-side data movement beyond the weight row.
+  * partition per iteration, never rows. The (y, x) projection is
+  * materialized once (5 longs/row) and each iteration truncates the
+  * 1-row weight lineage, so T iterations = T passes over the compact
+  * frame — NOT T parquet scans, and not the quadratic recompute a
+  * growing lazy lineage would plan. Zero driver-side data movement
+  * beyond the weight row.
   *
   * Exactness (the cross-engine hash contract): the model activation is
   * the HARD sigmoid p = clip(z/4 + 1/2, 0, 1) — piecewise-rational, so
@@ -57,12 +60,21 @@ object LogregGd {
   def trainWeights(xy: DataFrame, iters: Int = 3,
       lrDen: Long = 2L): DataFrame = {
     val feats = Seq("x0", "x1", "x2", "x3")
+    // Materialize the (y, x0..x3) projection ONCE — 5 longs per row.
+    // Every iteration's aggregate passes over this frame; without the
+    // checkpoint the growing weight lineage re-embeds the source scan
+    // per nesting level (censused: 16 parquet scans at iters=3).
+    val x = xy.select((col("y") +: feats.map(col)): _*).localCheckpoint(true)
     // n rides inside the single-row weight frame so each iteration is
     // one broadcast join + one aggregate, no driver round-trip.
-    var w = xy.agg(count(lit(1)).as("n"))
+    var w = x.agg(count(lit(1)).as("n"))
       .select(col("n") +: feats.map(f => lit(0L).as(s"w_$f")): _*)
+      // truncate the 1-row weight lineage per step (the TextRank
+      // pattern): iteration i otherwise embeds every prior iteration's
+      // aggregate, so total passes over the data grow quadratically.
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val z = xy.crossJoin(broadcast(w))
+      val z = x.crossJoin(broadcast(w))
         .withColumn("_z", feats.map(f => col(s"w_$f") * col(f))
           .reduce(_ + _))
         .withColumn("_pq",
@@ -77,6 +89,7 @@ object LogregGd {
           (col(s"w_$f") -
             floor(col(s"g_$f") / (lit(lrDen.toDouble) * col("n")))
               .cast("long")).as(s"w_$f")): _*)
+        .localCheckpoint(true)
     }
     w
   }

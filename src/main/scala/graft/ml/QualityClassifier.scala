@@ -47,7 +47,10 @@ object QualityClassifier {
     * above 1/2 (pq > W/2). */
   def classify(docs: DataFrame, iters: Int = 3,
       lrDen: Long = 500L): DataFrame = {
-    val feats = features(docs)
+    // 6 longs per doc; referenced by BOTH the trainer and the scoring
+    // branch — without the checkpoint the regex-heavy Gopher audit
+    // executes once per reference (censused: 6 documents scans).
+    val feats = features(docs).localCheckpoint(true)
     val w = LogregGd.trainWeights(feats.select("y", "x0", "x1", "x2", "x3"),
       iters, lrDen)
     val W = LogregGd.W

@@ -50,6 +50,10 @@ object QuantileReg {
       .localCheckpoint(true)
     var w = quant.agg(count(lit(1)).as("n"))
       .select(col("n") +: feats.map(f => lit(0L).as(s"w_$f")): _*)
+      // truncate the 1-row weight lineage each step (LogregGd/TextRank
+      // pattern): iteration i otherwise re-embeds every prior
+      // iteration's aggregate — quadratic total passes.
+      .localCheckpoint(true)
     for (t <- 1 to iters) {
       val scored = quant.crossJoin(broadcast(w))
         .withColumn("_rq",
@@ -61,6 +65,7 @@ object QuantileReg {
         .select(col("n") +: feats.map(f =>
           (col(s"w_$f") +
             expr(s"(${etaQ / t}) * g_$f div (2 * n)")).as(s"w_$f")): _*)
+        .localCheckpoint(true)
     }
     // materialize the 1-row weight frame before melting: the four
     // union arms each reference the iters-deep lineage. Measured at

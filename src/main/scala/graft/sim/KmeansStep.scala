@@ -70,8 +70,15 @@ object KmeansStep {
     graft.functions.VecDotLong.register(emb.sparkSession)
     val q = emb.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(x * $Q) AS BIGINT))").as("vq"))
+      // the working set every Lloyd pass reads — materialize the
+      // quantization once instead of re-scanning + re-quantizing the
+      // source per iteration (censused: 4 embeddings scans at iters=3)
+      .localCheckpoint(true)
     var cents = q.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("vq").as("cq"))
+      // k rows; truncated per iteration below (LogregGd pattern) so
+      // iteration i's broadcast doesn't re-embed iterations 1..i-1
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val assigned = q.crossJoin(broadcast(cents))
         .withColumn("dist", expr("vec_sqdist_long(vq, cq)"))
@@ -90,6 +97,7 @@ object KmeansStep {
         .agg(expr("transform(array_sort(collect_list(struct(dim, cqv))), s -> s.cqv)")
           .as("cq"), max(col("n")).as("n_members"))
         .select(col("cid"), col("cq"), col("n_members"))
+        .localCheckpoint(true)
     }
     cents
       .select(col("cid").as("cluster_id"), col("n_members"),
