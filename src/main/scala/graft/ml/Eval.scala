@@ -91,9 +91,19 @@ object Eval {
     * products, one double divide; capture = cum_np/NP likewise. */
   def gains(df: DataFrame, scoreCol: String, tieCol: String,
       labelCol: String, buckets: Int = 10): DataFrame = {
+    // materialize the scored frame once: GlobalRank reads it three
+    // times and (N, NP) need no ranks at all — computing totals from
+    // the un-ranked frame skips a second pass over the rank plan
+    // (scan-censused: 8 source scans without these two moves).
+    // Projected to the THREE columns the table needs before pinning —
+    // checkpointing a caller's full wide row measured slower than the
+    // scans it saved.
+    val src = df.select(col(tieCol), col(labelCol),
+        (-col(scoreCol)).as("_negs"))
+      .localCheckpoint(true)
     val ranked = graft.ops.GlobalRank.withGlobalRank(
-      df.withColumn("_negs", -col(scoreCol)), "_negs", tieCol, "_rn")
-    val totals = ranked.agg(count(lit(1)).as("_N"),
+      src, "_negs", tieCol, "_rn", materialize = false)
+    val totals = src.agg(count(lit(1)).as("_N"),
       sum(when(col(labelCol), 1L).otherwise(0L)).as("_NP"))
     ranked.crossJoin(broadcast(totals))
       .withColumn("bucket",

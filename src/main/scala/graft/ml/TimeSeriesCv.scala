@@ -28,8 +28,12 @@ object TimeSeriesCv {
     * drop them; kept here so the fold table is total and deterministic). */
   def quarterlyFolds(orders: DataFrame, dateCol: String = "o_orderdate",
       embargoDays: Int = 30): DataFrame = {
+    // day-bounded (and quarter-bounded) frames, each referenced three
+    // times below — pinned so "the corpus is touched once" holds in
+    // the physical plan too (scan-censused 5 source scans without)
     val byDay = orders.select(to_date(col(dateCol)).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val folds = byDay.select(date_trunc("quarter", col("d")).cast("date").as("q_start"))
       .distinct()
       .select(
@@ -37,6 +41,7 @@ object TimeSeriesCv {
         col("q_start"),
         date_sub(add_months(col("q_start"), 3), 1).as("q_end"),
         date_sub(col("q_start"), embargoDays).as("cutoff"))
+      .localCheckpoint(true)
     val nTest = byDay.join(broadcast(folds),
         col("d") >= col("q_start") && col("d") <= col("q_end"))
       .groupBy("fold_id").agg(sum(col("n")).as("n_test"))

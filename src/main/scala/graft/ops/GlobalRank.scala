@@ -31,10 +31,21 @@ object GlobalRank {
 
   /** Append `rank_col` = global 1-based row_number ordered by
     * (`valueCol` asc, `tieCol` asc). `valueCol` must be non-null
-    * numeric; `tieCol` unique. */
-  def withGlobalRank(df: DataFrame, valueCol: String, tieCol: String,
-      rankCol: String = "rn", buckets: Int = 64): DataFrame = {
+    * numeric; `tieCol` unique.
+    *
+    * `materialize` (default true) pins the input once on executor
+    * storage: the rank plan references it THREE times (global stats,
+    * bucket counts, the final bucket window), so a lazy upstream
+    * lineage — a scan, an explode, a groupBy — would otherwise
+    * re-execute per reference (scan-censused 3× on every caller).
+    * The cost is one copy of the input rows, which is why callers
+    * should project to the lean (value, tie, carry) frame first; pass
+    * `materialize = false` when the input is already materialized. */
+  def withGlobalRank(input: DataFrame, valueCol: String, tieCol: String,
+      rankCol: String = "rn", buckets: Int = 64,
+      materialize: Boolean = true): DataFrame = {
     require(buckets > 0)
+    val df = if (materialize) input.localCheckpoint(true) else input
     val v = col(valueCol).cast("double")
     val stats = df.agg(min(v).as("_lo"), max(v).as("_hi"))
     val span = col("_hi") - col("_lo")

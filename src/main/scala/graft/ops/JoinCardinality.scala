@@ -32,10 +32,16 @@ object JoinCardinality {
   def estimate(relations: Seq[Relation]): DataFrame = {
     require(relations.nonEmpty)
     relations.map { r =>
-      val fl = r.left.groupBy(col(r.leftKey).as("_k"))
+      // a self-relation (same frame, same key — the fan-out audit on a
+      // table joined to itself) needs ONE per-key pass, not two
+      val sameSide = (r.right eq r.left) && r.rightKey == r.leftKey
+      val fl0 = r.left.groupBy(col(r.leftKey).as("_k"))
         .agg(count(lit(1)).as("_cl"))
-      val fr = r.right.groupBy(col(r.rightKey).as("_k"))
-        .agg(count(lit(1)).as("_cr"))
+      val fl = if (sameSide) fl0.localCheckpoint(true) else fl0
+      val fr =
+        if (sameSide) fl.select(col("_k"), col("_cl").as("_cr"))
+        else r.right.groupBy(col(r.rightKey).as("_k"))
+          .agg(count(lit(1)).as("_cr"))
       // null keys survive groupBy as a null-key row; an equi-join would
       // drop them, so exclude the null row from the pair products but
       // keep it in the side totals

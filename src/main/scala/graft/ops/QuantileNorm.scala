@@ -24,10 +24,17 @@ object QuantileNorm {
 
   /** @param idCol globally unique (rank tiebreak + row identity)
     * @return input rows + (grp_rank, grp_n, norm_value). */
-  def toGlobalReference(df: DataFrame, groupCol: String, valueCol: String,
+  def toGlobalReference(input: DataFrame, groupCol: String, valueCol: String,
       idCol: String): DataFrame = {
+    // the plan reads the input THREE ways (global rank, corpus count,
+    // the group-rank chain) — materialize it once so an expensive
+    // upstream lineage never re-executes (scan-censused 6 source
+    // scans without this); callers should project to the lean frame
+    // first since all carried columns are pinned
+    val df = input.localCheckpoint(true)
     val ranked = GlobalRank.withGlobalRank(
-      df.select(col(valueCol), col(idCol)), valueCol, idCol, "_grank")
+      df.select(col(valueCol), col(idCol)), valueCol, idCol, "_grank",
+      materialize = false)
     val ref = ranked.select(col("_grank").as("_j"),
       col(valueCol).as("norm_value"))
     val totals = df.agg(count(lit(1)).as("_n_total"))

@@ -33,7 +33,12 @@ object Skyline {
       buckets: Int = 64): DataFrame = {
     require(buckets > 0)
     val x = col(xCol).cast("double")
+    // distinct-x bounded; referenced by the stats pass AND the bucket
+    // chain — pinned so the corpus groupBy runs once (scan census:
+    // 5 → 2 source scans, the remaining two being this compaction and
+    // the final tag-back join)
     val perX = df.groupBy(col(xCol)).agg(min(col(yCol)).as("_m2"))
+      .localCheckpoint(true)
     val stats = perX.agg(min(x).as("_lo"), max(x).as("_hi"))
     val span = col("_hi") - col("_lo")
     val rawBucket = floor((x - col("_lo")) / span * lit(buckets.toDouble))

@@ -255,6 +255,9 @@ object CorpusOpsQueries {
     ("pipeline_wordpiece_encode",
       ((s, d) => WordPiece.encode(table(s, d, "documents"))): Q,
       Some(WordPiece.encodeSql())),
+    ("pipeline_tokenizer_fertility",
+      ((s, d) => WordPiece.fertility(table(s, d, "documents"))): Q,
+      Some(WordPiece.fertilitySql())),
     ("pipeline_quality_classifier",
       ((s, d) => graft.ml.QualityClassifier.classify(table(s, d, "documents"))): Q,
       Some(graft.ml.QualityClassifier.classifySql())),

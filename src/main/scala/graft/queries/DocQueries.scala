@@ -654,7 +654,11 @@ object DocQueries {
     ("dedup_embedding_blocked",
       (s: org.apache.spark.sql.SparkSession, d: String) =>
         Knn.cosineNearDupBlocked(
-          Knn.plantedNearDups(table(s, d, "embeddings")), 0.95),
+          // pinned: the blocked path reads the augmented corpus four
+          // ways (sketches + both pair sides), and each lazy read
+          // costs TWO source scans (original + planted arm)
+          Knn.plantedNearDups(table(s, d, "embeddings"))
+            .localCheckpoint(true), 0.95),
       Some(Knn.plantedNearDupBlockedSql(0.95, 0.02, 1000000L))),
     ("knn_lsh_topk", knnLsh, None),
     ("knn_ivf_topk", knnIvf, None),

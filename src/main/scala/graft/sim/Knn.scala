@@ -214,8 +214,13 @@ object Knn extends Serializable {
     val spark = emb.sparkSession
     import spark.implicits._
     graft.functions.VecDotFloat.register(spark)
+    // (vec_id, tbl, bucket) — numTables lean rows per vector. The
+    // self-join's a/b projections rename vec_id differently, which
+    // defeats ReuseExchange, so without pinning the hyperplane-sketch
+    // pass over the corpus executes TWICE (scan-censused).
     val sketches = bucketSketches(emb, planes, numTables)
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .localCheckpoint(true)
     val a = sketches.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
     val b = sketches.select(col("vec_id").as("vec_b"), col("tbl"), col("bucket"))
     val candidates = a.join(b, Seq("tbl", "bucket"))
@@ -499,11 +504,14 @@ object Knn extends Serializable {
       planes: Int = 6, numTables: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.VecDotFloat.register(spark)
-    val withBuckets = bucketSketches(emb, planes, numTables)
-      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
-    val c = withBuckets.select(col("vec_id").as("neighbor_id"),
+    // lean (vec_id, buckets) sketch frame, pinned: the corpus side and
+    // the query side both explode it (the embedding column is never
+    // needed here — joining it back cost two extra corpus scans)
+    val sketches = bucketSketches(emb, planes, numTables)
+      .localCheckpoint(true)
+    val c = sketches.select(col("vec_id").as("neighbor_id"),
       posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val q = withBuckets.filter(col("vec_id") < numQueries)
+    val q = sketches.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"),
         posexplode(col("buckets")).as(Seq("tbl", "qbucket")))
       .withColumn("bucket", explode(expr(
@@ -514,7 +522,12 @@ object Knn extends Serializable {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
 
-    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // numQueries-bounded BEFORE the broadcast (candidates' query_id is
+    // already < numQueries, so the filter is lossless) — broadcasting
+    // the unfiltered corpus was the one unbounded broadcast in the
+    // kNN family
+    val qe = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val ne = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val scored = candidates
       .join(broadcast(qe), "query_id")

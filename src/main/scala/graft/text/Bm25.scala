@@ -22,18 +22,25 @@ object Bm25 {
     * Robertson/Lucene). Output: (doc_id, score, n_terms_hit). */
   def topDocs(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, topK: Int = 10): DataFrame = {
-    val words = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("w"))
-    val tf = words.groupBy("doc_id", "w")
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val dl = words.groupBy("doc_id")
-      .agg(count(lit(1)).cast("double").as("dl"))
+    // ONE corpus pass builds the (doc, term, count) posting list —
+    // the inverted-index materialization a lexical engine keeps
+    // anyway; dl (Σ counts per doc), avgdl, and df (rows per term)
+    // all derive from it, so the explode never re-executes
+    // (scan-censused 4 corpus scans without this)
+    val tfL = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tf = tfL.select(col("doc_id"), col("w"),
+      col("c").cast("double").as("tf"))
+    val dl = tfL.groupBy("doc_id")
+      .agg(sum(col("c")).cast("double").as("dl"))
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl").cast("decimal(38,6)")).cast("double") /
         count(lit(1)).cast("double")).as("avgdl"))
-    val dfT = words.select("doc_id", "w").distinct()
-      .groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val dfT = tfL.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
     tf.filter(col("w").isin(terms: _*))
       .join(dl, "doc_id")
       .join(dfT, "w")

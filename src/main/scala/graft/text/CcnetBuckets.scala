@@ -64,7 +64,8 @@ object CcnetBuckets {
     // distributed rank by (avg_lp desc, doc_id): negate for GlobalRank's
     // ascending order; NTILE(3) = (rn-1)*3 div N + 1, all-integer.
     val ranked = graft.ops.GlobalRank.withGlobalRank(
-      scored.withColumn("neg_lp", -col("avg_lp")), "neg_lp", "doc_id", "rn")
+      scored.withColumn("neg_lp", -col("avg_lp")), "neg_lp", "doc_id", "rn",
+      materialize = false) // scored is already checkpointed above
     val total = scored.agg(count(lit(1)).as("n_total"))
     val cut = ranked.crossJoin(broadcast(total))
       .withColumn("bucket",

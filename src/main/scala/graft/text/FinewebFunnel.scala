@@ -28,8 +28,12 @@ object FinewebFunnel {
     * (≥1 kept chunk) → ≥`minWords` after cleaning, plus final words. */
   def funnel(docs: DataFrame, chunkWords: Int = 8,
       minWords: Int = 20): DataFrame = {
+    // doc_id-only survivor set, referenced by BOTH the semi-join and
+    // the flags join — pinned so the regex-heavy Gopher audit runs
+    // once, not per reference (scan census: 6 → 4 source scans)
     val gopherKept = GopherRules.audit(docs).filter(col("keep"))
       .select(col("doc_id"))
+      .localCheckpoint(true)
     val kept = docs.join(gopherKept, Seq("doc_id"), "left_semi")
     val rebuilt = LineDedup.dedupChunks(kept, chunkWords)
       .filter(col("n_kept") > 0)

@@ -49,8 +49,13 @@ object IncrementalDedup {
   def newOnly(newDocs: DataFrame, refDocs: DataFrame,
       expectedRef: Long, fpp: Double = 0.01): DataFrame = {
     val spark = newDocs.sparkSession
+    // lean digest projections (id + 32-hex + long), each referenced
+    // twice (bloom build + verify side; definitely-new + candidate
+    // arms) — pinned so the full-text md5 pass over each corpus runs
+    // once (scan-censused 6 → 2 source scans on the gate)
     val refH = refDocs.select(contentMd5.as("content_md5"),
       contentHash60.as("content_h"))
+      .localCheckpoint(true)
     // ONE distributed pass builds the sketch; the driver fetches the
     // single finished filter (bounded: the sketch, not the data).
     val agg = udaf(new BloomFilterAgg(expectedRef, fpp),
@@ -62,6 +67,7 @@ object IncrementalDedup {
     val fn = BloomMightContainLong.registerUnique(spark, bytes)
     val newH = newDocs.select(col("doc_id"), contentMd5.as("content_md5"),
       contentHash60.as("content_h"))
+      .localCheckpoint(true)
     val definitelyNew = newH.filter(!expr(s"$fn(content_h)"))
     // candidates = true dups + ~fpp false positives; only these join,
     // and they verify on the FULL digest, not the routing fold
@@ -77,7 +83,8 @@ object IncrementalDedup {
     * reappears under a shifted id with identical text — deterministic,
     * row-local, SQL-expressible). */
   def gateQuery(docs: DataFrame, refMax: Long = 250L): DataFrame = {
-    val ref = docs.filter(col("doc_id") < refMax)
+    // referenced by recrawls, the sizing count, and the digest side
+    val ref = docs.filter(col("doc_id") < refMax).localCheckpoint(true)
     val recrawls = ref.filter(col("doc_id") % 7 === 0)
       .withColumn("doc_id", col("doc_id") + 1000000L)
     val newShard = docs.filter(col("doc_id") >= refMax).unionByName(recrawls)

@@ -55,8 +55,11 @@ object KneserNey {
     val train = bigrams(withSplit.filter(col("split") === "train"))
     val test = bigrams(withSplit.filter(col("split") === "test"))
     // c2(w1,w2); from it: per-w1 context totals + distinct continuations,
-    // per-w2 distinct contexts, and the two global scalars.
+    // per-w2 distinct contexts, and the two global scalars. Bigram-vocab
+    // bounded and referenced FOUR ways — pinned so the train-fold
+    // explode runs once (scan-censused 5 → 2 corpus scans, train+test)
     val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val ctx = c2.groupBy("w1")
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1_fwd"))
     val cont = c2.groupBy("w2").agg(count(lit(1)).as("n1_bwd"))

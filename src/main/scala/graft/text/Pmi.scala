@@ -28,9 +28,15 @@ object Pmi {
     * ordered tok_a < tok_b, restricted to n_ab >= minPairCount. */
   def pairPmi(docs: DataFrame, minPairCount: Long = 5L,
       maxTokenDF: Long = 0L): DataFrame = {
+    // the (doc, token) incidence list is read THREE ways (df counts +
+    // both pair sides, whose renamed projections defeat ReuseExchange)
+    // and the vocab-bounded df table twice — pinned so the corpus
+    // explode runs once (scan-censused 5 → 2 source scans)
     val docTok = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .localCheckpoint(true)
     val df = docTok.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+      .localCheckpoint(true)
     val kept =
       if (maxTokenDF > 0)
         docTok.join(broadcast(df.filter(col("n_tok") <= maxTokenDF)

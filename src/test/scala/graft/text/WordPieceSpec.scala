@@ -142,4 +142,28 @@ class WordPieceSpec extends AnyFunSuite {
         r.getString(4))).toSeq
     assert(a === b)
   }
+
+  test("fertility: per-lang rollup consistent with encode; exact on a hand corpus") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val f = WordPiece.fertility(corpus).collect()
+    assert(f.nonEmpty)
+    // rollup must reconcile with the raw encode joined the same way
+    val enc = WordPiece.encode(corpus)
+      .join(corpus.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang").agg(sum("n_pieces").as("p"), sum("n_words").as("w"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    f.foreach { r =>
+      val (p0, w0) = (enc(r.getString(0))._1, enc(r.getString(0))._2)
+      assert(r.getLong(3) === p0 && r.getLong(2) === w0)
+      assert(r.getDouble(5) === p0.toDouble / w0.toDouble)
+    }
+    // hand corpus: every word single-piece (in top-64 vocab) -> fertility 1.0
+    val tiny = Seq((0L, "aa bb aa", "en"), (1L, "bb bb", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val tf = WordPiece.fertility(tiny).orderBy("lang").collect()
+    assert(tf.map(_.getString(0)).toSeq === Seq("en", "fr"))
+    assert(tf.forall(_.getDouble(5) === 1.0))
+    assert(tf.forall(_.getDouble(6) === 0.0))
+  }
 }
