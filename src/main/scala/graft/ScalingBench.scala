@@ -61,7 +61,12 @@ object ScalingBench {
       "pipeline_preference_pairs" -> "documents",
       "knn_hard_negatives" -> "embeddings",
       "rec_association_rules" -> "lineitem",
-      "text_textrank" -> "documents")
+      "text_textrank" -> "documents",
+      // round-10 scan-census reshapes: track their exponents
+      "w_quantile_normalize" -> "lineitem",
+      "ml_naive_bayes" -> "documents",
+      "knn_lsh_topk" -> "embeddings",
+      "pipeline_tokenizer_fertility" -> "documents")
 
     // Min-of-3 after one warm run: the r9 SCALING refresh shipped four
     // false superlinear exponents caused by concurrent-load noise on a

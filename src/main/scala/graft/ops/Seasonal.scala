@@ -52,6 +52,11 @@ object Seasonal {
       .groupBy(col("series"), col("bucket"))
       .agg(dsum(col("_v")).as("y"))
       .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+      // series×bucket bounded — every downstream stage (trend window,
+      // phase means, residual moments, final join) re-derives from
+      // this compaction, so pin it once (scan census: 4 → 1 corpus
+      // scans; the re-run windows over the tiny frame are cheap)
+      .localCheckpoint(true)
 
     // centered moving average over one season of OBSERVED buckets
     val wTrend = Window.partitionBy(col("series")).orderBy(col("bucket"))

@@ -142,10 +142,15 @@ object CorpusOpsQueries {
     import org.apache.spark.sql.functions._
     val words = table(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // the (doc, w, c) posting list is the lean shared frame: doc
+    // totals, corpus counts (Σc per w ≡ count over words), the corpus
+    // total, and the scoring join all derive from it — pinned so the
+    // explode runs once (scan census: 4 → 1 corpus scans)
     val docCounts = words.groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val docTotals = docCounts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-    val corpusCounts = words.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val corpusCounts = docCounts.groupBy(col("w")).agg(sum(col("c")).as("cc"))
     val corpusTotal = corpusCounts.agg(sum(col("cc")).cast("double").as("nn"))
     docCounts.join(docTotals, "doc_id").join(corpusCounts, "w")
       .crossJoin(broadcast(corpusTotal))
@@ -190,9 +195,13 @@ object CorpusOpsQueries {
   private val pipelineApportionBudget: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    // lang-bounded; the total, quota frame (itself read twice), and
+    // leftover all derive — pinned so the corpus word-count pass runs
+    // once (scan census: 4 → 1 source scans)
     val w = table(s, d, "documents")
       .groupBy(col("lang"))
       .agg(sum(size(split(col("text"), " "))).cast("long").as("words"))
+      .localCheckpoint(true)
     val tot = w.agg(sum(col("words")).as("w_total"))
     val q = w.crossJoin(broadcast(tot))
       .withColumn("floor_quota",

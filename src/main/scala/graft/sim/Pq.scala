@@ -113,7 +113,11 @@ object Pq {
 
     // exact rescore of candidates only — same kernel as brute force
     graft.functions.VecDotFloat.register(spark)
-    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // numQueries-bounded BEFORE the broadcast (lossless: every
+    // candidate query_id is < numQueries by construction) — the
+    // unfiltered form broadcast the whole corpus to rescore 25 queries
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -151,12 +155,21 @@ object Pq {
       .select(col("vec_id"),
         array((0 until pcaDims).map(i => col(s"pc$i").cast("float")): _*)
           .as("embedding"))
+      // pcaDims-wide (d/pcaDims smaller than the source) and read
+      // three ways by pqTopK (codebook sample, code pass, query
+      // collect) — pinned so the projection runs once, not per
+      // reference (scan census: 5 → 2 embeddings scans)
+      .localCheckpoint(true)
     val candidates = pqTopK(projEmb, numQueries, k = rerank, subspaces,
       centroidsPerSub, rerank)
       .select("query_id", "neighbor_id")
     // exact rescore in the ORIGINAL space
     graft.functions.VecDotFloat.register(spark)
-    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // numQueries-bounded BEFORE the broadcast (lossless: every
+    // candidate query_id is < numQueries by construction) — the
+    // unfiltered form broadcast the whole corpus to rescore 25 queries
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -253,7 +266,11 @@ object Pq {
 
     // exact rescore of candidates only — same kernel as brute force
     graft.functions.VecDotFloat.register(spark)
-    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // numQueries-bounded BEFORE the broadcast (lossless: every
+    // candidate query_id is < numQueries by construction) — the
+    // unfiltered form broadcast the whole corpus to rescore 25 queries
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -368,7 +385,11 @@ object Pq {
       .select("query_id", "neighbor_id")
 
     graft.functions.VecDotFloat.register(spark)
-    val q = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // numQueries-bounded BEFORE the broadcast (lossless: every
+    // candidate query_id is < numQueries by construction) — the
+    // unfiltered form broadcast the whole corpus to rescore 25 queries
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val n = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -54,7 +54,10 @@ object ScalarQuant {
     * tiebreak on neighbor_id. */
   def int8TopK(emb: DataFrame, numQueries: Int = 25, k: Int = 10,
       dims: Int = 64): DataFrame = {
-    val codes = encode(emb, dims)
+    // int8 codes are 4× leaner than the float source and read by BOTH
+    // pair sides — pinned so the scales pass + quantization run once
+    // (scan census: 4 → 2 embeddings scans)
+    val codes = encode(emb, dims).localCheckpoint(true)
     val q = codes.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("codes").as("qc"))
     val c = codes.select(col("vec_id").as("neighbor_id"), col("codes").as("nc"))

@@ -34,9 +34,13 @@ object RobustStats {
     * n_outliers = #rows where |x − med| > k·MAD. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 3.0): DataFrame = {
-    // ONE corpus shuffle: distinct-value counts per group
+    // ONE corpus shuffle: distinct-value counts per group. Pinned —
+    // the median pass and the deviation chain (referenced twice
+    // itself) would otherwise each re-run the corpus groupBy
+    // (scan census: 4 → 1 source scans)
     val counts = df.groupBy(col(groupCol), col(valueCol).as("v"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val med = counts.groupBy(col(groupCol))
       .agg(expr("percentile(v, 0.5, c)").as("med"))
     val dev = counts.join(broadcast(med), groupCol)

@@ -34,14 +34,20 @@ object FeatureSelect {
         col(idCol).as("_id"),
         explode(array_distinct(split(col(textCol), " "))).as("_tok"))
       .filter(col("_tok") =!= "")
+    // vocab×label bounded, referenced by the df rollup AND the scoring
+    // join — pinned so the corpus explode runs once; the corpus total
+    // folds off the label counts instead of a third source pass
+    // (scan census: 4 → 2 corpus scans)
     val tokLabel = toks.groupBy(col("_tok"), col("_lab"))
       .agg(count(lit(1)).as("_a"))
+      .localCheckpoint(true)
     val tokDf = tokLabel.groupBy(col("_tok"))
       .agg(sum(col("_a")).as("_dft"))
       .filter(col("_dft") >= minDf)
     val labelN = docs.groupBy(col(labelCol).as("_lab"))
       .agg(count(lit(1)).as("_nl"))
-    val totalN = docs.agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
+    val totalN = labelN.agg(sum(col("_nl")).as("_n"))
     val a = col("_a").cast("double")
     val b = (col("_dft") - col("_a")).cast("double")
     val c = (col("_nl") - col("_a")).cast("double")

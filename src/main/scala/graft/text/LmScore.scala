@@ -41,9 +41,14 @@ object LmScore {
     val test = withSplit.filter(col("split") === "test")
     val c2 = bigrams(train).groupBy("w1", "w2")
       .agg(count(lit(1)).as("c2"))
+    // vocab-bounded, referenced by the vocab-size scalar AND the
+    // scoring join — pinned so the train unigram pass runs once
+    // (scan census: 4 → 3 corpus scans; train bigrams, train
+    // unigrams, and test bigrams are distinct kernels by need)
     val c1 = train
       .select(explode(split(col("text"), " ")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint(true)
     val v = c1.agg(count(lit(1)).cast("double").as("vocab"))
     bigrams(test)
       .join(c2, Seq("w1", "w2"), "left")
