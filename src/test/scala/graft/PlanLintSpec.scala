@@ -122,6 +122,8 @@ class PlanLintSpec extends AnyFunSuite {
                               // per GD iteration + once for scoring
     "pipeline_wordpiece_roundtrip" -> 4L, // the same 1-row vocabulary array
                               // broadcast as pipeline_wordpiece_encode
+    "pipeline_tokenizer_fertility" -> 4L, // rides the wordpiece encode:
+                              // the same 1-row vocabulary broadcast
     "text_kl_divergence" -> 4L,     // 1-row corpus-token-total scalar crossed
                               // into the doc-term stream (text_bm25
                               // pattern)
