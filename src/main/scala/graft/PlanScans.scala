@@ -23,8 +23,21 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   */
 object PlanScans {
 
-  /** Per-table FileSourceScan counts for one physical plan. */
-  def scanCounts(plan: SparkPlan): Map[String, Int] = {
+  /** Per-table FileSourceScan counts for one physical plan.
+    *
+    * `seenCaches` dedups descent into `.cache()`d subtrees BY RELATION
+    * IDENTITY: an InMemoryTableScan hides its source scans inside
+    * `relation.cachedPlan` (they never surface in any action's
+    * executedPlan), so the census must descend — but a cache read by
+    * N operators materializes ONCE, so the cached lineage is charged
+    * once per relation, the same sharing-protection rule as
+    * ReusedExchange. Callers censusing several plans of ONE gate pass
+    * a shared set; the default charges per-plan. */
+  def scanCounts(plan: SparkPlan,
+      seenCaches: java.util.Set[AnyRef] =
+        java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]()))
+      : Map[String, Int] = {
     def tableName(f: FileSourceScanExec): String = {
       val root = f.relation.location.rootPaths.headOption
         .map(_.toString).getOrElse("unknown")
@@ -41,6 +54,10 @@ object PlanScans {
         // materialized output — charging its subtree twice would
         // penalize exactly the sharing this census exists to protect.
         case _: ReusedExchangeExec => Seq.empty
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          // cached lineage: once per relation (see scaladoc)
+          if (seenCaches.add(i.relation)) allNodes(i.relation.cachedPlan)
+          else Seq.empty
         case _ => Seq.empty
       }
       (p +: p.children.flatMap(allNodes)) ++ through ++
@@ -51,17 +68,82 @@ object PlanScans {
       .groupBy(identity).view.mapValues(_.size).toMap
   }
 
-  /** Build every gate's plan on `sfDir` and census its scans. */
-  def census(spark: SparkSession, sfDir: String)
-      : Seq[(String, Map[String, Int], Option[String])] =
-    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan
-        (name, scanCounts(plan), None)
-      } catch {
-        case e: Throwable => (name, Map.empty[String, Int], Some(e.getMessage))
-      }
+  /** Accumulates scan counts of every ACTION fired while a gate
+    * builder runs: eager `localCheckpoint(true)` pins (and bounded
+    * `collect()` artifacts like PQ codebooks) execute their lineage at
+    * construction time, so the final plan alone shows an in-memory
+    * leaf where the corpus scans actually happened — the census was
+    * blind to exactly the lineage the pins exist to protect. */
+  private class ConstructionScans
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    // per-gate cache-identity dedup, shared with the final-plan count
+    // (census resets it via drain); synchronized — the bus thread and
+    // the census thread both touch it (never concurrently in practice:
+    // the bus is flushed before each read, but cheap insurance)
+    @volatile var seenCaches: java.util.Set[AnyRef] = freshSeen()
+    def drain(): Map[String, Int] = {
+      val m = scala.jdk.CollectionConverters.MapHasAsScala(acc).asScala
+        .map { case (k, v) => k -> v.intValue }.toMap
+      acc.clear(); seenCaches = freshSeen(); m
     }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      scanCounts(qe.executedPlan, seenCaches).foreach { case (t, n) =>
+        acc.merge(t, n, (a, b) => Integer.valueOf(a + b)) }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
+  private def freshSeen(): java.util.Set[AnyRef] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]()))
+
+  /** QueryExecutionListener events ride the async listener bus; drain
+    * it so construction-action counts are complete before reading.
+    * `listenerBus`/`waitUntilEmpty` are private[spark] (public in
+    * bytecode) — reflection, no Spark internals copied. */
+  private[graft] def flushListenerBus(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+    bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+  }
+
+  /** Build every gate's plan on `sfDir` and census its scans: the
+    * final plan's FileSourceScans PLUS every scan executed by
+    * construction-time actions (checkpoint pins, bounded collects). */
+  def census(spark: SparkSession, sfDir: String)
+      : Seq[(String, Map[String, Int], Option[String])] = {
+    val listener = new ConstructionScans
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        try {
+          flushListenerBus(spark); listener.drain() // isolate this gate
+          val plan = fn(spark, sfDir).queryExecution.executedPlan
+          flushListenerBus(spark)
+          val seen = listener.seenCaches // share cache-dedup with final
+          val built = {
+            val m = scala.jdk.CollectionConverters
+              .MapHasAsScala(listener.acc).asScala
+              .map { case (k, v) => k -> v.intValue }.toMap
+            listener.acc.clear(); m
+          }
+          val finalCounts = scanCounts(plan, seen)
+          val merged = (built.keySet ++ finalCounts.keySet).map { t =>
+            t -> (built.getOrElse(t, 0) + finalCounts.getOrElse(t, 0))
+          }.toMap
+          (name, merged, None)
+        } catch {
+          case e: Throwable =>
+            (name, Map.empty[String, Int], Some(e.getMessage))
+        }
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
 
   def toJson(rows: Seq[(String, Map[String, Int])]): String =
     rows.sortBy(_._1).map { case (name, counts) =>

@@ -58,13 +58,17 @@ object LogregGd {
   /** The 1-row weight frame (n, w_x0..w_x3) after `iters` GD steps —
     * the composition seam: downstream scorers broadcast this row. */
   def trainWeights(xy: DataFrame, iters: Int = 3,
-      lrDen: Long = 2L): DataFrame = {
+      lrDen: Long = 2L, materialize: Boolean = true): DataFrame = {
     val feats = Seq("x0", "x1", "x2", "x3")
     // Materialize the (y, x0..x3) projection ONCE — 5 longs per row.
     // Every iteration's aggregate passes over this frame; without the
     // checkpoint the growing weight lineage re-embeds the source scan
     // per nesting level (censused: 16 parquet scans at iters=3).
-    val x = xy.select((col("y") +: feats.map(col)): _*).localCheckpoint(true)
+    // Callers whose input is ALREADY pinned (QualityClassifier's
+    // feature frame) pass materialize = false so the same corpus-sized
+    // rows aren't held on executor storage twice.
+    val x0 = xy.select((col("y") +: feats.map(col)): _*)
+    val x = if (materialize) x0.localCheckpoint(true) else x0
     // n rides inside the single-row weight frame so each iteration is
     // one broadcast join + one aggregate, no driver round-trip.
     var w = x.agg(count(lit(1)).as("n"))

@@ -51,8 +51,10 @@ object QualityClassifier {
     // branch — without the checkpoint the regex-heavy Gopher audit
     // executes once per reference (censused: 6 documents scans).
     val feats = features(docs).localCheckpoint(true)
+    // materialize = false: feats is already pinned above; a second
+    // checkpoint of the same 5 columns would double executor storage
     val w = LogregGd.trainWeights(feats.select("y", "x0", "x1", "x2", "x3"),
-      iters, lrDen)
+      iters, lrDen, materialize = false)
     val W = LogregGd.W
     val scored = feats.crossJoin(broadcast(w))
       .withColumn("_z",

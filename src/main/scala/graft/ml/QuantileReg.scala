@@ -67,15 +67,11 @@ object QuantileReg {
             expr(s"(${etaQ / t}) * g_$f div (2 * n)")).as(s"w_$f")): _*)
         .localCheckpoint(true)
     }
-    // materialize the 1-row weight frame before melting: the four
-    // union arms each reference the iters-deep lineage. Measured at
-    // sf0.1 Spark's exchange reuse already deduplicates the arms
-    // (A/B: 4.0 s both ways), so this is not a speedup — it makes the
-    // single-execution property EXPLICIT instead of reuse-dependent
-    // (a plan-shape guarantee that survives optimizer changes).
-    val wf = w.localCheckpoint(true)
+    // w exits the loop already checkpointed (every iteration truncates
+    // its lineage above), so the four melt arms each read a 1-row
+    // in-memory leaf — no further pin needed.
     val melted = feats.zipWithIndex.map { case (f, j) =>
-      wf.select(lit(j).as("feature_idx"), col(s"w_$f").as("w_q"))
+      w.select(lit(j).as("feature_idx"), col(s"w_$f").as("w_q"))
     }
     melted.reduce(_.union(_)).orderBy("feature_idx")
   }

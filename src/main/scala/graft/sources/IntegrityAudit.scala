@@ -39,9 +39,16 @@ object IntegrityAudit {
       r.child.select(col(r.fkCol).as("_fk"))
         .join(parentKeys, col("_fk") === col("_pk"), "left")
         .agg(count(lit(1)).as("n_child"),
-          sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          // coalesce: SUM over an EMPTY child is NULL where the old
+          // anti-join count (and the DuckDB mirror's COUNT(*)) said 0 —
+          // and an empty snapshot is exactly what this audit catches
+          coalesce(sum(when(col("_pk").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"))
         .select(lit(r.name).as("relation"), col("n_child"), col("n_orphans"),
-          (col("n_orphans").cast("double") / col("n_child").cast("double"))
+          // lazy CASE: under ANSI the division THROWS on an empty
+          // child (0/0) — the share is NULL there, counts still report
+          when(col("n_child") > 0,
+            col("n_orphans").cast("double") / col("n_child").cast("double"))
             .as("orphan_share"))
     }.reduce(_ unionByName _)
   }

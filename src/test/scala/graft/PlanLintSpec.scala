@@ -37,6 +37,12 @@ class PlanLintSpec extends AnyFunSuite {
     "knn_hard_negatives" -> 16L,     // same 5-row anchor side as
                               // knn_cosine_topk, with the label-mismatch
                               // predicate as the (non-equi) join filter
+    "retrieval_mmr" -> 16L,          // same 5-row query side as
+                              // knn_cosine_topk, fanned against the
+                              // candidate pool at CONSTRUCTION time
+                              // (the pinned pool executes its lineage
+                              // eagerly — surfaced by the
+                              // construction-plan lint, not new)
     "text_lm_score" -> 4L,          // 1-row vocabulary-size scalar
     "retrieval_rrf" -> 64L,          // composes text_bm25 (1-row stats) +
                               // knn_cosine_topk (1-row query side) —
@@ -134,21 +140,55 @@ class PlanLintSpec extends AnyFunSuite {
                               // subgradient step
   )
 
-  test("no gate query plans a cartesian product or an unintended nested loop") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-          val cart = plan.contains("CartesianProduct")
-          val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
-            !scalarBroadcastOk.contains(name)
-          if (cart) Some(s"$name: CartesianProduct")
-          else if (bnlj) Some(s"$name: BroadcastNestedLoopJoin")
-          else None
-        } catch {
-          case e: Throwable => Some(s"$name: plan build failed: ${e.getMessage}")
-        }
+  /** Captures every action's executed plan while a gate builder runs:
+    * eager localCheckpoint pins (training loops, pinned shared frames)
+    * execute their lineage — joins included — at CONSTRUCTION time, so
+    * the final plan alone no longer shows them (the PlanScans census
+    * has the same listener for scan counts). */
+  private class BuiltPlans
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    val plans =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.execution.SparkPlan]()
+    def drain(): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val out = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(plans.iterator).asScala.toSeq
+      plans.clear(); out
     }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = plans.add(qe.executedPlan)
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
+  test("no gate query plans a cartesian product or an unintended nested loop") {
+    val listener = new BuiltPlans
+    spark.listenerManager.register(listener)
+    val offenders =
+      try SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try {
+            PlanScans.flushListenerBus(spark); listener.drain()
+            val finalPlan = fn(spark, sfDir).queryExecution.executedPlan
+            PlanScans.flushListenerBus(spark)
+            // final plan + every construction-executed plan: a join
+            // upstream of an eager pin must not escape the lint
+            val planStrs =
+              finalPlan.toString +: listener.drain().map(_.toString)
+            val cart = planStrs.exists(_.contains("CartesianProduct"))
+            val bnlj =
+              planStrs.exists(_.contains("BroadcastNestedLoopJoin")) &&
+                !scalarBroadcastOk.contains(name)
+            if (cart) Some(s"$name: CartesianProduct")
+            else if (bnlj) Some(s"$name: BroadcastNestedLoopJoin")
+            else None
+          } catch {
+            case e: Throwable =>
+              Some(s"$name: plan build failed: ${e.getMessage}")
+          }
+      } finally spark.listenerManager.unregister(listener)
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
@@ -186,16 +226,26 @@ class PlanLintSpec extends AnyFunSuite {
           n.metrics("numOutputRows").value
       }
     var gatesWithBnlj = 0
-    val violations = scalarBroadcastOk.toSeq.sortBy(_._1).flatMap {
+    val listener = new BuiltPlans
+    spark.listenerManager.register(listener)
+    val violations = try scalarBroadcastOk.toSeq.sortBy(_._1).flatMap {
       case (name, bound) =>
         try {
+          PlanScans.flushListenerBus(spark); listener.drain()
           val df = SparkEntry.queries(name)(spark, sfDir)
           df.collect() // drive to completion so broadcast metrics fill
+          PlanScans.flushListenerBus(spark)
           val finalPlan = df.queryExecution.executedPlan match {
             case a: AdaptiveSparkPlanExec => a.executedPlan
             case p => p
           }
-          val bnljs = allNodes(finalPlan).collect {
+          // construction-executed plans too (training-loop crossJoins
+          // run during the eager pins, with their metrics filled) —
+          // distinct by identity so the final collect()'s own event
+          // doesn't double-report a violation
+          val roots = (listener.drain() :+ finalPlan)
+            .distinct
+          val bnljs = roots.flatMap(allNodes).distinct.collect {
             case b: BroadcastNestedLoopJoinExec => b
           }
           if (bnljs.nonEmpty) gatesWithBnlj += 1
@@ -212,7 +262,7 @@ class PlanLintSpec extends AnyFunSuite {
         } catch {
           case e: Throwable => Seq(s"$name: execution failed: ${e.getMessage}")
         }
-    }
+    } finally spark.listenerManager.unregister(listener)
     assert(violations.isEmpty, violations.mkString("\n"))
     // anti-vacuity: the enforcement must have actually inspected real
     // nested loops — if AQE or a refactor made most entries BNLJ-free,

@@ -23,6 +23,21 @@ class IntegrityAuditSpec extends AnyFunSuite {
     assert(out("nulls") === ((4L, 2L, 0.5)))
   }
 
+  test("empty child reports 0 orphans, not NULL (truncated-snapshot edge)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(1L).toDF("fk").where(col("fk") < 0) // empty
+    val r = IntegrityAudit.audit(Seq(
+        IntegrityAudit.Relation("empty", child, "fk", parent, "pk")))
+      .collect()(0)
+    assert(r.getAs[Long]("n_child") === 0L)
+    // SUM over zero rows is NULL; the audit must coalesce to 0 like
+    // the old anti-join count (and the DuckDB mirror's COUNT(*)) did
+    assert(!r.isNullAt(r.fieldIndex("n_orphans")))
+    assert(r.getAs[Long]("n_orphans") === 0L)
+  }
+
   test("duplicate parent keys do not double-count children") {
     import spark.implicits._
     val parent = Seq(1L, 1L, 1L, 2L).toDF("pk")
