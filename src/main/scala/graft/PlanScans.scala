@@ -55,8 +55,12 @@ object PlanScans {
         // penalize exactly the sharing this census exists to protect.
         case _: ReusedExchangeExec => Seq.empty
         case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          // cached lineage: once per relation (see scaladoc)
-          if (seenCaches.add(i.relation)) allNodes(i.relation.cachedPlan)
+          // cached lineage: once per CACHE — the dedup key is the
+          // shared CachedRDDBuilder, not the InMemoryRelation, because
+          // every consuming query gets its own relation COPY
+          // (newInstance) while the builder (and the storage it fills)
+          // is the one shared object
+          if (seenCaches.add(i.relation.cacheBuilder)) allNodes(i.relation.cachedPlan)
           else Seq.empty
         case _ => Seq.empty
       }
