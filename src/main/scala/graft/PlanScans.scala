@@ -121,6 +121,11 @@ object PlanScans {
     * construction-time actions (checkpoint pins, bounded collects). */
   def census(spark: SparkSession, sfDir: String)
       : Seq[(String, Map[String, Int], Option[String])] = {
+    // warm the write-once multimodal artifacts BEFORE counting: on a
+    // cold tmpdir the fixture-generation and dump-write jobs would be
+    // charged to whichever gate touches them first, tripping the
+    // ratchet on a fresh machine even though no plan changed.
+    graft.queries.MultimodalQueries.prewarmArtifacts(spark)
     val listener = new ConstructionScans
     spark.listenerManager.register(listener)
     try {

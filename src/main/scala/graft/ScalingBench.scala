@@ -61,6 +61,7 @@ object ScalingBench {
       "pipeline_preference_pairs" -> "documents",
       "knn_hard_negatives" -> "embeddings",
       "rec_association_rules" -> "lineitem",
+      "rec_item_similarity" -> "lineitem",
       "text_textrank" -> "documents",
       // round-10 scan-census reshapes: track their exponents
       "w_quantile_normalize" -> "lineitem",
@@ -166,7 +167,16 @@ object ScalingBench {
         // r10: the reshaped posting-list candidate generation — the
         // vowel-rotated copies keep cross-copy grams disjoint, so the
         // rare-gram index and pair structure replicate linearly
-        "dedup_fuzzy_levenshtein").map { q =>
+        "dedup_fuzzy_levenshtein",
+        // r11 (verdict item 8): the r10-reshaped gates carry ×4
+        // extrapolation evidence like the dedup family. Baskets
+        // (orderkey-shifted lineitem copies) keep the item universe
+        // fixed, so the rec pair structure replicates with 4× support
+        // counts; vowel rotation keeps cross-copy vocab disjoint, so
+        // the textrank graph and the naive-bayes vocab×label model
+        // grow linearly (4 independent copies), never cross-densify
+        "rec_association_rules", "rec_item_similarity",
+        "text_textrank", "ml_naive_bayes").map { q =>
       val t1 = timeOnce(q, sfs.last)
       val t2 = timeOnce(q, xDir)
       val slope = math.log(t2 / t1) / math.log(4.0)

@@ -12,6 +12,14 @@ object Verify {
     sql.replace(graft.util.Tables.SfTagToken,
       graft.util.Tables.corpusTag(sfDir))
 
+  /** Recall floors for the six rows-only ANN gates, vs the brute-force
+    * witness — the single source the dump emission and the seam ledger
+    * (tools/seam_ledger.json, SeamLedgerSpec) both check against.
+    * Values mirror the KnnSpec / PqSpec assertions. */
+  val annRecallFloors: Seq[(String, Double)] = Seq(
+    "knn_lsh_topk" -> 0.6, "knn_ivf_topk" -> 0.1, "knn_pq_topk" -> 0.8,
+    "knn_pca_pq" -> 0.6, "knn_ivfpq_topk" -> 0.5, "knn_ivfpq_store" -> 0.5)
+
   def main(args: Array[String]): Unit = {
     if (args.length != 2) {
       System.err.println("usage: graft.Verify <sfDir> <outDir>")
@@ -41,6 +49,32 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    }
+    // ANN recall anchors: the six rows-only kNN gates are anchored by
+    // recall floors vs the brute-force witness (KnnSpec/PqSpec); compute
+    // recall@k against the knn_cosine_topk dump IN THIS RUN and emit it
+    // into the dump, so the driver's correctness artifact carries the
+    // anchor value instead of a bare "no_oracle". Floors mirror the
+    // spec assertions (SeamLedgerSpec cross-checks the ledger copy).
+    if (new java.io.File(s"$outDir/knn_cosine_topk").exists()) {
+      def pairs(name: String): Set[(Long, Long)] =
+        spark.read.parquet(s"$outDir/$name")
+          .selectExpr("cast(query_id as long)", "cast(neighbor_id as long)")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs("knn_cosine_topk")
+      val rows = annRecallFloors.flatMap { case (g, floor) =>
+        if (!new java.io.File(s"$outDir/$g").exists() || exact.isEmpty) None
+        else {
+          val recall = (pairs(g) & exact).size.toDouble / exact.size
+          if (recall < floor)
+            System.err.println(f"[verify] $g recall@k $recall%.3f BELOW floor $floor")
+          Some(s""""$g": {"recall_at_k": $recall, "floor": $floor, """ +
+            s""""k": 5, "vs": "knn_cosine_topk"}""")
+        }
+      }
+      if (rows.nonEmpty)
+        Files.writeString(Paths.get(s"$outDir/ann_recall.json"),
+          rows.mkString("{", ", ", "}"))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -14,17 +14,19 @@ import org.apache.spark.sql.functions.udaf
   * aggregation buffer, so a stop-gram whose document frequency is the
   * corpus size turns one group into an executor-OOM hot key at 100 TB.
   * This aggregator stops appending once the buffer holds `cap`
-  * elements: groups at or over the cap are identifiable (size == cap)
-  * and are exactly the ones a rare-gram filter discards, while groups
-  * under the cap keep their COMPLETE list — so `filter(size(ids)
-  * BETWEEN 2 AND cap-1)` over this aggregate is value-identical to the
-  * same filter over true `collect_list`, at O(cap) state per group
-  * regardless of skew. Partial (map-side) buffers combine before the
-  * shuffle, so the shuffle carries ≤ cap longs per group per task.
+  * elements, and `finish` returns NULL for any group that reached the
+  * cap — so the output is exactly "the COMPLETE list when the group's
+  * true cardinality is < cap, NULL otherwise", at O(cap) state per
+  * group regardless of skew. Partial (map-side) buffers combine before
+  * the shuffle, so the shuffle carries ≤ cap longs per group per task.
   *
-  * Which elements survive in an OVER-cap group is partition-order
-  * dependent — callers must filter those groups out (they carry a
-  * truncated list by design).
+  * Which elements survive in a saturated buffer is partition-order
+  * dependent, which is why truncated content must never escape: the
+  * NULL-on-saturation finish enforces that contract in the type (a
+  * caller filtering on, say, `size <= cap` simply drops the NULL rows
+  * instead of silently consuming partition-order-dependent lists).
+  * `filter(size(ids) BETWEEN 2 AND cap-1)` over this aggregate is
+  * value-identical to the same filter over true `collect_list`.
   */
 object BoundedCollectAgg {
 
@@ -42,7 +44,10 @@ object BoundedCollectAgg {
       else if (b.size >= cap) b
       else (a ++ b) take cap
 
-    override def finish(r: Seq[Long]): Seq[Long] = r
+    // NULL for saturated groups: their buffer content is partition-
+    // order dependent and must not be observable downstream.
+    override def finish(r: Seq[Long]): Seq[Long] =
+      if (r.size >= cap) null else r
 
     override def bufferEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()

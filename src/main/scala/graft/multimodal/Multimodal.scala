@@ -50,6 +50,9 @@ object Multimodal {
   case class AudioSpectral(media_id: Long, sampleRate: Int, nFrames: Int,
       dominantBand: Int, bandEnergy: Array[Double])
 
+  case class AudioSpectralQ(media_id: Long, band: Int, n_frames: Int,
+      energy_q: Long)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false),
@@ -453,6 +456,64 @@ object Multimodal {
       var b = 0
       while (b < bands) { if (energy(b) > best) { best = energy(b); dom = b }; b += 1 }
       AudioSpectral(a.media_id, a.sampleRate, nFrames, dom, energy)
+    })
+  }
+
+  /** Quantized Goertzel coefficients for [[audioSpectralQuantized]]:
+    * band b targets the same DFT bin as [[audioSpectral]]; the float
+    * coefficient 2·cos(2πk/frameSize) is rounded once to a q-scaled
+    * long HERE, and the oracle SQL interpolates these exact constants
+    * as literals — so neither engine's trig library is in the loop. */
+  def goertzelCoeffsQ(frameSize: Int, bands: Int, q: Long): Array[Long] =
+    Array.tabulate(bands) { b =>
+      val k = math.max(1,
+        math.round((b + 0.5) * frameSize / (2.0 * bands)).toInt)
+      math.round(2.0 * math.cos(2.0 * math.Pi * k / frameSize) * q)
+    }
+
+  /** Fixed-point integer twin of [[audioSpectral]] — the cross-engine
+    * witness for the Goertzel float recurrence (the simhash/countmin
+    * md5-twin convention: the float gate stays the production path;
+    * this twin proves the recurrence STRUCTURE exactly). Every op is
+    * exact i64 arithmetic with truncating division — Java long `/`
+    * and DuckDB `//` both truncate toward zero — so the fold is
+    * bit-replayable from the dumped PCM artifact:
+    * s0 = x + (cq·s1)/q − s2, per-frame energy
+    * s1² + s2² − ((cq·s1)/q)·s2, summed over whole frames. State is
+    * bounded by ~frameSize·32768 (oscillatory recurrence, |coeff|<2),
+    * so with q = 2^20 every intermediate stays ≪ 2^63. Media with no
+    * whole frame emit nothing (mirrors the oracle's empty group). */
+  def audioSpectralQuantized(audio: Dataset[DecodedAudio],
+      frameSize: Int = 512, bands: Int = 8,
+      q: Long = 1L << 20): Dataset[AudioSpectralQ] = {
+    require(frameSize > 0 && bands > 0 && bands * 2 <= frameSize)
+    val cqs = goertzelCoeffsQ(frameSize, bands, q)
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.flatMap { a =>
+      val nFrames = a.samples.length / frameSize
+      if (nFrames == 0) Iterator.empty else {
+        val energy = new Array[Long](bands)
+        var f = 0
+        while (f < nFrames) {
+          var b = 0
+          while (b < bands) {
+            val cq = cqs(b)
+            var s1 = 0L; var s2 = 0L
+            var i = f * frameSize
+            val end = i + frameSize
+            while (i < end) {
+              val s0 = a.samples(i).toLong + (cq * s1) / q - s2
+              s2 = s1; s1 = s0; i += 1
+            }
+            energy(b) += s1 * s1 + s2 * s2 - ((cq * s1) / q) * s2
+            b += 1
+          }
+          f += 1
+        }
+        (0 until bands).iterator
+          .map(b => AudioSpectralQ(a.media_id, b, nFrames, energy(b)))
+      }
     })
   }
 

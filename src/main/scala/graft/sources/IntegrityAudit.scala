@@ -62,9 +62,10 @@ object IntegrityAudit {
        |  CAST((SELECT count(*) FROM ($childSql) c
        |        WHERE NOT EXISTS (SELECT 1 FROM ($parentSql) p
        |                          WHERE p.$pk = c.$fk)) AS BIGINT) AS n_orphans,
-       |  CAST((SELECT count(*) FROM ($childSql) c
-       |        WHERE NOT EXISTS (SELECT 1 FROM ($parentSql) p
-       |                          WHERE p.$pk = c.$fk)) AS DOUBLE)
-       |    / CAST((SELECT count(*) FROM ($childSql) c0) AS DOUBLE)
-       |    AS orphan_share""".stripMargin
+       |  CASE WHEN (SELECT count(*) FROM ($childSql) c0) > 0 THEN
+       |    CAST((SELECT count(*) FROM ($childSql) c
+       |          WHERE NOT EXISTS (SELECT 1 FROM ($parentSql) p
+       |                            WHERE p.$pk = c.$fk)) AS DOUBLE)
+       |      / CAST((SELECT count(*) FROM ($childSql) c0) AS DOUBLE)
+       |  END AS orphan_share""".stripMargin
 }

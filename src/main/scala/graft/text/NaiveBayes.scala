@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
+  /** A/B hook for the two eager model-frame pins below (results are
+    * IDENTICAL either way — pins only change materialization):
+    * SPARK_GRAFT_NB_PIN=off disables them, so pin cost can be measured
+    * against re-derivation cost in the same binary under the same
+    * ambient (r10 verdict item 6; measurement in PLANS_NOTES). */
+  private def pin(df: DataFrame): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_NB_PIN").contains("off")) df
+    else df.localCheckpoint(true)
+
   /** Train on the `trainFrac` md5-hash fold of `docs`, score the rest;
     * return the test-fold confusion matrix
     * (true_label, pred_label, n_docs). Test docs containing ZERO
@@ -57,9 +66,8 @@ object NaiveBayes {
     // vocab-×-label bounded — pin it: vocab, V, and T_l all derive,
     // so the train-fold explode runs once, not four times
     // (scan-censused: 7 source scans before these moves, 3 after)
-    val counts = train.groupBy(col("_tok"), col("_lab"))
-      .agg(sum(col("_mult")).as("_cnt"))
-      .localCheckpoint(true)
+    val counts = pin(train.groupBy(col("_tok"), col("_lab"))
+      .agg(sum(col("_mult")).as("_cnt")))
     val vocab = counts.select(col("_tok")).distinct()
     val vocabSize = vocab.agg(count(lit(1)).as("_v"))
     // Σ_tok cnt per label ≡ Σ mult over the train fold — same longs,
@@ -78,10 +86,9 @@ object NaiveBayes {
     // ln prior per label from train doc counts — counted at DOC level
     // from the source (token-less docs still count); ≤L rows, pinned
     // because the prior-total crossJoin reads it twice
-    val nTrainDocs = withSplit.filter(col("_split") === "train")
+    val nTrainDocs = pin(withSplit.filter(col("_split") === "train")
       .groupBy(col(labelCol).as("_mlab"))
-      .agg(count(lit(1)).as("_nd"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("_nd")))
     val priors = nTrainDocs
       .crossJoin(broadcast(
         nTrainDocs.agg(sum(col("_nd")).as("_ndtot")))) // 1-row total

@@ -34,6 +34,21 @@ class BoundedCollectAggSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new BoundedCollect(0))
   }
 
+  test("finish enforces the truncation contract: saturated groups are NULL") {
+    val agg = new BoundedCollect(5)
+    // saturated buffer (true df >= cap): content is partition-order
+    // dependent, so it must never escape — finish returns null
+    val full = (1L to 100L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(full) === null)
+    // exactly-at-cap groups are indistinguishable from truncated ones
+    // and are over the rare-gram threshold anyway: also null
+    val atCap = (1L to 5L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(atCap) === null)
+    // one under the cap: complete, returned
+    val under = (1L to 4L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(under).sorted === (1L to 4L))
+  }
+
   test("as a UDAF it matches collect_list-then-filter on a skewed frame") {
     import spark.implicits._
     // one hot key (df 500) + rare keys with df 1..4
