@@ -45,6 +45,58 @@ object Bench {
     }.getOrElse(Map.empty)
   }
 
+  /** Canary checkpoint cadence: one canary sample every this many
+    * gates (plus one before the first and one after the last). */
+  private[graft] val canaryPeriod = 20
+
+  /** Parse the "canary" sample array out of a previous BENCH_FULL
+    * line; empty if the previous run predates the canary format. */
+  private[graft] def parsePrevCanary(text: String): Seq[Double] = {
+    val arr = """"canary"\s*:\s*\[([^\]]*)\]""".r
+    arr.findFirstMatchIn(text).map(
+      _.group(1).split(",").filter(_.nonEmpty).toSeq.map(_.trim.toDouble))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Second-stage drift filter using interleaved canary samples: the
+    * global control-median ratio under-normalizes gates that ran
+    * during a transient load stretch (ambient on a shared box moves
+    * minute-to-minute — measured in PLANS_NOTES r11: in one run the
+    * global ratio was 1.038 while same-window controls read 1.5-1.9×).
+    * A canary (fixed small aggregate) sampled every `period` gates
+    * gives each gate the ambient ratio AT ITS MOMENT: a gate survives
+    * this filter only if it exceeds 1.3× + 0.5 s beyond the MAX of the
+    * two canary ratios bracketing its run position. Checkpoint j of
+    * the current run aligns with checkpoint j of the previous run
+    * (same deterministic hash order; a small gate-set change shifts
+    * positions by at most a few gates, absorbed by the bracketing
+    * max). Returns the gates that survive; callers intersect with the
+    * global flags, so a canary-format-less previous run filters
+    * nothing. */
+  private[graft] def localDriftFilter(
+      prev: Map[String, Double], curOrdered: Seq[(String, Double)],
+      prevCanary: Seq[Double], curCanary: Seq[Double],
+      period: Int = canaryPeriod): Set[String] = {
+    val m = math.min(prevCanary.size, curCanary.size)
+    if (m < 2) curOrdered.map(_._1).toSet // no canary data: filter nothing
+    else {
+      def ratio(j: Int): Double = {
+        val p = prevCanary(j); val c = curCanary(j)
+        if (p > 0 && c > 0) c / p else 1.0
+      }
+      curOrdered.zipWithIndex.flatMap { case ((g, v), pos) =>
+        prev.get(g) match {
+          case Some(pv) if pv > 0 && v > 0 =>
+            val lo = math.min(pos / period, m - 2)
+            val local = math.max(ratio(lo), ratio(lo + 1))
+            val norm = pv * local
+            if (v > norm * 1.3 && v - norm > 0.5) Some(g) else None
+          case _ => None
+        }
+      }.toSet
+    }
+  }
+
   /** Ambient-normalized drift flags vs the previous full run.
     * @return (ambientRatio, flagged) where flagged lists
     *         (gate, prevSec, curSec, ambientNormalizedPrevSec). */
@@ -113,7 +165,29 @@ object Bench {
       Thread.sleep(200)
     }
 
-    val results = order.map { case (name, fn) =>
+    // Canary: a fixed small scan+aggregate sampled every canaryPeriod
+    // gates — ONE sample on purpose (it measures the instantaneous
+    // ambient, noise included). Full runs only; its samples feed the
+    // localDriftFilter so a gate that ran during a transient load
+    // stretch isn't flagged against a global ratio sampled elsewhere.
+    def canaryOnce(): Double = {
+      settle()
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val measureCanary = only.isEmpty
+    if (measureCanary) { canaryOnce(); canaries += canaryOnce() } // warm once
+
+    val results = order.zipWithIndex.map { case ((name, fn), i) =>
+      if (measureCanary && i > 0 && i % canaryPeriod == 0)
+        canaries += canaryOnce()
       settle()
       runOnce(fn) // warmup: codegen + JIT, result discarded
       val measured = (1 to 2).map { _ =>
@@ -125,6 +199,7 @@ object Bench {
       }
       name -> (if (measured.exists(_ < 0)) -1.0 else measured.min)
     }
+    if (measureCanary) canaries += canaryOnce()
 
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
     val errors = results.collect { case (n, v) if v < 0 => n }
@@ -140,24 +215,34 @@ object Bench {
     // (SPARK_GRAFT_ONLY) runs skip it — partial maps can't normalize.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     val driftJson = if (only.nonEmpty) "" else {
-      val prev = try parsePrevQueries(new String(
+      val prevText = try new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fullPath)),
-        "UTF-8")) catch { case _: Throwable => Map.empty[String, Double] }
+        "UTF-8") catch { case _: Throwable => "" }
+      val prev = parsePrevQueries(prevText)
       if (prev.size < results.size / 2) "" else {
-        val (ambient, flagged) = driftFlags(prev, results.toMap)
+        val (ambient, flaggedGlobal) = driftFlags(prev, results.toMap)
+        // a gate must exceed the threshold against BOTH the global
+        // control ratio AND the canary ratio local to its run position
+        // — transient load stretches stop producing false flags
+        val survivesLocal = localDriftFilter(prev, results,
+          parsePrevCanary(prevText), canaries.toSeq)
+        val flagged = flaggedGlobal.filter(f => survivesLocal(f._1))
         val fl = flagged.map { case (g, p, v, norm) =>
           s""""$g":{"prev":${f3(p)},"cur":${f3(v)},"prev_ambient_norm":${f3(norm)}}"""
         }.mkString("{", ",", "}")
         s""","drifts":{"ambient_ratio":${f3(ambient)},"flagged":$fl}"""
       }
     }
+    val canaryJson = if (canaries.isEmpty) "" else
+      s""","canary_period":$canaryPeriod,"canary":${
+        canaries.map(f3).mkString("[", ",", "]")}"""
 
     // The full per-query map (~4.6 KB at 108 queries) overflows the
     // driver's ~3.5 KB stdout tail window and truncates the head of the
     // line — so it goes to a side file, and stdout gets a compact
     // summary (<1 KB) that survives the tail intact.
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson$driftJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson$driftJson$canaryJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get(fullPath)
       java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
