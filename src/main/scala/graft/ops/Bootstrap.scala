@@ -69,6 +69,31 @@ object Bootstrap {
     s"CASE $cases ELSE ${CdfThresholds.size} END"
   }
 
+  /** DuckDB mirror of [[multiplicityFast]]'s draw as STAGED CTEs —
+    * Spark's seed-chained `xxhash64(id, b)` spelled exactly in HUGEINT
+    * u64 arithmetic (graft.util.DuckHash), then Spark's `pmod` on the
+    * SIGNED value. Retires the "no DuckDB spelling" limitation: the
+    * fast gate is oracle-gated like the md5 twin. Vectorized pipeline,
+    * not nested lambdas: at sf0.01 this oracle evaluates ~30 M draws
+    * (600 k rows × 50 replicates) and the lambda form took 155 s vs
+    * seconds staged. Returns (cteText, lastCteName); the last CTE
+    * exposes (grp, v, b, m). */
+  private def multiplicityFastCtes(src: String): (String, String) = {
+    import graft.util.DuckHash._
+    val carry = Seq("grp", "v", "b")
+    val stages = xxhash64LongStages("42::HUGEINT") ++ xxhash64IntStages("b")
+    val (hashCtes, lastHash) = stagedCtes(src, carry, stages, "wmh")
+    val cases = CdfThresholds.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }.mkString(" ")
+    val text = s"""$hashCtes,
+       |wmu AS (SELECT grp, v, b,
+       |  (((${toSigned("h")} % 1000000) + 1000000) % 1000000) AS u
+       |  FROM $lastHash),
+       |wm AS (SELECT grp, v, b,
+       |  CASE $cases ELSE ${CdfThresholds.size} END AS m FROM wmu)""".stripMargin
+    (text, "wm")
+  }
+
   /** Bootstrap CI for the per-group MEAN of `valueCol`. `idCol` must be
     * a unique row id (the randomness seed). `loPct`/`hiPct` in (0,1). */
   /** @param integerValued caller guarantees `valueCol` is
@@ -124,22 +149,32 @@ object Bootstrap {
         col("ci_hi"), col("b"))
   }
 
-  /** DuckDB mirror of [[meanCi]]. */
+  /** DuckDB mirror of [[meanCi]] (`fastHash` mirrors the xxhash64
+    * draw via [[multiplicityFastSql]]). */
   def meanCiSql(srcSql: String, groupSql: String, valueSql: String,
       idSql: String, b: Int = 100, loPct: Double = 0.025,
-      hiPct: Double = 0.975, integerValued: Boolean = false): String = {
+      hiPct: Double = 0.975, integerValued: Boolean = false,
+      fastHash: Boolean = false): String = {
     val repSum =
       if (integerValued) "CAST(CAST(SUM(CAST(v AS BIGINT) * m) AS BIGINT) AS DOUBLE)"
       else dsumSql("v * m")
     val meanSum =
       if (integerValued) s"CAST(CAST(SUM(CAST($valueSql AS BIGINT)) AS BIGINT) AS DOUBLE)"
       else dsumSql(valueSql)
+    val wmCtes =
+      if (fastHash) {
+        // x must expose h = u64(id) for the staged pipeline
+        val (text, _) = multiplicityFastCtes("x")
+        text
+      } else
+        s""",
+           |wm AS (
+           |  SELECT grp, v, b, ${multiplicitySql("id")} AS m FROM x)""".stripMargin
+    val xH = if (fastHash) s", ${graft.util.DuckHash.u64(idSql)} AS h" else ""
     s"""WITH src AS ($srcSql),
        |x AS (
-       |  SELECT $groupSql AS grp, $valueSql AS v, $idSql AS id, b
-       |  FROM src, (SELECT unnest(generate_series(0, ${b - 1})) AS b) reps),
-       |wm AS (
-       |  SELECT grp, v, b, ${multiplicitySql("id")} AS m FROM x),
+       |  SELECT $groupSql AS grp, $valueSql AS v, $idSql AS id, b$xH
+       |  FROM src, (SELECT unnest(generate_series(0, ${b - 1})) AS b) reps)$wmCtes,
        |per_rep AS (
        |  SELECT grp, b,
        |    CASE WHEN SUM(m) > 0

@@ -9,12 +9,15 @@ import QueryDsl._
 
 /** LLM-training-data pipeline operators (dedup, similarity search, text
   * analysis) declared over the `documents` and `embeddings` tables.
-  * SQL-expressible operators carry a full DuckDB oracle; the
-  * sketch-based ones (minhash/simhash/ann) are verified structurally in
-  * ScalaTest against their exact counterparts and enter the gate as
-  * rows-only checks — except minhash_lsh, whose exact-verification
-  * stage makes its output equal the exact-Jaccard query (the banding
-  * miss probability at the observed similarity levels is < 1e-7).
+  * SQL-expressible operators carry a full DuckDB oracle — since r11
+  * that includes the xxh64/fnv production-hash gates (simhash,
+  * winnowing, countmin, the fast bootstrap/dsir draws) via
+  * graft.util.DuckHash. minhash_lsh's exact-verification stage makes
+  * its output equal the exact-Jaccard query (banding miss probability
+  * < 1e-7 at the observed similarities), so it shares that oracle.
+  * The remaining rows-only gates (ANN top-k, sketch value paths,
+  * eigensolve/EM/zlib seams) each carry a declared anchor in
+  * tools/seam_ledger.json, machine-checked by SeamLedgerSpec.
   */
 object DocQueries {
 
@@ -491,6 +494,40 @@ object DocQueries {
       |FROM ex JOIN est ON est.lang = ex.lang AND est.source = ex.source
       |ORDER BY 1, 2""".stripMargin
 
+  /** DuckDB oracle for the xxh64 DEPLOYMENT sketch itself (r11): the
+    * seeded Spark XxHash64 of the source string is spelled exactly via
+    * graft.util.DuckHash (u64 HUGEINT arithmetic), and width 256 is a
+    * power of two, so Java's floorMod(h, 256) is just `h & 255` in the
+    * u64 domain. Same cell-load/min-probe structure as the md5 twin —
+    * the twin stays as the independent-hash-family witness. */
+  private val aCountminFreqSql: String = {
+    import graft.util.DuckHash._
+    val h = xxhash64String("src", "(dd)::HUGEINT")
+    s"""WITH ex AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |slots AS (
+      |  SELECT lang, src AS source, n_exact, dd AS d,
+      |         CAST(($h) & 255::HUGEINT AS BIGINT) AS slot
+      |  FROM (SELECT ex.lang, ex.source AS src, ex.n_exact, d.dd
+      |        FROM ex, (SELECT unnest(range(4)) AS dd) d)
+      |),
+      |cells AS (
+      |  SELECT lang, d, slot, SUM(n_exact) AS cell
+      |  FROM slots GROUP BY 1, 2, 3
+      |),
+      |est AS (
+      |  SELECT s.lang, s.source, CAST(MIN(c.cell) AS BIGINT) AS n_est
+      |  FROM slots s JOIN cells c
+      |    ON c.lang = s.lang AND c.d = s.d AND c.slot = s.slot
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ex.lang, ex.source, ex.n_exact, est.n_est
+      |FROM ex JOIN est ON est.lang = ex.lang AND est.source = ex.source
+      |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Next-fit whole-doc packing: 256-token bins, docs never split. */
   private val pipelinePackWhole: Q = (s, d) =>
     CorpusPipeline.packWholeDocs(table(s, d, "documents"))
@@ -638,7 +675,10 @@ object DocQueries {
           maxShingleDF)): Q,
       Some(CorpusPipeline.e2eBuildSql(jaccardThreshold, maxShingleDF))),
     ("dedup_minhash_lsh", dedupMinhash, Some(Shingles.exactJaccardSql(jaccardThreshold))),
-    ("dedup_simhash", dedupSimhash, None),
+    // oracle-gated since r11: the production fnv1a64 word hash has an
+    // exact DuckDB spelling (DuckHash u64 fold), so the full 64-bit
+    // signature pipeline is hash-verified, not just the md5-60 twin
+    ("dedup_simhash", dedupSimhash, Some(SimHash.fnvOracleSql(3))),
     ("dedup_simhash_md5", dedupSimhashMd5, Some(SimHash.md5OracleSql(3))),
     ("knn_cosine_topk", knnBrute, Some(Knn.bruteForceTopKSql(5, 5))),
     ("knn_hard_negatives", knnHardNegatives, Some(Knn.hardNegativesSql(5, 5))),
@@ -682,7 +722,10 @@ object DocQueries {
       Some(TextAnalysis.nfcNormalizeSql)),
     ("text_pii_scrub", textPiiScrub, Some(TextAnalysis.piiScrubSql)),
     ("dedup_url", dedupUrl, Some(TextAnalysis.urlCanonicalDedupSql)),
-    ("text_winnowing", textWinnowing, None),
+    // oracle-gated since r11: the Rabin-Karp base-257 gram hash is a
+    // fixed wraparound polynomial, spelled exactly via DuckHash
+    ("text_winnowing", textWinnowing,
+      Some(TextAnalysis.winnowingRkSql())),
     ("text_winnowing_md5", textWinnowingMd5,
       Some(TextAnalysis.winnowingMd5Sql())),
     ("dedup_fuzzy_levenshtein", dedupFuzzy,
@@ -766,7 +809,8 @@ object DocQueries {
           .orderBy("lang", "source", "chosen_id", "rejected_id")): Q,
       Some(PreferencePairs.pairsSql() +
         "\nORDER BY lang, source, chosen_id, rejected_id")),
-    ("a_countmin_freq", aCountminFreq, None),
+    // oracle-gated since r11: DuckHash spells seeded xxhash64(source)
+    ("a_countmin_freq", aCountminFreq, Some(aCountminFreqSql)),
     ("a_countmin_freq_md5", aCountminFreqMd5, Some(aCountminFreqMd5Sql)),
     ("quality_drift_psi", qualityDriftPsi, Some(qualityDriftPsiSql)),
     ("quality_ks_drift", qualityKsDrift, Some(qualityKsDriftSql)),
@@ -865,14 +909,15 @@ object DocQueries {
           org.apache.spark.sql.functions.col("lang") === "en")): Q,
       Some(graft.text.Dsir.sampleSql("lang = 'en'"))),
     // deployment twin: identical estimator with codegen'd xxhash64
-    // buckets + draw in place of md5 (the a_bootstrap_ci_fast
-    // convention — md5 stays the cross-engine witness above; this row
-    // tracks the production cost). Rows-only by design.
+    // buckets + draw in place of md5 (md5 stays the independent-hash
+    // witness above; this row tracks the production cost).
+    // Oracle-gated since r11: DuckHash spells xxhash64(gram) and the
+    // Gumbel draw exactly, so the deployment path is hash-verified too.
     ("pipeline_dsir_sample_fast",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         graft.text.Dsir.sample(table(s, d, "documents"),
           org.apache.spark.sql.functions.col("lang") === "en",
           fastHash = true)): Q,
-      None)
+      Some(graft.text.Dsir.sampleSql("lang = 'en'", fastHash = true)))
   )
 }

@@ -620,7 +620,13 @@ object MlQueries {
   val entries: Seq[(String, Q, Option[String])] = Seq(
     ("a_gini", aGini, Some(aGiniSql)),
     ("a_bootstrap_ci", aBootstrapCi, Some(aBootstrapCiSql)),
-    ("a_bootstrap_ci_fast", aBootstrapCiFast, None),
+    // oracle-gated since r11: DuckHash spells the seed-chained
+    // xxhash64(id, b) draw exactly in HUGEINT u64 arithmetic
+    ("a_bootstrap_ci_fast", aBootstrapCiFast,
+      Some(graft.ops.Bootstrap.meanCiSql(
+        "SELECT *, l_orderkey * 10 + l_linenumber AS id FROM lineitem",
+        "l_returnflag", "l_quantity", "id", b = 50,
+        loPct = 0.05, hiPct = 0.95, integerValued = true, fastHash = true))),
     ("rec_association_rules", recAssociationRules,
       Some(recAssociationRulesSql)),
     ("pipeline_next_event_examples", pipelineNextEvent,

@@ -140,7 +140,18 @@ object Dsir {
 
   /** Shared CTE chain producing the per-doc weight table `w`
     * (doc_id, w_micro) — the mirror of [[weights]]. */
-  private def weightCtes(targetSql: String, buckets: Int): String =
+  private def weightCtes(targetSql: String, buckets: Int,
+      fastHash: Boolean = false): String = {
+    // fast path: Spark's xxhash64(gram) spelled via DuckHash; pmod by a
+    // power-of-two bucket count is the low-bit mask in the u64 domain
+    val bExpr =
+      if (fastHash) {
+        require((buckets & (buckets - 1)) == 0,
+          "fastHash bucket mask needs a power-of-two bucket count")
+        s"CAST((${graft.util.DuckHash.xxhash64String("gram", "42::HUGEINT")})" +
+          s" & ${buckets - 1}::HUGEINT AS BIGINT)"
+      } else
+        s"CAST(concat('0x', substring(md5(gram), 1, 6)) AS BIGINT) % $buckets"
     s"""ws AS (
        |  SELECT doc_id, ($targetSql) AS t, string_split(text, ' ') AS w
        |  FROM documents),
@@ -152,9 +163,7 @@ object Dsir {
        |  FROM ws, unnest(generate_series(1, len(w) - 1)) u(i)
        |  WHERE len(w) >= 2),
        |bkt AS (
-       |  SELECT doc_id, t,
-       |    CAST(concat('0x', substring(md5(gram), 1, 6)) AS BIGINT)
-       |      % $buckets AS b
+       |  SELECT doc_id, t, $bExpr AS b
        |  FROM grams),
        |bc AS (
        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS s_cnt,
@@ -173,6 +182,7 @@ object Dsir {
        |w AS (
        |  SELECT doc_id, CAST(SUM(lw) AS BIGINT) AS w_micro
        |  FROM bkt JOIN lw USING (b) GROUP BY 1)""".stripMargin
+  }
 
   /** DuckDB mirror of [[select]] over the `documents` table with
     * `targetSql` as the target predicate. */
@@ -182,18 +192,30 @@ object Dsir {
        |SELECT doc_id, w_micro FROM w
        |ORDER BY w_micro DESC, doc_id LIMIT $k""".stripMargin
 
-  /** DuckDB mirror of [[sample]]. */
+  /** DuckDB mirror of [[sample]] (`fastHash` mirrors the xxhash64
+    * buckets + Gumbel draw via graft.util.DuckHash — the draw's pmod
+    * by 2^24 is the low-bit mask in the u64 domain). */
   def sampleSql(targetSql: String, buckets: Int = 256, k: Int = 200,
-      temperature: Double = 1.0, seed: String = "dsir"): String =
-    s"""WITH ${weightCtes(targetSql, buckets)},
+      temperature: Double = 1.0, seed: String = "dsir",
+      fastHash: Boolean = false): String = {
+    val drawSql =
+      if (fastHash)
+        s"CAST((${graft.util.DuckHash.xxhash64String("ds", "42::HUGEINT")})" +
+          " & 16777215::HUGEINT AS BIGINT)"
+      else
+        s"""CAST(concat('0x',
+           |          substring(md5(concat('$seed', ':', doc_id)), 1, 6))
+           |          AS BIGINT)""".stripMargin
+    s"""WITH ${weightCtes(targetSql, buckets, fastHash)},
+       |wd AS (
+       |  SELECT doc_id, w_micro, concat('$seed', ':', doc_id) AS ds FROM w),
        |sc AS (
        |  SELECT doc_id,
        |    CAST(round((CAST(w_micro AS DOUBLE) / 1000000.0 / $temperature
-       |      - ln(-ln((CAST(CAST(concat('0x',
-       |          substring(md5(concat('$seed', ':', doc_id)), 1, 6))
-       |          AS BIGINT) AS DOUBLE) + 0.5) / 16777216.0)))
+       |      - ln(-ln((CAST($drawSql AS DOUBLE) + 0.5) / 16777216.0)))
        |      * 1000000.0) AS BIGINT) AS score_micro
-       |  FROM w)
+       |  FROM wd)
        |SELECT doc_id, score_micro FROM sc
        |ORDER BY score_micro DESC, doc_id LIMIT $k""".stripMargin
+  }
 }

@@ -110,4 +110,38 @@ object SimHash {
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
+
+  /** DuckDB oracle for the PRODUCTION gate `nearDuplicates(_, maxDist)`
+    * (r11): fnv1a64 is one (h ^ byte) * prime fold, spelled exactly in
+    * u64 HUGEINT arithmetic (graft.util.DuckHash), so the full 64-bit
+    * production signature — not just the md5-60 stand-in — has a SQL
+    * spelling. Same per-bit tf-sign reassembly and brute-force
+    * all-pairs Hamming as [[md5OracleSql]] (signatures stay in the u64
+    * domain; `h >> b` is the logical shift the engine's `>>>` does). */
+  def fnvOracleSql(maxDist: Int): String =
+    s"""WITH words AS (
+       |  SELECT doc_id, w AS word, CAST(COUNT(*) AS INT) AS tf
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |        FROM documents) t
+       |  GROUP BY doc_id, w
+       |), hashed AS (
+       |  SELECT doc_id, tf,
+       |         ${graft.util.DuckHash.fnv1a64String("word")} AS h
+       |  FROM words
+       |), bits AS (
+       |  SELECT doc_id, b,
+       |         SUM(CASE WHEN (h >> b) & 1::HUGEINT = 1::HUGEINT
+       |             THEN tf ELSE -tf END) AS s
+       |  FROM hashed, (SELECT unnest(generate_series(0, 63)) AS b) bs
+       |  GROUP BY doc_id, b
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN s > 0 THEN (1::HUGEINT << b)
+       |             ELSE 0::HUGEINT END) AS HUGEINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist""".stripMargin
 }

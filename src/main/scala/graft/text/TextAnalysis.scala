@@ -270,6 +270,35 @@ object TextAnalysis {
        |SELECT DISTINCT doc_id, fp AS fingerprint FROM wmins
        |WHERE p <= greatest(m - $w + 1, 1)""".stripMargin
 
+  /** DuckDB oracle for the PRODUCTION winnowing gate (r11): the
+    * Rabin–Karp base-257 gram hash is a fixed polynomial
+    * Σ char·257^i with Java-long wraparound — spelled exactly in u64
+    * HUGEINT arithmetic (graft.util.DuckHash.rk257Gram), converted to
+    * the signed domain BEFORE the window min (the engine's
+    * `hashes.min` compares signed longs). Same window-min-set
+    * structure as [[winnowingMd5Sql]]. */
+  def winnowingRkSql(k: Int = 8, w: Int = 16): String = {
+    import graft.util.DuckHash._
+    val h = toSigned(rk257Gram("d.text", "pos.p", k))
+    s"""WITH pos AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(text) - $k + 1)) AS p
+       |  FROM documents
+       |), grams AS (
+       |  SELECT d.doc_id, pos.p,
+       |         $h AS h,
+       |         len(d.text) - $k + 1 AS m
+       |  FROM documents d JOIN pos ON d.doc_id = pos.doc_id
+       |), wmins AS (
+       |  SELECT doc_id, p, m,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+       |           AS fp
+       |  FROM grams
+       |)
+       |SELECT DISTINCT doc_id, fp AS fingerprint FROM wmins
+       |WHERE p <= greatest(m - $w + 1, 1)""".stripMargin
+  }
+
   /** Intra-document repetition score (pretraining-corpus filter in the
     * style of the Gopher/MassiveText rules): duplicate word-, 2-gram-
     * and 3-gram fractions, all pure column expressions (one pass, full
