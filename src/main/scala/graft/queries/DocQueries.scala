@@ -700,7 +700,9 @@ object DocQueries {
           Knn.plantedNearDups(table(s, d, "embeddings"))
             .localCheckpoint(true), 0.95),
       Some(Knn.plantedNearDupBlockedSql(0.95, 0.02, 1000000L))),
-    ("knn_lsh_topk", knnLsh, None),
+    // oracle-gated since r11: splitmix64 plane signs + sequential
+    // double-dot bucket bits replayed exactly in DuckDB (Knn.lshTopKSql)
+    ("knn_lsh_topk", knnLsh, Some(Knn.lshTopKSql(5, 5))),
     ("knn_ivf_topk", knnIvf, None),
     ("knn_pq_topk", knnPq, None),
     ("knn_pca_pq", knnPcaPq, None),

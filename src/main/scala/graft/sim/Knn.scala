@@ -500,6 +500,68 @@ object Knn extends Serializable {
       .toDF("vec_id", "buckets")
   }
 
+  /** DuckDB oracle for [[lshTopK]] (r11): the plane signs are
+    * splitmix64 bit math — spelled exactly in u64 HUGEINT arithmetic
+    * (graft.util.DuckHash) — and the bucket bit is the sign of a
+    * SEQUENTIAL double dot (float upcast × ±1.0, added in index
+    * order), which `list_reduce` replays bit-identically (validated:
+    * 0 bucket mismatches across all (vec, table) pairs at sf0.001).
+    * Multiprobe membership `bucket ∈ {q} ∪ {q ^ 2^b}` is simply
+    * Hamming(bucket, q) ≤ 1. Rescore mirrors [[bruteForceTopKSql]].
+    * So the FULL approximate path — not just its recall floor — is
+    * hash-verified. */
+  def lshTopKSql(numQueries: Int, k: Int,
+      planes: Int = 6, numTables: Int = 8): String = {
+    import graft.util.DuckHash.mul64
+    val mask = "18446744073709551615::HUGEINT"
+    val c0 = "11400714819323198485::HUGEINT" // 0x9e3779b97f4a7c15
+    val c1 = "13787848793156543929::HUGEINT" // 0xbf58476d1ce4e5b9
+    val c2 = "10723151780598845931::HUGEINT" // 0x94d049bb133111eb
+    s"""WITH signs AS (
+       |  SELECT t, p, i,
+       |    CASE WHEN (z3 >> 17) & 1::HUGEINT = 1::HUGEINT
+       |         THEN 1.0 ELSE -1.0 END AS s
+       |  FROM (SELECT t, p, i, xor(z2, z2 >> 31) AS z3
+       |    FROM (SELECT t, p, i, ${mul64("xor(z1, z1 >> 27)", c2)} AS z2
+       |      FROM (SELECT t, p, i, ${mul64("xor(z0, z0 >> 30)", c1)} AS z1
+       |        FROM (SELECT t.t, p.p, i.i,
+       |                (((t.t*4096 + p.p*64 + i.i)::HUGEINT + $c0) & $mask) AS z0
+       |              FROM (SELECT unnest(range($numTables)) t) t,
+       |                   (SELECT unnest(range($planes)) p) p,
+       |                   (SELECT unnest(range((SELECT CAST(max(len(embedding)) AS BIGINT)
+       |                                         FROM embeddings))) i) i)))) ),
+       |sv AS (SELECT t, p, list(s ORDER BY i) AS sv FROM signs GROUP BY 1, 2),
+       |dots AS (
+       |  SELECT e.vec_id, sv.t, sv.p,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(e.embedding)),
+       |        j -> CAST(e.embedding[j] AS DOUBLE) * sv.sv[j])),
+       |      (a, x) -> a + x) AS dot
+       |  FROM embeddings e, sv),
+       |buckets AS (
+       |  SELECT vec_id, t,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM buckets q JOIN buckets c ON c.t = q.t
+       |  WHERE q.vec_id < $numQueries AND c.vec_id <> q.vec_id
+       |    AND bit_count(xor(c.bucket, q.bucket)) <= 1
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ROUND(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ne.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $k""".stripMargin
+  }
+
   def lshTopK(emb: DataFrame, numQueries: Int, k: Int,
       planes: Int = 6, numTables: Int = 8): DataFrame = {
     val spark = emb.sparkSession

@@ -57,8 +57,10 @@ object DuckHash {
   def toSigned(u: String): String =
     s"CAST(CASE WHEN $u >= $HALF THEN $u - $M ELSE $u END AS BIGINT)"
 
-  /** (a * b) mod 2^64 without overflowing int128: split a at 2^32. */
-  private def mul64(a: String, b: String): String =
+  /** (a * b) mod 2^64 without overflowing int128: split a at 2^32.
+    * Public for callers spelling other u64 kernels (e.g. the LSH
+    * splitmix64 plane signs in Knn.lshTopKSql). */
+  def mul64(a: String, b: String): String =
     s"(((($a & $MASK32) * $b) + (((($a >> 32) * $b) & $MASK32) << 32)) & $MASK)"
 
   private def rotl(x: String, r: Int): String =
