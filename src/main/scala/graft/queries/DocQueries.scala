@@ -595,8 +595,12 @@ object DocQueries {
 
   /** IVF/k-means approximate top-k (rows-only; exactness anchor and
     * recall tested in KnnSpec). */
+  private def ivfCentroidPath(tag: String) =
+    s"/tmp/graft_gate_ivf_centroids_$tag"
   private val knnIvf: Q = (s, d) =>
-    Knn.ivfTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+    Knn.ivfTopK(table(s, d, "embeddings"), numQueries = 5, k = 5,
+      centroidDump =
+        Some(ivfCentroidPath(graft.util.Tables.corpusTag(d))))
 
   /** Product-quantized ADC + exact rerank (rows-only; rerank≥corpus ≡
     * brute anchor and recall floor tested in PqSpec). */
@@ -703,7 +707,10 @@ object DocQueries {
     // oracle-gated since r11: splitmix64 plane signs + sequential
     // double-dot bucket bits replayed exactly in DuckDB (Knn.lshTopKSql)
     ("knn_lsh_topk", knnLsh, Some(Knn.lshTopKSql(5, 5))),
-    ("knn_ivf_topk", knnIvf, None),
+    // oracle-gated since r11: engine-dumped centroid artifact +
+    // DuckDB replay of assignment/probe/rescore (Knn.ivfTopKSql)
+    ("knn_ivf_topk", knnIvf, Some(Knn.ivfTopKSql(5, 5, 4,
+      s"/tmp/graft_gate_ivf_centroids_${graft.util.Tables.SfTagToken}/*.parquet"))),
     ("knn_pq_topk", knnPq, None),
     ("knn_pca_pq", knnPcaPq, None),
     ("knn_ivfpq_topk", knnIvfPq, None),

@@ -297,7 +297,8 @@ object Knn extends Serializable {
     * centroid table (cells × dims floats) broadcasts everywhere.
     */
   def ivfTopK(emb: DataFrame, numQueries: Int, k: Int,
-      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+      cells: Int = 16, nprobe: Int = 4,
+      centroidDump: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // train centroids on a deterministic sample — at corpus scale the
@@ -308,6 +309,15 @@ object Knn extends Serializable {
       .select(col("embedding")).as[Array[Float]].collect()
       .map(_.map(_.toDouble))
     val centroids = lloydKMeans(sample, cells, iters = 10)
+    // engine-written model artifact (the ml_pca_project / unigram
+    // pattern): the Lloyd fit stays the documented engine-side float
+    // seam, but the RESULTING centroid table is dumped so the oracle
+    // can replay assignment/probe/rescore over byte-identical input
+    centroidDump.foreach { path =>
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
     val bc = spark.sparkContext.broadcast(centroids)
 
     def nearestCells(vec: Array[Float], n: Int): Array[Int] =
@@ -336,6 +346,50 @@ object Knn extends Serializable {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
+
+  /** DuckDB oracle for [[ivfTopK]] (r11): the Lloyd fit stays the
+    * engine-side float seam, but its RESULT is dumped as a centroid
+    * artifact (`centroidDump`) and everything downstream is replayed
+    * exactly — cell distances as the same sequential double fold
+    * (float upcast − centroid, squared, added in index order; bit-
+    * identical via `list_reduce`), assignment/probe as ORDER BY
+    * (d, cell) ranks (the engine's stable sort tie rule), rescore as
+    * the brute-oracle 6-dp rounded dot. The ml_pca_project /
+    * unigram-model artifact-oracle pattern, applied to ANN. */
+  def ivfTopKSql(numQueries: Int, k: Int, nprobe: Int,
+      centroidGlob: String): String =
+    s"""WITH c AS (SELECT cell, centroid FROM read_parquet('$centroidGlob')),
+       |dist AS (
+       |  SELECT e.vec_id, c.cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(e.embedding)),
+       |        j -> (CAST(e.embedding[j] AS DOUBLE) - c.centroid[j])
+       |           * (CAST(e.embedding[j] AS DOUBLE) - c.centroid[j]))),
+       |      (a, x) -> a + x) AS d
+       |  FROM embeddings e, c),
+       |ranked AS (
+       |  SELECT vec_id, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM dist),
+       |assigned AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM ranked
+       |           WHERE vec_id < $numQueries AND rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, a.neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.neighbor_id <> p.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ROUND(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ne.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $k""".stripMargin
 
   /** Materialized IVF store: the cell assignment written cell-PARTITIONED
     * to parquet (plus the centroid table alongside), so probe queries
