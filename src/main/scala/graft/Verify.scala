@@ -15,13 +15,14 @@ object Verify {
   /** Recall floors for the rows-only ANN gates, vs the brute-force
     * witness — the single source the dump emission and the seam ledger
     * (tools/seam_ledger.json, SeamLedgerSpec) both check against.
-    * Values mirror the KnnSpec / PqSpec assertions. (knn_lsh_topk and
-    * knn_ivf_topk left this list in r11: their full approximate paths
-    * are now oracle-gated — Knn.lshTopKSql replays the splitmix64
-    * plane/bucket pipeline, Knn.ivfTopKSql replays assignment/probe
-    * over the engine-dumped centroid artifact.) */
+    * Values mirror the KnnSpec / PqSpec assertions. (knn_lsh_topk,
+    * knn_ivf_topk, and knn_pq_topk left this list in r11: their full
+    * approximate paths are now oracle-gated — Knn.lshTopKSql replays
+    * the splitmix64 plane/bucket pipeline, Knn.ivfTopKSql and
+    * Pq.pqTopKSql replay assignment/probe/ADC over engine-dumped
+    * centroid/codebook artifacts.) */
   val annRecallFloors: Seq[(String, Double)] = Seq(
-    "knn_pq_topk" -> 0.8, "knn_pca_pq" -> 0.6,
+    "knn_pca_pq" -> 0.6,
     "knn_ivfpq_topk" -> 0.5, "knn_ivfpq_store" -> 0.5)
 
   def main(args: Array[String]): Unit = {

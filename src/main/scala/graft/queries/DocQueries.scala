@@ -604,8 +604,12 @@ object DocQueries {
 
   /** Product-quantized ADC + exact rerank (rows-only; rerank≥corpus ≡
     * brute anchor and recall floor tested in PqSpec). */
+  private def pqCodebookPath(tag: String) =
+    s"/tmp/graft_gate_pq_codebooks_$tag"
   private val knnPq: Q = (s, d) =>
-    Pq.pqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+    Pq.pqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5,
+      codebookDump =
+        Some(pqCodebookPath(graft.util.Tables.corpusTag(d))))
 
   /** PCA × PQ (OPQ-lite): eigenbasis rotation + compaction before the
     * product split, exact original-space rescore (rows-only;
@@ -711,7 +715,10 @@ object DocQueries {
     // DuckDB replay of assignment/probe/rescore (Knn.ivfTopKSql)
     ("knn_ivf_topk", knnIvf, Some(Knn.ivfTopKSql(5, 5, 4,
       s"/tmp/graft_gate_ivf_centroids_${graft.util.Tables.SfTagToken}/*.parquet"))),
-    ("knn_pq_topk", knnPq, None),
+    // oracle-gated since r11: engine-dumped codebook artifact +
+    // DuckDB replay of encode/ADC/rerank (Pq.pqTopKSql)
+    ("knn_pq_topk", knnPq, Some(Pq.pqTopKSql(5, 5, 64,
+      s"/tmp/graft_gate_pq_codebooks_${graft.util.Tables.SfTagToken}/*.parquet"))),
     ("knn_pca_pq", knnPcaPq, None),
     ("knn_ivfpq_topk", knnIvfPq, None),
     ("knn_ivfpq_store", knnIvfPqStore, None),

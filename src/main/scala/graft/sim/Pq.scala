@@ -63,7 +63,8 @@ object Pq {
 
   /** (query_id, neighbor_id, cosine, rnk) top-k per query. */
   def pqTopK(emb: DataFrame, numQueries: Int, k: Int, subspaces: Int = 8,
-      centroidsPerSub: Int = 256, rerank: Int = 64): DataFrame = {
+      centroidsPerSub: Int = 256, rerank: Int = 64,
+      codebookDump: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sample = emb.orderBy(col("vec_id")).limit(4096)
@@ -76,6 +77,16 @@ object Pq {
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(subspaces) {
       s => Knn.lloydKMeans(sample.map(_.slice(s * sub, (s + 1) * sub)),
         centroidsPerSub, iters = 10)
+    }
+    // engine-written model artifact (the ivfTopK centroid pattern):
+    // the per-subspace Lloyd fits stay the engine-side float seam; the
+    // RESULTING codebooks are dumped so the oracle can replay
+    // encode/ADC/rerank over byte-identical input
+    codebookDump.foreach { path =>
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+      }.toSeq.toDF("s", "c", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
     }
     val bc = spark.sparkContext.broadcast(codebooks)
 
@@ -129,6 +140,69 @@ object Pq {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
+
+  /** DuckDB oracle for [[pqTopK]] (r11): the per-subspace Lloyd fits
+    * are dumped as a codebook artifact and the WHOLE ADC pipeline is
+    * replayed exactly — encoding as ordered squared-distance folds
+    * with the engine's strict-< argmin (ORDER BY d, c), the per-query
+    * lookup tables as ordered subvector dots, the approximate score as
+    * an IN-SUBSPACE-ORDER fold of the 8 lookups (bit-identical to the
+    * engine's sequential adds), candidate selection as
+    * (approx DESC, neighbor_id) ranks at the same `rerank`, and the
+    * exact rescore as the brute-oracle rounded dot. `sub` (dims per
+    * subspace) is read off the artifact itself (len(centroid)). */
+  def pqTopKSql(numQueries: Int, k: Int, rerank: Int,
+      codebookGlob: String): String =
+    s"""WITH cb AS (SELECT s, c, centroid FROM read_parquet('$codebookGlob')),
+       |enc AS (
+       |  SELECT e.vec_id, cb.s, cb.c,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(cb.centroid)),
+       |        j -> (CAST(e.embedding[cb.s * len(cb.centroid) + j] AS DOUBLE)
+       |                - cb.centroid[j])
+       |           * (CAST(e.embedding[cb.s * len(cb.centroid) + j] AS DOUBLE)
+       |                - cb.centroid[j]))),
+       |      (a, x) -> a + x) AS d
+       |  FROM embeddings e, cb),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT vec_id, s, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+       |    FROM enc) t
+       |  WHERE rn = 1),
+       |luts AS (
+       |  SELECT q.vec_id AS query_id, cb.s, cb.c,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(cb.centroid)),
+       |        j -> CAST(q.embedding[cb.s * len(cb.centroid) + j] AS DOUBLE)
+       |           * cb.centroid[j])),
+       |      (a, x) -> a + x) AS lv
+       |  FROM embeddings q, cb WHERE q.vec_id < $numQueries),
+       |approx AS (
+       |  SELECT l.query_id, co.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.lv ORDER BY l.s)), (a, x) -> a + x) AS approx
+       |  FROM codes co JOIN luts l ON l.s = co.s AND l.c = co.code
+       |  WHERE co.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS arnk
+       |    FROM approx) t
+       |  WHERE arnk <= $rerank),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ROUND(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ne.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $k""".stripMargin
 
   /** PCA × PQ — OPQ-lite: decorrelate and compact the vectors with a
     * PCA front-end (graft.ml.Pca — exact covariance fold, driver
