@@ -58,57 +58,70 @@ object Bench {
       .getOrElse(Seq.empty)
   }
 
-  /** Second-stage drift filter using interleaved canary samples: the
-    * global control-median ratio under-normalizes gates that ran
+  /** Parse the "canary_pos" gate-position array (r12 format); empty if
+    * the previous run predates it (then canaries pair by index). */
+  private[graft] def parsePrevCanaryPos(text: String): Seq[Int] = {
+    val arr = """"canary_pos"\s*:\s*\[([^\]]*)\]""".r
+    arr.findFirstMatchIn(text).map(
+      _.group(1).split(",").filter(_.nonEmpty).toSeq.map(_.trim.toInt))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Second-stage drift normalization from interleaved canary samples:
+    * the global control-median ratio under-normalizes gates that ran
     * during a transient load stretch (ambient on a shared box moves
     * minute-to-minute — measured in PLANS_NOTES r11: in one run the
     * global ratio was 1.038 while same-window controls read 1.5-1.9×).
-    * A canary (fixed small aggregate) sampled every `period` gates
-    * gives each gate the ambient ratio AT ITS MOMENT: a gate survives
-    * this filter only if it exceeds 1.3× + 0.5 s beyond the MAX of the
-    * two canary ratios bracketing its run position. Checkpoint j of
-    * the current run aligns with checkpoint j of the previous run
-    * (same deterministic hash order; a small gate-set change shifts
-    * positions by at most a few gates, absorbed by the bracketing
-    * max). Returns the gates that survive; callers intersect with the
-    * global flags, so a canary-format-less previous run filters
-    * nothing. */
-  private[graft] def localDriftFilter(
-      prev: Map[String, Double], curOrdered: Seq[(String, Double)],
-      prevCanary: Seq[Double], curCanary: Seq[Double],
-      period: Int = canaryPeriod): Set[String] = {
-    val m = math.min(prevCanary.size, curCanary.size)
-    if (m < 2) curOrdered.map(_._1).toSet // no canary data: filter nothing
+    * A canary (fixed small aggregate) sampled every [[canaryPeriod]]
+    * gates gives each gate the ambient ratio AT ITS MOMENT: the
+    * returned function maps a gate's run position to the MAX of the
+    * two canary cur/prev ratios bracketing it. Each CURRENT canary
+    * pairs with the PREVIOUS canary nearest in RECORDED GATE POSITION
+    * (r11 ADVICE: index pairing shifts every later bracket by a full
+    * period when gates are added/removed early in the deterministic
+    * order); a previous run predating the position format falls back
+    * to index pairing. Returns None when either run carries fewer
+    * than 2 canaries — callers then filter nothing. */
+  private[graft] def localRatios(
+      prevCanary: Seq[Double], prevPos: Seq[Int],
+      curCanary: Seq[Double], curPos: Seq[Int]): Option[Int => Double] = {
+    if (prevCanary.size < 2 || curCanary.size < 2) None
     else {
-      def ratio(j: Int): Double = {
-        val p = prevCanary(j); val c = curCanary(j)
+      val cp: Seq[Int] =
+        if (curPos.size == curCanary.size) curPos
+        else curCanary.indices.map(_ * canaryPeriod)
+      def ratio(i: Int): Double = {
+        val prevIdx =
+          if (prevPos.size == prevCanary.size)
+            prevPos.indices.minBy(j => (math.abs(prevPos(j) - cp(i)), j))
+          else math.min(i, prevCanary.size - 1)
+        val p = prevCanary(prevIdx); val c = curCanary(i)
         if (p > 0 && c > 0) c / p else 1.0
       }
-      curOrdered.zipWithIndex.flatMap { case ((g, v), pos) =>
-        prev.get(g) match {
-          case Some(pv) if pv > 0 && v > 0 =>
-            val lo = math.min(pos / period, m - 2)
-            val local = math.max(ratio(lo), ratio(lo + 1))
-            val norm = pv * local
-            if (v > norm * 1.3 && v - norm > 0.5) Some(g) else None
-          case _ => None
-        }
-      }.toSet
+      Some { pos =>
+        val k = cp.lastIndexWhere(_ <= pos)
+        val lo = math.min(math.max(k, 0), curCanary.size - 2)
+        math.max(ratio(lo), ratio(lo + 1))
+      }
     }
   }
 
   /** Ambient-normalized drift flags vs the previous full run.
-    * @return (ambientRatio, flagged) where flagged lists
-    *         (gate, prevSec, curSec, ambientNormalizedPrevSec). */
+    * @return (ambientRatio, flagged, controlsResolved) where flagged
+    *         lists (gate, prevSec, curSec, ambientNormalizedPrevSec).
+    *         controlsResolved < 3 means normalization is DISARMED
+    *         (ambient 1.0, nothing flagged) — callers must surface
+    *         that loudly instead of omitting the block (r11 verdict:
+    *         a control-gate rename silently killed the ledger). */
   private[graft] def driftFlags(prev: Map[String, Double],
-      cur: Map[String, Double]): (Double, Seq[(String, Double, Double, Double)]) = {
+      cur: Map[String, Double]): (Double, Seq[(String, Double, Double, Double)], Int) = {
     val ratios = driftControls.flatMap { c =>
       (prev.get(c), cur.get(c)) match {
         case (Some(p), Some(v)) if p > 0 && v > 0 => Some(v / p)
         case _ => None
       }
     }.sorted
-    if (ratios.size < 3) (1.0, Seq.empty) // not enough controls to normalize
+    if (ratios.size < 3) (1.0, Seq.empty, ratios.size) // disarmed, not guessing
     else {
       val ambient = ratios(ratios.size / 2)
       val flagged = cur.toSeq.sortBy(_._1).flatMap { case (g, v) =>
@@ -120,7 +133,7 @@ object Bench {
           case _ => None
         }
       }
-      (ambient, flagged)
+      (ambient, flagged, ratios.size)
     }
   }
 
@@ -182,12 +195,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaryPos = scala.collection.mutable.ArrayBuffer.empty[Int]
     val measureCanary = only.isEmpty
-    if (measureCanary) { canaryOnce(); canaries += canaryOnce() } // warm once
+    if (measureCanary) { // warm once
+      canaryOnce(); canaries += canaryOnce(); canaryPos += 0
+    }
 
     val results = order.zipWithIndex.map { case ((name, fn), i) =>
-      if (measureCanary && i > 0 && i % canaryPeriod == 0)
-        canaries += canaryOnce()
+      if (measureCanary && i > 0 && i % canaryPeriod == 0) {
+        canaries += canaryOnce(); canaryPos += i
+      }
       settle()
       runOnce(fn) // warmup: codegen + JIT, result discarded
       val measured = (1 to 2).map { _ =>
@@ -199,7 +216,7 @@ object Bench {
       }
       name -> (if (measured.exists(_ < 0)) -1.0 else measured.min)
     }
-    if (measureCanary) canaries += canaryOnce()
+    if (measureCanary) { canaries += canaryOnce(); canaryPos += order.size }
 
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
     val errors = results.collect { case (n, v) if v < 0 => n }
@@ -211,31 +228,69 @@ object Bench {
 
     // Automated drift ledger: compare this FULL run to the previous
     // committed full run (BENCH_FULL.json, read before we overwrite
-    // it), ambient-normalized by the control-gate median ratio. Solo
-    // (SPARK_GRAFT_ONLY) runs skip it — partial maps can't normalize.
+    // it), ambient-normalized by the control-gate median ratio, then
+    // re-filtered by the canary ratio local to each gate's run
+    // position. Solo (SPARK_GRAFT_ONLY) runs skip it — partial maps
+    // can't normalize. The block is ALWAYS emitted on full runs, with
+    // disarmed states loud (r11 verdict: a truncated previous map or a
+    // control-gate rename used to kill the ledger with zero signal),
+    // and gates the canary stage absolves are recorded with the
+    // bracketing ratio that cleared them (audit trail, not dropped).
+    // Returns (fullBlock, stdoutBlock): stdout carries flagged capped
+    // at 5 + counts only, so many flags can't overflow the ~3.5 KB
+    // stdout tail window the side-file split protects.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
-    val driftJson = if (only.nonEmpty) "" else {
+    val (driftJson, driftStdout) = if (only.nonEmpty) ("", "") else {
       val prevText = try new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fullPath)),
         "UTF-8") catch { case _: Throwable => "" }
       val prev = parsePrevQueries(prevText)
-      if (prev.size < results.size / 2) "" else {
-        val (ambient, flaggedGlobal) = driftFlags(prev, results.toMap)
+      if (prev.size < results.size / 2) {
+        System.err.println(s"[bench] drift ledger DISARMED: previous full " +
+          s"map resolves ${prev.size} of ${results.size} gates")
+        val b = s""","drifts":{"disarmed":true,"reason":"prev_map_too_small","prev_queries":${prev.size}}"""
+        (b, b)
+      } else {
+        val (ambient, flaggedGlobal, nControls) =
+          driftFlags(prev, results.toMap)
+        val disarmed = nControls < 3
+        if (disarmed)
+          System.err.println(s"[bench] drift ledger DISARMED: only " +
+            s"$nControls of ${driftControls.size} control gates resolved " +
+            "(<3) — ambient normalization cannot bind")
         // a gate must exceed the threshold against BOTH the global
         // control ratio AND the canary ratio local to its run position
         // — transient load stretches stop producing false flags
-        val survivesLocal = localDriftFilter(prev, results,
-          parsePrevCanary(prevText), canaries.toSeq)
-        val flagged = flaggedGlobal.filter(f => survivesLocal(f._1))
-        val fl = flagged.map { case (g, p, v, norm) =>
-          s""""$g":{"prev":${f3(p)},"cur":${f3(v)},"prev_ambient_norm":${f3(norm)}}"""
-        }.mkString("{", ",", "}")
-        s""","drifts":{"ambient_ratio":${f3(ambient)},"flagged":$fl}"""
+        val posOf = order.map(_._1).zipWithIndex.toMap
+        val localR = localRatios(parsePrevCanary(prevText),
+          parsePrevCanaryPos(prevText), canaries.toSeq, canaryPos.toSeq)
+        def localAt(g: String): Option[Double] =
+          localR.map(f => f(posOf.getOrElse(g, 0)))
+        val (flagged, absolved) = flaggedGlobal.partition {
+          case (g, p, v, _) => localAt(g).forall { lr =>
+            v > p * lr * 1.3 && v - p * lr > 0.5 }
+        }
+        def entries(fs: Seq[(String, Double, Double, Double)],
+            withLocal: Boolean): String =
+          fs.map { case (g, p, v, norm) =>
+            val local = if (!withLocal) "" else
+              s""","local_canary_ratio":${f3(localAt(g).getOrElse(1.0))}"""
+            s""""$g":{"prev":${f3(p)},"cur":${f3(v)},"prev_ambient_norm":${f3(norm)}$local}"""
+          }.mkString("{", ",", "}")
+        val head = s""","drifts":{"ambient_ratio":${f3(ambient)},"controls_resolved":$nControls,"disarmed":$disarmed"""
+        val full = s"""$head,"flagged":${entries(flagged, withLocal = false)},"absolved":${entries(absolved, withLocal = true)}}"""
+        val top5 = flagged
+          .sortBy { case (_, _, v, norm) => -(v / math.max(norm, 1e-9)) }
+          .take(5)
+        val compact = s"""$head,"flagged_n":${flagged.size},"flagged_top":${
+          entries(top5, withLocal = false)},"absolved_n":${absolved.size}}"""
+        (full, compact)
       }
     }
     val canaryJson = if (canaries.isEmpty) "" else
       s""","canary_period":$canaryPeriod,"canary":${
-        canaries.map(f3).mkString("[", ",", "]")}"""
+        canaries.map(f3).mkString("[", ",", "]")},"canary_pos":${
+        canaryPos.mkString("[", ",", "]")}"""
 
     // The full per-query map (~4.6 KB at 108 queries) overflows the
     // driver's ~3.5 KB stdout tail window and truncates the head of the
@@ -251,7 +306,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson$driftJson,"slowest":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson$driftStdout,"slowest":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -12,18 +12,17 @@ object Verify {
     sql.replace(graft.util.Tables.SfTagToken,
       graft.util.Tables.corpusTag(sfDir))
 
-  /** Recall floors for the rows-only ANN gates, vs the brute-force
+  /** Recall floors for rows-only ANN gates, vs the brute-force
     * witness — the single source the dump emission and the seam ledger
     * (tools/seam_ledger.json, SeamLedgerSpec) both check against.
-    * Values mirror the KnnSpec / PqSpec assertions. (knn_lsh_topk,
-    * knn_ivf_topk, and knn_pq_topk left this list in r11: their full
-    * approximate paths are now oracle-gated — Knn.lshTopKSql replays
-    * the splitmix64 plane/bucket pipeline, Knn.ivfTopKSql and
-    * Pq.pqTopKSql replay assignment/probe/ADC over engine-dumped
-    * centroid/codebook artifacts.) */
-  val annRecallFloors: Seq[(String, Double)] = Seq(
-    "knn_pca_pq" -> 0.6,
-    "knn_ivfpq_topk" -> 0.5, "knn_ivfpq_store" -> 0.5)
+    * EMPTY since r12: the last three rows-only ANN gates (knn_pca_pq,
+    * knn_ivfpq_topk, knn_ivfpq_store) are now oracle-gated via the
+    * composed artifact replays (Pq.pcaPqTopKSql / Pq.ivfPqTopKSql), so
+    * no gate rides a recall anchor any more; the list stays as the
+    * wiring for any future approximate gate (a below-floor recall now
+    * writes an explicit failed flag into ann_recall.json — it cannot
+    * pass silently). */
+  val annRecallFloors: Seq[(String, Double)] = Seq.empty
 
   def main(args: Array[String]): Unit = {
     if (args.length != 2) {
@@ -55,12 +54,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // ANN recall anchors: the six rows-only kNN gates are anchored by
-    // recall floors vs the brute-force witness (KnnSpec/PqSpec); compute
-    // recall@k against the knn_cosine_topk dump IN THIS RUN and emit it
-    // into the dump, so the driver's correctness artifact carries the
-    // anchor value instead of a bare "no_oracle". Floors mirror the
-    // spec assertions (SeamLedgerSpec cross-checks the ledger copy).
+    // ANN recall anchors for any rows-only kNN gate (none since r12 —
+    // the list is the wiring for future approximate gates): recall@k
+    // vs the knn_cosine_topk dump IN THIS RUN, emitted into the dump
+    // so the driver's correctness artifact carries the anchor value.
+    // A below-floor recall is MACHINE-VISIBLE, not just stderr: the
+    // gate's JSON entry carries "failed": true and the file carries a
+    // top-level "any_failed": true (r11 ADVICE — warn-only meant the
+    // driver could miss a recall regression at the verified scale).
     if (new java.io.File(s"$outDir/knn_cosine_topk").exists()) {
       def pairs(name: String): Set[(Long, Long)] =
         spark.read.parquet(s"$outDir/$name")
@@ -71,15 +72,17 @@ object Verify {
         if (!new java.io.File(s"$outDir/$g").exists() || exact.isEmpty) None
         else {
           val recall = (pairs(g) & exact).size.toDouble / exact.size
-          if (recall < floor)
+          val failed = recall < floor
+          if (failed)
             System.err.println(f"[verify] $g recall@k $recall%.3f BELOW floor $floor")
-          Some(s""""$g": {"recall_at_k": $recall, "floor": $floor, """ +
-            s""""k": 5, "vs": "knn_cosine_topk"}""")
+          Some((s""""$g": {"recall_at_k": $recall, "floor": $floor, """ +
+            s""""k": 5, "vs": "knn_cosine_topk", "failed": $failed}""", failed))
         }
       }
       if (rows.nonEmpty)
         Files.writeString(Paths.get(s"$outDir/ann_recall.json"),
-          rows.mkString("{", ", ", "}"))
+          (rows.map(_._1) :+ s""""any_failed": ${rows.exists(_._2)}""")
+            .mkString("{", ", ", "}"))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -278,6 +278,17 @@ object DocQueries {
     graft.text.UnigramLm.train(table(s, d, "documents").select("text"),
       vocabSize = v, maxPieceLen = m, iters = i, seedSize = sd)
   }
+  /** Integer-EM twin (r12, the multimodal_spectral_q convention): the
+    * SAME seed → Viterbi → count → prune loop at the same params, with
+    * the one float op (the ln score transform) replaced by the exact
+    * fixed-point log2 — so the WHOLE training run replays hash-exactly
+    * in DuckDB (UnigramLm.trainQOracleSql). The float train above
+    * stays the production path, now exact_twin-anchored. */
+  private val pipelineUnigramLmQ: Q = (s, d) => {
+    val (v, m, i, sd) = unigramParams
+    graft.text.UnigramLm.trainQ(table(s, d, "documents").select("text"),
+      vocabSize = v, maxPieceLen = m, iters = i, seedSize = sd)
+  }
   /** Encode gate: the trained model is ALSO written to a parquet path
     * so the DuckDB oracle can replay the Viterbi segmentation over
     * the same (piece, q9_logp) table — train stays rows-only (float
@@ -612,23 +623,44 @@ object DocQueries {
         Some(pqCodebookPath(graft.util.Tables.corpusTag(d))))
 
   /** PCA × PQ (OPQ-lite): eigenbasis rotation + compaction before the
-    * product split, exact original-space rescore (rows-only;
-    * rerank≥corpus ≡ brute anchor and recall floor in PqSpec). */
+    * product split, exact original-space rescore. Oracle-exact since
+    * r12 via the composed artifact replay (Pq.pcaPqTopKSql over the
+    * dumped PCA model + projected-space codebooks); the ≡-brute anchor
+    * and recall floor stay in PqSpec. */
+  private def pcaPqModelPath(tag: String) =
+    s"/tmp/graft_gate_pcapq_model_$tag"
+  private def pcaPqCodebookPath(tag: String) =
+    s"/tmp/graft_gate_pcapq_codebooks_$tag"
   private val knnPcaPq: Q = (s, d) =>
-    Pq.pcaPqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+    Pq.pcaPqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5,
+      modelDump = Some(pcaPqModelPath(graft.util.Tables.corpusTag(d))),
+      codebookDump = Some(pcaPqCodebookPath(graft.util.Tables.corpusTag(d))))
 
   /** IVF × PQ composed (IVFADC): cell routing + ADC on probed cells +
-    * exact rerank — the billion-vector path (rows-only; probes=all ∧
-    * rerank≥corpus ≡ brute anchor and recall floor tested in PqSpec). */
+    * exact rerank — the billion-vector path. Oracle-exact since r12
+    * via the composed artifact replay (Pq.ivfPqTopKSql over the dumped
+    * centroids + codebooks); probes=all ∧ rerank≥corpus ≡ brute anchor
+    * and recall floor stay in PqSpec. */
+  private def ivfPqCentroidPath(tag: String) =
+    s"/tmp/graft_gate_ivfpq_centroids_$tag"
+  private def ivfPqCodebookPath(tag: String) =
+    s"/tmp/graft_gate_ivfpq_codebooks_$tag"
   private val knnIvfPq: Q = (s, d) =>
-    Pq.ivfPqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5)
+    Pq.ivfPqTopK(table(s, d, "embeddings"), numQueries = 5, k = 5,
+      centroidDump = Some(ivfPqCentroidPath(graft.util.Tables.corpusTag(d))),
+      codebookDump = Some(ivfPqCodebookPath(graft.util.Tables.corpusTag(d))))
 
   /** Disk-backed IVFADC: build the cell-partitioned code store, then
-    * probe it — the ADC scan is partition-pruned to the probed cells
-    * (rows-only; ≡-brute anchor, recall floor, and the pruning plan
-    * assertion live in PqSpec). */
+    * probe it — the ADC scan is partition-pruned to the probed cells.
+    * Oracle-exact since r12: the store's own centroid/codebook tables
+    * ARE the oracle artifacts (per-corpus path, the r8 race rule), and
+    * the probed-cells pruning is a superset filter of the per-query
+    * probe guard, so the store shares ivfPqTopKSql; the ≡-brute
+    * anchor, recall floor, and pruning plan assertion live in PqSpec. */
+  private def ivfPqStorePath(tag: String) =
+    s"/tmp/graft_gate_ivfpq_store_$tag"
   private val knnIvfPqStore: Q = (s, d) => {
-    val path = "/tmp/graft_gate_ivfpq_store"
+    val path = ivfPqStorePath(graft.util.Tables.corpusTag(d))
     Pq.buildIvfPqStore(table(s, d, "embeddings"), path)
     Pq.ivfPqStoreTopK(s, path, table(s, d, "embeddings"), numQueries = 5, k = 5)
   }
@@ -719,9 +751,23 @@ object DocQueries {
     // DuckDB replay of encode/ADC/rerank (Pq.pqTopKSql)
     ("knn_pq_topk", knnPq, Some(Pq.pqTopKSql(5, 5, 64,
       s"/tmp/graft_gate_pq_codebooks_${graft.util.Tables.SfTagToken}/*.parquet"))),
-    ("knn_pca_pq", knnPcaPq, None),
-    ("knn_ivfpq_topk", knnIvfPq, None),
-    ("knn_ivfpq_store", knnIvfPqStore, None),
+    // oracle-gated since r12: composed artifact replay — PCA model
+    // (projection fold + float32 narrowing) feeding the PQ
+    // encode/ADC/rerank pipeline (Pq.pcaPqTopKSql)
+    ("knn_pca_pq", knnPcaPq, Some(Pq.pcaPqTopKSql(5, 5, 64,
+      s"/tmp/graft_gate_pcapq_model_${graft.util.Tables.SfTagToken}/*.parquet",
+      s"/tmp/graft_gate_pcapq_codebooks_${graft.util.Tables.SfTagToken}/*.parquet"))),
+    // oracle-gated since r12: composed artifact replay — IVF cell
+    // assignment/probe spliced into the PQ ADC stage (Pq.ivfPqTopKSql)
+    ("knn_ivfpq_topk", knnIvfPq, Some(Pq.ivfPqTopKSql(5, 5, 4, 64,
+      s"/tmp/graft_gate_ivfpq_centroids_${graft.util.Tables.SfTagToken}/*.parquet",
+      s"/tmp/graft_gate_ivfpq_codebooks_${graft.util.Tables.SfTagToken}/*.parquet"))),
+    // oracle-gated since r12: same composed replay over the store's
+    // OWN centroid/codebook artifacts (sub/cidx column spelling)
+    ("knn_ivfpq_store", knnIvfPqStore, Some(Pq.ivfPqTopKSql(5, 5, 4, 64,
+      s"/tmp/graft_gate_ivfpq_store_${graft.util.Tables.SfTagToken}/centroids/*.parquet",
+      s"/tmp/graft_gate_ivfpq_store_${graft.util.Tables.SfTagToken}/codebooks/*.parquet",
+      subCol = "sub", codeCol = "cidx"))),
     ("pipeline_bottomk_sample",
       ((s: org.apache.spark.sql.SparkSession, d: String) =>
         CorpusPipeline.bottomKPerKey(table(s, d, "documents"),
@@ -790,6 +836,12 @@ object DocQueries {
         graft.text.TextAnalysis.zipfSlope(table(s, d, "documents"))): Q,
       Some(graft.text.TextAnalysis.zipfSlopeSql())),
     ("pipeline_unigram_lm", pipelineUnigramLm, None),
+    // oracle-gated since r12: the integer-EM twin replays the FULL
+    // training run (seed top-k, per-iteration Viterbi enumeration,
+    // weighted count folds, prunes, fixed-point log2 scores) in SQL
+    ("pipeline_unigram_lm_q", pipelineUnigramLmQ,
+      Some({ val (v, m, i, sd) = unigramParams
+        graft.text.UnigramLm.trainQOracleSql(v, m, i, sd) })),
     ("pipeline_unigram_encode", pipelineUnigramEncode,
       Some(graft.text.UnigramLm.encodeOracleSql(
         s"${unigramModelPath(graft.util.Tables.SfTagToken)}/*.parquet",

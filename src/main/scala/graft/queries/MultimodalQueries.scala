@@ -180,10 +180,15 @@ object MultimodalQueries {
         col("n_px"),
         expr("sp * 1000000L div n_px").as("mean_e6"),
         // decimal(38,0) keeps the variance numerator exact past the
-        // ~16k-pixels-per-channel point where n_px*qp - sp*sp wraps Long
-        // (non-negative by Cauchy–Schwarz, so floor == integer div)
-        expr("""cast(floor((cast(n_px as decimal(38,0)) * qp - cast(sp as decimal(38,0)) * sp)
-                          * 1000000 / (cast(n_px as decimal(38,0)) * n_px)) as long)""")
+        // ~16k-pixels-per-channel point where n_px*qp - sp*sp wraps
+        // Long; `div` is EXACT integral division on the decimals
+        // (non-negative by Cauchy–Schwarz, so trunc == floor) — the
+        // earlier floor(decimal /) form rounded the decimal(38,6)
+        // quotient HALF_UP first, which could round a value sitting
+        // <5e-7 below an integer up across it and disagree with the
+        // oracle's truncating `//` by 1
+        expr("""(cast(n_px as decimal(38,0)) * qp - cast(sp as decimal(38,0)) * sp)
+                * 1000000 div (cast(n_px as decimal(38,0)) * n_px)""")
           .as("var_e6"))
       .orderBy(col("media_id"), col("channel"))
   }

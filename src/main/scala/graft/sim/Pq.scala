@@ -220,11 +220,22 @@ object Pq {
     * rescore touches `rerank` rows per query only. */
   def pcaPqTopK(emb: DataFrame, numQueries: Int, k: Int,
       pcaDims: Int = 32, subspaces: Int = 8, centroidsPerSub: Int = 32,
-      rerank: Int = 64): DataFrame = {
+      rerank: Int = 64, modelDump: Option[String] = None,
+      codebookDump: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val m = graft.ml.Pca.fit(
       emb.select(col("embedding")).as[Array[Float]], pcaDims)
+    // engine-written model artifact (the ml_pca_project pattern): the
+    // covariance fold + eigensolve stay the engine-side float seam; the
+    // RESULTING (mean, loading) table is dumped so the oracle can
+    // replay projection/encode/ADC over byte-identical input
+    modelDump.foreach { path =>
+      spark.createDataFrame(m.components.zipWithIndex.toSeq
+          .map { case (w, c) => (c, m.mean.toSeq, w.toSeq) })
+        .toDF("pc", "mu", "w")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
     val projEmb = graft.ml.Pca.project(emb, "embedding", m)
       .select(col("vec_id"),
         array((0 until pcaDims).map(i => col(s"pc$i").cast("float")): _*)
@@ -235,7 +246,7 @@ object Pq {
       // reference (scan census: 5 → 2 embeddings scans)
       .localCheckpoint(true)
     val candidates = pqTopK(projEmb, numQueries, k = rerank, subspaces,
-      centroidsPerSub, rerank)
+      centroidsPerSub, rerank, codebookDump)
       .select("query_id", "neighbor_id")
     // exact rescore in the ORIGINAL space
     graft.functions.VecDotFloat.register(spark)
@@ -255,6 +266,84 @@ object Pq {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
+
+  /** DuckDB oracle for [[pcaPqTopK]] (r12): composes the two already-
+    * proven replays — ml_pca_project's projection fold over the dumped
+    * (mean, loading) model and pqTopKSql's encode/ADC/rerank over the
+    * dumped codebooks fitted in the PROJECTED space. The only new link
+    * is the float32 narrowing between them: the engine casts each
+    * projected double to float (`.cast("float")`, IEEE round-to-
+    * nearest) before PQ sees it, and DuckDB's `CAST(v AS FLOAT)` is
+    * the same correctly-rounded conversion of a bit-identical double,
+    * so the projected float vectors agree bitwise. The inner projected-
+    * space rescore is selection-neutral (pqTopK runs with k = rerank,
+    * so all `rerank` ADC candidates survive it) and is therefore not
+    * replayed; candidates are the ADC top-`rerank` by
+    * (approx DESC, neighbor_id) and the final rescore is the brute-
+    * oracle rounded dot in the ORIGINAL space. */
+  def pcaPqTopKSql(numQueries: Int, k: Int, rerank: Int,
+      modelGlob: String, codebookGlob: String): String =
+    s"""WITH m AS (SELECT pc, mu, w FROM read_parquet('$modelGlob')),
+       |cb AS (SELECT s, c, centroid FROM read_parquet('$codebookGlob')),
+       |proj AS (
+       |  SELECT e.vec_id, m.pc,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(e.embedding)),
+       |        i -> (CAST(e.embedding[i] AS DOUBLE) - m.mu[i]) * m.w[i])),
+       |      (acc, x) -> acc + x) AS v
+       |  FROM embeddings e, m),
+       |pvec AS (
+       |  SELECT vec_id, list(CAST(v AS FLOAT) ORDER BY pc) AS pemb
+       |  FROM proj GROUP BY vec_id),
+       |enc AS (
+       |  SELECT p.vec_id, cb.s, cb.c,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(cb.centroid)),
+       |        j -> (CAST(p.pemb[cb.s * len(cb.centroid) + j] AS DOUBLE)
+       |                - cb.centroid[j])
+       |           * (CAST(p.pemb[cb.s * len(cb.centroid) + j] AS DOUBLE)
+       |                - cb.centroid[j]))),
+       |      (a, x) -> a + x) AS d
+       |  FROM pvec p, cb),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT vec_id, s, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+       |    FROM enc) t
+       |  WHERE rn = 1),
+       |luts AS (
+       |  SELECT q.vec_id AS query_id, cb.s, cb.c,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(cb.centroid)),
+       |        j -> CAST(q.pemb[cb.s * len(cb.centroid) + j] AS DOUBLE)
+       |           * cb.centroid[j])),
+       |      (a, x) -> a + x) AS lv
+       |  FROM pvec q, cb WHERE q.vec_id < $numQueries),
+       |approx AS (
+       |  SELECT l.query_id, co.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.lv ORDER BY l.s)), (a, x) -> a + x) AS approx
+       |  FROM codes co JOIN luts l ON l.s = co.s AND l.c = co.code
+       |  WHERE co.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS arnk
+       |    FROM approx) t
+       |  WHERE arnk <= $rerank),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ROUND(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ne.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $k""".stripMargin
 
   /** IVF × PQ — the composed billion-vector architecture (IVFADC,
     * Jégou et al. §IV): k-means cells route each query to its `nprobe`
@@ -276,7 +365,8 @@ object Pq {
     */
   def ivfPqTopK(emb: DataFrame, numQueries: Int, k: Int, cells: Int = 16,
       nprobe: Int = 4, subspaces: Int = 8, centroidsPerSub: Int = 256,
-      rerank: Int = 64): DataFrame = {
+      rerank: Int = 64, centroidDump: Option[String] = None,
+      codebookDump: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // one shared deterministic sample trains BOTH quantizers — at
@@ -292,6 +382,21 @@ object Pq {
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(subspaces) {
       s => Knn.lloydKMeans(sample.map(_.slice(s * sub, (s + 1) * sub)),
         centroidsPerSub, iters = 10)
+    }
+    // engine-written model artifacts (the ivfTopK / pqTopK patterns
+    // composed): both quantizer fits stay the engine-side float seam;
+    // the RESULTING centroid and codebook tables are dumped so the
+    // oracle can replay routing + encode/ADC over byte-identical input
+    centroidDump.foreach { path =>
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    codebookDump.foreach { path =>
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+      }.toSeq.toDF("s", "c", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path)
     }
     val bcCells = spark.sparkContext.broadcast(centroids)
     val bcCb = spark.sparkContext.broadcast(codebooks)
@@ -356,6 +461,93 @@ object Pq {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rnk"))
   }
+
+  /** DuckDB oracle for [[ivfPqTopK]] and [[ivfPqStoreTopK]] (r12):
+    * composes the two already-proven replays — ivfTopKSql's cell
+    * assignment/probe (ordered squared-distance fold, ORDER BY
+    * (d, cell) matching the engine's stable-sort tie rule) over the
+    * dumped coarse centroids, and pqTopKSql's encode/ADC/rerank over
+    * the dumped codebooks — with the IVF restriction spliced into the
+    * ADC stage: a (query, neighbor) pair scores only when the
+    * neighbor's assigned cell is among the query's `nprobe` probed
+    * cells (exactly the engine's `pcells.contains(cell)` guard; the
+    * store form's probed-cells partition pruning is a superset filter
+    * of the same per-query guard, so both gates share this oracle).
+    * `subCol`/`codeCol` name the codebook artifact's subspace/index
+    * columns (the store dumps them as sub/cidx). */
+  def ivfPqTopKSql(numQueries: Int, k: Int, nprobe: Int, rerank: Int,
+      centroidGlob: String, codebookGlob: String,
+      subCol: String = "s", codeCol: String = "c"): String =
+    s"""WITH ctr AS (SELECT cell, centroid FROM read_parquet('$centroidGlob')),
+       |cb AS (SELECT $subCol AS s, $codeCol AS c, centroid
+       |       FROM read_parquet('$codebookGlob')),
+       |celld AS (
+       |  SELECT e.vec_id, ctr.cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(e.embedding)),
+       |        j -> (CAST(e.embedding[j] AS DOUBLE) - ctr.centroid[j])
+       |           * (CAST(e.embedding[j] AS DOUBLE) - ctr.centroid[j]))),
+       |      (a, x) -> a + x) AS d
+       |  FROM embeddings e, ctr),
+       |cellranked AS (
+       |  SELECT vec_id, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM celld),
+       |assigned AS (SELECT vec_id, cell FROM cellranked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM cellranked
+       |           WHERE vec_id < $numQueries AND rn <= $nprobe),
+       |enc AS (
+       |  SELECT e.vec_id, cb.s, cb.c,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(cb.centroid)),
+       |        j -> (CAST(e.embedding[cb.s * len(cb.centroid) + j] AS DOUBLE)
+       |                - cb.centroid[j])
+       |           * (CAST(e.embedding[cb.s * len(cb.centroid) + j] AS DOUBLE)
+       |                - cb.centroid[j]))),
+       |      (a, x) -> a + x) AS d
+       |  FROM embeddings e, cb),
+       |codes AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT vec_id, s, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+       |    FROM enc) t
+       |  WHERE rn = 1),
+       |luts AS (
+       |  SELECT q.vec_id AS query_id, cb.s, cb.c,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(generate_series(1, len(cb.centroid)),
+       |        j -> CAST(q.embedding[cb.s * len(cb.centroid) + j] AS DOUBLE)
+       |           * cb.centroid[j])),
+       |      (a, x) -> a + x) AS lv
+       |  FROM embeddings q, cb WHERE q.vec_id < $numQueries),
+       |approx AS (
+       |  SELECT l.query_id, co.vec_id AS neighbor_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(l.lv ORDER BY l.s)), (a, x) -> a + x) AS approx
+       |  FROM codes co
+       |  JOIN assigned a ON a.vec_id = co.vec_id
+       |  JOIN luts l ON l.s = co.s AND l.c = co.code
+       |  JOIN probes p ON p.query_id = l.query_id AND p.cell = a.cell
+       |  WHERE co.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id) AS arnk
+       |    FROM approx) t
+       |  WHERE arnk <= $rerank),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ROUND(list_dot_product(CAST(qe.embedding AS DOUBLE[]),
+       |      CAST(ne.embedding AS DOUBLE[])), 6) AS cosine
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, cosine, rnk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $k""".stripMargin
 
   /** Materialized IVFADC store — the on-disk layout a billion-vector
     * serving tier actually deploys (combines [[Knn.buildIvfStore]]'s

@@ -104,20 +104,22 @@ object UnigramLm {
     out
   }
 
-  /** Train: seed → `iters` EM rounds (Viterbi hard-E-step over the
-    * weighted word frame, count-fold M-step, prune to `vocabSize` by
-    * (count, piece) keeping all single chars).
+  /** The EM loop shared by [[train]] (production float-ln scores) and
+    * [[trainQ]] (the fixed-point integer-log2 oracle twin): seed →
+    * `iters` rounds of Viterbi hard-E-step over the weighted word
+    * frame, count-fold M-step, prune to `vocabSize` by (count, piece)
+    * keeping all single chars — with piece scores from
+    * `scoreFn(count, totalCount)`. Returns the final score map.
     *
     * Driver-materialization contract: the ONLY collects are the model
     * artifact itself — ≤ max(seedSize, vocabSize) + |alphabet| rows per
     * EM round (the table being broadcast back out, exactly like Bpe's
     * merge list). Both knobs are hard-capped at 1,000,000 pieces so the
     * bound is explicit rather than caller-trusted; a 10⁶-piece model is
-    * ~50 MB broadcast, far beyond any published subword vocab.
-    *
-    * @return (piece, cnt, logp) — the shipped tokenizer model */
-  def train(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 6,
-      iters: Int = 3, seedSize: Int = 4000): DataFrame = {
+    * ~50 MB broadcast, far beyond any published subword vocab. */
+  private def trainWith(docs: DataFrame, vocabSize: Int, maxPieceLen: Int,
+      iters: Int, seedSize: Int,
+      scoreFn: (Long, Long) => Long): Map[String, Long] = {
     require(seedSize > 0 && seedSize <= 1000000,
       s"seedSize=$seedSize outside (0, 1e6]: the seed vocab is collected " +
         "to the driver as the model artifact and must stay bounded")
@@ -128,12 +130,12 @@ object UnigramLm {
     import spark.implicits._
     val words = wordCounts(docs).as[(String, Long)].cache()
 
-    // init scores from seed weights: logp = ln(w / total)
+    // init scores from seed weights
     val seed = seedVocab(words.toDF(), maxPieceLen, seedSize)
       .as[(String, Long)].collect()
-    var total = seed.map(_._2).sum.toDouble
+    var total = seed.map(_._2).sum
     var score: Map[String, Long] =
-      seed.map { case (p, w) => p -> q9(math.log(w / total)) }.toMap
+      seed.map { case (p, w) => p -> scoreFn(w, total) }.toMap
 
     var it = 0
     while (it < iters) {
@@ -151,16 +153,75 @@ object UnigramLm {
       val multi = counts.where(length(col("piece")) > 1)
         .orderBy(col("cnt").desc, col("piece")).limit(vocabSize)
       val kept = chars.unionByName(multi).as[(String, Long)].collect()
-      total = kept.map(_._2).sum.toDouble
-      score = kept.map { case (p, c) => p -> q9(math.log(c / total)) }.toMap
+      total = kept.map(_._2).sum
+      score = kept.map { case (p, c) => p -> scoreFn(c, total) }.toMap
       bc.unpersist()
       it += 1
     }
     words.unpersist()
-    val fin = score.toSeq
+    score
+  }
+
+  /** Train: the production model — scores q9(ln(count/total)).
+    * @return (piece, q9_logp, logp) — the shipped tokenizer model */
+  def train(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 6,
+      iters: Int = 3, seedSize: Int = 4000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fin = trainWith(docs, vocabSize, maxPieceLen, iters, seedSize,
+      (c, t) => q9(math.log(c / t.toDouble))).toSeq
     spark.createDataset(fin).toDF("piece", "q9_logp")
       .withColumn("logp", col("q9_logp").cast("double") / 1e9)
       .orderBy(col("q9_logp").desc, col("piece"))
+  }
+
+  /** EXACT fixed-point log2(c/t) in 2^-fbits units, 1 ≤ c ≤ t — the
+    * twin's score kernel: greedy binary normalization of c into
+    * [t, 2t) counting doublings e, ONE 31-bit mantissa division, then
+    * `fbits` squaring steps each emitting a result bit. Every step is
+    * an integer shift/compare/multiply (truncations deterministic),
+    * so DuckDB HUGEINT replays it bit-for-bit
+    * ([[graft.util.DuckHash.log2fpCtes]]; prototype 0/834 mismatches).
+    * No float enters on either side. */
+  private[text] def log2fp(c: Long, t: Long, fbits: Int = 20): Long = {
+    require(c >= 1 && t >= c, s"log2fp domain: 1 <= $c <= $t")
+    var num = BigInt(c); val tt = BigInt(t)
+    var e = 0L
+    Seq(32, 16, 8, 4, 2, 1).foreach { k =>
+      if ((num << k) < tt) { num = num << k; e += k }
+    }
+    if (num < tt) { num = num << 1; e += 1 }
+    var m = (num << 31) / tt
+    var res = 0L
+    var i = 0
+    while (i < fbits) {
+      m = (m * m) >> 31
+      res <<= 1
+      if (m >= (BigInt(1) << 32)) { m = m >> 1; res += 1 }
+      i += 1
+    }
+    res - (e << fbits)
+  }
+
+  /** The integer-EM twin of [[train]] (the multimodal_spectral_q
+    * convention, r12): the SAME seed → Viterbi-E → count-M → prune
+    * loop, but piece scores come from the exact fixed-point
+    * [[log2fp]] instead of q9(ln·) — which removes the ONLY float op
+    * in the EM (the score transform; counts and Viterbi compare exact
+    * longs already), so the ENTIRE training run — seed vocabulary,
+    * every segmentation, every count, every pruning decision, every
+    * score — is replayed hash-exactly by [[trainQOracleSql]]. The
+    * float-ln [[train]] stays the production path; this gate is its
+    * cross-engine witness on identical EM machinery.
+    * @return (piece, ql_logp) — scores in 2^-20 log2 units */
+  def trainQ(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 6,
+      iters: Int = 3, seedSize: Int = 4000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fin = trainWith(docs, vocabSize, maxPieceLen, iters, seedSize,
+      (c, t) => log2fp(c, t)).toSeq
+    spark.createDataset(fin).toDF("piece", "ql_logp")
+      .orderBy(col("ql_logp").desc, col("piece"))
   }
 
   /** Encode docs with a trained model: per-doc token count + md5 of the
@@ -255,4 +316,119 @@ object UnigramLm {
        |LEFT JOIN wrds w2 USING (doc_id)
        |LEFT JOIN best b ON w2.w = b.w
        |GROUP BY 1""".stripMargin
+
+  /** One Viterbi-enumeration round as CTEs (the [[encodeOracleSql]]
+    * spelling, prefixed so [[trainQOracleSql]] can chain it once per
+    * EM iteration): best segmentation per distinct word in `dwCte`
+    * (column `word`) under scores `scoreCte` (piece, ql), ranked by
+    * the DP's total order — score DESC, piece count ASC, latest final
+    * cut (`list_reverse(bounds) DESC`). Emits `${p}best(word, pieces)`.
+    * Text starts with a comma (splices after a WITH entry). */
+  private def vitCtes(scoreCte: String, dwCte: String, p: String): String =
+    s""",
+       |${p}m AS (
+       |  SELECT map_from_entries(list(ROW(piece, ql))) AS mm FROM $scoreCte),
+       |${p}segs AS (
+       |  SELECT word, mask,
+       |    list_prepend(0, list_append(
+       |      [CAST(i AS INT) FOR i IN generate_series(1, length(word)-1)
+       |       IF (mask >> (i-1)) & 1 = 1],
+       |      length(word))) AS bounds
+       |  FROM $dwCte,
+       |    unnest(generate_series(0, CAST(2**(length(word)-1) AS BIGINT) - 1)) t(mask)),
+       |${p}scored AS (
+       |  SELECT word, bounds,
+       |    [substr(word, CAST(bounds[k] AS INT) + 1,
+       |            CAST(bounds[k+1] - bounds[k] AS INT))
+       |     FOR k IN generate_series(1, len(bounds) - 1)] AS pieces,
+       |    [mm[pc][1] FOR pc IN pieces] AS scs
+       |  FROM ${p}segs CROSS JOIN ${p}m),
+       |${p}valid AS (
+       |  SELECT word, bounds, pieces,
+       |    CAST(list_aggregate(scs, 'sum') AS BIGINT) AS score,
+       |    len(pieces) AS np
+       |  FROM ${p}scored
+       |  WHERE NOT list_contains([s IS NULL FOR s IN scs], true)),
+       |${p}best AS (
+       |  SELECT word, pieces FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY word
+       |      ORDER BY score DESC, np ASC, list_reverse(bounds) DESC) AS rn
+       |    FROM ${p}valid) WHERE rn = 1)""".stripMargin
+
+  /** Count-fold + prune + fixed-point-rescore CTEs for one EM round:
+    * weighted piece counts from `${p}best` (word multiplicity × corpus
+    * freq via unnest), single-char coverage floor ∪ top-`vocabSize`
+    * multi-char by (cnt DESC, piece), then [[log2fp]] scores over the
+    * kept table via [[graft.util.DuckHash.log2fpCtes]]. Returns
+    * (cteText, scoreCteName) with shape (piece, ql). */
+  private def emRoundCtes(p: String, vocabSize: Int): (String, String) = {
+    val head =
+      s""",
+         |${p}cnt AS (
+         |  SELECT u.piece, CAST(SUM(wc.freq) AS BIGINT) AS cnt
+         |  FROM ${p}best b JOIN wc ON wc.word = b.word
+         |  CROSS JOIN unnest(b.pieces) u(piece)
+         |  GROUP BY 1),
+         |${p}kept AS (
+         |  SELECT piece, cnt FROM ${p}cnt WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM ${p}cnt WHERE length(piece) > 1) t
+         |  WHERE rn <= $vocabSize),
+         |${p}tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM ${p}kept)""".stripMargin
+    val (logCtes, last) = graft.util.DuckHash.log2fpCtes(
+      s"${p}kept", "piece", "cnt", s"${p}tot", s"${p}l")
+    (head + logCtes, last)
+  }
+
+  /** DuckDB oracle for [[trainQ]] — the FULL EM replayed (r12): word
+    * counts, the over-complete seed vocabulary and its (weight DESC,
+    * piece) top-k, the fixed-point seed scores, then per iteration the
+    * Viterbi segmentation of every distinct word (mask enumeration —
+    * ≤ 2^11 candidates at the 12-char bound; longer words diverge
+    * LOUDLY by dropping from the count fold, never silently), the
+    * weighted count fold, the char-floor ∪ top-`vocabSize` prune, and
+    * the [[log2fp]] rescore — every comparison on exact integers both
+    * engines compute bit-identically. */
+  def trainQOracleSql(vocabSize: Int, maxPieceLen: Int, iters: Int,
+      seedSize: Int, docsRel: String = "documents"): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH docs AS (SELECT text FROM $docsRel),
+         |wc AS (
+         |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM docs) t
+         |  WHERE w <> '' GROUP BY 1),
+         |dw AS (SELECT word FROM wc WHERE length(word) <= 12),
+         |subs AS (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT wc.freq, substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+         |    FROM wc,
+         |      unnest(generate_series(1, length(word))) t1(i),
+         |      unnest(generate_series(1, $maxPieceLen)) t2(l)
+         |    WHERE i + l - 1 <= length(word)) t
+         |  GROUP BY 1),
+         |seed AS (
+         |  SELECT piece, cnt FROM subs WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM subs WHERE length(piece) > 1) t
+         |  WHERE rn <= $seedSize),
+         |stot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM seed)""".stripMargin)
+    val (seedLog, seedSc) = graft.util.DuckHash.log2fpCtes(
+      "seed", "piece", "cnt", "stot", "sl")
+    sb.append(seedLog)
+    var sc = seedSc
+    (1 to iters).foreach { it =>
+      val p = s"e$it"
+      sb.append(vitCtes(sc, "dw", p))
+      val (round, roundSc) = emRoundCtes(p, vocabSize)
+      sb.append(round)
+      sc = roundSc
+    }
+    sb.append(s"\nSELECT piece, ql AS ql_logp FROM $sc")
+    sb.toString
+  }
 }

@@ -18,11 +18,16 @@ package graft.util
   *    subqueries inside lambdas, so bindings nest instead).
   *  - String paths assume ASCII input (`ord(substr(...))` reads
   *    codepoints, which equal bytes only for ASCII) — every call site
-  *    hashes synthetic-corpus tokens that are ASCII by construction.
+  *    hashes synthetic-corpus tokens that are ASCII by construction,
+  *    and the generated SQL GUARDS the assumption: non-ASCII input
+  *    (detected as `length(s) <> strlen(s)`, chars vs UTF-8 bytes)
+  *    yields NULL, which fails the oracle compare LOUDLY instead of
+  *    silently hashing codepoints as if they were bytes.
   *  - [[xxhash64String]] additionally assumes length < 32 (no stripe
-  *    loop generated); out-of-contract lengths yield NULL via a CASE
-  *    guard, which fails the oracle compare LOUDLY instead of
-  *    silently wrong.
+  *    loop generated); out-of-contract lengths NULL out the same way.
+  *  - DuckHashContractSpec pins both guards with generated vectors
+  *    (in-contract values must equal Spark's own hash; out-of-contract
+  *    values must be NULL, never a silently wrong hash).
   */
 object DuckHash {
 
@@ -109,8 +114,10 @@ object DuckHash {
     }.mkString("(", " + ", ")")
 
   /** Spark `xxhash64` of one STRING field — ASCII, length < 32 (the
-    * no-stripe path; longer inputs return NULL via the guard). `s`
-    * must be a simple column/var reference; `seed` in u64 domain. */
+    * no-stripe path). Out-of-contract input (≥32 chars, or non-ASCII
+    * where codepoints ≠ bytes) returns NULL via the guard — a loud
+    * oracle failure, never a silently wrong hash. `s` must be a
+    * simple column/var reference; `seed` in u64 domain. */
   def xxhash64String(s: String, seed: String): String = {
     val words =
       s"list_transform(range(1, length($s)//8 + 1), w -> ${leWord(s, "(w-1)*8", 8)})"
@@ -133,7 +140,8 @@ object DuckHash {
       let(s"xor($acc, ${mul64(b, P5)})") { h1 => mul64(rotl(h1, 11), P1) }
     val afterTail =
       s"list_reduce(list_prepend($after4, $tail), (acc, b) -> ${byteStep("acc", "b")})"
-    s"CASE WHEN length($s) < 32 THEN ${let(afterTail)(h => fmix(h))} END"
+    s"CASE WHEN length($s) < 32 AND length($s) = strlen($s) " +
+      s"THEN ${let(afterTail)(h => fmix(h))} END"
   }
 
   /** Staged (vectorized) forms: instead of one nested-lambda scalar,
@@ -180,13 +188,61 @@ object DuckHash {
   }
 
   /** fnv1a64 of an ASCII string (any length): h = (h ^ byte) * prime,
-    * folded left over the bytes from offset basis 0xcbf29ce484222325. */
+    * folded left over the bytes from offset basis 0xcbf29ce484222325.
+    * Non-ASCII input (codepoints ≠ bytes) returns NULL via the guard —
+    * a loud oracle failure, never a silently wrong hash. */
   def fnv1a64String(s: String): String = {
     val basis = "14695981039346656037::HUGEINT"
     val prime = "1099511628211::HUGEINT"
     val bytes =
       s"list_transform(range(1, length($s) + 1), p -> ord(substr($s, p, 1))::HUGEINT)"
-    s"list_reduce(list_prepend($basis, $bytes), (acc, b) -> ${mul64(s"xor(acc, b)", prime)})"
+    s"CASE WHEN length($s) = strlen($s) THEN " +
+      s"list_reduce(list_prepend($basis, $bytes), (acc, b) -> ${mul64(s"xor(acc, b)", prime)}) END"
+  }
+
+  /** Fixed-point log2 CTE pipeline (r12, the unigram-LM twin kernel):
+    * computes the EXACT integer `graft.text.UnigramLm.log2fp(c, tot)`
+    * — ≈ log2(c/tot)·2^fbits for 1 ≤ c ≤ tot — as chained one-liner
+    * CTEs, every step a u64/HUGEINT shift/compare/multiply plus ONE
+    * int128 division (tiny row counts only; the 25×-slower software
+    * path is irrelevant at vocab scale). Algorithm (validated 0/834
+    * prototype mismatches vs the Scala spelling): greedy binary
+    * normalization of c into [tot, 2·tot) counting doublings e, one
+    * 31-bit fixed-point mantissa division, then `fbits` squaring
+    * steps each emitting one result bit; every truncation is a
+    * deterministic integer shift, so both engines land the same
+    * integer — no float enters on either side.
+    *
+    * `src` must expose `$keyCol` and `$valCol`; `totCte` a 1-row CTE
+    * with column `tot`. Returns (cteText starting with a comma,
+    * lastCteName) whose final shape is ($keyCol, ql BIGINT). */
+  def log2fpCtes(src: String, keyCol: String, valCol: String,
+      totCte: String, prefix: String, fbits: Int = 20): (String, String) = {
+    val shiftStages = Seq(32, 16, 8, 4, 2, 1).map { k =>
+      s"SELECT $keyCol, tot, " +
+        s"CASE WHEN (num << $k) < tot THEN num << $k ELSE num END AS num, " +
+        s"CASE WHEN (num << $k) < tot THEN e + $k ELSE e END AS e FROM __P__"
+    } :+ (s"SELECT $keyCol, tot, " +
+      "CASE WHEN num < tot THEN num << 1 ELSE num END AS num, " +
+      "CASE WHEN num < tot THEN e + 1 ELSE e END AS e FROM __P__")
+    val mInit =
+      s"SELECT $keyCol, e, (num << 31) // tot AS m, 0::HUGEINT AS res FROM __P__"
+    val sq = "((m*m) >> 31)"
+    val sqStages = (1 to fbits).map { _ =>
+      s"SELECT $keyCol, e, " +
+        s"CASE WHEN $sq >= 4294967296::HUGEINT THEN $sq >> 1 ELSE $sq END AS m, " +
+        s"res*2 + CASE WHEN $sq >= 4294967296::HUGEINT THEN 1 ELSE 0 END AS res FROM __P__"
+    }
+    val fin =
+      s"SELECT $keyCol, CAST(res - (e << $fbits) AS BIGINT) AS ql FROM __P__"
+    val s0 = s"SELECT $keyCol, ($valCol)::HUGEINT AS num, 0::HUGEINT AS e, " +
+      s"(SELECT tot FROM $totCte)::HUGEINT AS tot FROM $src"
+    val all = Seq(s0) ++ shiftStages ++ Seq(mInit) ++ sqStages ++ Seq(fin)
+    val ctes = all.zipWithIndex.map { case (st, i) =>
+      val from = if (i == 0) st else st.replace("__P__", s"$prefix${i - 1}")
+      s"$prefix$i AS ($from)"
+    }
+    (ctes.mkString(",\n", ",\n", ""), s"$prefix${all.size - 1}")
   }
 
   /** Rabin–Karp base-257 hash of the k-char gram of `s` at 1-based

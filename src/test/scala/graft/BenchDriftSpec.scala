@@ -12,19 +12,25 @@ class BenchDriftSpec extends AnyFunSuite {
     "a1_multi_agg" -> 0.5, "p6_isin" -> 0.4, "w2_lag" -> 0.6,
     "o4_topk" -> 0.7, "dedup_simhash" -> 1.0, "a_markov_transitions" -> 0.8)
 
+  /** The survivor rule main() applies on top of [[Bench.localRatios]]:
+    * a globally-flagged gate stays flagged only if it also beats the
+    * canary ratio local to its run position. */
+  private def survives(prev: Double, cur: Double, local: Double): Boolean =
+    cur > prev * local * 1.3 && cur - prev * local > 0.5
+
   test("uniform ambient slowdown flags nothing") {
     val prev = controls ++ Map("expensive_gate" -> 4.0)
     val cur = prev.view.mapValues(_ * 1.6).toMap // whole machine 1.6x slower
-    val (ambient, flagged) = Bench.driftFlags(prev, cur)
+    val (ambient, flagged, n) = Bench.driftFlags(prev, cur)
     assert(math.abs(ambient - 1.6) < 1e-9)
-    assert(flagged.isEmpty)
+    assert(flagged.isEmpty && n == controls.size)
   }
 
   test("a real regression is flagged with its normalized baseline") {
     val prev = controls ++ Map("regressed" -> 2.0, "steady" -> 3.0)
     val cur = prev.map { case (k, v) =>
       k -> (if (k == "regressed") v * 3 else v * 1.1) }
-    val (ambient, flagged) = Bench.driftFlags(prev, cur)
+    val (ambient, flagged, _) = Bench.driftFlags(prev, cur)
     assert(math.abs(ambient - 1.1) < 1e-9)
     assert(flagged.map(_._1) == Seq("regressed"))
     val (_, p, v, norm) = flagged.head
@@ -38,52 +44,69 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.driftFlags(prev, cur)._2.isEmpty)
   }
 
-  test("too few controls disables normalization instead of guessing") {
-    val prev = Map("a1_multi_agg" -> 0.5, "other" -> 5.0)
-    val cur = Map("a1_multi_agg" -> 1.0, "other" -> 20.0)
-    val (ambient, flagged) = Bench.driftFlags(prev, cur)
-    assert(ambient == 1.0 && flagged.isEmpty)
+  test("too few controls disarms normalization AND reports the count") {
+    val prev = Map("a1_multi_agg" -> 0.5, "w2_lag" -> 0.6, "other" -> 5.0)
+    val cur = Map("a1_multi_agg" -> 1.0, "w2_lag" -> 1.2, "other" -> 20.0)
+    val (ambient, flagged, n) = Bench.driftFlags(prev, cur)
+    // right call on normalization (no guessing), but the resolved-
+    // control count is surfaced so main() can say DISARMED loudly
+    assert(ambient == 1.0 && flagged.isEmpty && n == 2)
   }
 
-  test("localDriftFilter clears gates that ran during a load stretch") {
-    // 60 gates, canary every 20 → checkpoints at 0,20,40 + end = 4
-    val gates = (0 until 60).map(i => f"g$i%02d")
-    val prev = gates.map(_ -> 1.0).toMap
-    // gates 20..39 ran during a 2x load stretch; canaries sampled at
-    // positions 0/20/40/end read 1x, 2x, 2x, 1x
-    val cur = gates.zipWithIndex.map { case (g, i) =>
-      g -> (if (i >= 20 && i < 40) 2.0 else 1.0) }
+  test("localRatios clears gates that ran during a load stretch") {
+    // canaries at positions 0/20/40/60 read 1x, 2x, 2x, 1x vs prev
     val prevCanary = Seq(0.3, 0.3, 0.3, 0.3)
     val curCanary = Seq(0.3, 0.6, 0.6, 0.3)
-    val survives = Bench.localDriftFilter(prev, cur, prevCanary, curCanary,
-      period = 20)
-    // every 2x gate is bracketed by a 2x canary ratio → none survive
-    assert(gates.slice(20, 40).forall(!survives(_)))
+    val pos = Seq(0, 20, 40, 60)
+    val f = Bench.localRatios(prevCanary, pos, curCanary, pos).get
+    // a 2x gate inside the stretch is bracketed by a 2x canary ratio
+    (20 until 40).foreach { p => assert(!survives(1.0, 2.0, f(p))) }
   }
 
-  test("localDriftFilter keeps a real regression even near a load stretch") {
-    val gates = (0 until 40).map(i => f"g$i%02d")
-    val prev = gates.map(_ -> 1.0).toMap
-    val cur = gates.zipWithIndex.map { case (g, i) =>
-      g -> (if (g == "g25") 5.0 else if (i >= 20) 1.8 else 1.0) }
+  test("localRatios keeps a real regression even near a load stretch") {
     val prevCanary = Seq(0.3, 0.3, 0.3)
     val curCanary = Seq(0.3, 0.55, 0.55) // local ambient ~1.83x
-    val survives = Bench.localDriftFilter(prev, cur, prevCanary, curCanary,
-      period = 20)
-    assert(survives("g25"))          // 5x >> 1.3 * 1.83x
-    assert(!survives("g30"))         // 1.8x == ambient, cleared
+    val pos = Seq(0, 20, 40)
+    val f = Bench.localRatios(prevCanary, pos, curCanary, pos).get
+    assert(survives(1.0, 5.0, f(25)))  // 5x >> 1.3 * 1.83x
+    assert(!survives(1.0, 1.8, f(30))) // 1.8x == ambient, cleared
   }
 
-  test("localDriftFilter without canary data filters nothing") {
-    val cur = Seq("a" -> 9.0)
-    assert(Bench.localDriftFilter(Map("a" -> 1.0), cur, Seq.empty, Seq.empty)
-      == Set("a"))
+  test("localRatios without canary data yields None (filter nothing)") {
+    assert(Bench.localRatios(Seq.empty, Seq.empty, Seq.empty, Seq.empty).isEmpty)
+    assert(Bench.localRatios(Seq(0.3), Seq(0), Seq(0.3, 0.3), Seq(0, 20)).isEmpty)
+  }
+
+  test("canaries pair by recorded gate position, not array index") {
+    // previous run had a late load stretch (canary 0.6 at pos 40);
+    // the current run samples only at 0 and 40 (e.g. gates removed).
+    // Index pairing would match cur[1] (pos 40) to prev[1] (pos 20,
+    // 0.3) → ratio 2.0, wrongly absolving a real regression there;
+    // position pairing matches pos 40 to pos 40 → ratio 1.0.
+    val f = Bench.localRatios(
+      prevCanary = Seq(0.3, 0.3, 0.6), prevPos = Seq(0, 20, 40),
+      curCanary = Seq(0.3, 0.6), curPos = Seq(0, 40)).get
+    assert(math.abs(f(39) - 1.0) < 1e-9)
+    assert(survives(1.0, 2.0, f(39))) // the regression stays flagged
+  }
+
+  test("previous run without positions falls back to index pairing") {
+    val f = Bench.localRatios(
+      prevCanary = Seq(0.3, 0.3, 0.3), prevPos = Seq.empty,
+      curCanary = Seq(0.3, 0.6, 0.6), curPos = Seq(0, 20, 40)).get
+    assert(math.abs(f(25) - 2.0) < 1e-9)
   }
 
   test("parsePrevCanary reads the canary array") {
     val line = """{"queries":{"a":1.0},"canary_period":20,"canary":[0.210,0.315,0.220]}"""
     assert(Bench.parsePrevCanary(line) == Seq(0.21, 0.315, 0.22))
     assert(Bench.parsePrevCanary("""{"queries":{"a":1.0}}""") == Seq.empty)
+  }
+
+  test("parsePrevCanaryPos reads the position array; legacy runs empty") {
+    val line = """{"canary":[0.2,0.3],"canary_pos":[0,20]}"""
+    assert(Bench.parsePrevCanaryPos(line) == Seq(0, 20))
+    assert(Bench.parsePrevCanaryPos("""{"canary":[0.2,0.3]}""") == Seq.empty)
   }
 
   test("parsePrevQueries reads the BENCH_FULL line shape") {

@@ -15,20 +15,24 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - twin/sibling witnesses must be REAL oracle-backed gates;
   *  - spec witnesses must be real test classes on the classpath;
   *  - recall floors must equal graft.Verify.annRecallFloors (the copy
-  *    the dump emission uses), so the two can't drift apart.
+  *    the dump emission uses), so the two can't drift apart;
+  *  - every entry must state its END-STATE (r11 verdict item 3): either
+  *    `terminal: true` (the seam is adjudicated permanent, with the
+  *    justification in `note`) or `plan: "..."` (the concrete
+  *    conversion path) — so rounds stop re-litigating settled seams.
   */
 class SeamLedgerSpec extends AnyFunSuite {
 
   private val ledgerPath = "tools/seam_ledger.json"
 
   private case class Entry(anchor: String, witness: String,
-      floor: Option[Double])
+      floor: Option[Double], terminal: Boolean, plan: Option[String])
 
   /** Minimal parser for the flat one-entry-per-line ledger this repo
     * writes (same no-JSON-dependency stance as PlanScans.parseJson). */
   private def parseLedger(text: String): Map[String, Entry] = {
     val entry = ("\"([^\"]+)\"\\s*:\\s*\\{([^}]*)\\}").r
-    val field = ("\"([^\"]+)\"\\s*:\\s*(\"([^\"]*)\"|[0-9.]+)").r
+    val field = ("\"([^\"]+)\"\\s*:\\s*(\"([^\"]*)\"|[0-9.]+|true|false)").r
     entry.findAllMatchIn(text).flatMap { m =>
       val gate = m.group(1)
       if (gate == "_comment") None else {
@@ -36,7 +40,8 @@ class SeamLedgerSpec extends AnyFunSuite {
           f.group(1) -> Option(f.group(3)).getOrElse(f.group(2))
         }.toMap
         Some(gate -> Entry(fs.getOrElse("anchor", ""),
-          fs.getOrElse("witness", ""), fs.get("floor").map(_.toDouble)))
+          fs.getOrElse("witness", ""), fs.get("floor").map(_.toDouble),
+          fs.get("terminal").contains("true"), fs.get("plan")))
       }
     }.toMap
   }
@@ -85,6 +90,17 @@ class SeamLedgerSpec extends AnyFunSuite {
     val bad = ledger.collect {
       case (g, e) if !known(e.anchor) => s"$g: '${e.anchor}'" }
     assert(bad.isEmpty, "unknown anchor kinds: " + bad.mkString(", "))
+  }
+
+  test("every entry states its end-state: terminal xor a conversion plan") {
+    val bad = ledger.toSeq.sortBy(_._1).collect {
+      case (g, e) if e.terminal == e.plan.isDefined =>
+        s"$g (terminal=${e.terminal}, plan=${e.plan.isDefined})"
+    }
+    assert(bad.isEmpty,
+      "ledger entries must carry EXACTLY ONE of terminal:true (with the " +
+        "justification in note) or plan:\"...\" (the conversion path): " +
+        bad.mkString(", "))
   }
 
   test("recall floors match the Verify dump emission") {
