@@ -43,6 +43,7 @@ object ScalingBench {
       "dedup_fuzzy_levenshtein" -> "documents",
       "pipeline_e2e_build" -> "documents",
       "pipeline_unigram_lm" -> "documents",
+      "pipeline_unigram_lm_q" -> "documents",
       "o_global_rank" -> "events", "w_resample_ohlc" -> "events",
       "w_lttb_downsample" -> "events", "s9_codec_roundtrip" -> "events",
       "j_skew_salted" -> "lineitem", "quality_join_cardinality" -> "lineitem",
