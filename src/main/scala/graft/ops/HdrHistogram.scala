@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Log-linear (HDR-style) quantile histogram — the integer-exact
+  * mergeable quantile sketch: values bucket by (bit-length, top `k`
+  * sub-bits), giving ≤ 2^-k relative error with a bucket count that
+  * grows with the LOG of the value range, not its cardinality (the
+  * approx_percentile/GK alternative whose compressed state has no
+  * engine-independent spelling — this one is pure integer arithmetic,
+  * so the WHOLE sketch replays hash-exactly in the oracle).
+  *
+  * Bucketing (the HdrHistogram/DDSketch collapsed-store construction):
+  *  - x < 2^(k+1): exact (bucket = x);
+  *  - else b = bitlength(x), shift = b−1−k, sub = (x >> shift) & (2^k−1),
+  *    bucket lower bound = (2^k + sub) << shift. Bucket width is
+  *    2^shift ≤ lo/2^k → relative error ≤ 2^-k.
+  *
+  * Quantile q (per-mille) = the smallest bucket lower bound whose
+  * cumulative count reaches ceil(q·n/1000) — a LOWER bound on the
+  * type-1 exact quantile, within 2^-k relative (HdrHistogramSpec).
+  *
+  * Scale shape: one scan → one (grp, bucket) aggregation with map-side
+  * combine; the cumulative window runs on the HISTOGRAM (≤ ~60·2^k
+  * rows per group), never the data. Shard histograms merge by count
+  * addition, BIT-identically to a single-pass rebuild.
+  */
+object HdrHistogram {
+
+  /** Bucket lower bound of non-negative long expr `x` (SQL, shared
+    * verbatim by the Spark `expr` and the DuckDB oracle modulo the
+    * long-literal suffix). */
+  private def bucketLoSpark(x: String, k: Int): String = {
+    val lim = 1L << (k + 1); val base = 1L << k; val mask = base - 1
+    s"CASE WHEN $x < ${lim}L THEN $x ELSE " +
+      s"shiftleft(${base}L + (shiftright($x, length(bin($x)) - ${k + 1}) & ${mask}L), " +
+      s"length(bin($x)) - ${k + 1}) END"
+  }
+
+  /** DuckDB spelling of the same bucket bound. */
+  def bucketLoSql(x: String, k: Int): String = {
+    val lim = 1L << (k + 1); val base = 1L << k; val mask = base - 1
+    s"CASE WHEN $x < $lim THEN $x ELSE " +
+      s"(($base + (($x >> (length(bin($x)) - ${k + 1})) & ${mask}::BIGINT)) " +
+      s"<< (length(bin($x)) - ${k + 1})) END"
+  }
+
+  /** Scala reference of the bucket bound (spec witness). */
+  def bucketLoRef(x: Long, k: Int): Long = {
+    require(x >= 0)
+    if (x < (1L << (k + 1))) x
+    else {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      val shift = b - 1 - k
+      ((1L << k) + ((x >> shift) & ((1L << k) - 1))) << shift
+    }
+  }
+
+  /** The mergeable state: per-(group, bucket) counts. */
+  def histogram(df: DataFrame, grpCol: String, xCol: String,
+      k: Int): DataFrame =
+    df.select(col(grpCol), expr(bucketLoSpark(xCol, k)).as("lo"))
+      .groupBy(col(grpCol), col("lo"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-group quantile report off the histogram: n_rows, bucket
+    * count, and one `p<q>_lo` column per requested per-mille q. */
+  def quantiles(df: DataFrame, grpCol: String, xCol: String, k: Int,
+      qsPerMille: Seq[Int]): DataFrame = {
+    val cum = histogram(df, grpCol, xCol, k)
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(grpCol).orderBy("lo")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(grpCol)))
+    val qCols = qsPerMille.map { q =>
+      min(when(col("cum") >= expr(s"(n * $q + 999) div 1000"), col("lo")))
+        .as(s"p${q}_lo")
+    }
+    cum.groupBy(col(grpCol))
+      .agg(max(col("n")).as("n_rows"),
+        (count(lit(1)).as("n_buckets") +: qCols): _*)
+  }
+
+  /** DuckDB mirror of [[quantiles]]. `srcSql` must select the group
+    * column (named `grpCol`) and a non-negative BIGINT `x`. */
+  def quantilesSql(srcSql: String, grpCol: String, k: Int,
+      qsPerMille: Seq[Int]): String = {
+    val qSelects = qsPerMille.map { q =>
+      s"CAST(MIN(CASE WHEN cum >= (n * $q + 999) // 1000 THEN lo END) " +
+        s"AS BIGINT) AS p${q}_lo"
+    }.mkString(",\n  ")
+    s"""WITH hdrsrc AS ($srcSql),
+       |hdrb AS (SELECT $grpCol, ${bucketLoSql("x", k)} AS lo FROM hdrsrc),
+       |hdrh AS (SELECT $grpCol, lo, COUNT(*) AS cnt FROM hdrb GROUP BY 1, 2),
+       |hdrc AS (SELECT $grpCol, lo, cnt,
+       |  SUM(cnt) OVER (PARTITION BY $grpCol ORDER BY lo) AS cum,
+       |  SUM(cnt) OVER (PARTITION BY $grpCol) AS n FROM hdrh)
+       |SELECT $grpCol, CAST(MAX(n) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  $qSelects
+       |FROM hdrc GROUP BY 1""".stripMargin
+  }
+}

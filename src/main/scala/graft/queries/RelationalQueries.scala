@@ -1687,6 +1687,34 @@ object RelationalQueries {
         table(s, d, "orders"), "o_orderpriority", "o_custkey"),
       "o_orderpriority")
 
+  /** The graft-KERNEL HLL (ops.HllKernel) — unlike a_hll_partial's
+    * DataSketches library seam, every piece here is a graft kernel
+    * with a DuckDB spelling: xxhash64 registers, integer raw
+    * estimator, fixed-point-log2 linear counting. Full hash oracle —
+    * the sketch VALUE path, not just an exact sibling. Distinct
+    * users per event type at 100 TB: one scan, two-level agg,
+    * register-max merge ≡ rebuild bit-identically. */
+  private val aHllKernel: Q = (s, d) =>
+    graft.ops.HllKernel.estimate(events(s, d), "event_type", "user_id")
+
+  private val aHllKernelSql = graft.ops.HllKernel.estimateSql()
+
+  /** Integer log-linear quantile sketch (ops.HdrHistogram) — the
+    * mergeable, bounded-state percentile path whose WHOLE state +
+    * estimator replays in the oracle (vs a_percentiles_approx's
+    * engine-internal GK compress). Price cents enter by
+    * floor(x·100) — one IEEE multiply then floor, deterministic on
+    * both engines (the double→int casting gotcha in SKILL.md). */
+  private val aHdrQuantiles: Q = (s, d) =>
+    graft.ops.HdrHistogram.quantiles(
+      table(s, d, "lineitem").select(col("l_returnflag"),
+        expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").as("x")),
+      "l_returnflag", "x", k = 5, Seq(500, 900, 990))
+
+  private val aHdrQuantilesSql = graft.ops.HdrHistogram.quantilesSql(
+    "SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem",
+    "l_returnflag", k = 5, Seq(500, 900, 990))
+
   /** Salted equi-join (ops.SkewOps.saltedJoin): the skewed-JOIN twin of
     * a_salted_agg — fact rows carry a deterministic hash salt, the dim
     * side is replicated 8×, the join keys on (suppkey, salt) so a hot
@@ -1947,6 +1975,8 @@ object RelationalQueries {
     ("s4_scan_project", s4ScanProject, Some(s4ScanProjectSql)),
     ("a4_approx_distinct", a4Approx, None),
     ("a_hll_partial", aHllPartial, None),
+    ("a_hll_kernel", aHllKernel, Some(aHllKernelSql)),
+    ("a_hdr_quantiles", aHdrQuantiles, Some(aHdrQuantilesSql)),
     ("s11_recent_n", s11RecentN, Some(s11RecentNSql)),
     ("p6_isin", p6Isin, Some(p6IsinSql)),
     ("p10_encode", p10Encode, Some(p10EncodeSql)),

@@ -182,26 +182,11 @@ object UnigramLm {
     * an integer shift/compare/multiply (truncations deterministic),
     * so DuckDB HUGEINT replays it bit-for-bit
     * ([[graft.util.DuckHash.log2fpCtes]]; prototype 0/834 mismatches).
-    * No float enters on either side. */
-  private[text] def log2fp(c: Long, t: Long, fbits: Int = 20): Long = {
-    require(c >= 1 && t >= c, s"log2fp domain: 1 <= $c <= $t")
-    var num = BigInt(c); val tt = BigInt(t)
-    var e = 0L
-    Seq(32, 16, 8, 4, 2, 1).foreach { k =>
-      if ((num << k) < tt) { num = num << k; e += k }
-    }
-    if (num < tt) { num = num << 1; e += 1 }
-    var m = (num << 31) / tt
-    var res = 0L
-    var i = 0
-    while (i < fbits) {
-      m = (m * m) >> 31
-      res <<= 1
-      if (m >= (BigInt(1) << 32)) { m = m >> 1; res += 1 }
-      i += 1
-    }
-    res - (e << fbits)
-  }
+    * No float enters on either side. Shared kernel since r12
+    * ([[graft.util.FixedLog.log2fp]] — the HLL kernel's
+    * linear-counting estimator rides the same integer log). */
+  private[text] def log2fp(c: Long, t: Long, fbits: Int = 20): Long =
+    graft.util.FixedLog.log2fp(c, t, fbits)
 
   /** The integer-EM twin of [[train]] (the multimodal_spectral_q
     * convention, r12): the SAME seed → Viterbi-E → count-M → prune

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HdrHistogramSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+  private val K = 5
+
+  private def cents = spark.read
+    .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    .select(col("l_returnflag"),
+      expr("CAST(FLOOR(l_extendedprice * 100) AS BIGINT)").as("x"))
+
+  test("Spark bucket expression matches the Scala reference on an adversarial sweep") {
+    import spark.implicits._
+    // powers of two, their neighbours, and the exact region boundary
+    val xs = (0L to 130L) ++
+      (7 to 62).flatMap(b => Seq((1L << b) - 1, 1L << b, (1L << b) + 1)) ++
+      Seq(12345L, 999999L, 123456789012L)
+    import spark.implicits._
+    // per-x buckets through the production Spark expression
+    val viaSpark = HdrHistogram.histogram(
+      xs.toDF("x").withColumn("g", concat(lit("x"), col("x"))),
+      "g", "x", K).collect()
+      .map(r => r.getString(0).drop(1).toLong -> r.getLong(1)).toMap
+    xs.foreach { x =>
+      val lo = HdrHistogram.bucketLoRef(x, K)
+      assert(viaSpark(x) === lo, s"spark bucket of $x")
+      // bucket invariants: lo ≤ x ≤ lo + lo/2^k + 1, exact under 2^(k+1)
+      assert(lo <= x && x <= lo + (lo >> K) + 1, s"x=$x lo=$lo")
+      if (x < (1L << (K + 1))) assert(lo === x)
+    }
+  }
+
+  test("quantile lower bounds sit within 2^-k of the exact type-1 quantiles") {
+    val out = HdrHistogram.quantiles(cents, "l_returnflag", "x", K,
+      Seq(500, 900, 990)).collect()
+      .map(r => r.getString(0) -> (r.getLong(2 + 1), r.getLong(2 + 2), r.getLong(2 + 3)))
+      .toMap
+    val byFlag = cents.collect().groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+    byFlag.foreach { case (f, sorted) =>
+      val n = sorted.length
+      def exactQ(q: Int): Long = sorted(((n.toLong * q + 999) / 1000).toInt - 1)
+      val (p50, p90, p99) = out(f)
+      Seq(p50 -> exactQ(500), p90 -> exactQ(900), p99 -> exactQ(990)).foreach {
+        case (lo, ex) =>
+          assert(lo <= ex, s"$f: lo $lo above exact $ex")
+          assert(lo >= ex - (ex >> K) - 1, s"$f: lo $lo more than 2^-$K below $ex")
+      }
+    }
+  }
+
+  test("shard histograms merge by count addition, bit-identically to a rebuild") {
+    def histMap(df: org.apache.spark.sql.DataFrame) =
+      HdrHistogram.histogram(df, "l_returnflag", "x", K).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = histMap(cents)
+    val h1 = histMap(cents.filter(col("x") % 2 === 0))
+    val h2 = histMap(cents.filter(col("x") % 2 =!= 0))
+    val merged = (h1.keySet ++ h2.keySet).map { k =>
+      k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === direct)
+  }
+}
