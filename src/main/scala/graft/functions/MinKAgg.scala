@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded per-group k-smallest-DISTINCT-longs as a typed
+  * `Aggregator` — the state of a KMV (k-minimum-values) sketch. Same
+  * scale discipline as [[TopKAgg]]: each task's partial buffer holds
+  * at most k values, the map side combines before the shuffle, no
+  * global sort ever happens. The buffer is a sorted vector; merge is
+  * a linear sorted-merge with duplicate drop (KMV is a sketch of a
+  * SET, so equal hash values must count once no matter how shards
+  * split them). */
+object MinKAgg {
+
+  class MinKLong(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0)
+
+    override def zero: Seq[Long] = Vector.empty
+
+    override def reduce(buf: Seq[Long], in: Long): Seq[Long] = {
+      if (buf.size == k && in >= buf.last) buf
+      else {
+        val i = buf.indexWhere(in <= _) match {
+          case -1 => buf.size
+          case n => n
+        }
+        if (i < buf.size && buf(i) == in) buf // already present
+        else ((buf.take(i) :+ in) ++ buf.drop(i)).take(k)
+      }
+    }
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = {
+      val out = Vector.newBuilder[Long]
+      var (i, j, n) = (0, 0, 0)
+      var last: Option[Long] = None
+      while (n < k && (i < a.size || j < b.size)) {
+        val takeA = j >= b.size || (i < a.size && a(i) <= b(j))
+        val v = if (takeA) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (!last.contains(v)) { out += v; last = Some(v); n += 1 }
+      }
+      out.result()
+    }
+
+    override def finish(r: Seq[Long]): Seq[Long] = r
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** UDAF form: `minK(256)(col("h"))`. */
+  def minK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MinKLong(k), Encoders.scalaLong)
+}

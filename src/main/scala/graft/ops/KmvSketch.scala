@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.DuckHash
+
+/** KMV (k-minimum-values / bottom-k) distinct sketch with SET-ALGEBRA
+  * estimation — the third graft-kernel sketch (after [[HllKernel]]
+  * and [[HdrHistogram]]) and the one HLL cannot replace: two groups'
+  * bottom-k sets support INTERSECTION / Jaccard estimation (Beyer et
+  * al., "On synopses for distinct-value estimation under multiset
+  * operations"), the primitive behind "how many users/documents do
+  * these two shards share" at 100 TB without a distinct-join.
+  *
+  * Construction, all integer and oracle-exact:
+  *  - value hash = the engine's xxhash64 (u64 spelled in DuckDB by
+  *    [[DuckHash]]); ordering is SIGNED long order, i.e. uniform u64
+  *    order of g = h XOR 2^63 — a bijection of a uniform variable is
+  *    uniform, and the estimator reads g's order statistic as
+  *    (signed h_(k)) + 2^63 in decimal(38,0)/HUGEINT;
+  *  - per-group sketch = k smallest distinct hashes (bounded
+  *    [[graft.functions.MinKAgg]] aggregation, map-side combined;
+  *    merge of shard sketches ≡ rebuild BIT-identically);
+  *  - distinct estimate: d < k → the sketch is the complete hash set,
+  *    estimate is EXACT; d ≥ k → (k−1)·2^64/g_(k) in e6 units, one
+  *    integral division;
+  *  - intersection: re-sketch the UNION of the two bottom-k sets
+  *    (k smallest of S_A ∪ S_B — computable from sketches alone),
+  *    count members present in both, then
+  *    est_∩ = matches·est_∪/|U| — with a non-full union sketch this
+  *    degenerates to the exact count, so ONE formula serves both
+  *    regimes on both engines.
+  */
+object KmvSketch {
+
+  val K = 256 // RSE ≈ 1/√(k−1) ≈ 6.3%
+  private val HalfStr = "9223372036854775808" // 2^63
+  /** (K−1)·2^64·1e6 — estimator numerator (decimal(38,0)/HUGEINT). */
+  val EstNumE6: BigInt = BigInt(K - 1) * (BigInt(1) << 64) * 1000000L
+
+  /** Spark-SQL estimate expr: exact d·1e6 below k, order-statistic
+    * estimator at k. `d` long expr, `hk` the kth smallest SIGNED hash. */
+  private def estExpr(d: String, hk: String): String =
+    s"CASE WHEN $d >= $K THEN CAST('$EstNumE6' AS DECIMAL(38,0)) div " +
+      s"(CAST($hk AS DECIMAL(38,0)) + CAST('$HalfStr' AS DECIMAL(38,0))) " +
+      s"ELSE CAST($d AS BIGINT) * 1000000L END"
+
+  /** DuckDB twin of [[estExpr]]. */
+  private def estSql(d: String, hk: String): String =
+    s"CASE WHEN $d >= $K THEN CAST(CAST('$EstNumE6' AS HUGEINT) // " +
+      s"(($hk)::HUGEINT + CAST('$HalfStr' AS HUGEINT)) AS BIGINT) " +
+      s"ELSE CAST($d AS BIGINT) * 1000000 END"
+
+  /** Per-group KMV sketches of `keyCol` (sorted ascending arrays). */
+  def sketches(df: DataFrame, grpCol: String, keyCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(col(grpCol).as("grp"), xxhash64(col(keyCol)).as("h"))
+      .distinct()
+      .groupBy(col("grp"))
+      .agg(graft.functions.MinKAgg.minK(K)(col("h")).as("sk"))
+
+  /** One-row intersection report for groups `grpA` vs `grpB`:
+    * per-group distinct estimates, union estimate, intersection
+    * estimate, Jaccard (all e6), plus the exact intersection count
+    * for reference. */
+  def intersectEstimate(df: DataFrame, grpCol: String, keyCol: String,
+      grpA: String, grpB: String): DataFrame = {
+    val base = df.filter(col(grpCol).isin(grpA, grpB))
+    // the 2-row sketch frame feeds BOTH the per-group pivot and the
+    // union re-sketch — pin it so the scan→distinct→sketch lineage
+    // runs once (scan census: events 3 → 2)
+    val sk = sketches(base, grpCol, keyCol)
+      .select(col("grp"), col("sk"),
+        size(col("sk")).cast("long").as("d_sk"),
+        element_at(col("sk"), -1).as("h_k")) // = kth smallest iff full
+      .localCheckpoint(true)
+    val perGroup = sk.groupBy()
+      .agg(
+        max(when(col("grp") === grpA, col("d_sk"))).as("d_a"),
+        max(when(col("grp") === grpA, col("h_k"))).as("hk_a"),
+        max(when(col("grp") === grpB, col("d_sk"))).as("d_b"),
+        max(when(col("grp") === grpB, col("h_k"))).as("hk_b"))
+      .withColumn("est_a_e6", expr(estExpr("d_a", "hk_a")))
+      .withColumn("est_b_e6", expr(estExpr("d_b", "hk_b")))
+    // union sketch from the two sketches alone (≤ 2K rows, then ≤ K):
+    // dimension-sized by construction, so the global rank rides the
+    // pmod constant-partition trick (the apportion-budget pattern)
+    val union = sk.select(col("grp"), explode(col("sk")).as("h"))
+      .groupBy(col("h"))
+      .agg(max(when(col("grp") === grpA, 1).otherwise(0)).as("in_a"),
+        max(when(col("grp") === grpB, 1).otherwise(0)).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(pmod(col("h"), lit(1))).orderBy(col("h"))))
+      .filter(col("rn") <= K)
+      .agg(count(lit(1)).as("n_u"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("matches"),
+        max(col("h")).as("h_u"))
+    val exact = base.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(when(col(grpCol) === grpA, 1).otherwise(0)).as("ia"),
+        max(when(col(grpCol) === grpB, 1).otherwise(0)).as("ib"))
+      .filter(col("ia") === 1 && col("ib") === 1)
+      .agg(count(lit(1)).as("n_inter_exact"))
+    perGroup.crossJoin(broadcast(union)).crossJoin(broadcast(exact))
+      .withColumn("est_union_e6", expr(estExpr("n_u", "h_u")))
+      .select(lit(K.toLong).as("k_cfg"),
+        col("d_a"), col("d_b"), col("matches"),
+        col("est_a_e6"), col("est_b_e6"), col("est_union_e6"),
+        expr("matches * est_union_e6 div n_u").as("est_inter_e6"),
+        expr("matches * 1000000L div n_u").as("jaccard_e6"),
+        col("n_inter_exact"))
+  }
+
+  /** DuckDB mirror of [[intersectEstimate]]. */
+  def intersectEstimateSql(from: String = "events",
+      grpExpr: String = "event_type", keyExpr: String = "user_id",
+      grpA: String = "view", grpB: String = "click"): String = {
+    import DuckHash._
+    val (hashCtes, lastHash) = stagedCtes("kmvsrc", Seq("grp"),
+      xxhash64LongStages("42::HUGEINT"), "kmvh")
+    s"""WITH kmvsrc AS (
+       |  SELECT $grpExpr AS grp, ${u64(keyExpr)} AS h
+       |  FROM $from WHERE $grpExpr IN ('$grpA', '$grpB')
+       |    AND $keyExpr IS NOT NULL)$hashCtes,
+       |kmvd AS (SELECT DISTINCT grp, ${toSigned("h")} AS hs FROM $lastHash),
+       |kmvrk AS (SELECT grp, hs,
+       |  row_number() OVER (PARTITION BY grp ORDER BY hs) AS rn FROM kmvd),
+       |kmvsk AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS d_sk,
+       |  MAX(CASE WHEN rn = $K THEN hs END) AS h_k
+       |  FROM kmvrk WHERE rn <= $K GROUP BY 1),
+       |kmvpg AS (SELECT
+       |  MAX(CASE WHEN grp = '$grpA' THEN d_sk END) AS d_a,
+       |  MAX(CASE WHEN grp = '$grpA' THEN h_k END) AS hk_a,
+       |  MAX(CASE WHEN grp = '$grpB' THEN d_sk END) AS d_b,
+       |  MAX(CASE WHEN grp = '$grpB' THEN h_k END) AS hk_b
+       |  FROM kmvsk),
+       |kmvux AS (SELECT hs,
+       |  MAX(CASE WHEN grp = '$grpA' THEN 1 ELSE 0 END) AS in_a,
+       |  MAX(CASE WHEN grp = '$grpB' THEN 1 ELSE 0 END) AS in_b
+       |  FROM kmvrk WHERE rn <= $K GROUP BY 1),
+       |kmvur AS (SELECT hs, in_a, in_b,
+       |  row_number() OVER (ORDER BY hs) AS rn FROM kmvux),
+       |kmvua AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_u,
+       |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS matches,
+       |  MAX(hs) AS h_u
+       |  FROM kmvur WHERE rn <= $K),
+       |kmvex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_exact FROM (
+       |  SELECT $keyExpr FROM $from
+       |  WHERE $grpExpr IN ('$grpA', '$grpB') AND $keyExpr IS NOT NULL
+       |  GROUP BY 1
+       |  HAVING MAX(CASE WHEN $grpExpr = '$grpA' THEN 1 ELSE 0 END) = 1
+       |     AND MAX(CASE WHEN $grpExpr = '$grpB' THEN 1 ELSE 0 END) = 1))
+       |SELECT CAST($K AS BIGINT) AS k_cfg, d_a, d_b, matches,
+       |  ${estSql("d_a", "hk_a")} AS est_a_e6,
+       |  ${estSql("d_b", "hk_b")} AS est_b_e6,
+       |  ${estSql("n_u", "h_u")} AS est_union_e6,
+       |  CAST((matches * ${estSql("n_u", "h_u")}) // n_u AS BIGINT)
+       |    AS est_inter_e6,
+       |  CAST((matches * 1000000) // n_u AS BIGINT) AS jaccard_e6,
+       |  n_inter_exact
+       |FROM kmvpg, kmvua, kmvex""".stripMargin
+  }
+}

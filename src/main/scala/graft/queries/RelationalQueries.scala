@@ -1715,6 +1715,20 @@ object RelationalQueries {
     "SELECT l_returnflag, CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem",
     "l_returnflag", k = 5, Seq(500, 900, 990))
 
+  /** KMV bottom-k sketch with set-algebra estimation (ops.KmvSketch):
+    * distinct-user overlap between two event types estimated from two
+    * 256-value sketches — the cross-shard audience-overlap primitive
+    * HLL cannot answer. Bounded MinKAgg aggregation (map-side
+    * combined), union re-sketch from the sketches alone, one
+    * estimator formula covering both the exact (non-full) and
+    * order-statistic regimes. Full hash oracle via the staged
+    * xxhash64 CTEs. */
+  private val aKmvIntersect: Q = (s, d) =>
+    graft.ops.KmvSketch.intersectEstimate(
+      events(s, d), "event_type", "user_id", "view", "click")
+
+  private val aKmvIntersectSql = graft.ops.KmvSketch.intersectEstimateSql()
+
   /** Salted equi-join (ops.SkewOps.saltedJoin): the skewed-JOIN twin of
     * a_salted_agg — fact rows carry a deterministic hash salt, the dim
     * side is replicated 8×, the join keys on (suppkey, salt) so a hot
@@ -1977,6 +1991,7 @@ object RelationalQueries {
     ("a_hll_partial", aHllPartial, None),
     ("a_hll_kernel", aHllKernel, Some(aHllKernelSql)),
     ("a_hdr_quantiles", aHdrQuantiles, Some(aHdrQuantilesSql)),
+    ("a_kmv_intersect", aKmvIntersect, Some(aKmvIntersectSql)),
     ("s11_recent_n", s11RecentN, Some(s11RecentNSql)),
     ("p6_isin", p6Isin, Some(p6IsinSql)),
     ("p10_encode", p10Encode, Some(p10EncodeSql)),

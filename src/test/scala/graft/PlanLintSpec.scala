@@ -81,6 +81,10 @@ class PlanLintSpec extends AnyFunSuite {
                               // 1-row train-doc total for priors
     "w_quantile_normalize" -> 4L,   // GlobalRank's 1-row min/max stats + its
                               // own 1-row corpus count broadcast
+    "a_kmv_intersect" -> 4L,        // cross of THREE 1-row frames: per-group
+                              // sketch pivot × union-sketch agg ×
+                              // exact-intersection count (the
+                              // quality_profile pattern)
     "knn_kmeans_train" -> 16L,       // the same k=8-row broadcast centroid
                               // fan as knn_kmeans_step, once per fixed
                               // Lloyd iteration
