@@ -68,7 +68,12 @@ object ScalingBench {
       "w_quantile_normalize" -> "lineitem",
       "ml_naive_bayes" -> "documents",
       "knn_lsh_topk" -> "embeddings",
-      "pipeline_tokenizer_fertility" -> "documents")
+      "pipeline_tokenizer_fertility" -> "documents",
+      // r12 sketch-kernel trio: bounded-state aggregations whose cost
+      // should track their input row counts linearly
+      "a_hll_kernel" -> "events",
+      "a_hdr_quantiles" -> "lineitem",
+      "a_kmv_intersect" -> "events")
 
     // Min-of-3 after one warm run: the r9 SCALING refresh shipped four
     // false superlinear exponents caused by concurrent-load noise on a

@@ -96,14 +96,51 @@ object HllKernel {
     // would be the same 27-stage pipeline the oracle replays in SQL.
     perGroup.as[(String, Long, Long, Long)]
       .map { case (grp, zeroRegs, estRawE6, nExact) =>
-        val estE6 =
-          if (zeroRegs > 0 && estRawE6 <= LcCutE6)
-            M.toLong * Ln2E6 *
-              (-FixedLog.log2fp(zeroRegs, M.toLong, Fbits)) / (1L << Fbits)
-          else estRawE6
-        (grp, zeroRegs, estRawE6, estE6, nExact)
+        (grp, zeroRegs, estRawE6, estE6(zeroRegs, estRawE6), nExact)
       }
       .toDF("grp", "zero_regs", "est_raw_e6", "est_e6", "n_exact")
+  }
+
+  /** The per-group scalar finisher: linear counting below the
+    * cutover (zero registers permitting), raw estimate above. */
+  def estE6(zeroRegs: Long, estRawE6: Long): Long =
+    if (zeroRegs > 0 && estRawE6 <= LcCutE6)
+      M.toLong * Ln2E6 *
+        (-FixedLog.log2fp(zeroRegs, M.toLong, Fbits)) / (1L << Fbits)
+    else estRawE6
+
+  /** The INCREMENTAL face — the architecture a_hll_partial shows with
+    * the DataSketches library, here with the kernel and hash-exact:
+    * registers built at a FINE grain (per hour — the rows a pipeline
+    * PERSISTS per ingest batch), max-merged to the coarse day grain,
+    * estimated off the merged registers only. Because merge is
+    * register-max, the rollup is BIT-identical to a single daily
+    * pass (HllKernelSpec) — so the oracle replay of this very
+    * hour→day path proves the incremental architecture itself.
+    * `hourCol` must be a long fine-grain bucket id; day = hour/24. */
+  def rollupEstimate(df: DataFrame, hourCol: String,
+      keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dayRegs = registers(df, hourCol, keyCol)
+      .groupBy(expr("grp div 24").as("day_id"), col("idx"))
+      .agg(max(col("reg")).as("reg"))
+    val perDay = dayRegs.groupBy(col("day_id"))
+      .agg(
+        sum(expr(s"CAST(shiftleft(1L, $MaxRank - reg) AS DECIMAL(38,0))"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("s_all",
+        col("s_present") + (lit(M.toLong) - col("n_present"))
+          .cast("decimal(38,0)") * lit(1L << MaxRank).cast("decimal(38,0)"))
+      .withColumn("est_raw_e6", expr(s"CAST('$RawNumE6' AS DECIMAL(38,0)) div s_all"))
+      .select(col("day_id"), (lit(M.toLong) - col("n_present")).as("zero_regs"),
+        col("est_raw_e6"))
+    perDay.as[(Long, Long, Long)]
+      .map { case (day, zeroRegs, estRawE6) =>
+        (day, zeroRegs, estRawE6, estE6(zeroRegs, estRawE6))
+      }
+      .toDF("day_id", "zero_regs", "est_raw_e6", "est_e6")
   }
 
   /** DuckDB mirror of [[estimate]]: staged xxhash64 CTEs (vectorized
@@ -148,5 +185,54 @@ object HllKernel {
        |       ELSE r.est_raw_e6 END AS est_e6,
        |  r.n_exact
        |FROM hllraw r LEFT JOIN $lcLast l ON l.grp = r.grp""".stripMargin
+  }
+
+  /** DuckDB mirror of [[rollupEstimate]] over the events table (plus
+    * the exact daily distinct witness the gate joins in): the SAME
+    * hour→day register path — hourly GROUP BY, max-merge, estimator
+    * over merged registers — not a direct daily shortcut, so the
+    * oracle proves the incremental architecture. */
+  def rollupEstimateSql(from: String = "events", hourSql: String,
+      keyExpr: String = "user_id"): String = {
+    import DuckHash._
+    val (hashCtes, lastHash) =
+      stagedCtes("hrsrc", Seq("grp"), xxhash64LongStages("42::HUGEINT"), "hrh")
+    val (lcCtes, lcLast) =
+      log2fpCtes("hrlcsrc", "day_id", "zero_regs", "hrmtot", "hrlg", Fbits)
+    s"""WITH hrsrc AS (
+       |  SELECT $hourSql AS grp, ${u64(keyExpr)} AS h
+       |  FROM $from WHERE $keyExpr IS NOT NULL)$hashCtes,
+       |hrrnk AS (SELECT grp,
+       |  CAST(h & ${M - 1}::HUGEINT AS BIGINT) AS idx,
+       |  CASE WHEN (h >> $P) = 0::HUGEINT THEN $MaxRank
+       |       ELSE $MaxRank - length(bin(CAST(h >> $P AS BIGINT))) END AS rank
+       |  FROM $lastHash),
+       |hrreg AS (SELECT grp, idx, MAX(rank) AS reg
+       |  FROM hrrnk GROUP BY 1, 2),
+       |hrday AS (SELECT grp // 24 AS day_id, idx, MAX(reg) AS reg
+       |  FROM hrreg GROUP BY 1, 2),
+       |hragg AS (SELECT day_id,
+       |  SUM(1::HUGEINT << ($MaxRank - reg)) AS s_present,
+       |  COUNT(*) AS n_present
+       |  FROM hrday GROUP BY 1),
+       |hrraw AS (SELECT day_id,
+       |  CAST($M - n_present AS BIGINT) AS zero_regs,
+       |  CAST(CAST('$RawNumE6' AS HUGEINT) //
+       |    (s_present + ($M - n_present)::HUGEINT * (1::HUGEINT << $MaxRank))
+       |    AS BIGINT) AS est_raw_e6
+       |  FROM hragg),
+       |hrlcsrc AS (SELECT day_id, zero_regs FROM hrraw WHERE zero_regs >= 1),
+       |hrmtot AS (SELECT $M AS tot)$lcCtes,
+       |hrexact AS (SELECT ($hourSql) // 24 AS day_id,
+       |  CAST(COUNT(DISTINCT $keyExpr) AS BIGINT) AS n_exact
+       |  FROM $from WHERE $keyExpr IS NOT NULL GROUP BY 1)
+       |SELECT r.day_id, r.zero_regs, r.est_raw_e6,
+       |  CASE WHEN r.zero_regs > 0 AND r.est_raw_e6 <= $LcCutE6
+       |       THEN CAST((${M}::BIGINT * $Ln2E6 * -(l.ql)) // ${1L << Fbits}
+       |                 AS BIGINT)
+       |       ELSE r.est_raw_e6 END AS est_e6,
+       |  e.n_exact
+       |FROM hrraw r LEFT JOIN $lcLast l ON l.day_id = r.day_id
+       |JOIN hrexact e ON e.day_id = r.day_id""".stripMargin
   }
 }

@@ -1729,6 +1729,24 @@ object RelationalQueries {
 
   private val aKmvIntersectSql = graft.ops.KmvSketch.intersectEstimateSql()
 
+  /** The kernel-HLL INCREMENTAL rollup (a_hll_partial's architecture,
+    * hash-exact): hourly register rows — what a pipeline persists per
+    * ingest batch — max-merged to daily estimates; the oracle replays
+    * the same hour→day merge path, so the "rollup of stored sketches
+    * ≡ daily rescan" claim is in the artifact, not just the spec.
+    * Exact daily distinct joins in as the error witness. */
+  private val aHllRollup: Q = (s, d) => {
+    val ev = events(s, d).withColumn("hour_id", expr("ev_us div 3600000000"))
+    val est = graft.ops.HllKernel.rollupEstimate(ev, "hour_id", "user_id")
+    val exact = events(s, d).filter(col("user_id").isNotNull)
+      .groupBy(expr("ev_us div 86400000000").as("day_id"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(broadcast(exact), Seq("day_id"))
+  }
+
+  private val aHllRollupSql = graft.ops.HllKernel.rollupEstimateSql(
+    hourSql = s"($evUsSql) // 3600000000")
+
   /** Salted equi-join (ops.SkewOps.saltedJoin): the skewed-JOIN twin of
     * a_salted_agg — fact rows carry a deterministic hash salt, the dim
     * side is replicated 8×, the join keys on (suppkey, salt) so a hot
@@ -1992,6 +2010,7 @@ object RelationalQueries {
     ("a_hll_kernel", aHllKernel, Some(aHllKernelSql)),
     ("a_hdr_quantiles", aHdrQuantiles, Some(aHdrQuantilesSql)),
     ("a_kmv_intersect", aKmvIntersect, Some(aKmvIntersectSql)),
+    ("a_hll_kernel_rollup", aHllRollup, Some(aHllRollupSql)),
     ("s11_recent_n", s11RecentN, Some(s11RecentNSql)),
     ("p6_isin", p6Isin, Some(p6IsinSql)),
     ("p10_encode", p10Encode, Some(p10EncodeSql)),

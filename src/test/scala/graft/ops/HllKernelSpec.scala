@@ -64,6 +64,32 @@ class HllKernelSpec extends AnyFunSuite {
     assert(out === exact.map { case (g, n) => g -> n })
   }
 
+  test("hour→day register rollup is BIT-identical to direct daily registers") {
+    import org.apache.spark.sql.functions.expr
+    val ev = graft.queries.QueryDsl.events(spark, "/root/testdata/sf0.001")
+      .withColumn("hour_id", expr("ev_us div 3600000000"))
+      .withColumn("day_id", expr("ev_us div 86400000000"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val rolled = toMap(HllKernel.registers(ev, "hour_id", "user_id")
+      .groupBy(expr("grp div 24").as("day_id"), col("idx"))
+      .agg(max(col("reg")).as("reg")))
+    val direct = toMap(HllKernel.registers(ev, "day_id", "user_id")
+      .select(col("grp"), col("idx"), col("reg")))
+    assert(rolled === direct)
+    // and the estimates off the rollup track the exact daily distincts
+    val est = HllKernel.rollupEstimate(ev, "hour_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val exact = ev.groupBy(col("day_id"))
+      .agg(countDistinct(col("user_id")).as("nd")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rse = 1.04 / math.sqrt(M.toDouble)
+    exact.foreach { case (day, n) =>
+      val rel = math.abs(est(day) / 1e6 / n - 1.0)
+      assert(rel < 3 * rse, s"day $day est ${est(day) / 1e6} vs $n")
+    }
+  }
+
   test("raw-estimator constants stay inside their integer envelopes") {
     // the decimal(38,0)/HUGEINT numerator and the long-safe LC product
     assert(HllKernel.RawNumE6 < (BigInt(10).pow(38)), "numerator fits decimal(38,0)")
