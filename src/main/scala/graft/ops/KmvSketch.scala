@@ -54,9 +54,12 @@ object KmvSketch {
 
   /** Per-group KMV sketches of `keyCol` (sorted ascending arrays). */
   def sketches(df: DataFrame, grpCol: String, keyCol: String): DataFrame =
+    // NO distinct() pre-pass: MinKAgg dedups inside its bounded buffer
+    // (SketchKernelPropSpec), so the only shuffle carries ≤ k values
+    // per group per task — a distinct() here would shuffle the FULL
+    // per-group key set, the cost the sketch exists to avoid
     df.filter(col(keyCol).isNotNull)
       .select(col(grpCol).as("grp"), xxhash64(col(keyCol)).as("h"))
-      .distinct()
       .groupBy(col("grp"))
       .agg(graft.functions.MinKAgg.minK(K)(col("h")).as("sk"))
 
