@@ -55,10 +55,18 @@ object HllKernel {
   /** Linear-counting cutover: raw estimate ≤ 2.5·m, in e6 units. */
   val LcCutE6: Long = 2500000L * M
 
-  /** Per-(group, register) state: max rank + exact distinct keys that
-    * hashed into the register. One shuffle, partial-agg friendly. */
-  def registers(df: DataFrame, grpCol: String, keyCol: String): DataFrame =
-    df.filter(col(keyCol).isNotNull)
+  /** Per-(group, register) state: max rank, plus (by default) the
+    * exact distinct keys that hashed into the register — the witness
+    * column. One shuffle, partial-agg friendly. With
+    * `withExact = false` the aggregation carries ONLY the bounded
+    * register maxima. (Catalyst's ColumnPruning does drop an unused
+    * countDistinct — verified in the rollup plan — but the pure
+    * sketch path should state its bounded-shuffle contract rather
+    * than lean on an optimizer rule: the exact path shuffles the full
+    * distinct key set, which a sketch-only caller must not pay.) */
+  def registers(df: DataFrame, grpCol: String, keyCol: String,
+      withExact: Boolean = true): DataFrame = {
+    val ranked = df.filter(col(keyCol).isNotNull)
       .select(col(grpCol).as("grp"), col(keyCol).as("k"),
         xxhash64(col(keyCol)).as("h"))
       .select(col("grp"), col("k"),
@@ -68,7 +76,10 @@ object HllKernel {
         when(col("v") === 0L, lit(MaxRank))
           .otherwise(lit(MaxRank) - length(bin(col("v")))))
       .groupBy(col("grp"), col("idx"))
-      .agg(max(col("rank")).as("reg"), countDistinct(col("k")).as("nd"))
+    if (withExact)
+      ranked.agg(max(col("rank")).as("reg"), countDistinct(col("k")).as("nd"))
+    else ranked.agg(max(col("rank")).as("reg"))
+  }
 
   /** Per-group estimate in e6 units + the raw (uncorrected) estimate,
     * zero-register count, and the exact distinct count for reference.
@@ -122,7 +133,7 @@ object HllKernel {
       keyCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dayRegs = registers(df, hourCol, keyCol)
+    val dayRegs = registers(df, hourCol, keyCol, withExact = false)
       .groupBy(expr("grp div 24").as("day_id"), col("idx"))
       .agg(max(col("reg")).as("reg"))
     val perDay = dayRegs.groupBy(col("day_id"))
