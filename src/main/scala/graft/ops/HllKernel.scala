@@ -112,6 +112,25 @@ object HllKernel {
       .toDF("grp", "zero_regs", "est_raw_e6", "est_e6", "n_exact")
   }
 
+  /** Estimator over a raw m-byte register array — the streaming-state
+    * face ([[graft.streaming.StreamHll]]): the SAME integer
+    * arithmetic as the column path (BigInt `/` ≡ decimal `div` for
+    * positive operands), so a converged stream's estimates are
+    * BIT-equal to the batch gate's. Returns (zero_regs, est_e6). */
+  def estimateFromRegisterArray(regs: Array[Byte]): (Long, Long) = {
+    require(regs.length == M)
+    var s = BigInt(0); var zero = 0L
+    var i = 0
+    while (i < M) {
+      val r = regs(i).toInt
+      if (r == 0) zero += 1
+      s += BigInt(1) << (MaxRank - r)
+      i += 1
+    }
+    val raw = (RawNumE6 / s).toLong
+    (zero, estE6(zero, raw))
+  }
+
   /** The per-group scalar finisher: linear counting below the
     * cutover (zero registers permitting), raw estimate above. */
   def estE6(zeroRegs: Long, estRawE6: Long): Long =

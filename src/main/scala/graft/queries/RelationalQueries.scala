@@ -2011,6 +2011,10 @@ object RelationalQueries {
     ("a_hdr_quantiles", aHdrQuantiles, Some(aHdrQuantilesSql)),
     ("a_kmv_intersect", aKmvIntersect, Some(aKmvIntersectSql)),
     ("a_hll_kernel_rollup", aHllRollup, Some(aHllRollupSql)),
+    ("stream_hll_distinct",
+      ((s, d) => graft.streaming.StreamHll.distinctEstimatesBatch(
+        events(s, d), "event_type", "user_id")): Q,
+      Some(graft.streaming.StreamHll.distinctEstimatesBatchSql())),
     ("s11_recent_n", s11RecentN, Some(s11RecentNSql)),
     ("p6_isin", p6Isin, Some(p6IsinSql)),
     ("p10_encode", p10Encode, Some(p10EncodeSql)),
