@@ -82,6 +82,69 @@ object HdrHistogram {
         (count(lit(1)).as("n_buckets") +: qCols): _*)
   }
 
+  /** Rolling-window quantiles from per-day histograms — the sketch
+    * merge in the TIME dimension: persist one (day, bucket, cnt) row
+    * set per ingest day, answer any trailing-`windowDays` percentile
+    * by count addition over the histograms, never a raw rescan. Each
+    * daily bucket row fans out to the ≤`windowDays` window ends it
+    * serves (an EQUI broadcast join against the observed-day dim — no
+    * nested loop), so the whole computation after the one scan runs
+    * on histogram-sized frames. HdrHistogramSpec pins the merged
+    * window histogram BIT-identical to a direct histogram of the
+    * window's raw rows, and the quantile bounds against exact.
+    * `df` must carry a long day id `dayCol` and non-negative long
+    * `xCol`. Output: (day, n_rows, n_buckets, p<q>_lo...). */
+  def rollingQuantiles(df: DataFrame, dayCol: String, xCol: String,
+      k: Int, windowDays: Int, qsPerMille: Seq[Int]): DataFrame = {
+    // pinned: the histogram-sized daily frame feeds both the day dim
+    // and the fan-out (scan census: one source scan)
+    val daily = df.select(col(dayCol).as("day"),
+        expr(bucketLoSpark(xCol, k)).as("lo"))
+      .groupBy(col("day"), col("lo")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val days = daily.select(col("day").as("d")).distinct()
+    val rolled = daily
+      .withColumn("d", explode(expr(s"sequence(day, day + ${windowDays - 1})")))
+      .join(broadcast(days), "d")
+      .groupBy(col("d"), col("lo")).agg(sum(col("cnt")).as("cnt"))
+    val cum = rolled
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy("d").orderBy("lo")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("d")))
+    val qCols = qsPerMille.map { q =>
+      min(when(col("cum") >= expr(s"(n * $q + 999) div 1000"), col("lo")))
+        .as(s"p${q}_lo")
+    }
+    cum.groupBy(col("d").as("day"))
+      .agg(max(col("n")).as("n_rows"),
+        (count(lit(1)).as("n_buckets") +: qCols): _*)
+  }
+
+  /** DuckDB mirror of [[rollingQuantiles]]. `srcSql` must select a
+    * long `day` and a non-negative BIGINT `x`. */
+  def rollingQuantilesSql(srcSql: String, k: Int, windowDays: Int,
+      qsPerMille: Seq[Int]): String = {
+    val qSelects = qsPerMille.map { q =>
+      s"CAST(MIN(CASE WHEN cum >= (n * $q + 999) // 1000 THEN lo END) " +
+        s"AS BIGINT) AS p${q}_lo"
+    }.mkString(",\n  ")
+    s"""WITH hdrrsrc AS ($srcSql),
+       |hdrrd AS (SELECT day, ${bucketLoSql("x", k)} AS lo, COUNT(*) AS cnt
+       |  FROM hdrrsrc GROUP BY 1, 2),
+       |hdrrdays AS (SELECT DISTINCT day AS d FROM hdrrd),
+       |hdrrc AS (SELECT unnest(generate_series(day, day + ${windowDays - 1})) AS d,
+       |  lo, cnt FROM hdrrd),
+       |hdrroll AS (SELECT c.d, c.lo, CAST(SUM(c.cnt) AS BIGINT) AS cnt
+       |  FROM hdrrc c JOIN hdrrdays dd ON dd.d = c.d GROUP BY 1, 2),
+       |hdrrcum AS (SELECT d, lo, cnt,
+       |  SUM(cnt) OVER (PARTITION BY d ORDER BY lo) AS cum,
+       |  SUM(cnt) OVER (PARTITION BY d) AS n FROM hdrroll)
+       |SELECT d AS day, CAST(MAX(n) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  $qSelects
+       |FROM hdrrcum GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB mirror of [[quantiles]]. `srcSql` must select the group
     * column (named `grpCol`) and a non-negative BIGINT `x`. */
   def quantilesSql(srcSql: String, grpCol: String, k: Int,

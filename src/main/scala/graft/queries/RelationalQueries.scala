@@ -1729,6 +1729,22 @@ object RelationalQueries {
 
   private val aKmvIntersectSql = graft.ops.KmvSketch.intersectEstimateSql()
 
+  /** Rolling 7-day percentiles from persisted daily HDR histograms
+    * (ops.HdrHistogram.rollingQuantiles) — the sketch merge in the
+    * time dimension: any trailing-window p50/p99 from count addition
+    * over the daily bucket rows, never a raw rescan. Everything
+    * after the one scan runs on histogram-sized frames. */
+  private val wHdrRolling: Q = (s, d) =>
+    graft.ops.HdrHistogram.rollingQuantiles(
+      events(s, d).select(expr("ev_us div 86400000000").as("day"),
+        expr("CAST(FLOOR(value * 1000000.0) AS BIGINT)").as("x")),
+      "day", "x", k = 5, windowDays = 7, Seq(500, 990))
+
+  private val wHdrRollingSql = graft.ops.HdrHistogram.rollingQuantilesSql(
+    s"""SELECT ($evUsSql) // 86400000000 AS day,
+       |  CAST(FLOOR("value" * 1000000.0) AS BIGINT) AS x FROM events""".stripMargin,
+    k = 5, windowDays = 7, Seq(500, 990))
+
   /** The kernel-HLL INCREMENTAL rollup (a_hll_partial's architecture,
     * hash-exact): hourly register rows — what a pipeline persists per
     * ingest batch — max-merged to daily estimates; the oracle replays
@@ -2015,6 +2031,7 @@ object RelationalQueries {
       ((s, d) => graft.streaming.StreamHll.distinctEstimatesBatch(
         events(s, d), "event_type", "user_id")): Q,
       Some(graft.streaming.StreamHll.distinctEstimatesBatchSql())),
+    ("w_hdr_rolling_quantiles", wHdrRolling, Some(wHdrRollingSql)),
     ("s11_recent_n", s11RecentN, Some(s11RecentNSql)),
     ("p6_isin", p6Isin, Some(p6IsinSql)),
     ("p10_encode", p10Encode, Some(p10EncodeSql)),

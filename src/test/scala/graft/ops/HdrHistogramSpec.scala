@@ -52,6 +52,32 @@ class HdrHistogramSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling-window quantiles equal the definitional trailing-window reference") {
+    val ev = graft.queries.QueryDsl.events(spark, "/root/testdata/sf0.001")
+      .select(expr("ev_us div 86400000000").as("day"),
+        expr("CAST(FLOOR(value * 1000000.0) AS BIGINT)").as("x"))
+    val got = HdrHistogram.rollingQuantiles(ev, "day", "x", K, 7, Seq(500, 990))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val raw = ev.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = raw.map(_._1).distinct
+    assert(got.keySet === days.toSet)
+    days.foreach { d =>
+      val window = raw.collect { case (dd, x) if dd >= d - 6 && dd <= d => x }
+      val (nRows, nBuckets, p50, p99) = got(d)
+      assert(nRows === window.length.toLong, s"day $d n_rows")
+      // merged-histogram support == direct histogram of the window's raw rows
+      assert(nBuckets === window.map(HdrHistogram.bucketLoRef(_, K)).distinct.length.toLong,
+        s"day $d n_buckets")
+      val sorted = window.sorted
+      def exactQ(q: Int): Long =
+        sorted(((window.length.toLong * q + 999) / 1000).toInt - 1)
+      Seq(p50 -> exactQ(500), p99 -> exactQ(990)).foreach { case (lo, ex) =>
+        assert(lo <= ex && lo >= ex - (ex >> K) - 1, s"day $d: $lo vs $ex")
+      }
+    }
+  }
+
   test("shard histograms merge by count addition, bit-identically to a rebuild") {
     def histMap(df: org.apache.spark.sql.DataFrame) =
       HdrHistogram.histogram(df, "l_returnflag", "x", K).collect()
