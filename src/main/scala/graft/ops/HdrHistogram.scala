@@ -58,29 +58,40 @@ object HdrHistogram {
     }
   }
 
-  /** The mergeable state: per-(group, bucket) counts. */
+  /** The mergeable state: per-(group, bucket) counts. NULL values are
+    * dropped (a NULL bucket would poison quantile mass, and the two
+    * engines order NULLs oppositely in the cumulative window). */
   def histogram(df: DataFrame, grpCol: String, xCol: String,
       k: Int): DataFrame =
-    df.select(col(grpCol), expr(bucketLoSpark(xCol, k)).as("lo"))
+    df.filter(col(xCol).isNotNull)
+      .select(col(grpCol), expr(bucketLoSpark(xCol, k)).as("lo"))
       .groupBy(col(grpCol), col("lo"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Per-group quantile report off the histogram: n_rows, bucket
-    * count, and one `p<q>_lo` column per requested per-mille q. */
-  def quantiles(df: DataFrame, grpCol: String, xCol: String, k: Int,
+  /** Shared quantile finisher over a (part, lo, cnt) histogram frame:
+    * cumulative window + per-mille threshold reads — ONE spelling for
+    * the grouped and rolling faces (a rounding-rule change must not
+    * be able to de-synchronize them). */
+  private def quantileReport(hist: DataFrame, partCol: String,
       qsPerMille: Seq[Int]): DataFrame = {
-    val cum = histogram(df, grpCol, xCol, k)
+    val cum = hist
       .withColumn("cum",
-        sum(col("cnt")).over(Window.partitionBy(grpCol).orderBy("lo")))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(grpCol)))
+        sum(col("cnt")).over(Window.partitionBy(partCol).orderBy("lo")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(partCol)))
     val qCols = qsPerMille.map { q =>
       min(when(col("cum") >= expr(s"(n * $q + 999) div 1000"), col("lo")))
         .as(s"p${q}_lo")
     }
-    cum.groupBy(col(grpCol))
+    cum.groupBy(col(partCol))
       .agg(max(col("n")).as("n_rows"),
         (count(lit(1)).as("n_buckets") +: qCols): _*)
   }
+
+  /** Per-group quantile report off the histogram: n_rows, bucket
+    * count, and one `p<q>_lo` column per requested per-mille q. */
+  def quantiles(df: DataFrame, grpCol: String, xCol: String, k: Int,
+      qsPerMille: Seq[Int]): DataFrame =
+    quantileReport(histogram(df, grpCol, xCol, k), grpCol, qsPerMille)
 
   /** Rolling-window quantiles from per-day histograms — the sketch
     * merge in the TIME dimension: persist one (day, bucket, cnt) row
@@ -98,70 +109,55 @@ object HdrHistogram {
       k: Int, windowDays: Int, qsPerMille: Seq[Int]): DataFrame = {
     // pinned: the histogram-sized daily frame feeds both the day dim
     // and the fan-out (scan census: one source scan)
-    val daily = df.select(col(dayCol).as("day"),
-        expr(bucketLoSpark(xCol, k)).as("lo"))
-      .groupBy(col("day"), col("lo")).agg(count(lit(1)).as("cnt"))
+    val daily = histogram(
+      df.select(col(dayCol).as("day"), col(xCol).as("x")), "day", "x", k)
       .localCheckpoint(true)
     val days = daily.select(col("day").as("d")).distinct()
     val rolled = daily
       .withColumn("d", explode(expr(s"sequence(day, day + ${windowDays - 1})")))
       .join(broadcast(days), "d")
-      .groupBy(col("d"), col("lo")).agg(sum(col("cnt")).as("cnt"))
-    val cum = rolled
-      .withColumn("cum",
-        sum(col("cnt")).over(Window.partitionBy("d").orderBy("lo")))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("d")))
-    val qCols = qsPerMille.map { q =>
-      min(when(col("cum") >= expr(s"(n * $q + 999) div 1000"), col("lo")))
-        .as(s"p${q}_lo")
-    }
-    cum.groupBy(col("d").as("day"))
-      .agg(max(col("n")).as("n_rows"),
-        (count(lit(1)).as("n_buckets") +: qCols): _*)
+      .groupBy(col("d").as("day"), col("lo")).agg(sum(col("cnt")).as("cnt"))
+    quantileReport(rolled, "day", qsPerMille)
+  }
+
+  /** Shared SQL finisher (the [[quantileReport]] twin): cum window +
+    * threshold reads over a histogram CTE exposing (part, lo, cnt).
+    * One spelling for both mirrors. */
+  private def reportSql(part: String, histCte: String,
+      qsPerMille: Seq[Int]): String = {
+    val qSelects = qsPerMille.map { q =>
+      s"CAST(MIN(CASE WHEN cum >= (n * $q + 999) // 1000 THEN lo END) " +
+        s"AS BIGINT) AS p${q}_lo"
+    }.mkString(",\n  ")
+    s"""hdrcum AS (SELECT $part, lo, cnt,
+       |  SUM(cnt) OVER (PARTITION BY $part ORDER BY lo) AS cum,
+       |  SUM(cnt) OVER (PARTITION BY $part) AS n FROM $histCte)
+       |SELECT $part, CAST(MAX(n) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  $qSelects
+       |FROM hdrcum GROUP BY 1""".stripMargin
   }
 
   /** DuckDB mirror of [[rollingQuantiles]]. `srcSql` must select a
     * long `day` and a non-negative BIGINT `x`. */
   def rollingQuantilesSql(srcSql: String, k: Int, windowDays: Int,
-      qsPerMille: Seq[Int]): String = {
-    val qSelects = qsPerMille.map { q =>
-      s"CAST(MIN(CASE WHEN cum >= (n * $q + 999) // 1000 THEN lo END) " +
-        s"AS BIGINT) AS p${q}_lo"
-    }.mkString(",\n  ")
+      qsPerMille: Seq[Int]): String =
     s"""WITH hdrrsrc AS ($srcSql),
        |hdrrd AS (SELECT day, ${bucketLoSql("x", k)} AS lo, COUNT(*) AS cnt
-       |  FROM hdrrsrc GROUP BY 1, 2),
+       |  FROM hdrrsrc WHERE x IS NOT NULL GROUP BY 1, 2),
        |hdrrdays AS (SELECT DISTINCT day AS d FROM hdrrd),
        |hdrrc AS (SELECT unnest(generate_series(day, day + ${windowDays - 1})) AS d,
        |  lo, cnt FROM hdrrd),
-       |hdrroll AS (SELECT c.d, c.lo, CAST(SUM(c.cnt) AS BIGINT) AS cnt
+       |hdrroll AS (SELECT c.d AS day, c.lo, CAST(SUM(c.cnt) AS BIGINT) AS cnt
        |  FROM hdrrc c JOIN hdrrdays dd ON dd.d = c.d GROUP BY 1, 2),
-       |hdrrcum AS (SELECT d, lo, cnt,
-       |  SUM(cnt) OVER (PARTITION BY d ORDER BY lo) AS cum,
-       |  SUM(cnt) OVER (PARTITION BY d) AS n FROM hdrroll)
-       |SELECT d AS day, CAST(MAX(n) AS BIGINT) AS n_rows,
-       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       |  $qSelects
-       |FROM hdrrcum GROUP BY 1""".stripMargin
-  }
+       |${reportSql("day", "hdrroll", qsPerMille)}""".stripMargin
 
   /** DuckDB mirror of [[quantiles]]. `srcSql` must select the group
     * column (named `grpCol`) and a non-negative BIGINT `x`. */
   def quantilesSql(srcSql: String, grpCol: String, k: Int,
-      qsPerMille: Seq[Int]): String = {
-    val qSelects = qsPerMille.map { q =>
-      s"CAST(MIN(CASE WHEN cum >= (n * $q + 999) // 1000 THEN lo END) " +
-        s"AS BIGINT) AS p${q}_lo"
-    }.mkString(",\n  ")
+      qsPerMille: Seq[Int]): String =
     s"""WITH hdrsrc AS ($srcSql),
-       |hdrb AS (SELECT $grpCol, ${bucketLoSql("x", k)} AS lo FROM hdrsrc),
-       |hdrh AS (SELECT $grpCol, lo, COUNT(*) AS cnt FROM hdrb GROUP BY 1, 2),
-       |hdrc AS (SELECT $grpCol, lo, cnt,
-       |  SUM(cnt) OVER (PARTITION BY $grpCol ORDER BY lo) AS cum,
-       |  SUM(cnt) OVER (PARTITION BY $grpCol) AS n FROM hdrh)
-       |SELECT $grpCol, CAST(MAX(n) AS BIGINT) AS n_rows,
-       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       |  $qSelects
-       |FROM hdrc GROUP BY 1""".stripMargin
-  }
+       |hdrh AS (SELECT $grpCol, ${bucketLoSql("x", k)} AS lo, COUNT(*) AS cnt
+       |  FROM hdrsrc WHERE x IS NOT NULL GROUP BY 1, 2),
+       |${reportSql(grpCol, "hdrh", qsPerMille)}""".stripMargin
 }

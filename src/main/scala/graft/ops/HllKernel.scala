@@ -112,6 +112,40 @@ object HllKernel {
       .toDF("grp", "zero_regs", "est_raw_e6", "est_e6", "n_exact")
   }
 
+  /** Raw per-group estimates off a registers frame (grp of ANY type):
+    * (grp, zero_regs, est_raw_e6) — one column spelling of the
+    * estimator shared by every finishing face. */
+  private def rawEstimates(regs: DataFrame): DataFrame =
+    regs.groupBy(col("grp"))
+      .agg(
+        sum(expr(s"CAST(shiftleft(1L, $MaxRank - reg) AS DECIMAL(38,0))"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("s_all",
+        col("s_present") + (lit(M.toLong) - col("n_present"))
+          .cast("decimal(38,0)") * lit(1L << MaxRank).cast("decimal(38,0)"))
+      .withColumn("est_raw_e6",
+        expr(s"CAST('$RawNumE6' AS DECIMAL(38,0)) div s_all"))
+      .select(col("grp"), (lit(M.toLong) - col("n_present")).as("zero_regs"),
+        col("est_raw_e6"))
+
+  /** Sketch-only estimate — NO exact witness, so the whole job keeps
+    * the bounded-shuffle contract (registers carry only maxima).
+    * Output (grp: string, zero_regs, est_e6) — the streaming batch
+    * twin ([[graft.streaming.StreamHll.distinctEstimatesBatch]]). */
+  def estimateSketchOnly(df: DataFrame, grpCol: String,
+      keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(grpCol).cast("string").as("g"), col(keyCol))
+    rawEstimates(registers(src, "g", keyCol, withExact = false))
+      .as[(String, Long, Long)]
+      .map { case (grp, zeroRegs, estRawE6) =>
+        (grp, zeroRegs, estE6(zeroRegs, estRawE6))
+      }
+      .toDF("grp", "zero_regs", "est_e6")
+  }
+
   /** Estimator over a raw m-byte register array — the streaming-state
     * face ([[graft.streaming.StreamHll]]): the SAME integer
     * arithmetic as the column path (BigInt `/` ≡ decimal `div` for
@@ -153,20 +187,9 @@ object HllKernel {
     val spark = df.sparkSession
     import spark.implicits._
     val dayRegs = registers(df, hourCol, keyCol, withExact = false)
-      .groupBy(expr("grp div 24").as("day_id"), col("idx"))
+      .groupBy(expr("grp div 24").as("grp"), col("idx"))
       .agg(max(col("reg")).as("reg"))
-    val perDay = dayRegs.groupBy(col("day_id"))
-      .agg(
-        sum(expr(s"CAST(shiftleft(1L, $MaxRank - reg) AS DECIMAL(38,0))"))
-          .as("s_present"),
-        count(lit(1)).as("n_present"))
-      .withColumn("s_all",
-        col("s_present") + (lit(M.toLong) - col("n_present"))
-          .cast("decimal(38,0)") * lit(1L << MaxRank).cast("decimal(38,0)"))
-      .withColumn("est_raw_e6", expr(s"CAST('$RawNumE6' AS DECIMAL(38,0)) div s_all"))
-      .select(col("day_id"), (lit(M.toLong) - col("n_present")).as("zero_regs"),
-        col("est_raw_e6"))
-    perDay.as[(Long, Long, Long)]
+    rawEstimates(dayRegs).as[(Long, Long, Long)]
       .map { case (day, zeroRegs, estRawE6) =>
         (day, zeroRegs, estRawE6, estE6(zeroRegs, estRawE6))
       }

@@ -111,7 +111,11 @@ object KmvSketch {
       .select(lit(K.toLong).as("k_cfg"),
         col("d_a"), col("d_b"), col("matches"),
         col("est_a_e6"), col("est_b_e6"), col("est_union_e6"),
-        expr("matches * est_union_e6 div n_u").as("est_inter_e6"),
+        // multiply in decimal: matches·est_union_e6 can pass 2^63 at
+        // extreme union cardinality, and matches ≤ n_u keeps the
+        // QUOTIENT long-safe — so only the intermediate needs width
+        expr("CAST(matches AS DECIMAL(38,0)) * est_union_e6 div n_u")
+          .as("est_inter_e6"),
         expr("matches * 1000000L div n_u").as("jaccard_e6"),
         col("n_inter_exact"))
   }
@@ -160,7 +164,7 @@ object KmvSketch {
        |  ${estSql("d_a", "hk_a")} AS est_a_e6,
        |  ${estSql("d_b", "hk_b")} AS est_b_e6,
        |  ${estSql("n_u", "h_u")} AS est_union_e6,
-       |  CAST((matches * ${estSql("n_u", "h_u")}) // n_u AS BIGINT)
+       |  CAST((matches::HUGEINT * ${estSql("n_u", "h_u")}) // n_u AS BIGINT)
        |    AS est_inter_e6,
        |  CAST((matches * 1000000) // n_u AS BIGINT) AS jaccard_e6,
        |  n_inter_exact

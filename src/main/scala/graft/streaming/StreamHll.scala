@@ -80,12 +80,15 @@ object StreamHll {
   }
 
   /** Batch equivalent of the converged stream — the gate query (the
-    * stream_running_stats convention): the batch kernel's estimate
-    * projected to the stream's emission columns. */
+    * stream_running_stats convention): the kernel's SKETCH-ONLY
+    * estimate, which matches the stream on two contracts the full
+    * estimate does not — the group key is cast to string exactly like
+    * the streaming path, and no exact-distinct witness is computed
+    * (the stream never pays that shuffle, so its batch twin must
+    * not either). */
   def distinctEstimatesBatch(events: DataFrame, grpCol: String,
       keyCol: String): DataFrame =
-    HllKernel.estimate(events, grpCol, keyCol)
-      .select(col("grp"), col("zero_regs"), col("est_e6"))
+    HllKernel.estimateSketchOnly(events, grpCol, keyCol)
 
   /** DuckDB mirror of [[distinctEstimatesBatch]]. */
   def distinctEstimatesBatchSql(): String =

@@ -6,8 +6,8 @@ package graft.util
   * 1 ≤ c ≤ t with every step an integer shift/compare/multiply plus
   * one integer division, so Scala and the DuckDB CTE spelling
   * ([[DuckHash.log2fpCtes]]) land the SAME integer — no float enters
-  * on either side (validated 0/834 prototype mismatches and pinned by
-  * FixedLogSpec's exhaustive sweep).
+  * on either side (validated 0/834 prototype mismatches; pinned by
+  * HllKernelSpec's exhaustive sweep over the full LC domain).
   *
   * Algorithm: greedy binary normalization of c into [t, 2t) counting
   * doublings e, one 31-bit fixed-point mantissa division, then
