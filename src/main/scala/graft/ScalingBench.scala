@@ -73,7 +73,10 @@ object ScalingBench {
       // should track their input row counts linearly
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
-      "a_kmv_intersect" -> "events")
+      "a_kmv_intersect" -> "events",
+      "a_hll_kernel_rollup" -> "events",
+      "stream_hll_distinct" -> "events",
+      "w_hdr_rolling_quantiles" -> "events")
 
     // Min-of-3 after one warm run: the r9 SCALING refresh shipped four
     // false superlinear exponents caused by concurrent-load noise on a
