@@ -247,7 +247,12 @@ object DuckHash {
 
   /** Rabin–Karp base-257 hash of the k-char gram of `s` at 1-based
     * position expr `pos1` — Σ char(pos1+j)·257^(k-1-j) mod 2^64, the
-    * winnowing production gram hash (ASCII: charAt == codepoint). */
+    * winnowing production gram hash. Contract (executable, not just
+    * documented — Rk257ContractSpec): the production side reads UTF-16
+    * code units, this side reads codepoints, equal for every BMP
+    * character (winnowing's ASCII corpus is comfortably inside);
+    * astral input shifts lengths/positions, so a violation diverges
+    * STRUCTURALLY at the fingerprint compare, never silently. */
   def rk257Gram(s: String, pos1: String, k: Int): String = {
     val terms = (0 until k).map { j =>
       val pow = java.math.BigInteger.valueOf(257)

@@ -23,39 +23,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class DuckHashContractSpec extends AnyFunSuite {
 
-  private def duckAvailable: Boolean =
-    scala.util.Try {
-      val p = new ProcessBuilder("python3", "-c", "import duckdb").start()
-      p.waitFor() == 0
-    }.getOrElse(false)
-
-  /** Run one SQL in DuckDB; returns rows of nullable-string cells. */
-  private def duck(sql: String): Seq[Seq[Option[String]]] = {
-    val f = java.io.File.createTempFile("duckhash_contract", ".sql")
-    f.deleteOnExit()
-    java.nio.file.Files.write(f.toPath, sql.getBytes("UTF-8"))
-    val script =
-      """import sys, json, duckdb
-        |rows = duckdb.sql(open(sys.argv[1], encoding='utf-8').read()).fetchall()
-        |print(json.dumps([[None if c is None else str(c) for c in r] for r in rows]))
-        |""".stripMargin
-    val pb = new ProcessBuilder("python3", "-c", script, f.getAbsolutePath)
-    pb.redirectErrorStream(true)
-    val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-    require(p.waitFor() == 0, s"duckdb bridge failed: $out")
-    // minimal JSON array-of-arrays parser (strings are java-Long texts
-    // with no escapes; same no-dependency stance as the other parsers)
-    val cell = """null|"(-?[0-9]+)"""".r
-    val row = """\[((?:null|"-?[0-9]+")(?:,\s*(?:null|"-?[0-9]+"))*)?\]""".r
-    row.findAllMatchIn(out.trim.drop(1).dropRight(1)).map { m =>
-      cell.findAllMatchIn(Option(m.group(1)).getOrElse("")).map { c =>
-        Option(c.group(1))
-      }.toSeq
-    }.toSeq
-  }
-
-  private def sq(s: String): String = "'" + s.replace("'", "''") + "'"
+  import DuckBridgeTestUtil.{duck, duckAvailable, sq}
 
   // deterministic generator: printable ASCII without the quote-escape
   // classes, covering every xxhash64 tail-path length
