@@ -120,6 +120,108 @@ object KmvSketch {
         col("n_inter_exact"))
   }
 
+  /** The PAIRWISE generalization — the dataset-composition audit
+    * shape ("how much do my domain shards overlap, pairwise"): one
+    * row per unordered group pair with union / intersection /
+    * Jaccard estimates, all from the G per-group sketches alone
+    * (≤ G·k hash values total; every join below is equi over the
+    * sketch-sized frames except the G² pair enumeration, a ≤G-row
+    * nested-loop scalar the lint allowlist bounds). The exact
+    * intersection witness rides a (key, grp)-distinct self-join —
+    * the cost a sketch deployment drops, kept here as the gate's
+    * error column. Same estimator spelling as [[intersectEstimate]],
+    * same exact-degeneration for non-full union sketches. */
+  def pairwiseMatrix(df: DataFrame, grpCol: String,
+      keyCol: String): DataFrame = {
+    val sk = sketches(df, grpCol, keyCol).localCheckpoint(true)
+    val ex = sk.select(col("grp"), explode(col("sk")).as("h"))
+      .localCheckpoint(true)
+    val pairs = sk.select(col("grp").as("g1"))
+      .crossJoin(sk.select(col("grp").as("g2")))
+      .filter(col("g1") < col("g2"))
+    val contrib = pairs.join(ex, col("g1") === col("grp"))
+      .select(col("g1"), col("g2"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .union(pairs.join(ex, col("g2") === col("grp"))
+        .select(col("g1"), col("g2"), col("h"),
+          lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy(col("g1"), col("g2"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val perPair = contrib
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g1", "g2").orderBy("h")))
+      .filter(col("rn") <= K)
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_u"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("matches"),
+        max(col("h")).as("h_u"))
+      .withColumn("est_union_e6", expr(estExpr("n_u", "h_u")))
+    // exact witness in ONE scan and ONE key shuffle: each key's sorted
+    // group set expands to its ≤G²/2 pairs in-row (a self-join of the
+    // (key, grp) distinct frame would scan the source twice and risk
+    // corpus² at scale)
+    val exact = df.filter(col(keyCol).isNotNull)
+      .select(col(grpCol).as("g"), col(keyCol).as("u"))
+      .groupBy(col("u"))
+      .agg(sort_array(collect_set(col("g"))).as("gs"))
+      .select(explode(expr(
+        "flatten(transform(gs, (a, i) -> transform(slice(gs, i + 2, size(gs)), " +
+          "b -> named_struct('g1', a, 'g2', b))))")).as("p"))
+      .groupBy(col("p.g1").as("g1"), col("p.g2").as("g2"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    perPair.join(exact, Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"), col("n_u"), col("matches"),
+        col("est_union_e6"),
+        expr("CAST(matches AS DECIMAL(38,0)) * est_union_e6 div n_u")
+          .as("est_inter_e6"),
+        expr("matches * 1000000L div n_u").as("jaccard_e6"),
+        coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
+  }
+
+  /** DuckDB mirror of [[pairwiseMatrix]]. */
+  def pairwiseMatrixSql(from: String = "events",
+      grpExpr: String = "event_type", keyExpr: String = "user_id"): String = {
+    import DuckHash._
+    val (hashCtes, lastHash) = stagedCtes("kmsrc", Seq("grp"),
+      xxhash64LongStages("42::HUGEINT"), "kmh")
+    s"""WITH kmsrc AS (
+       |  SELECT $grpExpr AS grp, ${u64(keyExpr)} AS h
+       |  FROM $from WHERE $keyExpr IS NOT NULL)$hashCtes,
+       |kmd AS (SELECT DISTINCT grp, ${toSigned("h")} AS hs FROM $lastHash),
+       |kmrk AS (SELECT grp, hs,
+       |  row_number() OVER (PARTITION BY grp ORDER BY hs) AS rn FROM kmd),
+       |kmsk AS (SELECT grp, hs FROM kmrk WHERE rn <= $K),
+       |kmpairs AS (SELECT a.grp AS g1, b.grp AS g2
+       |  FROM (SELECT DISTINCT grp FROM kmsk) a
+       |  JOIN (SELECT DISTINCT grp FROM kmsk) b ON a.grp < b.grp),
+       |kmc AS (
+       |  SELECT p.g1, p.g2, s.hs,
+       |    MAX(CASE WHEN s.grp = p.g1 THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN s.grp = p.g2 THEN 1 ELSE 0 END) AS in_b
+       |  FROM kmpairs p JOIN kmsk s ON s.grp = p.g1 OR s.grp = p.g2
+       |  GROUP BY 1, 2, 3),
+       |kmur AS (SELECT g1, g2, hs, in_a, in_b,
+       |  row_number() OVER (PARTITION BY g1, g2 ORDER BY hs) AS rn FROM kmc),
+       |kmua AS (SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n_u,
+       |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS matches,
+       |  MAX(hs) AS h_u
+       |  FROM kmur WHERE rn <= $K GROUP BY 1, 2),
+       |kmud AS (SELECT DISTINCT $grpExpr AS g, $keyExpr AS u FROM $from
+       |  WHERE $keyExpr IS NOT NULL),
+       |kmex AS (SELECT a.g AS g1, b.g AS g2,
+       |  CAST(COUNT(*) AS BIGINT) AS n_inter_exact
+       |  FROM kmud a JOIN kmud b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2)
+       |SELECT u.g1, u.g2, u.n_u, u.matches,
+       |  ${estSql("u.n_u", "u.h_u")} AS est_union_e6,
+       |  CAST((u.matches::HUGEINT * ${estSql("u.n_u", "u.h_u")}) // u.n_u
+       |       AS BIGINT) AS est_inter_e6,
+       |  CAST((u.matches * 1000000) // u.n_u AS BIGINT) AS jaccard_e6,
+       |  COALESCE(e.n_inter_exact, 0) AS n_inter_exact
+       |FROM kmua u LEFT JOIN kmex e ON e.g1 = u.g1 AND e.g2 = u.g2""".stripMargin
+  }
+
   /** DuckDB mirror of [[intersectEstimate]]. */
   def intersectEstimateSql(from: String = "events",
       grpExpr: String = "event_type", keyExpr: String = "user_id",

@@ -2032,6 +2032,10 @@ object RelationalQueries {
         events(s, d), "event_type", "user_id")): Q,
       Some(graft.streaming.StreamHll.distinctEstimatesBatchSql())),
     ("w_hdr_rolling_quantiles", wHdrRolling, Some(wHdrRollingSql)),
+    ("a_kmv_overlap_matrix",
+      ((s, d) => graft.ops.KmvSketch.pairwiseMatrix(
+        events(s, d), "event_type", "user_id")): Q,
+      Some(graft.ops.KmvSketch.pairwiseMatrixSql())),
     ("s11_recent_n", s11RecentN, Some(s11RecentNSql)),
     ("p6_isin", p6Isin, Some(p6IsinSql)),
     ("p10_encode", p10Encode, Some(p10EncodeSql)),

@@ -85,6 +85,11 @@ class PlanLintSpec extends AnyFunSuite {
                               // sketch pivot × union-sketch agg ×
                               // exact-intersection count (the
                               // quality_profile pattern)
+    "a_kmv_overlap_matrix" -> 16L,  // G×G pair enumeration over the
+                              // group-dim frame (≤5 rows) with the
+                              // g1<g2 filter — the only non-equi step;
+                              // everything downstream is equi over
+                              // sketch-sized frames
     "knn_kmeans_train" -> 16L,       // the same k=8-row broadcast centroid
                               // fan as knn_kmeans_step, once per fixed
                               // Lloyd iteration

@@ -66,6 +66,32 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_inter_exact") === 30L)
   }
 
+  test("pairwise overlap matrix: exact collapse under k, estimator class above") {
+    import spark.implicits._
+    // A∩B = 30 with A∪B = 150 < k (exact regime); C ⊇ A with
+    // |A∪C| = 1000 > k (estimator regime at a 10% overlap ratio —
+    // matches ~ Binomial(k, 0.1), σ_est ≈ 20, band 4σ)
+    val a = (1 to 100).map(i => ("A", i.toLong))
+    val b = (1 to 30).map(i => ("B", i.toLong)) ++
+      (1 to 50).map(i => ("B", 50000L + i))
+    val c = (1 to 100).map(i => ("C", i.toLong)) ++
+      (1 to 900).map(i => ("C", 100000L + i))
+    val out = KmvSketch.pairwiseMatrix((a ++ b ++ c).toDF("grp", "k"),
+      "grp", "k")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // exact regime: A∪B = 150 < k, so everything is exact set algebra
+    val (abInter, abJac, abExact) = out(("A", "B"))
+    assert(abExact === 30L && abInter === 30L * 1000000)
+    assert(abJac === 30L * 1000000 / 150)
+    // estimator regime: A⊆C gives true intersection 100; B∩C = 30
+    val (acInter, _, acExact) = out(("A", "C"))
+    assert(acExact === 100L)
+    assert(math.abs(acInter / 1e6 - 100) < 80, s"A∩C est ${acInter / 1e6}")
+    assert(out(("B", "C"))._3 === 30L)
+  }
+
   test("MinKAgg keeps k smallest distinct values under duplication and order") {
     import spark.implicits._
     val vals = Seq(5L, 3L, 3L, 9L, -7L, 5L, 0L, -7L, 12L, 1L)
