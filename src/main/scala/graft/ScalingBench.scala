@@ -76,7 +76,8 @@ object ScalingBench {
       "a_kmv_intersect" -> "events",
       "a_hll_kernel_rollup" -> "events",
       "stream_hll_distinct" -> "events",
-      "w_hdr_rolling_quantiles" -> "events")
+      "w_hdr_rolling_quantiles" -> "events",
+      "a_kmv_overlap_matrix" -> "events")
 
     // Min-of-3 after one warm run: the r9 SCALING refresh shipped four
     // false superlinear exponents caused by concurrent-load noise on a
