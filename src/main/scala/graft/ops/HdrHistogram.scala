@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * engine-independent spelling — this one is pure integer arithmetic,
   * so the WHOLE sketch replays hash-exactly in the oracle).
   *
-  * Bucketing (the HdrHistogram/DDSketch collapsed-store construction):
+  * Bucketing (the HdrHistogram/DDSketch collapsed-store construction),
+  * for x ≥ 0 (negatives mirror-map: bucket(x) = −bucket(−x), see
+  * [[bucketLoSql]]):
   *  - x < 2^(k+1): exact (bucket = x);
   *  - else b = bitlength(x), shift = b−1−k, sub = (x >> shift) & (2^k−1),
   *    bucket lower bound = (2^k + sub) << shift. Bucket width is
@@ -29,28 +31,49 @@ import org.apache.spark.sql.functions._
   */
 object HdrHistogram {
 
-  /** Bucket lower bound of non-negative long expr `x` (SQL, shared
-    * verbatim by the Spark `expr` and the DuckDB oracle modulo the
-    * long-literal suffix). */
-  private def bucketLoSpark(x: String, k: Int): String = {
+  /** Bucket bound of the NON-NEGATIVE branch (SQL, shared verbatim by
+    * the Spark `expr` and the DuckDB oracle modulo the long-literal
+    * suffix). Callers go through the signed wrappers below. */
+  private def bucketLoNonNegSpark(x: String, k: Int): String = {
     val lim = 1L << (k + 1); val base = 1L << k; val mask = base - 1
     s"CASE WHEN $x < ${lim}L THEN $x ELSE " +
       s"shiftleft(${base}L + (shiftright($x, length(bin($x)) - ${k + 1}) & ${mask}L), " +
       s"length(bin($x)) - ${k + 1}) END"
   }
 
-  /** DuckDB spelling of the same bucket bound. */
-  def bucketLoSql(x: String, k: Int): String = {
+  private def bucketLoNonNegSql(x: String, k: Int): String = {
     val lim = 1L << (k + 1); val base = 1L << k; val mask = base - 1
     s"CASE WHEN $x < $lim THEN $x ELSE " +
       s"(($base + (($x >> (length(bin($x)) - ${k + 1})) & ${mask}::BIGINT)) " +
       s"<< (length(bin($x)) - ${k + 1})) END"
   }
 
+  /** Signed bucket bound: negatives mirror-map through the magnitude
+    * (bucket(x) = −bucket(−x)), so the bounded-bucket contract — O(2^k
+    * · log range) buckets, ≤2^-k relative error — holds on the WHOLE
+    * long domain except Long.MinValue (whose negation overflows; under
+    * ANSI arithmetic that fails LOUDLY rather than mis-bucketing).
+    * The map is monotone (x₁ ≤ x₂ ⟹ bucket(x₁) ≤ bucket(x₂)), so
+    * cumulative-count quantile reads stay correct; a negative
+    * quantile's reported bound is the mirrored magnitude bound (within
+    * 2^-k relative of |x|, from above in value order). Pre-r13 this
+    * spelling admitted negatives into exact singleton buckets —
+    * correct values but an UNBOUNDED bucket count on negative-heavy
+    * data (r12 verdict item 5). */
+  private def bucketLoSpark(x: String, k: Int): String =
+    s"CASE WHEN $x >= 0L THEN ${bucketLoNonNegSpark(x, k)} " +
+      s"ELSE -(${bucketLoNonNegSpark(s"(-($x))", k)}) END"
+
+  /** DuckDB spelling of the signed bucket bound. */
+  def bucketLoSql(x: String, k: Int): String =
+    s"CASE WHEN $x >= 0 THEN ${bucketLoNonNegSql(x, k)} " +
+      s"ELSE -(${bucketLoNonNegSql(s"(-($x))", k)}) END"
+
   /** Scala reference of the bucket bound (spec witness). */
   def bucketLoRef(x: Long, k: Int): Long = {
-    require(x >= 0)
-    if (x < (1L << (k + 1))) x
+    require(x != Long.MinValue, "bucketLoRef: -x must be representable")
+    if (x < 0) -bucketLoRef(-x, k)
+    else if (x < (1L << (k + 1))) x
     else {
       val b = 64 - java.lang.Long.numberOfLeadingZeros(x)
       val shift = b - 1 - k
@@ -103,8 +126,9 @@ object HdrHistogram {
     * on histogram-sized frames. HdrHistogramSpec pins the merged
     * window histogram BIT-identical to a direct histogram of the
     * window's raw rows, and the quantile bounds against exact.
-    * `df` must carry a long day id `dayCol` and non-negative long
-    * `xCol`. Output: (day, n_rows, n_buckets, p<q>_lo...). */
+    * `df` must carry a long day id `dayCol` and a long `xCol`
+    * (negatives mirror-map; Long.MinValue excluded). Output:
+    * (day, n_rows, n_buckets, p<q>_lo...). */
   def rollingQuantiles(df: DataFrame, dayCol: String, xCol: String,
       k: Int, windowDays: Int, qsPerMille: Seq[Int]): DataFrame = {
     // pinned: the histogram-sized daily frame feeds both the day dim
@@ -139,7 +163,7 @@ object HdrHistogram {
   }
 
   /** DuckDB mirror of [[rollingQuantiles]]. `srcSql` must select a
-    * long `day` and a non-negative BIGINT `x`. */
+    * long `day` and a BIGINT `x` (negatives mirror-map). */
   def rollingQuantilesSql(srcSql: String, k: Int, windowDays: Int,
       qsPerMille: Seq[Int]): String =
     s"""WITH hdrrsrc AS ($srcSql),
@@ -153,7 +177,7 @@ object HdrHistogram {
        |${reportSql("day", "hdrroll", qsPerMille)}""".stripMargin
 
   /** DuckDB mirror of [[quantiles]]. `srcSql` must select the group
-    * column (named `grpCol`) and a non-negative BIGINT `x`. */
+    * column (named `grpCol`) and a BIGINT `x` (negatives mirror-map). */
   def quantilesSql(srcSql: String, grpCol: String, k: Int,
       qsPerMille: Seq[Int]): String =
     s"""WITH hdrsrc AS ($srcSql),

@@ -83,12 +83,17 @@ object HllKernel {
 
   /** Per-group estimate in e6 units + the raw (uncorrected) estimate,
     * zero-register count, and the exact distinct count for reference.
+    * `grpCol` may be any type — it is cast to string up front (the
+    * [[estimateSketchOnly]] convention; the typed finishing map reads
+    * a string group, and pre-r13 a long group column hit that encoder
+    * with an AnalysisException — r12 ADVICE).
     * Contract: est_raw_e6 < 2^63 requires at least one register below
     * rank 9 — true for any non-adversarial key set. */
   def estimate(df: DataFrame, grpCol: String, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val perGroup = registers(df, grpCol, keyCol)
+    val src = df.select(col(grpCol).cast("string").as("g"), col(keyCol))
+    val perGroup = registers(src, "g", keyCol)
       .groupBy(col("grp"))
       .agg(
         sum(expr(s"CAST(shiftleft(1L, $MaxRank - reg) AS DECIMAL(38,0))"))

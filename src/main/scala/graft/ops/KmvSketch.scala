@@ -63,10 +63,24 @@ object KmvSketch {
       .groupBy(col("grp"))
       .agg(graft.functions.MinKAgg.minK(K)(col("h")).as("sk"))
 
-  /** One-row intersection report for groups `grpA` vs `grpB`:
-    * per-group distinct estimates, union estimate, intersection
-    * estimate, Jaccard (all e6), plus the exact intersection count
-    * for reference. */
+  /** One-row set-algebra report for groups `grpA` vs `grpB`:
+    * per-group distinct estimates, union / intersection / DIFFERENCE
+    * estimates, Jaccard, and both CONTAINMENT directions (all e6),
+    * plus the exact intersection count for reference.
+    *
+    * Difference and containment read off the SAME union re-sketch
+    * (r12 verdict item 4 — "how much of shard B is already inside
+    * shard A", the question a 100 TB ingest asks before paying for a
+    * merge): among the union sketch's members, `only_a` sit in A
+    * only, so est(A∖B) = only_a·est_∪/|U|, and containment
+    * |A∩B|/|A| = matches/(matches+only_a) — the standard bottom-k
+    * member-fraction estimators, which degenerate to EXACT values
+    * when the union sketch isn't full, same as the intersection.
+    *
+    * Degenerate inputs (r12 ADVICE): if a group is absent its d/hk/est
+    * columns are NULL (the estimator CASE propagates them), and every
+    * ratio column is guarded by its denominator — empty input yields
+    * NULL estimators, never a division error (ANSI-safe). */
   def intersectEstimate(df: DataFrame, grpCol: String, keyCol: String,
       grpA: String, grpB: String): DataFrame = {
     val base = df.filter(col(grpCol).isin(grpA, grpB))
@@ -99,6 +113,10 @@ object KmvSketch {
       .agg(count(lit(1)).as("n_u"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
           .as("matches"),
+        sum(when(col("in_a") === 1 && col("in_b") === 0, 1L).otherwise(0L))
+          .as("only_a"),
+        sum(when(col("in_a") === 0 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("only_b"),
         max(col("h")).as("h_u"))
     val exact = base.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol))
@@ -110,20 +128,39 @@ object KmvSketch {
       .withColumn("est_union_e6", expr(estExpr("n_u", "h_u")))
       .select(lit(K.toLong).as("k_cfg"),
         col("d_a"), col("d_b"), col("matches"),
+        col("only_a"), col("only_b"),
         col("est_a_e6"), col("est_b_e6"), col("est_union_e6"),
         // multiply in decimal: matches·est_union_e6 can pass 2^63 at
         // extreme union cardinality, and matches ≤ n_u keeps the
-        // QUOTIENT long-safe — so only the intermediate needs width
-        expr("CAST(matches AS DECIMAL(38,0)) * est_union_e6 div n_u")
+        // QUOTIENT long-safe — so only the intermediate needs width.
+        // Every divisor is guarded (CASE is lazy on both engines):
+        // n_u = 0 on empty input, matches+only_a = 0 when the union
+        // sketch holds no A-members.
+        when(col("n_u") > 0,
+          expr("CAST(matches AS DECIMAL(38,0)) * est_union_e6 div n_u"))
           .as("est_inter_e6"),
-        expr("matches * 1000000L div n_u").as("jaccard_e6"),
+        when(col("n_u") > 0,
+          expr("CAST(only_a AS DECIMAL(38,0)) * est_union_e6 div n_u"))
+          .as("est_diff_ab_e6"),
+        when(col("n_u") > 0,
+          expr("CAST(only_b AS DECIMAL(38,0)) * est_union_e6 div n_u"))
+          .as("est_diff_ba_e6"),
+        when(col("n_u") > 0, expr("matches * 1000000L div n_u"))
+          .as("jaccard_e6"),
+        when(col("matches") + col("only_a") > 0,
+          expr("matches * 1000000L div (matches + only_a)"))
+          .as("cont_a_e6"),
+        when(col("matches") + col("only_b") > 0,
+          expr("matches * 1000000L div (matches + only_b)"))
+          .as("cont_b_e6"),
         col("n_inter_exact"))
   }
 
   /** The PAIRWISE generalization — the dataset-composition audit
     * shape ("how much do my domain shards overlap, pairwise"): one
     * row per unordered group pair with union / intersection /
-    * Jaccard estimates, all from the G per-group sketches alone
+    * difference / Jaccard / containment estimates, all from the G
+    * per-group sketches alone
     * (≤ G·k hash values total; every join below is equi over the
     * sketch-sized frames except the G² pair enumeration, a ≤G-row
     * nested-loop scalar the lint allowlist bounds). The exact
@@ -155,6 +192,10 @@ object KmvSketch {
       .agg(count(lit(1)).as("n_u"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
           .as("matches"),
+        sum(when(col("in_a") === 1 && col("in_b") === 0, 1L).otherwise(0L))
+          .as("only_a"),
+        sum(when(col("in_a") === 0 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("only_b"),
         max(col("h")).as("h_u"))
       .withColumn("est_union_e6", expr(estExpr("n_u", "h_u")))
     // exact witness in ONE scan and ONE key shuffle: each key's sorted
@@ -172,10 +213,25 @@ object KmvSketch {
       .agg(count(lit(1)).as("n_inter_exact"))
     perPair.join(exact, Seq("g1", "g2"), "left")
       .select(col("g1"), col("g2"), col("n_u"), col("matches"),
-        col("est_union_e6"),
+        col("only_a"), col("only_b"), col("est_union_e6"),
         expr("CAST(matches AS DECIMAL(38,0)) * est_union_e6 div n_u")
           .as("est_inter_e6"),
+        // difference + containment off the same union sketch (see
+        // intersectEstimate); n_u ≥ 1 here (pairs exist only for
+        // non-empty sketches) but the member-count denominators can
+        // be 0 when one side contributes nothing below the union's
+        // kth hash — guarded, NULL on that degenerate pair
+        expr("CAST(only_a AS DECIMAL(38,0)) * est_union_e6 div n_u")
+          .as("est_diff_ab_e6"),
+        expr("CAST(only_b AS DECIMAL(38,0)) * est_union_e6 div n_u")
+          .as("est_diff_ba_e6"),
         expr("matches * 1000000L div n_u").as("jaccard_e6"),
+        when(col("matches") + col("only_a") > 0,
+          expr("matches * 1000000L div (matches + only_a)"))
+          .as("cont_a_e6"),
+        when(col("matches") + col("only_b") > 0,
+          expr("matches * 1000000L div (matches + only_b)"))
+          .as("cont_b_e6"),
         coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"))
   }
 
@@ -206,6 +262,10 @@ object KmvSketch {
        |kmua AS (SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n_u,
        |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
        |       AS BIGINT) AS matches,
+       |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS only_a,
+       |  CAST(SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS only_b,
        |  MAX(hs) AS h_u
        |  FROM kmur WHERE rn <= $K GROUP BY 1, 2),
        |kmud AS (SELECT DISTINCT $grpExpr AS g, $keyExpr AS u FROM $from
@@ -213,11 +273,19 @@ object KmvSketch {
        |kmex AS (SELECT a.g AS g1, b.g AS g2,
        |  CAST(COUNT(*) AS BIGINT) AS n_inter_exact
        |  FROM kmud a JOIN kmud b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2)
-       |SELECT u.g1, u.g2, u.n_u, u.matches,
+       |SELECT u.g1, u.g2, u.n_u, u.matches, u.only_a, u.only_b,
        |  ${estSql("u.n_u", "u.h_u")} AS est_union_e6,
        |  CAST((u.matches::HUGEINT * ${estSql("u.n_u", "u.h_u")}) // u.n_u
        |       AS BIGINT) AS est_inter_e6,
+       |  CAST((u.only_a::HUGEINT * ${estSql("u.n_u", "u.h_u")}) // u.n_u
+       |       AS BIGINT) AS est_diff_ab_e6,
+       |  CAST((u.only_b::HUGEINT * ${estSql("u.n_u", "u.h_u")}) // u.n_u
+       |       AS BIGINT) AS est_diff_ba_e6,
        |  CAST((u.matches * 1000000) // u.n_u AS BIGINT) AS jaccard_e6,
+       |  CASE WHEN u.matches + u.only_a > 0 THEN CAST((u.matches * 1000000)
+       |       // (u.matches + u.only_a) AS BIGINT) END AS cont_a_e6,
+       |  CASE WHEN u.matches + u.only_b > 0 THEN CAST((u.matches * 1000000)
+       |       // (u.matches + u.only_b) AS BIGINT) END AS cont_b_e6,
        |  COALESCE(e.n_inter_exact, 0) AS n_inter_exact
        |FROM kmua u LEFT JOIN kmex e ON e.g1 = u.g1 AND e.g2 = u.g2""".stripMargin
   }
@@ -254,6 +322,10 @@ object KmvSketch {
        |kmvua AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_u,
        |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
        |       AS BIGINT) AS matches,
+       |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS only_a,
+       |  CAST(SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS only_b,
        |  MAX(hs) AS h_u
        |  FROM kmvur WHERE rn <= $K),
        |kmvex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter_exact FROM (
@@ -263,12 +335,25 @@ object KmvSketch {
        |  HAVING MAX(CASE WHEN $grpExpr = '$grpA' THEN 1 ELSE 0 END) = 1
        |     AND MAX(CASE WHEN $grpExpr = '$grpB' THEN 1 ELSE 0 END) = 1))
        |SELECT CAST($K AS BIGINT) AS k_cfg, d_a, d_b, matches,
+       |  only_a, only_b,
        |  ${estSql("d_a", "hk_a")} AS est_a_e6,
        |  ${estSql("d_b", "hk_b")} AS est_b_e6,
        |  ${estSql("n_u", "h_u")} AS est_union_e6,
-       |  CAST((matches::HUGEINT * ${estSql("n_u", "h_u")}) // n_u AS BIGINT)
-       |    AS est_inter_e6,
-       |  CAST((matches * 1000000) // n_u AS BIGINT) AS jaccard_e6,
+       |  CASE WHEN n_u > 0 THEN
+       |    CAST((matches::HUGEINT * ${estSql("n_u", "h_u")}) // n_u AS BIGINT)
+       |  END AS est_inter_e6,
+       |  CASE WHEN n_u > 0 THEN
+       |    CAST((only_a::HUGEINT * ${estSql("n_u", "h_u")}) // n_u AS BIGINT)
+       |  END AS est_diff_ab_e6,
+       |  CASE WHEN n_u > 0 THEN
+       |    CAST((only_b::HUGEINT * ${estSql("n_u", "h_u")}) // n_u AS BIGINT)
+       |  END AS est_diff_ba_e6,
+       |  CASE WHEN n_u > 0 THEN
+       |    CAST((matches * 1000000) // n_u AS BIGINT) END AS jaccard_e6,
+       |  CASE WHEN matches + only_a > 0 THEN CAST((matches * 1000000)
+       |       // (matches + only_a) AS BIGINT) END AS cont_a_e6,
+       |  CASE WHEN matches + only_b > 0 THEN CAST((matches * 1000000)
+       |       // (matches + only_b) AS BIGINT) END AS cont_b_e6,
        |  n_inter_exact
        |FROM kmvpg, kmvua, kmvex""".stripMargin
   }

@@ -15,9 +15,10 @@ class HdrHistogramSpec extends AnyFunSuite {
   test("Spark bucket expression matches the Scala reference on an adversarial sweep") {
     import spark.implicits._
     // powers of two, their neighbours, and the exact region boundary
-    val xs = (0L to 130L) ++
+    val pos = (0L to 130L) ++
       (7 to 62).flatMap(b => Seq((1L << b) - 1, 1L << b, (1L << b) + 1)) ++
       Seq(12345L, 999999L, 123456789012L)
+    val xs = pos ++ pos.filter(_ > 0).map(-_) // signed domain (r13)
     import spark.implicits._
     // per-x buckets through the production Spark expression
     val viaSpark = HdrHistogram.histogram(
@@ -27,10 +28,43 @@ class HdrHistogramSpec extends AnyFunSuite {
     xs.foreach { x =>
       val lo = HdrHistogram.bucketLoRef(x, K)
       assert(viaSpark(x) === lo, s"spark bucket of $x")
-      // bucket invariants: lo ≤ x ≤ lo + lo/2^k + 1, exact under 2^(k+1)
-      assert(lo <= x && x <= lo + (lo >> K) + 1, s"x=$x lo=$lo")
-      if (x < (1L << (K + 1))) assert(lo === x)
+      if (x >= 0) {
+        // bucket invariants: lo ≤ x ≤ lo + lo/2^k + 1, exact under 2^(k+1)
+        assert(lo <= x && x <= lo + (lo >> K) + 1, s"x=$x lo=$lo")
+        if (x < (1L << (K + 1))) assert(lo === x)
+      } else {
+        // mirror map: bucket(x) = −bucket(−x), an UPPER bound within
+        // the same relative band, still monotone in x
+        assert(lo === -HdrHistogram.bucketLoRef(-x, K))
+        assert(lo >= x && x >= lo - ((-lo) >> K) - 1, s"x=$x lo=$lo")
+      }
     }
+  }
+
+  test("negative-heavy data keeps the bounded-bucket contract on both engines") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    // 3000 distinct signed values spanning ±9e6 — pre-r13 each negative
+    // landed in its own exact singleton bucket (unbounded store growth
+    // on negative-heavy data, r12 verdict item 5)
+    val xs = (1L to 3000L).map(i => if (i % 2 == 0) i * i else -(i * i))
+    val hist = HdrHistogram.histogram(xs.toDF("x").withColumn("g", lit("all")),
+      "g", "x", K).collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // O(2^k · log range) buckets, far below the distinct-value count
+    assert(hist.size < 1400, s"bucket count ${hist.size} not collapsed")
+    assert(hist.values.sum === 3000L)
+    assert(hist.size < xs.distinct.size / 2)
+    // engine parity: the DuckDB spelling buckets the same generated
+    // values to the same (lo, cnt) histogram
+    val duckHist = DuckBridgeTestUtil.duck(
+      s"""SELECT lo, COUNT(*) AS cnt FROM (
+         |  SELECT ${HdrHistogram.bucketLoSql("x", K)} AS lo FROM (
+         |    SELECT CASE WHEN i % 2 = 0 THEN (i * i)::BIGINT
+         |                ELSE -((i * i)::BIGINT) END AS x
+         |    FROM range(1, 3001) t(i)) s) b GROUP BY 1""".stripMargin)
+      .map(r => r(0).get.toLong -> r(1).get.toLong).toMap
+    assert(duckHist === hist)
   }
 
   test("quantile lower bounds sit within 2^-k of the exact type-1 quantiles") {

@@ -76,10 +76,11 @@ class KmvSketchSpec extends AnyFunSuite {
       (1 to 50).map(i => ("B", 50000L + i))
     val c = (1 to 100).map(i => ("C", i.toLong)) ++
       (1 to 900).map(i => ("C", 100000L + i))
-    val out = KmvSketch.pairwiseMatrix((a ++ b ++ c).toDF("grp", "k"),
-      "grp", "k")
-      .collect().map(r => (r.getString(0), r.getString(1)) ->
-        (r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    val rows = KmvSketch.pairwiseMatrix((a ++ b ++ c).toDF("grp", "k"),
+      "grp", "k").collect()
+    val out = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("est_inter_e6"), r.getAs[Long]("jaccard_e6"),
+        r.getAs[Long]("n_inter_exact"))).toMap
     assert(out.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
     // exact regime: A∪B = 150 < k, so everything is exact set algebra
     val (abInter, abJac, abExact) = out(("A", "B"))
@@ -90,6 +91,61 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(acExact === 100L)
     assert(math.abs(acInter / 1e6 - 100) < 80, s"A∩C est ${acInter / 1e6}")
     assert(out(("B", "C"))._3 === 30L)
+    // difference + containment in the exact regime: A∖B = 70, B∖A = 50,
+    // |A∩B|/|A| = 30/100, |A∩B|/|B| = 30/80 — and A ⊆ C pins the
+    // containment-direction asymmetry (cont(A in C) = 1, cont(C in A) ≪ 1)
+    val ab = rows.find(r => r.getString(0) == "A" && r.getString(1) == "B").get
+    assert(ab.getAs[Long]("est_diff_ab_e6") === 70L * 1000000)
+    assert(ab.getAs[Long]("est_diff_ba_e6") === 50L * 1000000)
+    assert(ab.getAs[Long]("cont_a_e6") === 300000L)
+    assert(ab.getAs[Long]("cont_b_e6") === 375000L)
+    val ac = rows.find(r => r.getString(0) == "A" && r.getString(1) == "C").get
+    val contAinC = ac.getAs[Long]("cont_a_e6") / 1e6
+    val contCinA = ac.getAs[Long]("cont_b_e6") / 1e6
+    assert(contAinC > 0.7, s"cont(A in C) $contAinC should be near 1")
+    assert(contCinA < 0.3, s"cont(C in A) $contCinA should be near 0.1")
+    assert(contAinC > contCinA)
+  }
+
+  test("difference and containment estimates: exact collapse and estimator class") {
+    // exact regime (A∪B = 150 < k): one formula, exact values
+    val ex = KmvSketch.intersectEstimate(synth(100, 80, 30),
+      "grp", "k", "A", "B").head()
+    assert(ex.getAs[Long]("est_diff_ab_e6") === 70L * 1000000)
+    assert(ex.getAs[Long]("est_diff_ba_e6") === 50L * 1000000)
+    assert(ex.getAs[Long]("cont_a_e6") === 300000L) // 30/100
+    assert(ex.getAs[Long]("cont_b_e6") === 375000L) // 30/80 — asymmetric
+    // estimator regime: |A∖B| = 4000, |B∖A| = 3000, |A∩B|/|A| = 0.2
+    val est = KmvSketch.intersectEstimate(synth(5000, 4000, 1000),
+      "grp", "k", "A", "B").head()
+    assert(math.abs(est.getAs[Long]("est_diff_ab_e6") / 1e6 / 4000 - 1) < 0.5)
+    assert(math.abs(est.getAs[Long]("est_diff_ba_e6") / 1e6 / 3000 - 1) < 0.5)
+    assert(math.abs(est.getAs[Long]("cont_a_e6") / 1e6 - 0.2) < 0.15)
+  }
+
+  test("degenerate inputs yield NULL estimators, never a division error") {
+    import spark.implicits._
+    // one-sided: grp B absent — its d/hk/est/cont columns are NULL,
+    // the A-side and union/intersection columns still bind
+    val one = KmvSketch.intersectEstimate(
+      (1 to 50).map(i => ("A", i.toLong)).toDF("grp", "k"),
+      "grp", "k", "A", "B").head()
+    assert(one.isNullAt(one.fieldIndex("d_b")))
+    assert(one.isNullAt(one.fieldIndex("est_b_e6")))
+    assert(one.isNullAt(one.fieldIndex("cont_b_e6")))
+    assert(one.getAs[Long]("est_a_e6") === 50L * 1000000)
+    assert(one.getAs[Long]("est_inter_e6") === 0L)
+    assert(one.getAs[Long]("jaccard_e6") === 0L)
+    assert(one.getAs[Long]("cont_a_e6") === 0L)
+    // fully empty input: n_u = 0 — every ratio column is NULL (the
+    // r12 ADVICE shape: 'matches * 1e6 div n_u' used to throw/NULL
+    // confusingly under ANSI), and nothing errors
+    val empty = KmvSketch.intersectEstimate(
+      Seq.empty[(String, Long)].toDF("grp", "k"), "grp", "k", "A", "B").head()
+    assert(empty.isNullAt(empty.fieldIndex("est_inter_e6")))
+    assert(empty.isNullAt(empty.fieldIndex("jaccard_e6")))
+    assert(empty.isNullAt(empty.fieldIndex("cont_a_e6")))
+    assert(empty.getAs[Long]("n_inter_exact") === 0L)
   }
 
   test("MinKAgg keeps k smallest distinct values under duplication and order") {
