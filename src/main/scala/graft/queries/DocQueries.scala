@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.text.{Bm25, ChunkDedup, Chunker, CorpusPipeline, DedupClusters,
-  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, PreferencePairs,
-  Shingles, SimHash, TextAnalysis, Tfidf}
+  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, NgramEval,
+  PreferencePairs, Shingles, SimHash, TextAnalysis, Tfidf}
 import graft.sim.{Knn, Pq}
 import QueryDsl._
 
@@ -199,6 +199,11 @@ object DocQueries {
   /** Test-vs-train n-gram contamination audit over the split. */
   private val pipelineContamination: Q = (s, d) =>
     CorpusPipeline.contamination(table(s, d, "documents"))
+
+  /** BLEU/ROUGE-n clipped-count precision/recall over (even, odd)
+    * doc-id pairs — the contamination audit's eval-side twin. */
+  private val evalNgramOverlap: Q = (s, d) =>
+    NgramEval.clippedOverlap(table(s, d, "documents"))
 
   /** Concat-then-chunk packing offsets, sharded per language. */
   private val pipelinePack: Q = (s, d) =>
@@ -796,6 +801,8 @@ object DocQueries {
       Some(CorpusPipeline.trainTestSplitSql())),
     ("pipeline_contamination", pipelineContamination,
       Some(CorpusPipeline.contaminationSql())),
+    ("eval_ngram_overlap", evalNgramOverlap,
+      Some(NgramEval.clippedOverlapSql())),
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
     ("retrieval_rrf", retrievalRrf,
       Some(graft.text.HybridRetrieval.rrfTopDocsSql(bm25Terms))),

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class NgramEvalSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestBase.spark
+
+  private def run(docs: Seq[(Long, String)], n: Int) = {
+    import spark.implicits._
+    NgramEval.clippedOverlap(docs.toDF("doc_id", "text"), n)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+  }
+
+  test("clipping caps repeated grams at the reference multiplicity") {
+    // the classic BLEU degenerate candidate: "the the the the" vs a
+    // reference with two 'the the' bigrams' worth — candidate bigram
+    // 'the the' ×3, reference ×1 → clipped = min(3, 1) = 1, not 3
+    val out = run(Seq(
+      0L -> "the the the the",      // candidate: 3 × 'the the'
+      1L -> "the the cat sat"),     // reference: 1 × 'the the' + 2 others
+      n = 2)
+    val (clipped, cTotal, rTotal, prec, rec) = out(0L)
+    assert(clipped === 1L && cTotal === 3L && rTotal === 3L)
+    assert(prec === 1.0 / 3 && rec === 1.0 / 3)
+  }
+
+  test("hand-computed precision and recall on an overlapping pair") {
+    // cand bigrams: [a b, b c, c d]; ref bigrams: [a b, b c, c x]
+    // clipped = 2 → precision 2/3, recall 2/3; unigram: cand {a,b,c,d}
+    // ref {a,b,c,x} → clipped 3, precision 3/4
+    val docs = Seq(0L -> "a b c d", 1L -> "a b c x")
+    val bi = run(docs, 2)(0L)
+    assert(bi === ((2L, 3L, 3L, 2.0 / 3, 2.0 / 3)))
+    val uni = run(docs, 1)(0L)
+    assert(uni === ((3L, 4L, 4L, 3.0 / 4, 3.0 / 4)))
+  }
+
+  test("multiplicity counts on BOTH sides (not distinct-gram overlap)") {
+    // 'x y' appears twice in cand and twice in ref → clipped 2 of 3
+    val out = run(Seq(0L -> "x y x y x", 1L -> "x y x y z"), 2)(0L)
+    assert(out._1 === 3L) // min(2,2) for 'x y' + min(2,1) for 'y x'
+    assert(out._2 === 4L && out._3 === 4L)
+  }
+
+  test("pairs missing a side or below n words are dropped") {
+    val out = run(Seq(
+      0L -> "a b c", 1L -> "a b c",
+      2L -> "only candidate here",     // doc 3 missing
+      4L -> "a b c", 5L -> "x"),       // ref below n=2 words
+      2)
+    assert(out.keySet === Set(0L))
+  }
+
+  test("disjoint texts score zero with exact totals") {
+    val out = run(Seq(0L -> "a b c", 1L -> "x y z"), 2)(0L)
+    assert(out === ((0L, 2L, 2L, 0.0, 0.0)))
+  }
+}
