@@ -67,6 +67,59 @@ object Bench {
       .getOrElse(Seq.empty)
   }
 
+  /** Parse the recorded driver heap (r13 format); None for runs that
+    * predate it. */
+  private[graft] def parsePrevDriverMem(text: String): Option[Long] = {
+    val m = """"driver_mem_mb"\s*:\s*([0-9]+)""".r
+    m.findFirstMatchIn(text).map(_.group(1).toLong)
+  }
+
+  /** The drift comparison binds only within one memory envelope: the
+    * r12 judge measured the SAME bench >3× slower wall under a small
+    * heap (evicted localCheckpoints recompute), so comparing runs
+    * across heap configs flags plan-unchanged gates. A >±25% heap
+    * difference disarms the ledger LOUDLY (a previous run that never
+    * recorded its heap — pre-r13 format — stays armed; the re-baseline
+    * at round close closes that hole permanently). */
+  private[graft] def memMismatch(prevMb: Option[Long], curMb: Long): Boolean =
+    prevMb.exists(p => p > 0 &&
+      (curMb.toDouble / p < 0.75 || curMb.toDouble / p > 1.33))
+
+  /** The solo-A/B adjudication stage (r12 verdict item 1, mechanizing
+    * the manual PLANS_NOTES protocol that resolved BOTH r12 flags): a
+    * flag that survives the control-median AND bracketing-canary
+    * stages can still be a gate-local transient (GC pause, one noisy
+    * neighbor burst landing on both measured runs). At end of run the
+    * gate is re-measured SOLO (min-of-3 on the now-idle suite JVM)
+    * together with one pinned control; the control's solo/prev ratio
+    * re-normalizes ambient at adjudication time, and the verdict is
+    * the same >30% AND >0.5 s rule against that solo baseline.
+    * `measure` is injected (BenchDriftSpec drives it with canned
+    * samples); returns (gate, flaggedCur, soloSec, soloBaseline,
+    * verdict ∈ regression|transient). */
+  private[graft] def adjudicateFlags(
+      flagged: Seq[(String, Double, Double, Double)],
+      prevControl: Option[Double],
+      measure: String => Double,
+      controlGate: String): Seq[(String, Double, Double, Double, String)] = {
+    if (flagged.isEmpty) Seq.empty
+    else {
+      val soloControl = measure(controlGate)
+      val ambient = prevControl match {
+        case Some(p) if p > 0 && soloControl > 0 => soloControl / p
+        case _ => 1.0
+      }
+      flagged.map { case (g, p, v, _) =>
+        val solo = measure(g)
+        val base = p * ambient
+        val verdict =
+          if (solo > base * 1.3 && solo - base > 0.5) "regression"
+          else "transient"
+        (g, v, solo, base, verdict)
+      }
+    }
+  }
+
   /** Second-stage drift normalization from interleaved canary samples:
     * the global control-median ratio under-normalizes gates that ran
     * during a transient load stretch (ambient on a shared box moves
@@ -140,6 +193,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // The memory envelope that shapes the numbers (r12 verdict item 2):
+    // recorded in BENCH_FULL so the drift loader can refuse to compare
+    // runs across heap configs. -Xmx is what actually bounds the
+    // local-mode driver (SPARK_DRIVER_MEM via build.sbt/run_graft.sh).
+    val driverMemMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -239,16 +297,29 @@ object Bench {
     // Returns (fullBlock, stdoutBlock): stdout carries flagged capped
     // at 5 + counts only, so many flags can't overflow the ~3.5 KB
     // stdout tail window the side-file split protects.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // Subset runs must not clobber the committed drift base: without an
+    // explicit override their side file goes to /tmp.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isEmpty) "BENCH_FULL.json" else "/tmp/BENCH_SUBSET.json")
     val (driftJson, driftStdout) = if (only.nonEmpty) ("", "") else {
       val prevText = try new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fullPath)),
         "UTF-8") catch { case _: Throwable => "" }
       val prev = parsePrevQueries(prevText)
+      val prevMem = parsePrevDriverMem(prevText)
       if (prev.size < results.size / 2) {
         System.err.println(s"[bench] drift ledger DISARMED: previous full " +
           s"map resolves ${prev.size} of ${results.size} gates")
         val b = s""","drifts":{"disarmed":true,"reason":"prev_map_too_small","prev_queries":${prev.size}}"""
+        (b, b)
+      } else if (memMismatch(prevMem, driverMemMb)) {
+        // r12 verdict item 2: two honest runs under different heaps
+        // disagree >3× on checkpoint-heavy gates — say so instead of
+        // flagging plan-unchanged gates
+        System.err.println(s"[bench] drift ledger DISARMED: driver heap " +
+          s"changed (prev ${prevMem.get} MiB, cur $driverMemMb MiB) — " +
+          "cross-config comparisons don't bind")
+        val b = s""","drifts":{"disarmed":true,"reason":"config_mismatch","prev_driver_mem_mb":${prevMem.get},"cur_driver_mem_mb":$driverMemMb}"""
         (b, b)
       } else {
         val (ambient, flaggedGlobal, nControls) =
@@ -270,19 +341,50 @@ object Bench {
           case (g, p, v, _) => localAt(g).forall { lr =>
             v > p * lr * 1.3 && v - p * lr > 0.5 }
         }
+        // the third, final stage: surviving flags self-adjudicate by an
+        // end-of-run solo re-measure (the suite is idle now). Capped —
+        // a run with many survivors is an ambient anomaly the solo
+        // protocol can't amortize, and the cap is recorded.
+        val soloCap = 10
+        val toSolo = flagged
+          .sortBy { case (_, _, v, norm) => -(v / math.max(norm, 1e-9)) }
+          .take(soloCap)
+        def soloMeasure(g: String): Double =
+          SparkEntry.queries.get(g) match {
+            case None => -1.0
+            case Some(fn) =>
+              runOnce(fn) // warm
+              (1 to 3).map { _ =>
+                settle()
+                val t0 = System.nanoTime()
+                val ok = runOnce(fn)
+                val e = (System.nanoTime() - t0) / 1e9
+                if (ok) e else Double.MaxValue
+              }.min
+          }
+        val verdicts = adjudicateFlags(toSolo,
+          prev.get(driftControls.head), soloMeasure, driftControls.head)
+          .map(v => v._1 -> v).toMap
         def entries(fs: Seq[(String, Double, Double, Double)],
             withLocal: Boolean): String =
           fs.map { case (g, p, v, norm) =>
             val local = if (!withLocal) "" else
               s""","local_canary_ratio":${f3(localAt(g).getOrElse(1.0))}"""
-            s""""$g":{"prev":${f3(p)},"cur":${f3(v)},"prev_ambient_norm":${f3(norm)}$local}"""
+            val solo = verdicts.get(g).map { case (_, _, s, base, verdict) =>
+              s""","flagged_ratio":${f3(v / math.max(norm, 1e-9))}""" +
+                s""","solo_sec":${f3(s)},"solo_baseline":${f3(base)}""" +
+                s""","verdict":"$verdict""""
+            }.getOrElse("")
+            s""""$g":{"prev":${f3(p)},"cur":${f3(v)},"prev_ambient_norm":${f3(norm)}$local$solo}"""
           }.mkString("{", ",", "}")
+        val regressions = verdicts.values.count(_._5 == "regression")
         val head = s""","drifts":{"ambient_ratio":${f3(ambient)},"controls_resolved":$nControls,"disarmed":$disarmed"""
-        val full = s"""$head,"flagged":${entries(flagged, withLocal = false)},"absolved":${entries(absolved, withLocal = true)}}"""
+        val soloMeta = s""","solo_adjudicated":${verdicts.size},"solo_skipped":${flagged.size - verdicts.size},"regressions":$regressions"""
+        val full = s"""$head$soloMeta,"flagged":${entries(flagged, withLocal = false)},"absolved":${entries(absolved, withLocal = true)}}"""
         val top5 = flagged
           .sortBy { case (_, _, v, norm) => -(v / math.max(norm, 1e-9)) }
           .take(5)
-        val compact = s"""$head,"flagged_n":${flagged.size},"flagged_top":${
+        val compact = s"""$head$soloMeta,"flagged_n":${flagged.size},"flagged_top":${
           entries(top5, withLocal = false)},"absolved_n":${absolved.size}}"""
         (full, compact)
       }
@@ -297,7 +399,7 @@ object Bench {
     // line — so it goes to a side file, and stdout gets a compact
     // summary (<1 KB) that survives the tail intact.
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson$driftJson$canaryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpus":"$cpus","driver_mem_mb":$driverMemMb,"queries":$qs,"errors":$errJson$driftJson$canaryJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get(fullPath)
       java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
@@ -306,7 +408,7 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"errors":$errJson$driftStdout,"slowest":$slowest,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"driver_mem_mb":$driverMemMb,"errors":$errJson$driftStdout,"slowest":$slowest,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

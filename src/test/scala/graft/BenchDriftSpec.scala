@@ -109,6 +109,51 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.parsePrevCanaryPos("""{"canary":[0.2,0.3]}""") == Seq.empty)
   }
 
+  test("a surviving flag self-adjudicates by solo re-measure") {
+    // the r12 judge case: dedup_fuzzy_levenshtein flagged at 2.88 in
+    // suite (prev 1.71), solo re-measure read 1.58 → transient. The
+    // injected slow SUITE sample must not survive a clean solo reading.
+    val flagged = Seq(("gate_x", 1.71, 2.88, 1.75))
+    def run(samples: Map[String, Double]) =
+      Bench.adjudicateFlags(flagged, prevControl = Some(0.50),
+        measure = samples.apply, controlGate = "a1_multi_agg")
+    val transient = run(Map("gate_x" -> 1.58, "a1_multi_agg" -> 0.50))
+    assert(transient === Seq(("gate_x", 2.88, 1.58, 1.71, "transient")))
+    // the solo reading confirms the slowdown → regression
+    val regression = run(Map("gate_x" -> 2.85, "a1_multi_agg" -> 0.50))
+    assert(regression.head._5 === "regression")
+    assert(regression.head._4 === 1.71) // solo baseline = prev * ambient
+    // a machine uniformly 2x slower at adjudication time re-normalizes:
+    // gate at 2x its prev with the control also at 2x is NOT a regression
+    val ambient2x = run(Map("gate_x" -> 3.40, "a1_multi_agg" -> 1.00))
+    assert(math.abs(ambient2x.head._4 - 3.42) < 1e-9)
+    assert(ambient2x.head._5 === "transient")
+    assert(Bench.adjudicateFlags(Seq.empty, Some(0.5),
+      _ => fail("no flags, no measures"), "a1_multi_agg").isEmpty)
+  }
+
+  test("solo verdict still applies the absolute 0.5s floor") {
+    // tiny gate: 6x slower solo but only +0.25s — not a regression
+    val out = Bench.adjudicateFlags(Seq(("tiny", 0.05, 0.40, 0.05)),
+      Some(0.50), Map("tiny" -> 0.30, "a1_multi_agg" -> 0.50).apply,
+      "a1_multi_agg")
+    assert(out.head._5 === "transient")
+  }
+
+  test("memMismatch binds the drift comparison to one heap envelope") {
+    assert(Bench.memMismatch(Some(8192L), 98304L))   // 8g prev vs 96g cur
+    assert(Bench.memMismatch(Some(98304L), 8192L))   // and the reverse
+    assert(!Bench.memMismatch(Some(8192L), 8192L))
+    assert(!Bench.memMismatch(Some(8192L), 9216L))   // +12% — same envelope
+    assert(!Bench.memMismatch(None, 8192L))          // pre-r13 run: stay armed
+  }
+
+  test("parsePrevDriverMem reads the recorded heap; legacy runs None") {
+    val line = """{"metric":"total","value":10.0,"cpus":"32","driver_mem_mb":7282,"queries":{"a":1.0}}"""
+    assert(Bench.parsePrevDriverMem(line) === Some(7282L))
+    assert(Bench.parsePrevDriverMem("""{"queries":{"a":1.0}}""") === None)
+  }
+
   test("parsePrevQueries reads the BENCH_FULL line shape") {
     val line = """{"metric":"total","value":10.0,"unit":"sec","queries":{"a":0.5,"b":-1.000,"c":2.25},"errors":["b"],"sf":"x"}"""
     assert(Bench.parsePrevQueries(line) ==
