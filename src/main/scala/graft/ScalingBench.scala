@@ -71,6 +71,8 @@ object ScalingBench {
       "pipeline_tokenizer_fertility" -> "documents",
       // r12 sketch-kernel trio: bounded-state aggregations whose cost
       // should track their input row counts linearly
+      // r13: the clipped-count eval twin — one scan, two shuffles
+      "eval_ngram_overlap" -> "documents",
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
       "a_kmv_intersect" -> "events",
@@ -123,7 +125,7 @@ object ScalingBench {
     // texts dissimilar so the near-dup structure replicates instead of
     // exploding quadratically. Confirms the fitted exponent holds past
     // the largest provided SF.
-    import org.apache.spark.sql.functions.{col, expr, lit, translate}
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, translate}
     val xDir = "/tmp/graft_scale_x4"
     val docs = spark.read.parquet(s"${sfs.last}/documents.parquet")
     val rotations = Seq("aeiou", "eioua", "iouae", "ouaei")
@@ -197,6 +199,30 @@ object ScalingBench {
     // — the ×4 run therefore uses k=32 vs the sf0.1 gate's k=8; a
     // fixed-k ×4 run would only measure the known quadratic
     // within-cluster pair growth the contract exists to prevent.
+    // ×4 GROUPS events for the overlap-matrix extrapolation (r12
+    // verdict item 6): the matrix's scale variable is G (shard count)
+    // — G² pair enumeration and ≤G²/2 per-key in-row fan-out — not
+    // corpus rows, so the row-×4 sweeps above don't measure it. Each
+    // copy keeps user_id (cross-copy overlap is real, every key's
+    // group set genuinely grows 4×) and suffixes event_type: G → 4G,
+    // pairs → 16×. Rows also grow 4× with it (G∝N, the semdedup
+    // contract-marking convention — don't compare this exponent to
+    // the fixed-plan rows below).
+    val ev4 = spark.read.parquet(s"${sfs.last}/events.parquet")
+    (0 until 4).map(r =>
+        ev4.withColumn("event_type", concat(col("event_type"), lit(s"_$r"))))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$xDir/events.parquet")
+    val kmvMatrixExtrap = {
+      val g1 = spark.read.parquet(s"${sfs.last}/events.parquet")
+        .select("event_type").distinct().count()
+      val t1 = timeOnce("a_kmv_overlap_matrix", sfs.last)
+      val t2 = timeOnce("a_kmv_overlap_matrix", xDir)
+      val slope = math.log(t2 / t1) / math.log(4.0)
+      s""""a_kmv_overlap_matrix_x4":{"sec":{"sf0.1":${f3(t1)},"x4":${f3(t2)}},""" +
+        s""""exponent":${f3(slope)},"contract":"pairs\\u221dG\\u00b2",""" +
+        s""""g":{"sf0.1":$g1,"x4":${g1 * 4}}}"""
+    }
     val semExtrap = {
       def sem(dir: String, k: Int) = () =>
         graft.sim.SemDedup.dedup(
@@ -214,7 +240,8 @@ object ScalingBench {
         s""""k":{"sf0.1":8,"x4":32}}"""
     }
 
-    val json = (results ++ extrap :+ semExtrap).mkString("{", ",", "}")
+    val json = (results ++ extrap ++ Seq(kmvMatrixExtrap, semExtrap))
+      .mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       json.getBytes("UTF-8"))
     catch { case _: Throwable => () }
