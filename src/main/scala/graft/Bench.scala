@@ -83,7 +83,7 @@ object Bench {
     * at round close closes that hole permanently). */
   private[graft] def memMismatch(prevMb: Option[Long], curMb: Long): Boolean =
     prevMb.exists(p => p > 0 &&
-      (curMb.toDouble / p < 0.75 || curMb.toDouble / p > 1.33))
+      (curMb.toDouble / p < 0.75 || curMb.toDouble / p > 1.25))
 
   /** The solo-A/B adjudication stage (r12 verdict item 1, mechanizing
     * the manual PLANS_NOTES protocol that resolved BOTH r12 flags): a
@@ -95,8 +95,11 @@ object Bench {
     * re-normalizes ambient at adjudication time, and the verdict is
     * the same >30% AND >0.5 s rule against that solo baseline.
     * `measure` is injected (BenchDriftSpec drives it with canned
-    * samples); returns (gate, flaggedCur, soloSec, soloBaseline,
-    * verdict ∈ regression|transient). */
+    * samples) and reports failure as a NEGATIVE value (the suite's -1
+    * convention) — a failed gate measure gets verdict `solo_error`
+    * (not a silent absolution), and a failed CONTROL measure falls
+    * back to ambient 1.0. Returns (gate, flaggedCur, soloSec,
+    * soloBaseline, verdict ∈ regression|transient|solo_error). */
   private[graft] def adjudicateFlags(
       flagged: Seq[(String, Double, Double, Double)],
       prevControl: Option[Double],
@@ -113,7 +116,8 @@ object Bench {
         val solo = measure(g)
         val base = p * ambient
         val verdict =
-          if (solo > base * 1.3 && solo - base > 0.5) "regression"
+          if (solo < 0) "solo_error"
+          else if (solo > base * 1.3 && solo - base > 0.5) "regression"
           else "transient"
         (g, v, solo, base, verdict)
       }
@@ -354,13 +358,14 @@ object Bench {
             case None => -1.0
             case Some(fn) =>
               runOnce(fn) // warm
-              (1 to 3).map { _ =>
+              val oks = (1 to 3).flatMap { _ =>
                 settle()
                 val t0 = System.nanoTime()
                 val ok = runOnce(fn)
                 val e = (System.nanoTime() - t0) / 1e9
-                if (ok) e else Double.MaxValue
-              }.min
+                if (ok) Some(e) else None
+              }
+              if (oks.isEmpty) -1.0 else oks.min // -1 = measure failed
           }
         val verdicts = adjudicateFlags(toSolo,
           prev.get(driftControls.head), soloMeasure, driftControls.head)
@@ -381,9 +386,7 @@ object Bench {
         val head = s""","drifts":{"ambient_ratio":${f3(ambient)},"controls_resolved":$nControls,"disarmed":$disarmed"""
         val soloMeta = s""","solo_adjudicated":${verdicts.size},"solo_skipped":${flagged.size - verdicts.size},"regressions":$regressions"""
         val full = s"""$head$soloMeta,"flagged":${entries(flagged, withLocal = false)},"absolved":${entries(absolved, withLocal = true)}}"""
-        val top5 = flagged
-          .sortBy { case (_, _, v, norm) => -(v / math.max(norm, 1e-9)) }
-          .take(5)
+        val top5 = toSolo.take(5) // same worst-survivor ranking
         val compact = s"""$head$soloMeta,"flagged_n":${flagged.size},"flagged_top":${
           entries(top5, withLocal = false)},"absolved_n":${absolved.size}}"""
         (full, compact)

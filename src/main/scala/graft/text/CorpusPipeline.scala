@@ -523,8 +523,7 @@ object CorpusPipeline {
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), col("split"),
         explode(when(size(col("ws")) >= n,
-          expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(ws, i, $n)))"))
+          expr(Shingles.wordNgramsExpr("ws", n)))
           .otherwise(array().cast("array<string>"))).as("gram"))
       // 8-byte xxhash64 as the shuffle/grouping currency (the gram
       // text never leaves the scan); the oracle groups by its own md5

@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   * both ~0, the contamination convention). At 100 TB this is two
   * hash aggregations with map-side partial combine, nothing else.
   *
-  * Pairing contract: candidate = even doc_id, reference = doc_id + 1;
-  * pairs missing either side (or whose side has < n words) are
-  * dropped. The per-row double divisions are exact-integer inputs
-  * through one IEEE divide — bit-identical cross-engine.
+  * Pairing contract: candidate = even doc_id, reference = doc_id + 1
+  * (Euclidean parity on both engines — the SQL spells pmod, so a
+  * negative doc_id pairs identically); pairs missing either side (or
+  * whose side has < n words) are dropped. The per-row double
+  * divisions are exact-integer inputs through one IEEE divide —
+  * bit-identical cross-engine.
   */
 object NgramEval {
 
@@ -40,8 +42,7 @@ object NgramEval {
       .select(
         (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
         pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(ws, i, $n)))")).as("gram"))
+        explode(expr(Shingles.wordNgramsExpr("ws", n))).as("gram"))
       .select(col("pair_id"), col("side"), xxhash64(col("gram")).as("g"))
       .groupBy(col("pair_id"), col("g"))
       .agg(
@@ -64,7 +65,8 @@ object NgramEval {
     s"""WITH nev_ws AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM $from),
        |nev_grams AS (
-       |  SELECT doc_id - (doc_id % 2) AS pair_id, doc_id % 2 AS side,
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side,
        |         md5(array_to_string(ws[i:i+${n - 1}], ' ')) AS g
        |  FROM nev_ws, unnest(generate_series(1, len(ws) - ${n - 1})) t(i)
        |  WHERE len(ws) >= $n),

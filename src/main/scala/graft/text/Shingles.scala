@@ -28,6 +28,15 @@ object Shingles {
           ")), s -> xxhash64(s))"
       ).as("shingles"))
 
+  /** The word-n-gram window expr (WITH multiplicity, 1-based) shared
+    * by the contamination/eval family: callers must guard
+    * `size(<ws>) >= n`. One definition so a window/separator fix
+    * cannot de-synchronize the sites (several pre-r13 text/ sites
+    * still inline the same idiom; new code should use this). */
+  def wordNgramsExpr(wsCol: String, n: Int): String =
+    s"transform(sequence(1, size($wsCol) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice($wsCol, i, $n)))"
+
   /** Distinct word 3-gram shingles per doc: (doc_id, shingle string).
     * Kept for oracle-parity inspection; the pipelines use hashes. */
   def shingleTable(docs: DataFrame, n: Int = 3): DataFrame =

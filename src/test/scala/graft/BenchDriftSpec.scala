@@ -132,6 +132,19 @@ class BenchDriftSpec extends AnyFunSuite {
       _ => fail("no flags, no measures"), "a1_multi_agg").isEmpty)
   }
 
+  test("failed solo measures surface as solo_error, never a silent absolution") {
+    val flagged = Seq(("gate_x", 1.0, 3.0, 1.05))
+    // the gate itself fails all solo runs (-1 sentinel) → solo_error
+    val g = Bench.adjudicateFlags(flagged, Some(0.5),
+      Map("gate_x" -> -1.0, "a1_multi_agg" -> 0.5).apply, "a1_multi_agg")
+    assert(g.head._5 === "solo_error")
+    // the CONTROL fails → ambient falls back to 1.0 and the gate's own
+    // clean solo reading still adjudicates (no Infinity baseline)
+    val c = Bench.adjudicateFlags(flagged, Some(0.5),
+      Map("gate_x" -> 2.9, "a1_multi_agg" -> -1.0).apply, "a1_multi_agg")
+    assert(c.head._4 === 1.0 && c.head._5 === "regression")
+  }
+
   test("solo verdict still applies the absolute 0.5s floor") {
     // tiny gate: 6x slower solo but only +0.25s — not a regression
     val out = Bench.adjudicateFlags(Seq(("tiny", 0.05, 0.40, 0.05)),

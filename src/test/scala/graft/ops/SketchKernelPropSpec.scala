@@ -28,8 +28,11 @@ class SketchKernelPropSpec extends AnyFunSuite {
     import spark.implicits._
     val rnd = new scala.util.Random(20260817L)
     for (k <- Seq(2, 5, 8)) {
-      val xs = Seq.fill(400)(rnd.nextLong().abs >> rnd.nextInt(62)) ++
-        (0L to 2L * (1 << (k + 1)))
+      // signed since r13 (negatives mirror-map); Long.MinValue is the
+      // one excluded point (its negation overflows, loudly)
+      val xs = Seq.fill(400)(rnd.nextLong() >> rnd.nextInt(62))
+        .filter(_ != Long.MinValue) ++
+        (-2L * (1 << (k + 1)) to 2L * (1 << (k + 1)))
       val got = HdrHistogram.histogram(
         xs.distinct.toDF("x").withColumn("g", concat(lit("v"), col("x"))),
         "g", "x", k).collect()

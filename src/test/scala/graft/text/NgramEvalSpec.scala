@@ -53,6 +53,21 @@ class NgramEvalSpec extends AnyFunSuite {
     assert(out.keySet === Set(0L))
   }
 
+  test("negative doc_ids pair by Euclidean parity on BOTH engines") {
+    // pmod(-1, 2) = 1 in Spark; the SQL mirror spells ((x%2)+2)%2 so
+    // DuckDB agrees (bare % returns -1 there) — pair (-2, -1) scores
+    val out = run(Seq(-2L -> "a b c", -1L -> "a b x"), 2)
+    assert(out.keySet === Set(-2L))
+    assert(out(-2L)._1 === 1L) // 'a b' shared
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    val sql = NgramEval.clippedOverlapSql(2,
+      "(SELECT * FROM (VALUES (-2, 'a b c'), (-1, 'a b x')) t(doc_id, text))")
+    val duck = DuckBridgeTestUtil.duck(
+      s"SELECT pair_id, clipped, c_total, r_total FROM ($sql) q")
+    assert(duck === Seq(Seq(Some("-2"), Some("1"), Some("2"), Some("2"))))
+  }
+
   test("disjoint texts score zero with exact totals") {
     val out = run(Seq(0L -> "a b c", 1L -> "x y z"), 2)(0L)
     assert(out === ((0L, 2L, 2L, 0.0, 0.0)))
