@@ -73,6 +73,7 @@ object ScalingBench {
       // should track their input row counts linearly
       // r13: the clipped-count eval twin — one scan, two shuffles
       "eval_ngram_overlap" -> "documents",
+      "eval_bleu4" -> "documents",
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
       "a_kmv_intersect" -> "events",

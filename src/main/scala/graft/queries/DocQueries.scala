@@ -205,6 +205,11 @@ object DocQueries {
   private val evalNgramOverlap: Q = (s, d) =>
     NgramEval.clippedOverlap(table(s, d, "documents"))
 
+  /** Composite BLEU-4 (geometric mean of 4 clipped precisions +
+    * brevity penalty) as an exact fixed-point-log2 integer score. */
+  private val evalBleu4: Q = (s, d) =>
+    NgramEval.bleu4(table(s, d, "documents"))
+
   /** Concat-then-chunk packing offsets, sharded per language. */
   private val pipelinePack: Q = (s, d) =>
     CorpusPipeline.packSequences(table(s, d, "documents"))
@@ -803,6 +808,7 @@ object DocQueries {
       Some(CorpusPipeline.contaminationSql())),
     ("eval_ngram_overlap", evalNgramOverlap,
       Some(NgramEval.clippedOverlapSql())),
+    ("eval_bleu4", evalBleu4, Some(NgramEval.bleu4Sql())),
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
     ("retrieval_rrf", retrievalRrf,
       Some(graft.text.HybridRetrieval.rrfTopDocsSql(bm25Terms))),

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.{DuckHash, FixedLog}
 
 /** N-gram-overlap generation eval — BLEU/ROUGE-n style CLIPPED-count
   * precision/recall over (candidate, reference) text pairs (Papineni
@@ -58,6 +59,150 @@ object NgramEval {
       .select(col("pair_id"), col("clipped"), col("c_total"), col("r_total"),
         (col("clipped").cast("double") / col("c_total")).as("precision_n"),
         (col("clipped").cast("double") / col("r_total")).as("recall_n"))
+  }
+
+  /** floor(ln2 · 1e6) — shared with [[graft.ops.HllKernel.Ln2E6]]. */
+  private val Ln2E6 = 693147L
+
+  /** Composite BLEU-4 over the same (even, odd) pairs — geometric
+    * mean of the four clipped precisions plus the brevity penalty,
+    * ENTIRELY in integers so the whole score replays hash-exactly in
+    * the oracle: the third family reuse of the fixed-point log2
+    * kernel ([[FixedLog.log2fp]] / [[DuckHash.log2fpRowCtes]], after
+    * the unigram-LM EM twin and HLL linear counting).
+    *
+    * Score spelling (monotone in BLEU, per pair):
+    *   bleu_log2fp_x4 = Σ_{n=1..4} log2fp(cs_n, ts_n) + 4·bp_log2fp
+    * i.e. 4·log2(BLEU)·2^fbits, where (cs, ts) = (clipped, c_total)
+    * for n = 1 and the add-one-smoothed (clipped+1, c_total+1) for
+    * n ≥ 2 (Chen & Cherry smoothing 2 — zero higher-order overlap
+    * must not collapse the score), and
+    *   bp_log2fp = min(0, (c_len − r_len)/(c_len·ln2))·2^fbits
+    * (the BLEU brevity penalty exp(1 − r/c) in log2, one integral
+    * division through the pinned integer ln2 constant, floor on the
+    * positive magnitude then negated so both engines truncate
+    * identically). BLEU = 2^(bleu_log2fp_x4 / (4·2^fbits)).
+    * NULL when the candidate shares no unigram with the reference
+    * (log 0 — the true BLEU is 0); pairs whose candidate has fewer
+    * than 4 words or whose reference is absent are dropped.
+    *
+    * Scale shape: the [[clippedOverlap]] plan with all four gram
+    * orders emitted from the ONE text scan (flatten of four window
+    * transforms), then the same two key shuffles; the per-(pair, n)
+    * log runs as a typed map over the aggregate frame — a narrow
+    * distributed op, no collect, O(fbits) integer steps per row. */
+  def bleu4(docs: DataFrame, fbits: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perN = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 1)
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        explode(expr(
+          "flatten(transform(filter(array(1, 2, 3, 4), n -> size(ws) >= n), " +
+            "n -> transform(sequence(1, size(ws) - n + 1), " +
+            "i -> named_struct('n', n, 'g', concat_ws(' ', slice(ws, i, n))))))"
+        )).as("t"))
+      .select(col("pair_id"), col("side"), col("t.n").as("n"),
+        xxhash64(col("t.g")).as("g"))
+      .groupBy(col("pair_id"), col("n"), col("g"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
+        sum(col("c_cnt")).as("c_total"),
+        sum(col("r_cnt")).as("r_total"))
+    val withQ = perN
+      .select(col("pair_id"), col("n").cast("int").as("n"),
+        col("clipped"), col("c_total"), col("r_total"))
+      .as[(Long, Int, Long, Long, Long)]
+      .map { case (p, n, cl, ct, rt) =>
+        val (cs, ts) = if (n == 1) (cl, ct) else (cl + 1L, ct + 1L)
+        val q: Option[Long] =
+          if (ct >= 1 && cs >= 1) Some(FixedLog.log2fp(cs, ts, fbits))
+          else None
+        (p, n, cl, ct, rt, q)
+      }
+      .toDF("pair_id", "n", "clipped", "c_total", "r_total", "qln")
+    withQ.groupBy(col("pair_id"))
+      .agg(
+        sum(when(col("c_total") >= 1, 1).otherwise(0)).as("n_c_orders"),
+        max(when(col("n") === 1, col("c_total"))).as("c_len"),
+        max(when(col("n") === 1, col("r_total"))).as("r_len"),
+        max(when(col("n") === 1, col("clipped"))).as("clipped_1"),
+        max(when(col("n") === 2, col("clipped"))).as("clipped_2"),
+        max(when(col("n") === 3, col("clipped"))).as("clipped_3"),
+        max(when(col("n") === 4, col("clipped"))).as("clipped_4"),
+        sum(col("qln")).as("sum_qln"),
+        count(col("qln")).as("n_qln"))
+      .filter(col("n_c_orders") === 4 && col("r_len") >= 1)
+      .withColumn("bp_log2fp",
+        when(col("c_len") >= col("r_len"), lit(0L))
+          .otherwise(expr(
+            s"-CAST(CAST(r_len - c_len AS DECIMAL(38,0)) * ${1L << fbits} " +
+              s"* 1000000 div (CAST(c_len AS DECIMAL(38,0)) * $Ln2E6) " +
+              "AS BIGINT)")))
+      .select(col("pair_id"), col("c_len"), col("r_len"),
+        col("clipped_1"), col("clipped_2"), col("clipped_3"), col("clipped_4"),
+        col("bp_log2fp"),
+        when(col("clipped_1") >= 1 && col("n_qln") === 4,
+          col("sum_qln") + lit(4L) * col("bp_log2fp")).as("bleu_log2fp_x4"))
+  }
+
+  /** DuckDB mirror of [[bleu4]]. */
+  def bleu4Sql(fbits: Int = 20, from: String = "documents"): String = {
+    val (logCtes, logLast) = DuckHash.log2fpRowCtes(
+      "b4_lsrc", Seq("pair_id", "n"), "cs", "ts", "b4lg", fbits)
+    val bp = s"CASE WHEN c_len >= r_len THEN 0 ELSE " +
+      s"-CAST(((r_len - c_len)::HUGEINT * ${1L << fbits} * 1000000) // " +
+      s"(c_len::HUGEINT * $Ln2E6) AS BIGINT) END"
+    s"""WITH b4_ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $from),
+       |b4_g AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side, tn.n AS n,
+       |         md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
+       |  FROM b4_ws, unnest([1, 2, 3, 4]) tn(n),
+       |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
+       |  WHERE len(ws) >= tn.n),
+       |b4_pg AS (SELECT pair_id, n, g,
+       |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+       |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM b4_g GROUP BY 1, 2, 3),
+       |b4_pn AS (SELECT pair_id, n,
+       |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
+       |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
+       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
+       |  FROM b4_pg GROUP BY 1, 2),
+       |b4_lsrc AS (SELECT pair_id, n,
+       |  CASE WHEN n = 1 THEN clipped ELSE clipped + 1 END AS cs,
+       |  CASE WHEN n = 1 THEN c_total ELSE c_total + 1 END AS ts
+       |  FROM b4_pn WHERE c_total >= 1
+       |    AND (CASE WHEN n = 1 THEN clipped ELSE clipped + 1 END) >= 1)$logCtes,
+       |b4_agg AS (SELECT p.pair_id,
+       |  SUM(CASE WHEN p.c_total >= 1 THEN 1 ELSE 0 END) AS n_c_orders,
+       |  MAX(CASE WHEN p.n = 1 THEN p.c_total END) AS c_len,
+       |  MAX(CASE WHEN p.n = 1 THEN p.r_total END) AS r_len,
+       |  MAX(CASE WHEN p.n = 1 THEN p.clipped END) AS clipped_1,
+       |  MAX(CASE WHEN p.n = 2 THEN p.clipped END) AS clipped_2,
+       |  MAX(CASE WHEN p.n = 3 THEN p.clipped END) AS clipped_3,
+       |  MAX(CASE WHEN p.n = 4 THEN p.clipped END) AS clipped_4,
+       |  CAST(SUM(l.ql) AS BIGINT) AS sum_qln,
+       |  COUNT(l.ql) AS n_qln
+       |  FROM b4_pn p LEFT JOIN $logLast l
+       |    ON l.pair_id = p.pair_id AND l.n = p.n
+       |  GROUP BY 1
+       |  HAVING SUM(CASE WHEN p.c_total >= 1 THEN 1 ELSE 0 END) = 4
+       |     AND MAX(CASE WHEN p.n = 1 THEN p.r_total END) >= 1)
+       |SELECT pair_id, c_len, r_len,
+       |  clipped_1, clipped_2, clipped_3, clipped_4,
+       |  CAST($bp AS BIGINT) AS bp_log2fp,
+       |  CASE WHEN clipped_1 >= 1 AND n_qln = 4
+       |       THEN CAST(sum_qln + 4 * ($bp) AS BIGINT)
+       |  END AS bleu_log2fp_x4
+       |FROM b4_agg""".stripMargin
   }
 
   /** DuckDB mirror of [[clippedOverlap]]. */

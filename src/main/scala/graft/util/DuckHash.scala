@@ -217,26 +217,41 @@ object DuckHash {
     * with column `tot`. Returns (cteText starting with a comma,
     * lastCteName) whose final shape is ($keyCol, ql BIGINT). */
   def log2fpCtes(src: String, keyCol: String, valCol: String,
-      totCte: String, prefix: String, fbits: Int = 20): (String, String) = {
+      totCte: String, prefix: String, fbits: Int = 20): (String, String) =
+    log2fpRowCtes(
+      s"(SELECT $keyCol, ($valCol) AS __val, " +
+        s"(SELECT tot FROM $totCte) AS __tot FROM $src)",
+      Seq(keyCol), "__val", "__tot", prefix, fbits)
+
+  /** The per-ROW-denominator generalization of [[log2fpCtes]] (r13,
+    * the BLEU quantized-score kernel): `src` exposes `$keyCols`, a
+    * value `$valCol` and its OWN total `$totCol` per row — each row
+    * gets its log2(val/tot)·2^fbits independently (the scalar-tot
+    * form above delegates here). Same stage pipeline, same executed
+    * contract (HllKernelSpec's exhaustive LC-domain sweep +
+    * DuckHashContractSpec pin the shared spelling). */
+  def log2fpRowCtes(src: String, keyCols: Seq[String], valCol: String,
+      totCol: String, prefix: String, fbits: Int = 20): (String, String) = {
+    val keys = keyCols.mkString(", ")
     val shiftStages = Seq(32, 16, 8, 4, 2, 1).map { k =>
-      s"SELECT $keyCol, tot, " +
+      s"SELECT $keys, tot, " +
         s"CASE WHEN (num << $k) < tot THEN num << $k ELSE num END AS num, " +
         s"CASE WHEN (num << $k) < tot THEN e + $k ELSE e END AS e FROM __P__"
-    } :+ (s"SELECT $keyCol, tot, " +
+    } :+ (s"SELECT $keys, tot, " +
       "CASE WHEN num < tot THEN num << 1 ELSE num END AS num, " +
       "CASE WHEN num < tot THEN e + 1 ELSE e END AS e FROM __P__")
     val mInit =
-      s"SELECT $keyCol, e, (num << 31) // tot AS m, 0::HUGEINT AS res FROM __P__"
+      s"SELECT $keys, e, (num << 31) // tot AS m, 0::HUGEINT AS res FROM __P__"
     val sq = "((m*m) >> 31)"
     val sqStages = (1 to fbits).map { _ =>
-      s"SELECT $keyCol, e, " +
+      s"SELECT $keys, e, " +
         s"CASE WHEN $sq >= 4294967296::HUGEINT THEN $sq >> 1 ELSE $sq END AS m, " +
         s"res*2 + CASE WHEN $sq >= 4294967296::HUGEINT THEN 1 ELSE 0 END AS res FROM __P__"
     }
     val fin =
-      s"SELECT $keyCol, CAST(res - (e << $fbits) AS BIGINT) AS ql FROM __P__"
-    val s0 = s"SELECT $keyCol, ($valCol)::HUGEINT AS num, 0::HUGEINT AS e, " +
-      s"(SELECT tot FROM $totCte)::HUGEINT AS tot FROM $src"
+      s"SELECT $keys, CAST(res - (e << $fbits) AS BIGINT) AS ql FROM __P__"
+    val s0 = s"SELECT $keys, ($valCol)::HUGEINT AS num, 0::HUGEINT AS e, " +
+      s"($totCol)::HUGEINT AS tot FROM $src"
     val all = Seq(s0) ++ shiftStages ++ Seq(mInit) ++ sqStages ++ Seq(fin)
     val ctes = all.zipWithIndex.map { case (st, i) =>
       val from = if (i == 0) st else st.replace("__P__", s"$prefix${i - 1}")

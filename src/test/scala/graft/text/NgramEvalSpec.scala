@@ -68,6 +68,49 @@ class NgramEvalSpec extends AnyFunSuite {
     assert(duck === Seq(Seq(Some("-2"), Some("1"), Some("2"), Some("2"))))
   }
 
+  test("bleu4: identical texts score exactly 0 (log2 BLEU = 0, BLEU = 1)") {
+    import spark.implicits._
+    val t = "a b c d e f g h"
+    val out = NgramEval.bleu4(Seq(0L -> t, 1L -> t).toDF("doc_id", "text"))
+      .head()
+    // every precision is exact 1 (n=1 unsmoothed: cl=ct; n>=2 smoothed:
+    // (cl+1)/(ct+1) with cl=ct) and c_len = r_len -> bp 0
+    assert(out.getAs[Long]("bp_log2fp") === 0L)
+    assert(out.getAs[Long]("bleu_log2fp_x4") === 0L)
+    assert(out.getAs[Long]("c_len") === 8L && out.getAs[Long]("r_len") === 8L)
+    assert(out.getAs[Long]("clipped_4") === 5L)
+  }
+
+  test("bleu4 equals the hand-composed FixedLog spelling") {
+    import spark.implicits._
+    import graft.util.FixedLog.log2fp
+    // cand: 'a b c d e' (5 words), ref: 'a b c x y z' (6 words)
+    // n=1: clipped 3 of 5; n=2: 2 of 4 (+1 smoothing -> 3/5);
+    // n=3: 1 of 3 (-> 2/4); n=4: 0 of 2 (-> 1/3); c<r -> bp active
+    val out = NgramEval.bleu4(
+      Seq(0L -> "a b c d e", 1L -> "a b c x y z").toDF("doc_id", "text"))
+      .head()
+    assert((out.getAs[Long]("clipped_1"), out.getAs[Long]("clipped_2"),
+      out.getAs[Long]("clipped_3"), out.getAs[Long]("clipped_4")) ===
+      ((3L, 2L, 1L, 0L)))
+    val expectedQ = log2fp(3, 5) + log2fp(3, 5) + log2fp(2, 4) + log2fp(1, 3)
+    val expectedBp = -((6L - 5L) * (1L << 20) * 1000000L / (5L * 693147L))
+    assert(out.getAs[Long]("bp_log2fp") === expectedBp)
+    assert(out.getAs[Long]("bleu_log2fp_x4") === expectedQ + 4 * expectedBp)
+  }
+
+  test("bleu4: zero unigram overlap yields NULL score; short/one-sided pairs drop") {
+    import spark.implicits._
+    val out = NgramEval.bleu4(Seq(
+      0L -> "a b c d", 1L -> "x y z w",     // no shared unigram -> NULL
+      2L -> "a b c", 3L -> "a b c",         // candidate < 4 words -> dropped
+      4L -> "a b c d e").toDF("doc_id", "text")) // missing reference -> dropped
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(0L))
+    assert(out(0L).isNullAt(out(0L).fieldIndex("bleu_log2fp_x4")))
+    assert(out(0L).getAs[Long]("clipped_1") === 0L)
+  }
+
   test("disjoint texts score zero with exact totals") {
     val out = run(Seq(0L -> "a b c", 1L -> "x y z"), 2)(0L)
     assert(out === ((0L, 2L, 2L, 0.0, 0.0)))
