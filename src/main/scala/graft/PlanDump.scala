@@ -53,7 +53,9 @@ object PlanDump {
     "text_kneser_ney" -> "Kneser-Ney LM: three count aggregates, bounded tables LEFT-join the test stream",
     "pipeline_fineweb_funnel" -> "FineWeb funnel: gopher audit -> span dedup -> length floor, one plan, flag rollup",
     "pipeline_quality_classifier" -> "quality filter: GD weight row broadcast per iteration, scoring is a stateless map",
-    "pipeline_wordpiece_encode" -> "WordPiece: greedy fold fully inside codegen, vocab is one broadcast array row")
+    "pipeline_wordpiece_encode" -> "WordPiece: greedy fold fully inside codegen, vocab is one broadcast array row",
+    "a_kmv_overlap_matrix" -> "KMV overlap matrix: sketch-sized frames after one scan, in-row pair expansion witness",
+    "eval_bleu4" -> "BLEU-4: all four gram orders off ONE scan, three combined key shuffles, narrow fixed-point-log map")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -88,9 +88,11 @@ object NgramEval {
     *
     * Scale shape: the [[clippedOverlap]] plan with all four gram
     * orders emitted from the ONE text scan (flatten of four window
-    * transforms), then the same two key shuffles; the per-(pair, n)
-    * log runs as a typed map over the aggregate frame — a narrow
-    * distributed op, no collect, O(fbits) integer steps per row. */
+    * transforms), then three key-grouped shuffles — (pair, n, gram) →
+    * (pair, n) → (pair), each with map-side partial combine; the
+    * per-(pair, n) log runs as a typed map over the aggregate frame —
+    * a narrow distributed op, no collect, O(fbits) integer steps per
+    * row. */
   def bleu4(docs: DataFrame, fbits: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
