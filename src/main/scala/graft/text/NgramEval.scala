@@ -61,8 +61,9 @@ object NgramEval {
         (col("clipped").cast("double") / col("r_total")).as("recall_n"))
   }
 
-  /** floor(ln2 · 1e6) — shared with [[graft.ops.HllKernel.Ln2E6]]. */
-  private val Ln2E6 = 693147L
+  /** The ONE pinned integer ln2 — [[graft.ops.HllKernel.Ln2E6]]; a
+    * retune there must move the BLEU brevity penalty with it. */
+  private def Ln2E6: Long = graft.ops.HllKernel.Ln2E6
 
   /** Composite BLEU-4 over the same (even, odd) pairs — geometric
     * mean of the four clipped precisions plus the brevity penalty,

@@ -227,9 +227,10 @@ object DuckHash {
     * the BLEU quantized-score kernel): `src` exposes `$keyCols`, a
     * value `$valCol` and its OWN total `$totCol` per row — each row
     * gets its log2(val/tot)·2^fbits independently (the scalar-tot
-    * form above delegates here). Same stage pipeline, same executed
-    * contract (HllKernelSpec's exhaustive LC-domain sweep +
-    * DuckHashContractSpec pin the shared spelling). */
+    * form above delegates here). Same stage pipeline; the executed
+    * contract is Log2fpContractSpec — the generated CTEs run in a
+    * real DuckDB against [[graft.util.FixedLog.log2fp]] on a
+    * per-row (val, tot) sweep. */
   def log2fpRowCtes(src: String, keyCols: Seq[String], valCol: String,
       totCol: String, prefix: String, fbits: Int = 20): (String, String) = {
     val keys = keyCols.mkString(", ")

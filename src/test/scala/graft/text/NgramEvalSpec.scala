@@ -111,6 +111,36 @@ class NgramEvalSpec extends AnyFunSuite {
     assert(out(0L).getAs[Long]("clipped_1") === 0L)
   }
 
+  test("bleu4Sql mirror matches the Spark side on a mixed mini-corpus") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    // identical pair, partial-overlap pair with length mismatch (bp
+    // active), zero-unigram pair (NULL score), dropped short pair
+    val docs = Seq(
+      0L -> "a b c d e f", 1L -> "a b c d e f",
+      2L -> "a b c d e", 3L -> "a b c x y z q",
+      4L -> "p q r s", 5L -> "w x y z",
+      6L -> "a b c", 7L -> "a b c")
+    val gotSpark = NgramEval.bleu4(docs.toDF("doc_id", "text"))
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 8).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      }.toMap
+    val values = docs.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val sql = NgramEval.bleu4Sql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")
+    val gotDuck = DuckBridgeTestUtil.duck(sql)
+      .map(r => r(0).get.toLong -> r.tail.map(_.map(_.toLong))).toMap
+    assert(gotSpark.keySet === Set(0L, 2L, 4L))
+    assert(gotDuck.keySet === gotSpark.keySet)
+    gotSpark.foreach { case (p, cols) =>
+      assert(gotDuck(p) === cols, s"pair $p")
+    }
+    assert(gotSpark(0L).last === Some(0L))  // identical -> BLEU = 1
+    assert(gotSpark(4L).last === None)      // zero unigram overlap
+  }
+
   test("disjoint texts score zero with exact totals") {
     val out = run(Seq(0L -> "a b c", 1L -> "x y z"), 2)(0L)
     assert(out === ((0L, 2L, 2L, 0.0, 0.0)))
