@@ -74,6 +74,7 @@ object ScalingBench {
       // r13: the clipped-count eval twin — one scan, two shuffles
       "eval_ngram_overlap" -> "documents",
       "eval_bleu4" -> "documents",
+      "eval_chrf" -> "documents",
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
       "a_kmv_intersect" -> "events",

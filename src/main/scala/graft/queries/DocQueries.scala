@@ -210,6 +210,11 @@ object DocQueries {
   private val evalBleu4: Q = (s, d) =>
     NgramEval.bleu4(table(s, d, "documents"))
 
+  /** chrF: character-n-gram F-β (orders 1..6, β² = 4) — one rational
+    * of longs per order, floor-averaged. */
+  private val evalChrf: Q = (s, d) =>
+    NgramEval.chrF(table(s, d, "documents"))
+
   /** Concat-then-chunk packing offsets, sharded per language. */
   private val pipelinePack: Q = (s, d) =>
     CorpusPipeline.packSequences(table(s, d, "documents"))
@@ -809,6 +814,7 @@ object DocQueries {
     ("eval_ngram_overlap", evalNgramOverlap,
       Some(NgramEval.clippedOverlapSql())),
     ("eval_bleu4", evalBleu4, Some(NgramEval.bleu4Sql())),
+    ("eval_chrf", evalChrf, Some(NgramEval.chrFSql())),
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
     ("retrieval_rrf", retrievalRrf,
       Some(graft.text.HybridRetrieval.rrfTopDocsSql(bm25Terms))),

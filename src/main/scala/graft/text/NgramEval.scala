@@ -154,6 +154,106 @@ object NgramEval {
           col("sum_qln") + lit(4L) * col("bp_log2fp")).as("bleu_log2fp_x4"))
   }
 
+  /** chrF (Popović 2015) — character-n-gram F-β over the same
+    * (even, odd) pairs, the third eval face: whitespace stripped,
+    * char n-grams of orders 1..`maxN` counted WITH multiplicity and
+    * clipped like [[bleu4]], then per order
+    *   F_β = (1+β²)·P·R / (β²·P + R) = (1+β²)·clipped / (β²·r_total + c_total)
+    * (the P = clipped/c_total, R = clipped/r_total cancellation — so
+    * the WHOLE metric is one rational of longs per order, no log, no
+    * float) and chrf_e6 = (Σ_n F_n·1e6) div maxN with floor division
+    * on both engines. Zero-overlap orders contribute 0 naturally —
+    * no NULL regime. Pairs where either side has fewer than `maxN`
+    * characters after space-stripping are dropped (every order must
+    * be populated on both sides, the bleu4 convention).
+    *
+    * Both engines window by CODEPOINT (Spark UTF8String substring and
+    * DuckDB substr both count codepoints), so the boundary holds on
+    * the full Unicode domain, not just the BMP. Scale shape:
+    * identical to [[bleu4]] — one scan, one Generate for all orders,
+    * three combined key shuffles; the per-order F is a plain column
+    * expression (no typed map needed). */
+  def chrF(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame = {
+    val perN = docs
+      .withColumn("s", regexp_replace(col("text"), " ", ""))
+      .filter(length(col("s")) >= 1)
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        explode(expr(
+          s"flatten(transform(filter(sequence(1, $maxN), n -> length(s) >= n), " +
+            "n -> transform(sequence(1, length(s) - n + 1), " +
+            "i -> named_struct('n', n, 'g', substring(s, i, n)))))"
+        )).as("t"))
+      .select(col("pair_id"), col("side"), col("t.n").as("n"),
+        xxhash64(col("t.g")).as("g"))
+      .groupBy(col("pair_id"), col("n"), col("g"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
+        sum(col("c_cnt")).as("c_total"),
+        sum(col("r_cnt")).as("r_total"))
+      // per-order F_β in e6, one rational of longs (decimal width for
+      // the clipped·1e6 intermediate); orders missing a side yield
+      // NULL here and the pair is dropped below
+      .withColumn("f_e6",
+        when(col("c_total") >= 1 && col("r_total") >= 1, expr(
+          s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
+            s"($beta2 * r_total + c_total)")))
+    perN.groupBy(col("pair_id"))
+      .agg(
+        sum(when(col("c_total") >= 1 && col("r_total") >= 1, 1).otherwise(0))
+          .as("n_orders"),
+        max(when(col("n") === 1, col("c_total"))).as("c_chars"),
+        max(when(col("n") === 1, col("r_total"))).as("r_chars"),
+        max(when(col("n") === 1, col("clipped"))).as("clipped_1"),
+        max(when(col("n") === maxN, col("clipped"))).as(s"clipped_$maxN"),
+        sum(col("f_e6")).as("sum_f_e6"))
+      .filter(col("n_orders") === maxN)
+      .select(col("pair_id"), col("c_chars"), col("r_chars"),
+        col("clipped_1"), col(s"clipped_$maxN"),
+        expr(s"CAST(sum_f_e6 div $maxN AS BIGINT)").as("chrf_e6"))
+  }
+
+  /** DuckDB mirror of [[chrF]]. */
+  def chrFSql(beta2: Int = 4, maxN: Int = 6,
+      from: String = "documents"): String =
+    s"""WITH cf_ws AS (
+       |  SELECT doc_id, replace(text, ' ', '') AS s FROM $from
+       |  WHERE length(replace(text, ' ', '')) >= 1),
+       |cf_g AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side, tn.n AS n,
+       |         md5(substr(s, i, tn.n)) AS g
+       |  FROM cf_ws, unnest(generate_series(1, $maxN)) tn(n),
+       |       unnest(generate_series(1, length(s) - tn.n + 1)) t(i)
+       |  WHERE length(s) >= tn.n),
+       |cf_pg AS (SELECT pair_id, n, g,
+       |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+       |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM cf_g GROUP BY 1, 2, 3),
+       |cf_pn AS (SELECT pair_id, n,
+       |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
+       |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
+       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
+       |  FROM cf_pg GROUP BY 1, 2),
+       |cf_f AS (SELECT pair_id, n, clipped, c_total, r_total,
+       |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
+       |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
+       |         ($beta2 * r_total + c_total) AS BIGINT)
+       |  END AS f_e6
+       |  FROM cf_pn)
+       |SELECT pair_id,
+       |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_chars,
+       |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_chars,
+       |  MAX(CASE WHEN n = 1 THEN clipped END) AS clipped_1,
+       |  MAX(CASE WHEN n = $maxN THEN clipped END) AS clipped_$maxN,
+       |  CAST(CAST(SUM(f_e6) AS HUGEINT) // $maxN AS BIGINT) AS chrf_e6
+       |FROM cf_f GROUP BY 1
+       |HAVING SUM(CASE WHEN c_total >= 1 AND r_total >= 1 THEN 1 ELSE 0 END)
+       |       = $maxN""".stripMargin
+
   /** DuckDB mirror of [[bleu4]]. */
   def bleu4Sql(fbits: Int = 20, from: String = "documents"): String = {
     val (logCtes, logLast) = DuckHash.log2fpRowCtes(

@@ -141,6 +141,51 @@ class NgramEvalSpec extends AnyFunSuite {
     assert(gotSpark(4L).last === None)      // zero unigram overlap
   }
 
+  test("chrF: identical texts score exactly 1e6; clipping and the F-beta algebra pin") {
+    import spark.implicits._
+    val t = "abcdefgh ij"
+    val same = NgramEval.chrF(Seq(0L -> t, 1L -> t).toDF("doc_id", "text"))
+      .head()
+    assert(same.getAs[Long]("chrf_e6") === 1000000L)
+    assert(same.getAs[Long]("c_chars") === 10L) // space stripped
+    // hand case: cand 'abcdef' (6 chars), ref 'abcxyz' — order n:
+    // clipped_n = max(0, 4-n) (the shared 'abc' prefix), c_tot = r_tot
+    // = 7-n, F_n = 5*clip/(4*(7-n) + (7-n)) = clip/(7-n)
+    val out = NgramEval.chrF(
+      Seq(0L -> "abcdef", 1L -> "abcxyz").toDF("doc_id", "text")).head()
+    assert(out.getAs[Long]("clipped_1") === 3L)
+    assert(out.getAs[Long]("clipped_6") === 0L)
+    val expected = (1 to 6).map { n =>
+      val clip = math.max(0, 4 - n).toLong
+      5L * clip * 1000000L / (4L * (7 - n) + (7 - n))
+    }.sum / 6
+    assert(out.getAs[Long]("chrf_e6") === expected)
+    // multiplicity clipping: 'aaaa' vs 'aa' — unigram clipped = 2 not 4
+    val clip = NgramEval.chrF(Seq(0L -> "aaaa", 1L -> "aaabbb")
+      .toDF("doc_id", "text"), maxN = 2).head()
+    assert(clip.getAs[Long]("clipped_1") === 3L) // min(4, 3) 'a's
+  }
+
+  test("chrF: pairs with a side shorter than maxN chars drop; mirror parity") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "abcdefgh", 1L -> "abcdxyzw",  // full-order pair
+      2L -> "abcdefgh", 3L -> "abc",       // ref < 6 chars -> dropped
+      4L -> "ab cd ef", 5L -> "ab cd ef")  // spaces stripped -> 6 chars, kept
+    val gotSpark = NgramEval.chrF(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (1 until r.length).map(r.getLong)).toMap
+    assert(gotSpark.keySet === Set(0L, 4L))
+    assert(gotSpark(4L).last === 1000000L)
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    val values = docs.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val gotDuck = DuckBridgeTestUtil.duck(NgramEval.chrFSql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))"))
+      .map(r => r(0).get.toLong -> r.tail.map(_.get.toLong)).toMap
+    assert(gotDuck === gotSpark.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("disjoint texts score zero with exact totals") {
     val out = run(Seq(0L -> "a b c", 1L -> "x y z"), 2)(0L)
     assert(out === ((0L, 2L, 2L, 0.0, 0.0)))
