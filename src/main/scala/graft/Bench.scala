@@ -68,10 +68,16 @@ object Bench {
   }
 
   /** Parse the recorded driver heap (r13 format); None for runs that
-    * predate it. */
+    * predate it. Anchored to the TOP-LEVEL field: only the line prefix
+    * before the first `"queries"` key is scanned, so a future nested
+    * key spelled exactly `"driver_mem_mb"` (e.g. inside a per-gate
+    * drift block, which always serializes after `"queries"`) can never
+    * be misread as the run's heap (r13 ADVICE item 4). */
   private[graft] def parsePrevDriverMem(text: String): Option[Long] = {
+    val upto = text.indexOf("\"queries\"")
+    val scope = if (upto >= 0) text.substring(0, upto) else text
     val m = """"driver_mem_mb"\s*:\s*([0-9]+)""".r
-    m.findFirstMatchIn(text).map(_.group(1).toLong)
+    m.findFirstMatchIn(scope).map(_.group(1).toLong)
   }
 
   /** The drift comparison binds only within one memory envelope: the
@@ -91,27 +97,33 @@ object Bench {
     * stages can still be a gate-local transient (GC pause, one noisy
     * neighbor burst landing on both measured runs). At end of run the
     * gate is re-measured SOLO (min-of-3 on the now-idle suite JVM)
-    * together with one pinned control; the control's solo/prev ratio
-    * re-normalizes ambient at adjudication time, and the verdict is
-    * the same >30% AND >0.5 s rule against that solo baseline.
+    * together with a small panel of pinned controls; the MEDIAN
+    * solo/prev ratio over the panel re-normalizes ambient at
+    * adjudication time (r13 ADVICE item 1: a single control can be
+    * gate-locally noisy, and its transient would skew every solo
+    * baseline in the same direction — the median over 3 mirrors the
+    * stage-1 control-median design), and the verdict is the same
+    * >30% AND >0.5 s rule against that solo baseline.
     * `measure` is injected (BenchDriftSpec drives it with canned
     * samples) and reports failure as a NEGATIVE value (the suite's -1
     * convention) — a failed gate measure gets verdict `solo_error`
-    * (not a silent absolution), and a failed CONTROL measure falls
-    * back to ambient 1.0. Returns (gate, flaggedCur, soloSec,
-    * soloBaseline, verdict ∈ regression|transient|solo_error). */
+    * (not a silent absolution), and controls whose measure fails (or
+    * that have no previous reading) drop out of the median; an empty
+    * panel falls back to ambient 1.0. Returns (gate, flaggedCur,
+    * soloSec, soloBaseline, verdict ∈ regression|transient|solo_error). */
   private[graft] def adjudicateFlags(
       flagged: Seq[(String, Double, Double, Double)],
-      prevControl: Option[Double],
-      measure: String => Double,
-      controlGate: String): Seq[(String, Double, Double, Double, String)] = {
+      controls: Seq[(String, Option[Double])],
+      measure: String => Double): Seq[(String, Double, Double, Double, String)] = {
     if (flagged.isEmpty) Seq.empty
     else {
-      val soloControl = measure(controlGate)
-      val ambient = prevControl match {
-        case Some(p) if p > 0 && soloControl > 0 => soloControl / p
-        case _ => 1.0
-      }
+      val ratios = controls.flatMap {
+        case (g, Some(p)) if p > 0 =>
+          val solo = measure(g)
+          if (solo > 0) Some(solo / p) else None
+        case _ => None
+      }.sorted
+      val ambient = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
       flagged.map { case (g, p, v, _) =>
         val solo = measure(g)
         val base = p * ambient
@@ -367,28 +379,34 @@ object Bench {
               }
               if (oks.isEmpty) -1.0 else oks.min // -1 = measure failed
           }
+        // solo-stage ambient panel: the first 3 pinned controls (median
+        // of their solo/prev ratios — r13 ADVICE item 1)
         val verdicts = adjudicateFlags(toSolo,
-          prev.get(driftControls.head), soloMeasure, driftControls.head)
+          driftControls.take(3).map(c => c -> prev.get(c)), soloMeasure)
           .map(v => v._1 -> v).toMap
         def entries(fs: Seq[(String, Double, Double, Double)],
-            withLocal: Boolean): String =
+            withLocal: Boolean, soloStage: Boolean = false): String =
           fs.map { case (g, p, v, norm) =>
             val local = if (!withLocal) "" else
               s""","local_canary_ratio":${f3(localAt(g).getOrElse(1.0))}"""
+            // a flagged gate past the soloCap still carries an explicit
+            // verdict — skipped_ambient, never a silent absence (r13
+            // verdict item 7: a pathological run must self-describe)
             val solo = verdicts.get(g).map { case (_, _, s, base, verdict) =>
               s""","flagged_ratio":${f3(v / math.max(norm, 1e-9))}""" +
                 s""","solo_sec":${f3(s)},"solo_baseline":${f3(base)}""" +
                 s""","verdict":"$verdict""""
-            }.getOrElse("")
+            }.getOrElse(
+              if (soloStage) s""","verdict":"skipped_ambient"""" else "")
             s""""$g":{"prev":${f3(p)},"cur":${f3(v)},"prev_ambient_norm":${f3(norm)}$local$solo}"""
           }.mkString("{", ",", "}")
         val regressions = verdicts.values.count(_._5 == "regression")
         val head = s""","drifts":{"ambient_ratio":${f3(ambient)},"controls_resolved":$nControls,"disarmed":$disarmed"""
         val soloMeta = s""","solo_adjudicated":${verdicts.size},"solo_skipped":${flagged.size - verdicts.size},"regressions":$regressions"""
-        val full = s"""$head$soloMeta,"flagged":${entries(flagged, withLocal = false)},"absolved":${entries(absolved, withLocal = true)}}"""
+        val full = s"""$head$soloMeta,"flagged":${entries(flagged, withLocal = false, soloStage = true)},"absolved":${entries(absolved, withLocal = true)}}"""
         val top5 = toSolo.take(5) // same worst-survivor ranking
         val compact = s"""$head$soloMeta,"flagged_n":${flagged.size},"flagged_top":${
-          entries(top5, withLocal = false)},"absolved_n":${absolved.size}}"""
+          entries(top5, withLocal = false, soloStage = true)},"absolved_n":${absolved.size}}"""
         (full, compact)
       }
     }

@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   *    bucket lower bound = (2^k + sub) << shift. Bucket width is
   *    2^shift ≤ lo/2^k → relative error ≤ 2^-k.
   *
-  * Quantile q (per-mille) = the smallest bucket lower bound whose
-  * cumulative count reaches ceil(q·n/1000) — a LOWER bound on the
-  * type-1 exact quantile, within 2^-k relative (HdrHistogramSpec).
+  * Quantile q (per-mille) = the smallest bucket bound whose
+  * cumulative count reaches ceil(q·n/1000) — within 2^-k relative of
+  * the type-1 exact quantile (HdrHistogramSpec). SIGN CAVEAT on the
+  * bound's direction (r13 ADVICE item 2): the reported `p<q>_lo` is a
+  * lower bound in VALUE order only for non-negative quantiles; a
+  * NEGATIVE quantile's bound is the mirrored magnitude bound, i.e. an
+  * UPPER bound in value order (lo ≥ x, |lo| ≤ |x| — the mirror map
+  * bucket(x) = −bucket(−x) reflects the bucket's low edge). Consumers
+  * needing a one-sided bound on signed data must branch on sign; the
+  * 2^-k relative-error envelope holds on both branches.
   *
   * Scale shape: one scan → one (grp, bucket) aggregation with map-side
   * combine; the cumulative window runs on the HISTOGRAM (≤ ~60·2^k
@@ -111,7 +118,11 @@ object HdrHistogram {
   }
 
   /** Per-group quantile report off the histogram: n_rows, bucket
-    * count, and one `p<q>_lo` column per requested per-mille q. */
+    * count, and one `p<q>_lo` column per requested per-mille q.
+    * `p<q>_lo` is a value-order LOWER bound only for non-negative
+    * quantiles; on the signed domain a negative quantile's bound is
+    * mirrored (an upper bound in value order — see the object doc's
+    * sign caveat). */
   def quantiles(df: DataFrame, grpCol: String, xCol: String, k: Int,
       qsPerMille: Seq[Int]): DataFrame =
     quantileReport(histogram(df, grpCol, xCol, k), grpCol, qsPerMille)

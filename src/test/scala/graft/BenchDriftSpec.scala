@@ -109,47 +109,74 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(Bench.parsePrevCanaryPos("""{"canary":[0.2,0.3]}""") == Seq.empty)
   }
 
+  /** The solo-panel shape main() passes: 3 pinned controls with their
+    * previous readings. */
+  private val soloPanel: Seq[(String, Option[Double])] = Seq(
+    "a1_multi_agg" -> Some(0.50), "p6_isin" -> Some(0.40),
+    "w2_lag" -> Some(0.60))
+
   test("a surviving flag self-adjudicates by solo re-measure") {
     // the r12 judge case: dedup_fuzzy_levenshtein flagged at 2.88 in
     // suite (prev 1.71), solo re-measure read 1.58 → transient. The
     // injected slow SUITE sample must not survive a clean solo reading.
     val flagged = Seq(("gate_x", 1.71, 2.88, 1.75))
     def run(samples: Map[String, Double]) =
-      Bench.adjudicateFlags(flagged, prevControl = Some(0.50),
-        measure = samples.apply, controlGate = "a1_multi_agg")
-    val transient = run(Map("gate_x" -> 1.58, "a1_multi_agg" -> 0.50))
+      Bench.adjudicateFlags(flagged, soloPanel, measure = samples.apply)
+    val steady = Map("a1_multi_agg" -> 0.50, "p6_isin" -> 0.40,
+      "w2_lag" -> 0.60)
+    val transient = run(steady + ("gate_x" -> 1.58))
     assert(transient === Seq(("gate_x", 2.88, 1.58, 1.71, "transient")))
     // the solo reading confirms the slowdown → regression
-    val regression = run(Map("gate_x" -> 2.85, "a1_multi_agg" -> 0.50))
+    val regression = run(steady + ("gate_x" -> 2.85))
     assert(regression.head._5 === "regression")
     assert(regression.head._4 === 1.71) // solo baseline = prev * ambient
     // a machine uniformly 2x slower at adjudication time re-normalizes:
-    // gate at 2x its prev with the control also at 2x is NOT a regression
-    val ambient2x = run(Map("gate_x" -> 3.40, "a1_multi_agg" -> 1.00))
+    // gate at 2x its prev with the panel also at 2x is NOT a regression
+    val ambient2x = run(Map("gate_x" -> 3.40, "a1_multi_agg" -> 1.00,
+      "p6_isin" -> 0.80, "w2_lag" -> 1.20))
     assert(math.abs(ambient2x.head._4 - 3.42) < 1e-9)
     assert(ambient2x.head._5 === "transient")
-    assert(Bench.adjudicateFlags(Seq.empty, Some(0.5),
-      _ => fail("no flags, no measures"), "a1_multi_agg").isEmpty)
+    assert(Bench.adjudicateFlags(Seq.empty, soloPanel,
+      _ => fail("no flags, no measures")).isEmpty)
+  }
+
+  test("solo ambient is the MEDIAN over the control panel, not one gate") {
+    // r13 ADVICE item 1: one control hit by a gate-local transient (3x)
+    // must not drag every solo baseline with it — the median of
+    // {3.0, 1.0, 1.0} is 1.0, so the regressed gate stays a regression
+    val flagged = Seq(("gate_x", 1.0, 3.0, 1.05))
+    val out = Bench.adjudicateFlags(flagged, soloPanel,
+      Map("gate_x" -> 2.9, "a1_multi_agg" -> 1.50, // control transient 3x
+        "p6_isin" -> 0.40, "w2_lag" -> 0.60).apply)
+    assert(out.head._4 === 1.0 && out.head._5 === "regression")
   }
 
   test("failed solo measures surface as solo_error, never a silent absolution") {
     val flagged = Seq(("gate_x", 1.0, 3.0, 1.05))
     // the gate itself fails all solo runs (-1 sentinel) → solo_error
-    val g = Bench.adjudicateFlags(flagged, Some(0.5),
-      Map("gate_x" -> -1.0, "a1_multi_agg" -> 0.5).apply, "a1_multi_agg")
+    val g = Bench.adjudicateFlags(flagged, soloPanel,
+      Map("gate_x" -> -1.0, "a1_multi_agg" -> 0.5, "p6_isin" -> 0.4,
+        "w2_lag" -> 0.6).apply)
     assert(g.head._5 === "solo_error")
-    // the CONTROL fails → ambient falls back to 1.0 and the gate's own
-    // clean solo reading still adjudicates (no Infinity baseline)
-    val c = Bench.adjudicateFlags(flagged, Some(0.5),
-      Map("gate_x" -> 2.9, "a1_multi_agg" -> -1.0).apply, "a1_multi_agg")
+    // the WHOLE panel fails → ambient falls back to 1.0 and the gate's
+    // own clean solo reading still adjudicates (no Infinity baseline)
+    val c = Bench.adjudicateFlags(flagged, soloPanel,
+      Map("gate_x" -> 2.9, "a1_multi_agg" -> -1.0, "p6_isin" -> -1.0,
+        "w2_lag" -> -1.0).apply)
     assert(c.head._4 === 1.0 && c.head._5 === "regression")
+    // one failed control just drops out of the median (remaining 2:
+    // sorted(1.0, 2.5)(1) = 2.5 — upper-median convention)
+    val d = Bench.adjudicateFlags(flagged, soloPanel,
+      Map("gate_x" -> 2.9, "a1_multi_agg" -> -1.0, "p6_isin" -> 0.4,
+        "w2_lag" -> 1.5).apply)
+    assert(math.abs(d.head._4 - 2.5) < 1e-9 && d.head._5 === "transient")
   }
 
   test("solo verdict still applies the absolute 0.5s floor") {
     // tiny gate: 6x slower solo but only +0.25s — not a regression
     val out = Bench.adjudicateFlags(Seq(("tiny", 0.05, 0.40, 0.05)),
-      Some(0.50), Map("tiny" -> 0.30, "a1_multi_agg" -> 0.50).apply,
-      "a1_multi_agg")
+      soloPanel, Map("tiny" -> 0.30, "a1_multi_agg" -> 0.50,
+        "p6_isin" -> 0.40, "w2_lag" -> 0.60).apply)
     assert(out.head._5 === "transient")
   }
 
@@ -165,6 +192,16 @@ class BenchDriftSpec extends AnyFunSuite {
     val line = """{"metric":"total","value":10.0,"cpus":"32","driver_mem_mb":7282,"queries":{"a":1.0}}"""
     assert(Bench.parsePrevDriverMem(line) === Some(7282L))
     assert(Bench.parsePrevDriverMem("""{"queries":{"a":1.0}}""") === None)
+  }
+
+  test("parsePrevDriverMem is anchored to the top-level field") {
+    // r13 ADVICE item 4: a nested key spelled exactly "driver_mem_mb"
+    // after "queries" (e.g. a future per-gate drift block) must not be
+    // misread as the run's heap — only the pre-"queries" prefix binds
+    val nestedOnly = """{"metric":"total","queries":{"a":1.0},"drifts":{"x":{"driver_mem_mb":91136}}}"""
+    assert(Bench.parsePrevDriverMem(nestedOnly) === None)
+    val both = """{"driver_mem_mb":8192,"queries":{"a":1.0},"drifts":{"x":{"driver_mem_mb":91136}}}"""
+    assert(Bench.parsePrevDriverMem(both) === Some(8192L))
   }
 
   test("parsePrevQueries reads the BENCH_FULL line shape") {
