@@ -22,10 +22,14 @@ import graft.util.{DuckHash, FixedLog}
   * pair meet in one (pair, gram) aggregation with conditional sums
   * (min(c, r) is 0 for any gram on one side only, so the clipped sum
   * needs no outer join), then one pair-level rollup. The gram text
-  * never leaves the scan: xxhash64 is the 8-byte shuffle currency
-  * (the oracle groups by md5 — only collision behavior must agree,
-  * both ~0, the contamination convention). At 100 TB this is two
-  * hash aggregations with map-side partial combine, nothing else.
+  * never leaves the scan — and since r14 is never even MATERIALIZED:
+  * the [[graft.functions.GramHash]] rolling kernel emits every order's
+  * window hashes in O(1) per (position, order) with zero per-gram
+  * allocation, and the packed 61-bit hash is the shuffle currency (the
+  * oracle groups by md5 of the gram text — only collision behavior
+  * must agree, both ~0, the contamination convention). At 100 TB this
+  * is two hash aggregations with map-side partial combine, nothing
+  * else.
   *
   * Pairing contract: candidate = even doc_id, reference = doc_id + 1
   * (Euclidean parity on both engines — the SQL spells pmod, so a
@@ -37,14 +41,14 @@ import graft.util.{DuckHash, FixedLog}
 object NgramEval {
 
   def clippedOverlap(docs: DataFrame, n: Int = 2): DataFrame = {
+    graft.functions.GramHashes.register(docs.sparkSession)
     val perGram = docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= n)
       .select(
         (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
         pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr(Shingles.wordNgramsExpr("ws", n))).as("gram"))
-      .select(col("pair_id"), col("side"), xxhash64(col("gram")).as("g"))
+        explode(expr(s"word_gram_hashes(ws, $n, $n)")).as("g"))
       .groupBy(col("pair_id"), col("g"))
       .agg(
         sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
@@ -97,19 +101,16 @@ object NgramEval {
   def bleu4(docs: DataFrame, fbits: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.GramHashes.register(spark)
     val perN = docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 1)
       .select(
         (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
         pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr(
-          "flatten(transform(filter(array(1, 2, 3, 4), n -> size(ws) >= n), " +
-            "n -> transform(sequence(1, size(ws) - n + 1), " +
-            "i -> named_struct('n', n, 'g', concat_ws(' ', slice(ws, i, n))))))"
-        )).as("t"))
-      .select(col("pair_id"), col("side"), col("t.n").as("n"),
-        xxhash64(col("t.g")).as("g"))
+        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
+      .select(col("pair_id"), col("side"),
+        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
       .groupBy(col("pair_id"), col("n"), col("g"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
@@ -167,26 +168,28 @@ object NgramEval {
     * characters after space-stripping are dropped (every order must
     * be populated on both sides, the bleu4 convention).
     *
-    * Both engines window by CODEPOINT (Spark UTF8String substring and
-    * DuckDB substr both count codepoints), so the boundary holds on
-    * the full Unicode domain, not just the BMP. Scale shape:
-    * identical to [[bleu4]] — one scan, one Generate for all orders,
+    * Both engines window by CODEPOINT — DuckDB substr counts
+    * codepoints, and the Spark side's [[graft.functions.GramHash]]
+    * kernel decodes the string to codepoints before windowing
+    * (surrogate pairs collapse to one symbol; GramHashesSpec pins
+    * gram-identity against the substring spelling on astral-plane
+    * fixtures) — so the boundary holds on the full Unicode domain,
+    * not just the BMP. Scale shape: identical to [[bleu4]] — one
+    * scan, one Generate for all orders at O(1) per (position, order)
+    * with zero per-gram allocation (the r13.10 rolling-hash plan),
     * three combined key shuffles; the per-order F is a plain column
     * expression (no typed map needed). */
   def chrF(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame = {
+    graft.functions.GramHashes.register(docs.sparkSession)
     val perN = docs
       .withColumn("s", regexp_replace(col("text"), " ", ""))
       .filter(length(col("s")) >= 1)
       .select(
         (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
         pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr(
-          s"flatten(transform(filter(sequence(1, $maxN), n -> length(s) >= n), " +
-            "n -> transform(sequence(1, length(s) - n + 1), " +
-            "i -> named_struct('n', n, 'g', substring(s, i, n)))))"
-        )).as("t"))
-      .select(col("pair_id"), col("side"), col("t.n").as("n"),
-        xxhash64(col("t.g")).as("g"))
+        explode(expr(s"cp_gram_hashes(s, 1, $maxN)")).as("e"))
+      .select(col("pair_id"), col("side"),
+        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
       .groupBy(col("pair_id"), col("n"), col("g"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
