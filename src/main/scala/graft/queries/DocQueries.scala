@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.text.{Bm25, ChunkDedup, Chunker, CorpusPipeline, DedupClusters,
-  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, NgramEval,
+  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, NgramEval, RougeL,
   PreferencePairs, Shingles, SimHash, TextAnalysis, Tfidf}
 import graft.sim.{Knn, Pq}
 import QueryDsl._
@@ -214,6 +214,11 @@ object DocQueries {
     * of longs per order, floor-averaged. */
   private val evalChrf: Q = (s, d) =>
     NgramEval.chrF(table(s, d, "documents"))
+
+  /** ROUGE-L: LCS-based F1 over the leading-40-token window (the gate
+    * cap that bounds the oracle's recursive-CTE DP replay). */
+  private val evalRougeL: Q = (s, d) =>
+    RougeL.rougeL(table(s, d, "documents"))
 
   /** Concat-then-chunk packing offsets, sharded per language. */
   private val pipelinePack: Q = (s, d) =>
@@ -815,6 +820,7 @@ object DocQueries {
       Some(NgramEval.clippedOverlapSql())),
     ("eval_bleu4", evalBleu4, Some(NgramEval.bleu4Sql())),
     ("eval_chrf", evalChrf, Some(NgramEval.chrFSql())),
+    ("eval_rouge_l", evalRougeL, Some(RougeL.rougeLSql())),
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
     ("retrieval_rrf", retrievalRrf,
       Some(graft.text.HybridRetrieval.rrfTopDocsSql(bm25Terms))),

@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ROUGE-L (Lin 2004) — the LCS-based generation-eval metric, closing
+  * the standard set next to BLEU-n/ROUGE-n ([[NgramEval.clippedOverlap]]),
+  * BLEU-4 ([[NgramEval.bleu4]]) and chrF ([[NgramEval.chrF]]).
+  *
+  * Per (candidate, reference) pair over word tokens, with L = |LCS|:
+  *   P = L/c_len, R = L/r_len,
+  *   F1 = 2PR/(P+R) = 2L/(c_len + r_len)
+  * — the same P/R cancellation as chrF, so the WHOLE metric is one
+  * rational of longs (`rouge_l_f_e6 = 2·L·1e6 div (c_len+r_len)`,
+  * floor division both engines; identical texts score exactly 1e6).
+  * β = 1 (the rouge-score reference default); Lin's recall-weighted
+  * β→∞ variant is just R = lcs/r_len off the same columns.
+  *
+  * LCS itself is inherently sequential per pair (classic O(c·r) DP),
+  * so it runs as a typed per-pair kernel — the (c) tier of the custom
+  * -operator preference order, like the resample's per-lap groups:
+  * texts are bounded per row, the DP state is two int rows, and the
+  * frame entering the kernel is one row per pair (NOT per token), so
+  * at 100 TB this is one scan, one (pair) shuffle, then embarrassingly
+  * parallel per-pair work with no further exchange.
+  *
+  * GATE CONTRACT: both sides truncate to the leading `cap` tokens
+  * (default 40) — that bounds the ORACLE, which replays the same DP in
+  * DuckDB as a recursive CTE carrying the dp row as a list (one
+  * prefix-max window per candidate token; cost grows with cap², 22 s
+  * at sf0.1/cap 40). The Spark kernel itself is length-unbounded
+  * (RougeLSpec runs it uncapped); pass cap ≤ 0 to disable truncation.
+  * Pairing: candidate = even doc_id, reference = doc_id+1 (Euclidean
+  * parity, the eval-family convention); one-sided pairs are dropped —
+  * unlike bleu4/chrF there is NO minimum-length drop (LCS is total on
+  * any non-empty token lists, and split("") = [""] is 1 token).
+  */
+object RougeL {
+
+  /** Two-row LCS DP over token arrays — O(a·b) time, O(min-side) space
+    * would need the shorter side inner; rows are over `b`, fine for
+    * gate-capped and document-sized inputs alike. */
+  def lcsLen(a: Array[String], b: Array[String]): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      val ai = a(i - 1)
+      var j = 1
+      while (j <= b.length) {
+        cur(j) =
+          if (ai == b(j - 1)) prev(j - 1) + 1
+          else math.max(prev(j), cur(j - 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  def rougeL(docs: DataFrame, cap: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws =
+      if (cap > 0) expr(s"slice(split(text, ' '), 1, $cap)")
+      else split(col("text"), " ")
+    docs
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        ws.as("ws"))
+      .groupBy(col("pair_id"))
+      .agg(
+        first(when(col("side") === 0, col("ws")), ignoreNulls = true).as("c"),
+        first(when(col("side") === 1, col("ws")), ignoreNulls = true).as("r"))
+      .filter(col("c").isNotNull && col("r").isNotNull)
+      .as[(Long, Seq[String], Seq[String])]
+      .map { case (p, c, r) =>
+        val l = lcsLen(c.toArray, r.toArray).toLong
+        (p, c.length.toLong, r.length.toLong, l,
+          2L * l * 1000000L / (c.length + r.length))
+      }
+      .toDF("pair_id", "c_len", "r_len", "lcs", "rouge_l_f_e6")
+  }
+
+  /** DuckDB mirror of [[rougeL]] (cap > 0 required — the oracle's cost
+    * is bounded by it): the SAME two-row DP, iterated as a recursive
+    * CTE over candidate positions with the dp row carried as a list;
+    * the classic dp_new(j) = prefmax_j(max(dp(j), dp(j−1)+match)) form
+    * makes each step ONE prefix-max window. */
+  def rougeLSql(cap: Int = 40, from: String = "documents"): String =
+    s"""WITH RECURSIVE
+       |rl_ws AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side,
+       |         string_split(text, ' ')[1:$cap] AS ws
+       |  FROM $from),
+       |rl_pair AS (
+       |  SELECT pair_id,
+       |         MAX(CASE WHEN side = 0 THEN ws END) AS c,
+       |         MAX(CASE WHEN side = 1 THEN ws END) AS r
+       |  FROM rl_ws GROUP BY 1
+       |  HAVING COUNT(DISTINCT side) = 2),
+       |rl_dim AS (SELECT pair_id, c, r, len(c) AS cl, len(r) AS rl
+       |  FROM rl_pair),
+       |rl_rec(pair_id, i, dp) AS (
+       |  SELECT pair_id, 0, list_transform(generate_series(0, rl), x -> 0)
+       |  FROM rl_dim
+       |  UNION ALL
+       |  SELECT rl_rec.pair_id, rl_rec.i + 1,
+       |    (SELECT list(m ORDER BY j) FROM (
+       |       SELECT j, MAX(q) OVER (ORDER BY j) AS m FROM (
+       |         SELECT jj - 1 AS j,
+       |           CASE WHEN jj = 1 THEN 0
+       |                ELSE GREATEST(rl_rec.dp[jj], rl_rec.dp[jj - 1] +
+       |                  CASE WHEN d.c[rl_rec.i + 1] = d.r[jj - 1]
+       |                       THEN 1 ELSE 0 END)
+       |           END AS q
+       |         FROM (SELECT generate_subscripts(rl_rec.dp, 1) AS jj)
+       |       )
+       |    ))
+       |  FROM rl_rec JOIN rl_dim d ON d.pair_id = rl_rec.pair_id
+       |  WHERE rl_rec.i < d.cl
+       |)
+       |SELECT d.pair_id, CAST(d.cl AS BIGINT) AS c_len,
+       |  CAST(d.rl AS BIGINT) AS r_len,
+       |  CAST(rl_rec.dp[d.rl + 1] AS BIGINT) AS lcs,
+       |  CAST((2::HUGEINT * rl_rec.dp[d.rl + 1] * 1000000)
+       |       // (d.cl + d.rl) AS BIGINT) AS rouge_l_f_e6
+       |FROM rl_rec JOIN rl_dim d ON d.pair_id = rl_rec.pair_id
+       |WHERE rl_rec.i = d.cl""".stripMargin
+}
