@@ -220,6 +220,21 @@ object DocQueries {
   private val evalRougeL: Q = (s, d) =>
     RougeL.rougeL(table(s, d, "documents"))
 
+  /** Multi-reference BLEU-4 through the explicit pair-table face:
+    * candidates (doc_id ≡ 0 mod 4) scored against THREE references
+    * each (doc_id+1..3) — max-per-gram clip, effective (closest,
+    * ties-shorter) brevity length. Two scans by design: the operator
+    * takes candidates and references as separate relations. */
+  private val evalBleu4MultiRef: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    val cands = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id").as("cand_id"), col("text"))
+    val refs = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .select((col("doc_id") - pmod(col("doc_id"), lit(4))).as("cand_id"),
+        col("doc_id").as("ref_id"), col("text"))
+    NgramEval.bleu4MultiRef(cands, refs)
+  }
+
   /** Concat-then-chunk packing offsets, sharded per language. */
   private val pipelinePack: Q = (s, d) =>
     CorpusPipeline.packSequences(table(s, d, "documents"))
@@ -821,6 +836,12 @@ object DocQueries {
     ("eval_bleu4", evalBleu4, Some(NgramEval.bleu4Sql())),
     ("eval_chrf", evalChrf, Some(NgramEval.chrFSql())),
     ("eval_rouge_l", evalRougeL, Some(RougeL.rougeLSql())),
+    ("eval_bleu4_multiref", evalBleu4MultiRef, Some(NgramEval.bleu4MultiRefSql(
+      candsFrom = "(SELECT doc_id AS cand_id, text FROM documents " +
+        "WHERE ((doc_id % 4) + 4) % 4 = 0)",
+      refsFrom = "(SELECT doc_id - (((doc_id % 4) + 4) % 4) AS cand_id, " +
+        "doc_id AS ref_id, text FROM documents " +
+        "WHERE ((doc_id % 4) + 4) % 4 <> 0)"))),
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
     ("retrieval_rrf", retrievalRrf,
       Some(graft.text.HybridRetrieval.rrfTopDocsSql(bm25Terms))),

@@ -155,6 +155,106 @@ object NgramEval {
           col("sum_qln") + lit(4L) * col("bp_log2fp")).as("bleu_log2fp_x4"))
   }
 
+  /** Multi-reference BLEU-4 over an explicit pair-table face — the
+    * shape real holdout evals take (a generations table against a
+    * references table joined by key, with SEVERAL references per
+    * candidate): `cands(cand_id, text)` × `refs(cand_id, ref_id,
+    * text)`. Papineni's original multi-ref definition:
+    *
+    *  - per gram g, the clip is against the MAX count of g across the
+    *    candidate's references: clipped_n = Σ_g min(c(g), max_r r(g));
+    *  - the brevity-penalty reference length is the EFFECTIVE one —
+    *    the ref length closest to c_len, ties to the SHORTER
+    *    (sacreBLEU's convention), spelled engine-agnostically as
+    *    argmin of the packed integer |r−c|·1e9 + r;
+    *  - smoothing, fixed-point log2 composition, and the NULL regime
+    *    (no unigram overlap anywhere) are exactly [[bleu4]]'s.
+    *
+    * Scale shape: the two tables meet in one UNION (side-tagged, the
+    * trio's conditional-sum trick — max-over-refs needs one extra
+    * (cand, n, gram, side, ref) pre-aggregation level), so gram
+    * matching is still join-free; the only join is POST-aggregation —
+    * effective-r_len onto the per-candidate frame, a few rows per
+    * candidate on both sides, hash-partitioned by cand_id. Output
+    * adds `n_refs` so a downstream aggregate can see the pairing
+    * coverage it scored against. Single-ref inputs reproduce
+    * [[bleu4]] scores exactly (NgramEvalSpec pins it). */
+  def bleu4MultiRef(cands: DataFrame, refs: DataFrame,
+      fbits: Int = 20): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    graft.functions.GramHashes.register(spark)
+    def grams(df: DataFrame, side: Int, refId: org.apache.spark.sql.Column) = df
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("cand_id"), lit(side).as("side"), refId.as("ref_id"),
+        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
+      .select(col("cand_id"), col("side"), col("ref_id"),
+        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
+    val cnt = grams(cands, 0, lit(-1L))
+      .unionByName(grams(refs, 1, col("ref_id").cast("long")))
+      .groupBy(col("cand_id"), col("n"), col("g"), col("side"), col("ref_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val perN = cnt
+      .groupBy(col("cand_id"), col("n"), col("g"))
+      .agg(max(when(col("side") === 0, col("cnt"))).as("c_cnt"),
+        max(when(col("side") === 1, col("cnt"))).as("r_maxcnt"))
+      .groupBy(col("cand_id"), col("n"))
+      .agg(
+        sum(when(col("c_cnt").isNotNull && col("r_maxcnt").isNotNull,
+          least(col("c_cnt"), col("r_maxcnt"))).otherwise(0L)).as("clipped"),
+        sum(coalesce(col("c_cnt"), lit(0L))).as("c_total"))
+      .filter(col("c_total") >= 1)
+    val withQ = perN
+      .select(col("cand_id"), col("n").cast("int").as("n"),
+        col("clipped"), col("c_total"))
+      .as[(Long, Int, Long, Long)]
+      .map { case (p, n, cl, ct) =>
+        val (cs, ts) = if (n == 1) (cl, ct) else (cl + 1L, ct + 1L)
+        val q: Option[Long] =
+          if (cs >= 1) Some(FixedLog.log2fp(cs, ts, fbits)) else None
+        (p, n, cl, ct, q)
+      }
+      .toDF("cand_id", "n", "clipped", "c_total", "qln")
+    // effective reference length: per-ref unigram totals -> closest to
+    // c_len, ties to the shorter (packed-integer argmin, both engines)
+    val refLens = cnt
+      .filter(col("side") === 1 && col("n") === 1)
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(sum(col("cnt")).as("r_len_i"))
+    val cLen = withQ.filter(col("n") === 1)
+      .select(col("cand_id"), col("c_total").as("c_len"))
+    val rEff = refLens.join(cLen, Seq("cand_id"))
+      .groupBy(col("cand_id"))
+      .agg(count(lit(1)).as("n_refs"),
+        min(abs(col("r_len_i") - col("c_len")) * lit(1000000000L) +
+          col("r_len_i")).as("r_enc"))
+      .select(col("cand_id"), col("n_refs"),
+        pmod(col("r_enc"), lit(1000000000L)).as("r_len"))
+    withQ.groupBy(col("cand_id"))
+      .agg(
+        count(lit(1)).as("n_c_orders"),
+        max(when(col("n") === 1, col("c_total"))).as("c_len"),
+        max(when(col("n") === 1, col("clipped"))).as("clipped_1"),
+        max(when(col("n") === 2, col("clipped"))).as("clipped_2"),
+        max(when(col("n") === 3, col("clipped"))).as("clipped_3"),
+        max(when(col("n") === 4, col("clipped"))).as("clipped_4"),
+        sum(col("qln")).as("sum_qln"),
+        count(col("qln")).as("n_qln"))
+      .filter(col("n_c_orders") === 4)
+      .join(rEff, Seq("cand_id"))
+      .withColumn("bp_log2fp",
+        when(col("c_len") >= col("r_len"), lit(0L))
+          .otherwise(expr(
+            s"-CAST(CAST(r_len - c_len AS DECIMAL(38,0)) * ${1L << fbits} " +
+              s"* 1000000 div (CAST(c_len AS DECIMAL(38,0)) * $Ln2E6) " +
+              "AS BIGINT)")))
+      .select(col("cand_id"), col("n_refs"), col("c_len"), col("r_len"),
+        col("clipped_1"), col("clipped_2"), col("clipped_3"), col("clipped_4"),
+        col("bp_log2fp"),
+        when(col("clipped_1") >= 1 && col("n_qln") === 4,
+          col("sum_qln") + lit(4L) * col("bp_log2fp")).as("bleu_log2fp_x4"))
+  }
+
   /** chrF (Popović 2015) — character-n-gram F-β over the same
     * (even, odd) pairs, the third eval face: whitespace stripped,
     * char n-grams of orders 1..`maxN` counted WITH multiplicity and
@@ -309,6 +409,79 @@ object NgramEval {
        |       THEN CAST(sum_qln + 4 * ($bp) AS BIGINT)
        |  END AS bleu_log2fp_x4
        |FROM b4_agg""".stripMargin
+  }
+
+  /** DuckDB mirror of [[bleu4MultiRef]]. `candsFrom` must select
+    * (cand_id, text); `refsFrom` (cand_id, ref_id, text). */
+  def bleu4MultiRefSql(fbits: Int = 20,
+      candsFrom: String, refsFrom: String): String = {
+    val (logCtes, logLast) = DuckHash.log2fpRowCtes(
+      "bm_lsrc", Seq("cand_id", "n"), "cs", "ts", "bmlg", fbits)
+    val bp = s"CASE WHEN a.c_len >= e.r_len THEN 0 ELSE " +
+      s"-CAST(((e.r_len - a.c_len)::HUGEINT * ${1L << fbits} * 1000000) // " +
+      s"(a.c_len::HUGEINT * $Ln2E6) AS BIGINT) END"
+    s"""WITH bm_cg AS (
+       |  SELECT cand_id, -1 AS ref_id, 0 AS side, tn.n AS n,
+       |         md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
+       |  FROM (SELECT cand_id, string_split(text, ' ') AS ws
+       |        FROM $candsFrom) c,
+       |       unnest([1, 2, 3, 4]) tn(n),
+       |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
+       |  WHERE len(ws) >= tn.n),
+       |bm_rg AS (
+       |  SELECT cand_id, ref_id, 1 AS side, tn.n AS n,
+       |         md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
+       |  FROM (SELECT cand_id, ref_id, string_split(text, ' ') AS ws
+       |        FROM $refsFrom) r,
+       |       unnest([1, 2, 3, 4]) tn(n),
+       |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
+       |  WHERE len(ws) >= tn.n),
+       |bm_cnt AS (SELECT cand_id, n, g, side, ref_id,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT * FROM bm_cg UNION ALL SELECT * FROM bm_rg)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |bm_pg AS (SELECT cand_id, n, g,
+       |  MAX(CASE WHEN side = 0 THEN cnt END) AS c_cnt,
+       |  MAX(CASE WHEN side = 1 THEN cnt END) AS r_maxcnt
+       |  FROM bm_cnt GROUP BY 1, 2, 3),
+       |bm_pn AS (SELECT cand_id, n,
+       |  CAST(SUM(CASE WHEN c_cnt IS NOT NULL AND r_maxcnt IS NOT NULL
+       |           THEN LEAST(c_cnt, r_maxcnt) ELSE 0 END) AS BIGINT) AS clipped,
+       |  CAST(SUM(COALESCE(c_cnt, 0)) AS BIGINT) AS c_total
+       |  FROM bm_pg GROUP BY 1, 2
+       |  HAVING SUM(COALESCE(c_cnt, 0)) >= 1),
+       |bm_lsrc AS (SELECT cand_id, n,
+       |  CASE WHEN n = 1 THEN clipped ELSE clipped + 1 END AS cs,
+       |  CASE WHEN n = 1 THEN c_total ELSE c_total + 1 END AS ts
+       |  FROM bm_pn
+       |  WHERE (CASE WHEN n = 1 THEN clipped ELSE clipped + 1 END) >= 1)$logCtes,
+       |bm_rlen AS (SELECT cand_id, ref_id, CAST(SUM(cnt) AS BIGINT) AS r_len_i
+       |  FROM bm_cnt WHERE side = 1 AND n = 1 GROUP BY 1, 2),
+       |bm_clen AS (SELECT cand_id, c_total AS c_len FROM bm_pn WHERE n = 1),
+       |bm_reff AS (SELECT r.cand_id, CAST(COUNT(*) AS BIGINT) AS n_refs,
+       |  CAST(MIN(ABS(r.r_len_i - c.c_len)::HUGEINT * 1000000000 + r.r_len_i)
+       |       % 1000000000 AS BIGINT) AS r_len
+       |  FROM bm_rlen r JOIN bm_clen c ON c.cand_id = r.cand_id GROUP BY 1),
+       |bm_agg AS (SELECT p.cand_id,
+       |  COUNT(*) AS n_c_orders,
+       |  MAX(CASE WHEN p.n = 1 THEN p.c_total END) AS c_len,
+       |  MAX(CASE WHEN p.n = 1 THEN p.clipped END) AS clipped_1,
+       |  MAX(CASE WHEN p.n = 2 THEN p.clipped END) AS clipped_2,
+       |  MAX(CASE WHEN p.n = 3 THEN p.clipped END) AS clipped_3,
+       |  MAX(CASE WHEN p.n = 4 THEN p.clipped END) AS clipped_4,
+       |  CAST(SUM(l.ql) AS BIGINT) AS sum_qln,
+       |  COUNT(l.ql) AS n_qln
+       |  FROM bm_pn p LEFT JOIN $logLast l
+       |    ON l.cand_id = p.cand_id AND l.n = p.n
+       |  GROUP BY 1
+       |  HAVING COUNT(*) = 4)
+       |SELECT a.cand_id, e.n_refs, a.c_len, e.r_len,
+       |  a.clipped_1, a.clipped_2, a.clipped_3, a.clipped_4,
+       |  CAST($bp AS BIGINT) AS bp_log2fp,
+       |  CASE WHEN a.clipped_1 >= 1 AND a.n_qln = 4
+       |       THEN CAST(a.sum_qln + 4 * ($bp) AS BIGINT)
+       |  END AS bleu_log2fp_x4
+       |FROM bm_agg a JOIN bm_reff e ON e.cand_id = a.cand_id""".stripMargin
   }
 
   /** DuckDB mirror of [[clippedOverlap]]. */

@@ -141,6 +141,99 @@ class NgramEvalSpec extends AnyFunSuite {
     assert(gotSpark(4L).last === None)      // zero unigram overlap
   }
 
+  private def multiRef(cands: Seq[(Long, String)],
+      refs: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    NgramEval.bleu4MultiRef(
+      cands.toDF("cand_id", "text"),
+      refs.toDF("cand_id", "ref_id", "text"))
+  }
+
+  test("bleu4MultiRef with ONE reference reproduces bleu4 exactly") {
+    import spark.implicits._
+    val pairs = Seq(
+      (0L, "a b c d e", "a b c x y z"),
+      (2L, "a b c d e f", "a b c d e f"),
+      (4L, "p q r s", "w x y z"))
+    val single = NgramEval.bleu4(
+      pairs.flatMap { case (id, c, r) => Seq(id -> c, (id + 1) -> r) }
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (
+        if (r.isNullAt(r.fieldIndex("bleu_log2fp_x4"))) None
+        else Some(r.getAs[Long]("bleu_log2fp_x4")),
+        r.getAs[Long]("bp_log2fp"), r.getAs[Long]("r_len"))).toMap
+    val multi = multiRef(
+      pairs.map(p => p._1 -> p._2),
+      pairs.map(p => (p._1, p._1 + 1, p._3)))
+      .collect().map(r => r.getLong(0) -> (
+        if (r.isNullAt(r.fieldIndex("bleu_log2fp_x4"))) None
+        else Some(r.getAs[Long]("bleu_log2fp_x4")),
+        r.getAs[Long]("bp_log2fp"), r.getAs[Long]("r_len"))).toMap
+    assert(multi === single)
+  }
+
+  test("multi-ref clip takes the MAX gram count across references (Papineni)") {
+    // cand 'the the cat': 'the'×2. ref A has 'the'×1, ref B 'the'×2 —
+    // multi-ref clip for 'the' = min(2, max(1,2)) = 2; a single-ref
+    // run against A alone would clip to 1
+    val out = multiRef(
+      Seq(0L -> "the the cat sat"),
+      Seq((0L, 1L, "the cat sat x"), (0L, 2L, "the the dog sat"))).head()
+    assert(out.getAs[Long]("clipped_1") === 4L) // the,the,cat,sat all covered
+    assert(out.getAs[Long]("n_refs") === 2L)
+    val single = multiRef(
+      Seq(0L -> "the the cat sat"),
+      Seq((0L, 1L, "the cat sat x"))).head()
+    assert(single.getAs[Long]("clipped_1") === 3L)
+  }
+
+  test("effective reference length: closest to c_len, ties to the shorter") {
+    // cand 4 words; refs of length 2 and 6 — both |diff| = 2, tie ->
+    // shorter (2) -> bp active with r_len = 2? No: r_len 2 < c_len 4
+    // -> bp = 0 (candidate longer). Assert r_len = 2 directly.
+    val out = multiRef(
+      Seq(0L -> "a b c d"),
+      Seq((0L, 1L, "a b"), (0L, 2L, "a b c d e f"))).head()
+    assert(out.getAs[Long]("r_len") === 2L)
+    assert(out.getAs[Long]("bp_log2fp") === 0L)
+    // closest wins when not tied: lengths 5 and 9 vs c_len 4 -> 5
+    val out2 = multiRef(
+      Seq(0L -> "a b c d"),
+      Seq((0L, 1L, "a b c d e"), (0L, 2L, "a b c d e f g h i"))).head()
+    assert(out2.getAs[Long]("r_len") === 5L)
+    assert(out2.getAs[Long]("bp_log2fp") < 0L) // r > c -> penalty
+  }
+
+  test("multi-ref: candidates without references (or <4 words) drop") {
+    val out = multiRef(
+      Seq(0L -> "a b c d", 4L -> "has no refs here", 8L -> "a b c"),
+      Seq((0L, 1L, "a b c d"), (8L, 9L, "a b c"))).collect()
+      .map(_.getLong(0)).toSet
+    assert(out === Set(0L))
+  }
+
+  test("bleu4MultiRefSql mirror matches the Spark side") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    val cands = Seq((0L, "a b c d e"), (4L, "the the cat sat"))
+    val refs = Seq(
+      (0L, 1L, "a b c x y z"), (0L, 2L, "a b c d q"),
+      (4L, 5L, "the cat sat x"), (4L, 6L, "the the dog sat"))
+    val gotSpark = multiRef(cands, refs)
+      .collect().map { r =>
+        r.getLong(0) -> (1 until r.length).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i)))
+      }.toMap
+    val cv = cands.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    val rv = refs.map { case (c, i, t) => s"($c, $i, '$t')" }.mkString(", ")
+    val sql = NgramEval.bleu4MultiRefSql(
+      candsFrom = s"(SELECT * FROM (VALUES $cv) t(cand_id, text))",
+      refsFrom = s"(SELECT * FROM (VALUES $rv) t(cand_id, ref_id, text))")
+    val gotDuck = DuckBridgeTestUtil.duck(sql)
+      .map(r => r(0).get.toLong -> r.tail.map(_.map(_.toLong))).toMap
+    assert(gotDuck === gotSpark.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("chrF: identical texts score exactly 1e6; clipping and the F-beta algebra pin") {
     import spark.implicits._
     val t = "abcdefgh ij"
