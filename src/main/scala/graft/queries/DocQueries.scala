@@ -220,6 +220,11 @@ object DocQueries {
   private val evalRougeL: Q = (s, d) =>
     RougeL.rougeL(table(s, d, "documents"))
 
+  /** chrF++: the WMT-reported chrF variant — 6 char orders + word
+    * 1/2-grams in one 8-component F-β mean, one scan, one Generate. */
+  private val evalChrfpp: Q = (s, d) =>
+    NgramEval.chrFpp(table(s, d, "documents"))
+
   /** Multi-reference BLEU-4 through the explicit pair-table face:
     * candidates (doc_id ≡ 0 mod 4) scored against THREE references
     * each (doc_id+1..3) — max-per-gram clip, effective (closest,
@@ -836,6 +841,7 @@ object DocQueries {
     ("eval_bleu4", evalBleu4, Some(NgramEval.bleu4Sql())),
     ("eval_chrf", evalChrf, Some(NgramEval.chrFSql())),
     ("eval_rouge_l", evalRougeL, Some(RougeL.rougeLSql())),
+    ("eval_chrfpp", evalChrfpp, Some(NgramEval.chrFppSql())),
     ("eval_bleu4_multiref", evalBleu4MultiRef, Some(NgramEval.bleu4MultiRefSql(
       candsFrom = "(SELECT doc_id AS cand_id, text FROM documents " +
         "WHERE ((doc_id % 4) + 4) % 4 = 0)",

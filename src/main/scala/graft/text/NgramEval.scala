@@ -319,6 +319,112 @@ object NgramEval {
         expr(s"CAST(sum_f_e6 div $maxN AS BIGINT)").as("chrf_e6"))
   }
 
+  /** chrF++ (Popović 2017) — the WMT-reported chrF variant: the
+    * arithmetic F-β mean runs over the 6 char-gram orders PLUS word
+    * 1- and 2-gram orders (8 components; β²=4 throughout, same long
+    * -rational algebra as [[chrF]]). Word orders are tagged 101/102 so
+    * they can never collide with char orders in the (pair, n, gram)
+    * aggregation; both gram families come off ONE text scan and ONE
+    * Generate (the char and word rolling-hash arrays concat before the
+    * explode). Drop convention (the chrF one, extended): every
+    * component populated on both sides — ≥ maxN chars AND ≥ wordN
+    * words per side; identical texts score exactly 1e6. */
+  def chrFpp(docs: DataFrame, beta2: Int = 4, maxN: Int = 6,
+      wordN: Int = 2): DataFrame = {
+    graft.functions.GramHashes.register(docs.sparkSession)
+    val nComp = maxN + wordN
+    val perN = docs
+      .withColumn("s", regexp_replace(col("text"), " ", ""))
+      .filter(length(col("s")) >= 1)
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        explode(expr(
+          s"concat(transform(cp_gram_hashes(s, 1, $maxN), " +
+            "e -> named_struct('n', CAST(e & 7 AS INT), 'g', e)), " +
+            s"transform(word_gram_hashes(ws, 1, $wordN), " +
+            "e -> named_struct('n', CAST(e & 7 AS INT) + 100, 'g', e)))"
+        )).as("t"))
+      .select(col("pair_id"), col("side"), col("t.n").as("n"),
+        col("t.g").as("g"))
+      .groupBy(col("pair_id"), col("n"), col("g"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
+        sum(col("c_cnt")).as("c_total"),
+        sum(col("r_cnt")).as("r_total"))
+      .withColumn("f_e6",
+        when(col("c_total") >= 1 && col("r_total") >= 1, expr(
+          s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
+            s"($beta2 * r_total + c_total)")))
+    perN.groupBy(col("pair_id"))
+      .agg(
+        sum(when(col("c_total") >= 1 && col("r_total") >= 1, 1).otherwise(0))
+          .as("n_orders"),
+        max(when(col("n") === 1, col("c_total"))).as("c_chars"),
+        max(when(col("n") === 1, col("r_total"))).as("r_chars"),
+        max(when(col("n") === 101, col("c_total"))).as("c_words"),
+        max(when(col("n") === 101, col("r_total"))).as("r_words"),
+        max(when(col("n") === 1, col("clipped"))).as("clipped_c1"),
+        max(when(col("n") === 102, col("clipped"))).as("clipped_w2"),
+        sum(col("f_e6")).as("sum_f_e6"))
+      .filter(col("n_orders") === nComp)
+      .select(col("pair_id"), col("c_chars"), col("r_chars"),
+        col("c_words"), col("r_words"), col("clipped_c1"), col("clipped_w2"),
+        expr(s"CAST(sum_f_e6 div $nComp AS BIGINT)").as("chrfpp_e6"))
+  }
+
+  /** DuckDB mirror of [[chrFpp]]. */
+  def chrFppSql(beta2: Int = 4, maxN: Int = 6, wordN: Int = 2,
+      from: String = "documents"): String = {
+    val nComp = maxN + wordN
+    s"""WITH cfp_src AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side,
+       |         replace(text, ' ', '') AS s,
+       |         string_split(text, ' ') AS ws
+       |  FROM $from WHERE length(replace(text, ' ', '')) >= 1),
+       |cfp_g AS (
+       |  SELECT pair_id, side, tn.n AS n, md5(substr(s, i, tn.n)) AS g
+       |  FROM cfp_src, unnest(generate_series(1, $maxN)) tn(n),
+       |       unnest(generate_series(1, length(s) - tn.n + 1)) t(i)
+       |  WHERE length(s) >= tn.n
+       |  UNION ALL
+       |  SELECT pair_id, side, tn.n + 100 AS n,
+       |         md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
+       |  FROM cfp_src, unnest(generate_series(1, $wordN)) tn(n),
+       |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
+       |  WHERE len(ws) >= tn.n),
+       |cfp_pg AS (SELECT pair_id, n, g,
+       |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+       |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM cfp_g GROUP BY 1, 2, 3),
+       |cfp_pn AS (SELECT pair_id, n,
+       |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
+       |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
+       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
+       |  FROM cfp_pg GROUP BY 1, 2),
+       |cfp_f AS (SELECT pair_id, n, clipped, c_total, r_total,
+       |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
+       |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
+       |         ($beta2 * r_total + c_total) AS BIGINT)
+       |  END AS f_e6
+       |  FROM cfp_pn)
+       |SELECT pair_id,
+       |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_chars,
+       |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_chars,
+       |  MAX(CASE WHEN n = 101 THEN c_total END) AS c_words,
+       |  MAX(CASE WHEN n = 101 THEN r_total END) AS r_words,
+       |  MAX(CASE WHEN n = 1 THEN clipped END) AS clipped_c1,
+       |  MAX(CASE WHEN n = 102 THEN clipped END) AS clipped_w2,
+       |  CAST(CAST(SUM(f_e6) AS HUGEINT) // $nComp AS BIGINT) AS chrfpp_e6
+       |FROM cfp_f GROUP BY 1
+       |HAVING SUM(CASE WHEN c_total >= 1 AND r_total >= 1 THEN 1 ELSE 0 END)
+       |       = $nComp""".stripMargin
+  }
+
   /** DuckDB mirror of [[chrF]]. */
   def chrFSql(beta2: Int = 4, maxN: Int = 6,
       from: String = "documents"): String =

@@ -279,6 +279,48 @@ class NgramEvalSpec extends AnyFunSuite {
     assert(gotDuck === gotSpark.map { case (k, v) => k -> v.toSeq })
   }
 
+  test("chrF++: identity 1e6; word orders genuinely participate; <2-word sides drop") {
+    import spark.implicits._
+    val t = "the cat sat"
+    val same = NgramEval.chrFpp(Seq(0L -> t, 1L -> t).toDF("doc_id", "text"))
+      .head()
+    assert(same.getAs[Long]("chrfpp_e6") === 1000000L)
+    assert(same.getAs[Long]("c_words") === 3L)
+    assert(same.getAs[Long]("c_chars") === 9L)
+    // same characters, different word segmentation: char orders agree,
+    // word orders must NOT — chrF++ < 1e6 while plain chrF = 1e6
+    val seg = Seq(0L -> "ab cdef", 1L -> "abc def")
+    val chrf = NgramEval.chrF(seg.toDF("doc_id", "text")).head()
+    assert(chrf.getAs[Long]("chrf_e6") === 1000000L)
+    val pp = NgramEval.chrFpp(seg.toDF("doc_id", "text")).head()
+    assert(pp.getAs[Long]("chrfpp_e6") < 1000000L)
+    assert(pp.getAs[Long]("clipped_w2") === 0L)
+    // a one-word side has no word bigram -> component unpopulated -> drop
+    val out = NgramEval.chrFpp(Seq(
+      0L -> "abcdefgh xy", 1L -> "abcdefgh").toDF("doc_id", "text"))
+      .collect()
+    assert(out.isEmpty)
+  }
+
+  test("chrFppSql mirror matches the Spark side (astral chars included)") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "the cat sat on mats", 1L -> "the cat sat on mat",
+      2L -> "𝄞ab cd𝄞ef gh", 3L -> "𝄞ab xy𝄞ef gh",
+      4L -> "abcdef gh", 5L -> "abc")
+    val gotSpark = NgramEval.chrFpp(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (1 until r.length).map(r.getLong)).toMap
+    val values = docs.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val gotDuck = DuckBridgeTestUtil.duck(NgramEval.chrFppSql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))"))
+      .map(r => r(0).get.toLong -> r.tail.map(_.get.toLong)).toMap
+    assert(gotSpark.keySet === Set(0L, 2L))
+    assert(gotDuck === gotSpark.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("disjoint texts score zero with exact totals") {
     val out = run(Seq(0L -> "a b c", 1L -> "x y z"), 2)(0L)
     assert(out === ((0L, 2L, 2L, 0.0, 0.0)))
