@@ -220,6 +220,12 @@ object DocQueries {
   private val evalRougeL: Q = (s, d) =>
     RougeL.rougeL(table(s, d, "documents"))
 
+  /** Per-metric drop ledger for the eval family: pairs each metric's
+    * contract can/cannot score, so corpus aggregates can't silently
+    * lose short pairs (r13 ADVICE item 3). */
+  private val evalPairCoverage: Q = (s, d) =>
+    NgramEval.pairCoverage(table(s, d, "documents"))
+
   /** chrF++: the WMT-reported chrF variant — 6 char orders + word
     * 1/2-grams in one 8-component F-β mean, one scan, one Generate. */
   private val evalChrfpp: Q = (s, d) =>
@@ -842,6 +848,8 @@ object DocQueries {
     ("eval_chrf", evalChrf, Some(NgramEval.chrFSql())),
     ("eval_rouge_l", evalRougeL, Some(RougeL.rougeLSql())),
     ("eval_chrfpp", evalChrfpp, Some(NgramEval.chrFppSql())),
+    ("eval_pair_coverage", evalPairCoverage,
+      Some(NgramEval.pairCoverageSql())),
     ("eval_bleu4_multiref", evalBleu4MultiRef, Some(NgramEval.bleu4MultiRefSql(
       candsFrom = "(SELECT doc_id AS cand_id, text FROM documents " +
         "WHERE ((doc_id % 4) + 4) % 4 = 0)",

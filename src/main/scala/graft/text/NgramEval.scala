@@ -517,6 +517,95 @@ object NgramEval {
        |FROM b4_agg""".stripMargin
   }
 
+  /** Pair-coverage audit — the r13 ADVICE item 3 surface: each eval
+    * metric DROPS pairs its contract can't score (bleu4: candidate
+    * < 4 words or reference absent; chrF: either side < maxN chars;
+    * chrF++: additionally either side < 2 words; ROUGE-L: one-sided
+    * only), and a downstream corpus aggregate that never sees those
+    * rows can silently misrepresent short-text corpora. This gate
+    * makes the drop ledger first-class: one row per metric with
+    * (pairs_total, pairs_scored, pairs_dropped), computed from the
+    * drop PREDICATES on one scan's per-pair side lengths — so
+    * `pairs_scored` equals each gate's row count by construction
+    * (spec-pinned against the actual gates). */
+  def pairCoverage(docs: DataFrame, maxN: Int = 6): DataFrame = {
+    val perPair = docs
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
+      .groupBy(col("pair_id"))
+      .agg(
+        count(lit(1)).as("n_sides"),
+        first(when(col("side") === 0, col("n_words")), ignoreNulls = true).as("c_words"),
+        first(when(col("side") === 1, col("n_words")), ignoreNulls = true).as("r_words"),
+        first(when(col("side") === 0, col("n_chars")), ignoreNulls = true).as("c_chars"),
+        first(when(col("side") === 1, col("n_chars")), ignoreNulls = true).as("r_chars"))
+    val both = col("n_sides") === 2
+    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "eval_ngram_overlap" -> (both && col("c_words") >= 2 && col("r_words") >= 2),
+      "eval_bleu4" -> (both && col("c_words") >= 4),
+      "eval_chrf" -> (both && col("c_chars") >= maxN && col("r_chars") >= maxN),
+      "eval_chrfpp" -> (both && col("c_chars") >= maxN && col("r_chars") >= maxN
+        && col("c_words") >= 2 && col("r_words") >= 2),
+      "eval_rouge_l" -> both)
+    val wide = perPair.agg(
+      count(lit(1)).as("pairs_total"),
+      preds.map { case (m, p) =>
+        sum(when(p, 1L).otherwise(0L)).as(s"sc_$m") }: _*)
+    val stack = preds.map { case (m, _) => s"'$m', sc_$m" }.mkString(", ")
+    wide
+      .select(col("pairs_total"),
+        expr(s"stack(${preds.size}, $stack) AS (metric, pairs_scored)"))
+      .select(col("metric"), col("pairs_total"), col("pairs_scored"),
+        (col("pairs_total") - col("pairs_scored")).as("pairs_dropped"))
+  }
+
+  /** DuckDB mirror of [[pairCoverage]]. */
+  def pairCoverageSql(maxN: Int = 6, from: String = "documents"): String =
+    s"""WITH pc_side AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+       |  FROM $from),
+       |pc_pair AS (
+       |  SELECT pair_id, COUNT(*) AS n_sides,
+       |    MAX(CASE WHEN side = 0 THEN n_words END) AS c_words,
+       |    MAX(CASE WHEN side = 1 THEN n_words END) AS r_words,
+       |    MAX(CASE WHEN side = 0 THEN n_chars END) AS c_chars,
+       |    MAX(CASE WHEN side = 1 THEN n_chars END) AS r_chars
+       |  FROM pc_side GROUP BY 1),
+       |pc_wide AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS pairs_total,
+       |    CAST(SUM(CASE WHEN n_sides = 2 AND c_words >= 2 AND r_words >= 2
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS sc_ngram,
+       |    CAST(SUM(CASE WHEN n_sides = 2 AND c_words >= 4
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS sc_bleu4,
+       |    CAST(SUM(CASE WHEN n_sides = 2 AND c_chars >= $maxN
+       |             AND r_chars >= $maxN THEN 1 ELSE 0 END) AS BIGINT) AS sc_chrf,
+       |    CAST(SUM(CASE WHEN n_sides = 2 AND c_chars >= $maxN
+       |             AND r_chars >= $maxN AND c_words >= 2 AND r_words >= 2
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS sc_chrfpp,
+       |    CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS sc_rouge
+       |  FROM pc_pair)
+       |SELECT m.metric, w.pairs_total,
+       |  CASE m.metric
+       |    WHEN 'eval_ngram_overlap' THEN w.sc_ngram
+       |    WHEN 'eval_bleu4' THEN w.sc_bleu4
+       |    WHEN 'eval_chrf' THEN w.sc_chrf
+       |    WHEN 'eval_chrfpp' THEN w.sc_chrfpp
+       |    ELSE w.sc_rouge END AS pairs_scored,
+       |  w.pairs_total - (CASE m.metric
+       |    WHEN 'eval_ngram_overlap' THEN w.sc_ngram
+       |    WHEN 'eval_bleu4' THEN w.sc_bleu4
+       |    WHEN 'eval_chrf' THEN w.sc_chrf
+       |    WHEN 'eval_chrfpp' THEN w.sc_chrfpp
+       |    ELSE w.sc_rouge END) AS pairs_dropped
+       |FROM pc_wide w, (VALUES ('eval_ngram_overlap'), ('eval_bleu4'),
+       |  ('eval_chrf'), ('eval_chrfpp'), ('eval_rouge_l')) m(metric)""".stripMargin
+
   /** DuckDB mirror of [[bleu4MultiRef]]. `candsFrom` must select
     * (cand_id, text); `refsFrom` (cand_id, ref_id, text). */
   def bleu4MultiRefSql(fbits: Int = 20,

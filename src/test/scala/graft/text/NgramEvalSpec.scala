@@ -321,6 +321,38 @@ class NgramEvalSpec extends AnyFunSuite {
     assert(gotDuck === gotSpark.map { case (k, v) => k -> v.toSeq })
   }
 
+  test("pairCoverage: pairs_scored equals each gate's ACTUAL row count") {
+    import spark.implicits._
+    // one pair per drop regime: full-scoring, cand < 4 words, side
+    // < 6 chars, 1-word side (word-bigram drop), one-sided, empty text
+    val docs = Seq(
+      0L -> "the cat sat on the mat", 1L -> "a cat sat on a mat",
+      2L -> "two words xx", 3L -> "reference side here is fine",
+      4L -> "abc", 5L -> "abcdefgh",
+      6L -> "oneword123", 7L -> "wordone456",
+      8L -> "unpaired text", // 9 missing
+      10L -> "", 11L -> "x y z w q"
+    ).toDF("doc_id", "text")
+    val cov = NgramEval.pairCoverage(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cov.keySet === Set("eval_ngram_overlap", "eval_bleu4",
+      "eval_chrf", "eval_chrfpp", "eval_rouge_l"))
+    val actual = Map(
+      "eval_ngram_overlap" -> NgramEval.clippedOverlap(docs).count(),
+      "eval_bleu4" -> NgramEval.bleu4(docs).count(),
+      "eval_chrf" -> NgramEval.chrF(docs).count(),
+      "eval_chrfpp" -> NgramEval.chrFpp(docs).count(),
+      "eval_rouge_l" -> RougeL.rougeL(docs).count())
+    actual.foreach { case (m, n) =>
+      assert(cov(m)._2 === n, s"$m pairs_scored vs gate rows")
+      assert(cov(m)._1 === 6L, s"$m pairs_total")
+      assert(cov(m)._3 === 6L - n, s"$m pairs_dropped")
+    }
+    // the regimes genuinely differ (the ledger isn't vacuous)
+    assert(actual.values.toSet.size >= 3)
+  }
+
   test("disjoint texts score zero with exact totals") {
     val out = run(Seq(0L -> "a b c", 1L -> "x y z"), 2)(0L)
     assert(out === ((0L, 2L, 2L, 0.0, 0.0)))
