@@ -90,6 +90,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case l: Long => l.toInt
       case other   => sys.error(s"$what must be an int literal, got $other")
     }
+    def tagLit(exprs: Seq[Expression], name: String): Int =
+      if (exprs.size >= 4) intLit(exprs(3), s"$name tag") else 0
     ext.injectFunction((
       FunctionIdentifier("cp_gram_hashes"),
       new ExpressionInfo(
@@ -97,7 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cp_gram_hashes"),
       (exprs: Seq[Expression]) => graft.functions.CodepointGramHashes(
         exprs.head, intLit(exprs(1), "cp_gram_hashes minN"),
-        intLit(exprs(2), "cp_gram_hashes maxN"))))
+        intLit(exprs(2), "cp_gram_hashes maxN"),
+        tagLit(exprs, "cp_gram_hashes"))))
     ext.injectFunction((
       FunctionIdentifier("word_gram_hashes"),
       new ExpressionInfo(
@@ -105,7 +108,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_gram_hashes"),
       (exprs: Seq[Expression]) => graft.functions.WordGramHashes(
         exprs.head, intLit(exprs(1), "word_gram_hashes minN"),
-        intLit(exprs(2), "word_gram_hashes maxN"))))
+        intLit(exprs(2), "word_gram_hashes maxN"),
+        tagLit(exprs, "word_gram_hashes"))))
     ext.injectOptimizerRule(_ => CollapseNfcNormalize)
     ext.injectOptimizerRule(_ => BandLevenshteinPredicate)
     ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin)

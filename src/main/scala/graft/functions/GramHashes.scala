@@ -28,12 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (wrapping 64-bit), window [p, p+n) = P[p+n] − P[p]·B^n, finalized
   * through the murmur fmix64 avalanche (the prefix-difference raw
   * value has structured low bits; fmix64 gives uniform 64). Each
-  * element packs (fmix64(window) << 3) | n — the order rides in the
-  * low 3 bits (so maxN ≤ 7), leaving a 61-bit hash: the same
-  * negligible-collision currency class as the xxhash64 the eval
-  * pipelines previously shuffled, at O(1) per gram instead of a
-  * substring allocation + byte hash per gram. Downstream recovers the
-  * order as `e & 7` and groups by the packed value itself.
+  * element packs (fmix64(window) << 4) | (tag << 3) | n — the order
+  * rides in the low 3 bits (so maxN ≤ 7) plus one caller TAG bit (so
+  * two gram FAMILIES can meet in one exploded array without structs:
+  * chrF++ concats char grams tagged 0 with word grams tagged 1 and
+  * explodes plain longs), leaving a 60-bit hash: the same negligible
+  * -collision currency class as the xxhash64 the eval pipelines
+  * previously shuffled, at O(1) per gram instead of a substring
+  * allocation + byte hash per gram. Downstream recovers `e & 7` (the
+  * order, single-family) or `e & 15` (tag·8 + order, mixed-family)
+  * and groups by the packed value itself.
   */
 object GramHash {
   /** Polynomial base for window combination (FNV-64 prime). */
@@ -51,10 +55,10 @@ object GramHash {
     h ^= h >>> 33; h
   }
 
-  /** Shared windowing: packed (fmix64(window)<<3)|n for all orders
-    * minN..min(maxN, #syms) over the symbol-hash array. */
+  /** Shared windowing: packed (fmix64(window)<<4)|(tag<<3)|n for all
+    * orders minN..min(maxN, #syms) over the symbol-hash array. */
   private def windows(sym: Array[Long], nSyms: Int,
-      minN: Int, maxN: Int): GenericArrayData = {
+      minN: Int, maxN: Int, tag: Int): GenericArrayData = {
     val hi = math.min(maxN, nSyms)
     if (hi < minN) return new GenericArrayData(Array.emptyLongArray)
     val pref = new Array[Long](nSyms + 1)
@@ -67,13 +71,14 @@ object GramHash {
     var bn = 1L
     var k = 0
     while (k < minN - 1) { bn *= B; k += 1 }
+    val tagged = (tag.toLong << 3)
     var idx = 0
     n = minN
     while (n <= hi) {
       bn *= B // B^n
       var p = 0
       while (p + n <= nSyms) {
-        out(idx) = (fmix64(pref(p + n) - pref(p) * bn) << 3) | n
+        out(idx) = (fmix64(pref(p + n) - pref(p) * bn) << 4) | tagged | n
         idx += 1; p += 1
       }
       n += 1
@@ -83,7 +88,7 @@ object GramHash {
 
   /** Codepoint-gram face: symbols are Unicode CODEPOINTS (+1, so
     * U+0000 is non-degenerate). Called from generated code. */
-  def codepointGrams(s: UTF8String, minN: Int, maxN: Int): ArrayData = {
+  def codepointGrams(s: UTF8String, minN: Int, maxN: Int, tag: Int): ArrayData = {
     val str = s.toString
     val len = str.length
     val cps = new Array[Long](len)
@@ -95,7 +100,7 @@ object GramHash {
       nSyms += 1
       i += Character.charCount(cp)
     }
-    windows(cps, nSyms, minN, maxN)
+    windows(cps, nSyms, minN, maxN, tag)
   }
 
   /** Word-gram face: symbols are per-word hashes (char polynomial
@@ -103,7 +108,7 @@ object GramHash {
     * empty split token is a real symbol). Null array slots hash like
     * "" (split() never emits nulls; belt-and-braces for hand-built
     * arrays). Called from generated code. */
-  def wordGrams(arr: ArrayData, minN: Int, maxN: Int): ArrayData = {
+  def wordGrams(arr: ArrayData, minN: Int, maxN: Int, tag: Int): ArrayData = {
     val nw = arr.numElements()
     val wh = new Array[Long](nw)
     var i = 0
@@ -117,45 +122,47 @@ object GramHash {
       wh(i) = fmix64(h)
       i += 1
     }
-    windows(wh, nw, minN, maxN)
+    windows(wh, nw, minN, maxN, tag)
   }
 }
 
 /** Base for the two gram-hash expressions: array<bigint> of packed
-  * (hash<<3)|order window hashes, orders `minN..maxN` (1 ≤ minN ≤
-  * maxN ≤ 7 — 3 packing bits). Codegen calls the same static kernel
-  * as the interpreted path, so the two can never diverge, and the
-  * call fuses into the surrounding whole-stage-codegen span (no
-  * object-encoder boundary). */
+  * (hash<<4)|(tag<<3)|order window hashes, orders `minN..maxN` (1 ≤
+  * minN ≤ maxN ≤ 7 — 3 packing bits; tag ∈ {0, 1}). Codegen calls the
+  * same static kernel as the interpreted path, so the two can never
+  * diverge, and the call fuses into the surrounding whole-stage
+  * -codegen span (no object-encoder boundary). */
 sealed abstract class GramHashesBase extends UnaryExpression {
   def minN: Int
   def maxN: Int
+  def tag: Int
   protected def fnName: String
-  protected def childType: DataType
+  protected def childTypeOk: Boolean
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == childType && minN >= 1 && minN <= maxN && maxN <= 7)
+    if (childTypeOk && minN >= 1 && minN <= maxN && maxN <= 7
+        && tag >= 0 && tag <= 1)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$fnName expects (${childType.simpleString}, 1 <= minN <= maxN <= 7), " +
-        s"got (${child.dataType.simpleString}, $minN, $maxN)")
+      s"$fnName expects (input, 1 <= minN <= maxN <= 7, tag in 0..1), " +
+        s"got (${child.dataType.simpleString}, $minN, $maxN, $tag)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 }
 
 /** All codepoint n-gram hashes of orders minN..maxN, packed — the
   * chrF gram currency (full-Unicode windows, see [[GramHash]]). */
-case class CodepointGramHashes(child: Expression, minN: Int, maxN: Int)
-    extends GramHashesBase {
+case class CodepointGramHashes(child: Expression, minN: Int, maxN: Int,
+    tag: Int = 0) extends GramHashesBase {
   override protected def fnName: String = "cp_gram_hashes"
-  override protected def childType: DataType = StringType
+  override protected def childTypeOk: Boolean = child.dataType == StringType
 
   override def nullSafeEval(input: Any): Any =
-    GramHash.codepointGrams(input.asInstanceOf[UTF8String], minN, maxN)
+    GramHash.codepointGrams(input.asInstanceOf[UTF8String], minN, maxN, tag)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.GramHash.codepointGrams($c, $minN, $maxN);")
+      s"${ev.value} = graft.functions.GramHash.codepointGrams($c, $minN, $maxN, $tag);")
 
   override protected def withNewChildInternal(
       newChild: Expression): CodepointGramHashes = copy(child = newChild)
@@ -163,51 +170,51 @@ case class CodepointGramHashes(child: Expression, minN: Int, maxN: Int)
 
 /** All word n-gram hashes of orders minN..maxN over a split word
   * array, packed — the BLEU gram currency. */
-case class WordGramHashes(child: Expression, minN: Int, maxN: Int)
-    extends GramHashesBase {
+case class WordGramHashes(child: Expression, minN: Int, maxN: Int,
+    tag: Int = 0) extends GramHashesBase {
   override protected def fnName: String = "word_gram_hashes"
-  override protected def childType: DataType =
-    ArrayType(StringType, containsNull = true)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if minN >= 1 && minN <= maxN && maxN <= 7 =>
-      TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"word_gram_hashes expects (array<string>, 1 <= minN <= maxN <= 7), " +
-        s"got (${child.dataType.simpleString}, $minN, $maxN)")
+  override protected def childTypeOk: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
   }
 
   override def nullSafeEval(input: Any): Any =
-    GramHash.wordGrams(input.asInstanceOf[ArrayData], minN, maxN)
+    GramHash.wordGrams(input.asInstanceOf[ArrayData], minN, maxN, tag)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.GramHash.wordGrams($c, $minN, $maxN);")
+      s"${ev.value} = graft.functions.GramHash.wordGrams($c, $minN, $maxN, $tag);")
 
   override protected def withNewChildInternal(
       newChild: Expression): WordGramHashes = copy(child = newChild)
 }
 
 object GramHashes {
-  private def lit(e: Expression, what: String): Int = e.eval(null) match {
-    case i: Int  => i
-    case l: Long => l.toInt
-    case other   => sys.error(s"$what must be an int literal, got $other")
-  }
+  private[functions] def lit(e: Expression, what: String): Int =
+    e.eval(null) match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => sys.error(s"$what must be an int literal, got $other")
+    }
 
-  /** Register `cp_gram_hashes(s, minN, maxN)` and
-    * `word_gram_hashes(ws, minN, maxN)` (bounds foldable int literals)
-    * in the session's function registry. Idempotent. */
+  private[functions] def tagOf(es: Seq[Expression], name: String): Int =
+    if (es.size >= 4) lit(es(3), s"$name tag") else 0
+
+  /** Register `cp_gram_hashes(s, minN, maxN[, tag])` and
+    * `word_gram_hashes(ws, minN, maxN[, tag])` (bounds foldable int
+    * literals) in the session's function registry. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cp_gram_hashes",
       (es: Seq[Expression]) => CodepointGramHashes(
-        es.head, lit(es(1), "cp_gram_hashes minN"), lit(es(2), "cp_gram_hashes maxN")),
+        es.head, lit(es(1), "cp_gram_hashes minN"),
+        lit(es(2), "cp_gram_hashes maxN"), tagOf(es, "cp_gram_hashes")),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_gram_hashes",
       (es: Seq[Expression]) => WordGramHashes(
-        es.head, lit(es(1), "word_gram_hashes minN"), lit(es(2), "word_gram_hashes maxN")),
+        es.head, lit(es(1), "word_gram_hashes minN"),
+        lit(es(2), "word_gram_hashes maxN"), tagOf(es, "word_gram_hashes")),
       "scala_udf")
   }
 }

@@ -325,10 +325,12 @@ object NgramEval {
     * -rational algebra as [[chrF]]). Word orders are tagged 101/102 so
     * they can never collide with char orders in the (pair, n, gram)
     * aggregation; both gram families come off ONE text scan and ONE
-    * Generate (the char and word rolling-hash arrays concat before the
-    * explode). Drop convention (the chrF one, extended): every
-    * component populated on both sides — ≥ maxN chars AND ≥ wordN
-    * words per side; identical texts score exactly 1e6. */
+    * Generate — the word grams carry the kernel's TAG bit, so the two
+    * plain long arrays concat directly (no per-gram struct) and the
+    * mixed-family order is just `e & 15` (char 1..6, word 9..10).
+    * Drop convention (the chrF one, extended): every component
+    * populated on both sides — ≥ maxN chars AND ≥ wordN words per
+    * side; identical texts score exactly 1e6. */
   def chrFpp(docs: DataFrame, beta2: Int = 4, maxN: Int = 6,
       wordN: Int = 2): DataFrame = {
     graft.functions.GramHashes.register(docs.sparkSession)
@@ -341,13 +343,10 @@ object NgramEval {
         (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
         pmod(col("doc_id"), lit(2)).as("side"),
         explode(expr(
-          s"concat(transform(cp_gram_hashes(s, 1, $maxN), " +
-            "e -> named_struct('n', CAST(e & 7 AS INT), 'g', e)), " +
-            s"transform(word_gram_hashes(ws, 1, $wordN), " +
-            "e -> named_struct('n', CAST(e & 7 AS INT) + 100, 'g', e)))"
-        )).as("t"))
-      .select(col("pair_id"), col("side"), col("t.n").as("n"),
-        col("t.g").as("g"))
+          s"concat(cp_gram_hashes(s, 1, $maxN), " +
+            s"word_gram_hashes(ws, 1, $wordN, 1))")).as("e"))
+      .select(col("pair_id"), col("side"),
+        expr("CAST(e & 15 AS INT)").as("n"), col("e").as("g"))
       .groupBy(col("pair_id"), col("n"), col("g"))
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
@@ -365,10 +364,10 @@ object NgramEval {
           .as("n_orders"),
         max(when(col("n") === 1, col("c_total"))).as("c_chars"),
         max(when(col("n") === 1, col("r_total"))).as("r_chars"),
-        max(when(col("n") === 101, col("c_total"))).as("c_words"),
-        max(when(col("n") === 101, col("r_total"))).as("r_words"),
+        max(when(col("n") === 9, col("c_total"))).as("c_words"),
+        max(when(col("n") === 9, col("r_total"))).as("r_words"),
         max(when(col("n") === 1, col("clipped"))).as("clipped_c1"),
-        max(when(col("n") === 102, col("clipped"))).as("clipped_w2"),
+        max(when(col("n") === 10, col("clipped"))).as("clipped_w2"),
         sum(col("f_e6")).as("sum_f_e6"))
       .filter(col("n_orders") === nComp)
       .select(col("pair_id"), col("c_chars"), col("r_chars"),
