@@ -75,6 +75,10 @@ object ScalingBench {
       "eval_ngram_overlap" -> "documents",
       "eval_bleu4" -> "documents",
       "eval_chrf" -> "documents",
+      // r14: the completed eval family (rolling-hash gram kernel)
+      "eval_chrfpp" -> "documents",
+      "eval_rouge_l" -> "documents",
+      "eval_bleu4_multiref" -> "documents",
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
       "a_kmv_intersect" -> "events",
@@ -225,6 +229,24 @@ object ScalingBench {
         s""""exponent":${f3(slope)},"contract":"pairs\\u221dG\\u00b2",""" +
         s""""g":{"sf0.1":$g1,"x4":${g1 * 4}}}"""
     }
+    // Docs-axis ×4 row for eval_chrf (r13 verdict item 6): its scale
+    // variable is corpus CHARS (≈6 gram rows per char), and the
+    // vowel-rotated ×4 documents corpus grows chars EXACTLY 4×
+    // (translate is 1:1; the even 1e8 doc_id shift preserves pairing
+    // parity and keeps copies' pair ids disjoint, so pairs replicate
+    // per copy and no cross-copy pair forms). Pinning the growth law
+    // as a contract row means a future gram-pipeline regression shows
+    // up as an exponent break, not a vibe.
+    val chrfExtrap = {
+      val chars1 = docs.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(col("text")))).head.getLong(0)
+      val t1 = timeOnce("eval_chrf", sfs.last)
+      val t2 = timeOnce("eval_chrf", xDir)
+      val slope = math.log(t2 / t1) / math.log(4.0)
+      s""""eval_chrf_x4":{"sec":{"sf0.1":${f3(t1)},"x4":${f3(t2)}},""" +
+        s""""exponent":${f3(slope)},"contract":"grams\\u221dchars",""" +
+        s""""chars":{"sf0.1":$chars1,"x4":${chars1 * 4}}}"""
+    }
     val semExtrap = {
       def sem(dir: String, k: Int) = () =>
         graft.sim.SemDedup.dedup(
@@ -242,7 +264,7 @@ object ScalingBench {
         s""""k":{"sf0.1":8,"x4":32}}"""
     }
 
-    val json = (results ++ extrap ++ Seq(kmvMatrixExtrap, semExtrap))
+    val json = (results ++ extrap ++ Seq(kmvMatrixExtrap, chrfExtrap, semExtrap))
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       json.getBytes("UTF-8"))

@@ -215,22 +215,16 @@ object NgramEval {
         (p, n, cl, ct, q)
       }
       .toDF("cand_id", "n", "clipped", "c_total", "qln")
-    // effective reference length: per-ref unigram totals -> closest to
-    // c_len, ties to the shorter (packed-integer argmin, both engines)
-    val refLens = cnt
-      .filter(col("side") === 1 && col("n") === 1)
-      .groupBy(col("cand_id"), col("ref_id"))
-      .agg(sum(col("cnt")).as("r_len_i"))
-    val cLen = withQ.filter(col("n") === 1)
-      .select(col("cand_id"), col("c_total").as("c_len"))
-    val rEff = refLens.join(cLen, Seq("cand_id"))
-      .groupBy(col("cand_id"))
-      .agg(count(lit(1)).as("n_refs"),
-        min(abs(col("r_len_i") - col("c_len")) * lit(1000000000L) +
-          col("r_len_i")).as("r_enc"))
-      .select(col("cand_id"), col("n_refs"),
-        pmod(col("r_enc"), lit(1000000000L)).as("r_len"))
-    withQ.groupBy(col("cand_id"))
+    // effective reference length: per-ref token counts need NO gram
+    // pipeline (they are just len(split)) — reading them straight off
+    // the refs relation keeps the expensive (cand, n, gram) frame
+    // single-consumer (no duplicated gram aggregation in the DAG);
+    // the closest-to-c_len, ties-to-the-shorter argmin (packed
+    // integer, both engines) runs AFTER the per-candidate rollup, on
+    // a few-rows-per-candidate join
+    val refLens = refs.select(col("cand_id"),
+      size(split(col("text"), " ")).cast("long").as("r_len_i"))
+    val agg0 = withQ.groupBy(col("cand_id"))
       .agg(
         count(lit(1)).as("n_c_orders"),
         max(when(col("n") === 1, col("c_total"))).as("c_len"),
@@ -241,7 +235,20 @@ object NgramEval {
         sum(col("qln")).as("sum_qln"),
         count(col("qln")).as("n_qln"))
       .filter(col("n_c_orders") === 4)
-      .join(rEff, Seq("cand_id"))
+    agg0.join(refLens, Seq("cand_id"))
+      .groupBy(col("cand_id"))
+      .agg(
+        count(lit(1)).as("n_refs"),
+        first(col("c_len")).as("c_len"),
+        first(col("clipped_1")).as("clipped_1"),
+        first(col("clipped_2")).as("clipped_2"),
+        first(col("clipped_3")).as("clipped_3"),
+        first(col("clipped_4")).as("clipped_4"),
+        first(col("sum_qln")).as("sum_qln"),
+        first(col("n_qln")).as("n_qln"),
+        min(abs(col("r_len_i") - col("c_len")) * lit(1000000000L) +
+          col("r_len_i")).as("r_enc"))
+      .withColumn("r_len", pmod(col("r_enc"), lit(1000000000L)))
       .withColumn("bp_log2fp",
         when(col("c_len") >= col("r_len"), lit(0L))
           .otherwise(expr(
@@ -649,8 +656,9 @@ object NgramEval {
        |  CASE WHEN n = 1 THEN c_total ELSE c_total + 1 END AS ts
        |  FROM bm_pn
        |  WHERE (CASE WHEN n = 1 THEN clipped ELSE clipped + 1 END) >= 1)$logCtes,
-       |bm_rlen AS (SELECT cand_id, ref_id, CAST(SUM(cnt) AS BIGINT) AS r_len_i
-       |  FROM bm_cnt WHERE side = 1 AND n = 1 GROUP BY 1, 2),
+       |bm_rlen AS (SELECT cand_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS r_len_i
+       |  FROM $refsFrom),
        |bm_clen AS (SELECT cand_id, c_total AS c_len FROM bm_pn WHERE n = 1),
        |bm_reff AS (SELECT r.cand_id, CAST(COUNT(*) AS BIGINT) AS n_refs,
        |  CAST(MIN(ABS(r.r_len_i - c.c_len)::HUGEINT * 1000000000 + r.r_len_i)
