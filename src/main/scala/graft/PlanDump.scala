@@ -55,7 +55,11 @@ object PlanDump {
     "pipeline_quality_classifier" -> "quality filter: GD weight row broadcast per iteration, scoring is a stateless map",
     "pipeline_wordpiece_encode" -> "WordPiece: greedy fold fully inside codegen, vocab is one broadcast array row",
     "a_kmv_overlap_matrix" -> "KMV overlap matrix: sketch-sized frames after one scan, in-row pair expansion witness",
-    "eval_bleu4" -> "BLEU-4: all four gram orders off ONE scan, three combined key shuffles, narrow fixed-point-log map")
+    "eval_bleu4" -> "BLEU-4: all four gram orders off ONE scan, three combined key shuffles, narrow fixed-point-log map",
+    "eval_chrf" -> "chrF: rolling-hash kernel emits all 6 codepoint-gram orders inside the scan stage, zero per-gram alloc",
+    "eval_chrfpp" -> "chrF++: char (tag 0) + word (tag 1) gram families concat into ONE Generate, no structs",
+    "eval_bleu4_multiref" -> "multi-ref BLEU: join-free gram matching, single post-aggregation effective-length join",
+    "eval_rouge_l" -> "ROUGE-L: one pair shuffle into the typed LCS kernel, per-pair rows only")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
