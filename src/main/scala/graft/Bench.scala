@@ -123,7 +123,14 @@ object Bench {
           if (solo > 0) Some(solo / p) else None
         case _ => None
       }.sorted
-      val ambient = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+      // true median: even-sized panels average the two middles — with
+      // one control dropped out of a 3-panel, a single noisy survivor
+      // must not fully determine ambient (the review case: {1.0, 2.5}
+      // reads 1.75, not 2.5)
+      val ambient =
+        if (ratios.isEmpty) 1.0
+        else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
       flagged.map { case (g, p, v, _) =>
         val solo = measure(g)
         val base = p * ambient

@@ -85,31 +85,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => sys.error(
             s"rolling_hash_grams k must be an int literal, got $other")
         })))
-    def intLit(e: Expression, what: String): Int = e.eval(null) match {
-      case i: Int  => i
-      case l: Long => l.toInt
-      case other   => sys.error(s"$what must be an int literal, got $other")
-    }
-    def tagLit(exprs: Seq[Expression], name: String): Int =
-      if (exprs.size >= 4) intLit(exprs(3), s"$name tag") else 0
     ext.injectFunction((
       FunctionIdentifier("cp_gram_hashes"),
       new ExpressionInfo(
         classOf[graft.functions.CodepointGramHashes].getName,
         "cp_gram_hashes"),
-      (exprs: Seq[Expression]) => graft.functions.CodepointGramHashes(
-        exprs.head, intLit(exprs(1), "cp_gram_hashes minN"),
-        intLit(exprs(2), "cp_gram_hashes maxN"),
-        tagLit(exprs, "cp_gram_hashes"))))
+      graft.functions.GramHashes.cpBuilder))
     ext.injectFunction((
       FunctionIdentifier("word_gram_hashes"),
       new ExpressionInfo(
         classOf[graft.functions.WordGramHashes].getName,
         "word_gram_hashes"),
-      (exprs: Seq[Expression]) => graft.functions.WordGramHashes(
-        exprs.head, intLit(exprs(1), "word_gram_hashes minN"),
-        intLit(exprs(2), "word_gram_hashes maxN"),
-        tagLit(exprs, "word_gram_hashes"))))
+      graft.functions.GramHashes.wordBuilder))
     ext.injectOptimizerRule(_ => CollapseNfcNormalize)
     ext.injectOptimizerRule(_ => BandLevenshteinPredicate)
     ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin)

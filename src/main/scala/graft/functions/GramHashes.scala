@@ -197,24 +197,30 @@ object GramHashes {
       case other   => sys.error(s"$what must be an int literal, got $other")
     }
 
-  private[functions] def tagOf(es: Seq[Expression], name: String): Int =
+  private def tagOf(es: Seq[Expression], name: String): Int =
     if (es.size >= 4) lit(es(3), s"$name tag") else 0
 
-  /** Register `cp_gram_hashes(s, minN, maxN[, tag])` and
-    * `word_gram_hashes(ws, minN, maxN[, tag])` (bounds foldable int
-    * literals) in the session's function registry. Idempotent. */
+  /** The ONE argument-wiring spelling for `cp_gram_hashes(s, minN,
+    * maxN[, tag])` — shared by the session registry and the
+    * SparkSessionExtensions injector so the two routes can never
+    * diverge. */
+  val cpBuilder: Seq[Expression] => Expression = es =>
+    CodepointGramHashes(
+      es.head, lit(es(1), "cp_gram_hashes minN"),
+      lit(es(2), "cp_gram_hashes maxN"), tagOf(es, "cp_gram_hashes"))
+
+  /** Same for `word_gram_hashes(ws, minN, maxN[, tag])`. */
+  val wordBuilder: Seq[Expression] => Expression = es =>
+    WordGramHashes(
+      es.head, lit(es(1), "word_gram_hashes minN"),
+      lit(es(2), "word_gram_hashes maxN"), tagOf(es, "word_gram_hashes"))
+
+  /** Register both functions (bounds foldable int literals) in the
+    * session's function registry. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cp_gram_hashes",
-      (es: Seq[Expression]) => CodepointGramHashes(
-        es.head, lit(es(1), "cp_gram_hashes minN"),
-        lit(es(2), "cp_gram_hashes maxN"), tagOf(es, "cp_gram_hashes")),
-      "scala_udf")
+      "cp_gram_hashes", cpBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_gram_hashes",
-      (es: Seq[Expression]) => WordGramHashes(
-        es.head, lit(es(1), "word_gram_hashes minN"),
-        lit(es(2), "word_gram_hashes maxN"), tagOf(es, "word_gram_hashes")),
-      "scala_udf")
+      "word_gram_hashes", wordBuilder, "scala_udf")
   }
 }

@@ -25,7 +25,7 @@ import graft.util.{DuckHash, FixedLog}
   * never leaves the scan — and since r14 is never even MATERIALIZED:
   * the [[graft.functions.GramHash]] rolling kernel emits every order's
   * window hashes in O(1) per (position, order) with zero per-gram
-  * allocation, and the packed 61-bit hash is the shuffle currency (the
+  * allocation, and the packed 60-bit hash is the shuffle currency (the
   * oracle groups by md5 of the gram text — only collision behavior
   * must agree, both ~0, the contamination convention). At 100 TB this
   * is two hash aggregations with map-side partial combine, nothing
@@ -533,9 +533,12 @@ object NgramEval {
     * (pairs_total, pairs_scored, pairs_dropped), computed from the
     * drop PREDICATES on one scan's per-pair side lengths — so
     * `pairs_scored` equals each gate's row count by construction
-    * (spec-pinned against the actual gates). */
+    * (spec-pinned against the actual gates). A NULL-text row behaves
+    * as an ABSENT side here because that is what every gate does with
+    * it (split/length of NULL propagates into each gate's filters). */
   def pairCoverage(docs: DataFrame, maxN: Int = 6): DataFrame = {
     val perPair = docs
+      .filter(col("text").isNotNull)
       .select(
         (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
         pmod(col("doc_id"), lit(2)).as("side"),
@@ -575,7 +578,7 @@ object NgramEval {
        |         ((doc_id % 2) + 2) % 2 AS side,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
-       |  FROM $from),
+       |  FROM $from WHERE text IS NOT NULL),
        |pc_pair AS (
        |  SELECT pair_id, COUNT(*) AS n_sides,
        |    MAX(CASE WHEN side = 0 THEN n_words END) AS c_words,

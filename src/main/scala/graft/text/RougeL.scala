@@ -96,7 +96,7 @@ object RougeL {
        |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
        |         ((doc_id % 2) + 2) % 2 AS side,
        |         string_split(text, ' ')[1:$cap] AS ws
-       |  FROM $from),
+       |  FROM $from WHERE text IS NOT NULL),
        |rl_pair AS (
        |  SELECT pair_id,
        |         MAX(CASE WHEN side = 0 THEN ws END) AS c,

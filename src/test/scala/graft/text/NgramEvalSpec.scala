@@ -331,7 +331,8 @@ class NgramEvalSpec extends AnyFunSuite {
       4L -> "abc", 5L -> "abcdefgh",
       6L -> "oneword123", 7L -> "wordone456",
       8L -> "unpaired text", // 9 missing
-      10L -> "", 11L -> "x y z w q"
+      10L -> "", 11L -> "x y z w q",
+      12L -> "valid candidate side here", 13L -> null // NULL ref = absent side
     ).toDF("doc_id", "text")
     val cov = NgramEval.pairCoverage(docs)
       .collect().map(r => r.getString(0) ->
@@ -346,8 +347,8 @@ class NgramEvalSpec extends AnyFunSuite {
       "eval_rouge_l" -> RougeL.rougeL(docs).count())
     actual.foreach { case (m, n) =>
       assert(cov(m)._2 === n, s"$m pairs_scored vs gate rows")
-      assert(cov(m)._1 === 6L, s"$m pairs_total")
-      assert(cov(m)._3 === 6L - n, s"$m pairs_dropped")
+      assert(cov(m)._1 === 7L, s"$m pairs_total")
+      assert(cov(m)._3 === 7L - n, s"$m pairs_dropped")
     }
     // the regimes genuinely differ (the ledger isn't vacuous)
     assert(actual.values.toSet.size >= 3)

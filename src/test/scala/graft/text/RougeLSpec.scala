@@ -77,11 +77,13 @@ class RougeLSpec extends AnyFunSuite {
       2L -> "same text here", 3L -> "same text here",
       4L -> "p q r", 5L -> "x y z",
       6L -> "a b c d e f g h i j", 7L -> "j i h g f e d c b a",
-      8L -> "one sided")
+      8L -> "one sided",
+      10L -> "cand with null ref", 11L -> null) // NULL side = absent, both engines
     val gotSpark = RougeL.rougeL(docs.toDF("doc_id", "text"), cap = 6)
       .collect().map(r => r.getLong(0) ->
         (1 until 5).map(r.getLong)).toMap
-    val values = docs.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val values = docs.map { case (id, t) =>
+      if (t == null) s"($id, NULL)" else s"($id, '$t')" }.mkString(", ")
     val gotDuck = DuckBridgeTestUtil.duck(RougeL.rougeLSql(cap = 6,
       from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))"))
       .map(r => r(0).get.toLong -> r.tail.map(_.get.toLong)).toMap
