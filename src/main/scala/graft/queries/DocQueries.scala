@@ -220,6 +220,16 @@ object DocQueries {
   private val evalRougeL: Q = (s, d) =>
     RougeL.rougeL(table(s, d, "documents"))
 
+  /** Corpus-level BLEU-4 (the sacrebleu/WMT-reported micro average):
+    * clipped/total gram counts sum across the corpus per order before
+    * the ratio; one output row, raw counts, NULL on any zero order. */
+  private val evalBleu4Corpus: Q = (s, d) =>
+    NgramEval.bleu4Corpus(table(s, d, "documents"))
+
+  /** SQuAD-style token-bag F1 + exact match per pair. */
+  private val evalTokenF1: Q = (s, d) =>
+    NgramEval.tokenF1(table(s, d, "documents"))
+
   /** Per-metric drop ledger for the eval family: pairs each metric's
     * contract can/cannot score, so corpus aggregates can't silently
     * lose short pairs (r13 ADVICE item 3). */
@@ -850,6 +860,8 @@ object DocQueries {
     ("eval_chrfpp", evalChrfpp, Some(NgramEval.chrFppSql())),
     ("eval_pair_coverage", evalPairCoverage,
       Some(NgramEval.pairCoverageSql())),
+    ("eval_bleu4_corpus", evalBleu4Corpus, Some(NgramEval.bleu4CorpusSql())),
+    ("eval_token_f1", evalTokenF1, Some(NgramEval.tokenF1Sql())),
     ("eval_bleu4_multiref", evalBleu4MultiRef, Some(NgramEval.bleu4MultiRefSql(
       candsFrom = "(SELECT doc_id AS cand_id, text FROM documents " +
         "WHERE ((doc_id % 4) + 4) % 4 = 0)",

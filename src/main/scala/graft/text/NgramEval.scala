@@ -262,6 +262,223 @@ object NgramEval {
           col("sum_qln") + lit(4L) * col("bp_log2fp")).as("bleu_log2fp_x4"))
   }
 
+  /** CORPUS-level BLEU-4 over the (even, odd) pairs — the number
+    * sacrebleu/WMT actually report: clipped and total gram counts SUM
+    * across the corpus per order BEFORE the precision ratio (micro
+    * average), and the brevity penalty runs on summed lengths; a
+    * sentence-mean of [[bleu4]] scores is a different (and
+    * non-standard) statistic. Same integer spelling:
+    * bleu_log2fp_x4 = Σ_n log2fp(Σclipped_n, Σtotal_n) + 4·bp, with
+    * RAW counts at every order (no smoothing — corpus sums hit zero
+    * only when NO candidate 4-gram matches anywhere, and then the
+    * score is NULL, the true log 0). Pairs missing a reference are
+    * excluded; short candidates still contribute the orders they
+    * have (their missing orders add 0 grams — the sacrebleu
+    * convention). Output is ONE row. Scale shape: the [[bleu4]] gram
+    * pipeline, then a 4-row corpus rollup — nothing new shuffles. */
+  def bleu4Corpus(docs: DataFrame, fbits: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GramHashes.register(spark)
+    val perPairN = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 1)
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
+      .select(col("pair_id"), col("side"),
+        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
+      .groupBy(col("pair_id"), col("n"), col("g"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
+        sum(col("c_cnt")).as("c_total"),
+        sum(col("r_cnt")).as("r_total"))
+    // keep only pairs with BOTH sides present — a pair-partitioned
+    // window over the ≤4-rows-per-pair frame, so the expensive gram
+    // pipeline stays single-consumer (a self-join here would run the
+    // whole gram aggregation twice)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pair_id")
+    val corpus = perPairN
+      .withColumn("r_len_p",
+        max(when(col("n") === 1, col("r_total"))).over(w))
+      .withColumn("c_len_p",
+        max(when(col("n") === 1, col("c_total"))).over(w))
+      .filter(col("r_len_p") >= 1 && col("c_len_p") >= 1)
+      .groupBy(col("n"))
+      .agg(sum(col("clipped")).as("clipped"),
+        sum(col("c_total")).as("c_total"),
+        sum(col("r_total")).as("r_total"),
+        count(lit(1)).as("n_pairs_n"))
+      .select(col("n").cast("int").as("n"), col("clipped"), col("c_total"),
+        col("r_total"), col("n_pairs_n"))
+      .as[(Int, Long, Long, Long, Long)]
+      .map { case (n, cl, ct, rt, np) =>
+        val q: Option[Long] =
+          if (ct >= 1 && cl >= 1) Some(FixedLog.log2fp(cl, ct, fbits))
+          else None
+        (n, cl, ct, rt, np, q)
+      }
+      .toDF("n", "clipped", "c_total", "r_total", "n_pairs_n", "qln")
+    corpus.agg(
+      max(when(col("n") === 1, col("n_pairs_n"))).as("n_pairs"),
+      max(when(col("n") === 1, col("c_total"))).as("c_len"),
+      max(when(col("n") === 1, col("r_total"))).as("r_len"),
+      max(when(col("n") === 1, col("clipped"))).as("clipped_1"),
+      max(when(col("n") === 2, col("clipped"))).as("clipped_2"),
+      max(when(col("n") === 3, col("clipped"))).as("clipped_3"),
+      max(when(col("n") === 4, col("clipped"))).as("clipped_4"),
+      max(when(col("n") === 4, col("c_total"))).as("total_4"),
+      sum(col("qln")).as("sum_qln"),
+      count(col("qln")).as("n_qln"))
+      .withColumn("bp_log2fp",
+        when(col("c_len") >= col("r_len"), lit(0L))
+          .otherwise(expr(
+            s"-CAST(CAST(r_len - c_len AS DECIMAL(38,0)) * ${1L << fbits} " +
+              s"* 1000000 div (CAST(c_len AS DECIMAL(38,0)) * $Ln2E6) " +
+              "AS BIGINT)")))
+      .select(col("n_pairs"), col("c_len"), col("r_len"),
+        col("clipped_1"), col("clipped_2"), col("clipped_3"), col("clipped_4"),
+        col("bp_log2fp"),
+        when(col("n_qln") === 4,
+          col("sum_qln") + lit(4L) * col("bp_log2fp")).as("bleu_log2fp_x4"))
+  }
+
+  /** DuckDB mirror of [[bleu4Corpus]]. */
+  def bleu4CorpusSql(fbits: Int = 20, from: String = "documents"): String = {
+    val (logCtes, logLast) = DuckHash.log2fpRowCtes(
+      "bc_lsrc", Seq("n"), "clipped", "c_total", "bclg", fbits)
+    val bp = s"CASE WHEN c_len >= r_len THEN 0 ELSE " +
+      s"-CAST(((r_len - c_len)::HUGEINT * ${1L << fbits} * 1000000) // " +
+      s"(c_len::HUGEINT * $Ln2E6) AS BIGINT) END"
+    s"""WITH bc_ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $from),
+       |bc_g AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side, tn.n AS n,
+       |         md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
+       |  FROM bc_ws, unnest([1, 2, 3, 4]) tn(n),
+       |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
+       |  WHERE len(ws) >= tn.n),
+       |bc_pg AS (SELECT pair_id, n, g,
+       |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+       |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM bc_g GROUP BY 1, 2, 3),
+       |bc_pn AS (SELECT pair_id, n,
+       |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
+       |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
+       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
+       |  FROM bc_pg GROUP BY 1, 2),
+       |bc_paired AS (SELECT pair_id FROM bc_pn GROUP BY 1
+       |  HAVING MAX(CASE WHEN n = 1 THEN r_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN c_total END) >= 1),
+       |bc_n AS (SELECT p.n,
+       |  CAST(SUM(p.clipped) AS BIGINT) AS clipped,
+       |  CAST(SUM(p.c_total) AS BIGINT) AS c_total,
+       |  CAST(SUM(p.r_total) AS BIGINT) AS r_total,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs_n
+       |  FROM bc_pn p JOIN bc_paired q ON q.pair_id = p.pair_id
+       |  GROUP BY 1),
+       |bc_lsrc AS (SELECT n, clipped, c_total FROM bc_n
+       |  WHERE c_total >= 1 AND clipped >= 1)$logCtes,
+       |bc_agg AS (SELECT
+       |  MAX(CASE WHEN b.n = 1 THEN b.n_pairs_n END) AS n_pairs,
+       |  MAX(CASE WHEN b.n = 1 THEN b.c_total END) AS c_len,
+       |  MAX(CASE WHEN b.n = 1 THEN b.r_total END) AS r_len,
+       |  MAX(CASE WHEN b.n = 1 THEN b.clipped END) AS clipped_1,
+       |  MAX(CASE WHEN b.n = 2 THEN b.clipped END) AS clipped_2,
+       |  MAX(CASE WHEN b.n = 3 THEN b.clipped END) AS clipped_3,
+       |  MAX(CASE WHEN b.n = 4 THEN b.clipped END) AS clipped_4,
+       |  CAST(SUM(l.ql) AS BIGINT) AS sum_qln,
+       |  COUNT(l.ql) AS n_qln
+       |  FROM bc_n b LEFT JOIN $logLast l ON l.n = b.n)
+       |SELECT n_pairs, c_len, r_len,
+       |  clipped_1, clipped_2, clipped_3, clipped_4,
+       |  CAST($bp AS BIGINT) AS bp_log2fp,
+       |  CASE WHEN n_qln = 4 THEN CAST(sum_qln + 4 * ($bp) AS BIGINT)
+       |  END AS bleu_log2fp_x4
+       |FROM bc_agg""".stripMargin
+  }
+
+  /** SQuAD-style answer-eval pair: per (even, odd) doc pair the
+    * token-bag F1 (2·Σ min(c(t), r(t)) / (c_len + r_len) — the chrF
+    * rational-of-longs cancellation at word unigrams) and EXACT MATCH
+    * (text equality, compared as hash equality so full texts never
+    * shuffle — xxhash64 here, md5 in the oracle, collision-equality
+    * convention). ONE scan and two shuffles, zero joins: the whole
+    * -text hash rides the gram explode as a tagged MARKER element
+    * (low packed bits 1000 — a unigram's are 0001, so the two can
+    * never meet in a group; the oracle's marker is 'T'||md5(text),
+    * length-disjoint from gram md5s), and exact_match is just "does
+    * any marker group have both sides". A NULL text contributes no
+    * rows at all (absent side, the eval-family convention: the gram
+    * array is NULL, so concat propagates NULL and explode drops). */
+  def tokenF1(docs: DataFrame): DataFrame = {
+    graft.functions.GramHashes.register(docs.sparkSession)
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        explode(expr("concat(word_gram_hashes(ws, 1, 1), " +
+          "array(shiftleft(xxhash64(text), 4) | 8L))")).as("g"))
+      .groupBy(col("pair_id"), col("g"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .groupBy(col("pair_id"))
+      .agg(
+        sum(when(expr("g & 15") === 1, least(col("c_cnt"), col("r_cnt")))
+          .otherwise(0L)).as("clipped"),
+        sum(when(expr("g & 15") === 1, col("c_cnt")).otherwise(0L))
+          .as("c_total"),
+        sum(when(expr("g & 15") === 1, col("r_cnt")).otherwise(0L))
+          .as("r_total"),
+        max(when(expr("g & 15") === 8
+          && col("c_cnt") >= 1 && col("r_cnt") >= 1, 1L).otherwise(0L))
+          .as("exact_match"))
+      .filter(col("c_total") >= 1 && col("r_total") >= 1)
+      .select(col("pair_id"), col("clipped"), col("c_total"), col("r_total"),
+        expr("CAST(2 * clipped * 1000000 div (c_total + r_total) AS BIGINT)")
+          .as("token_f1_e6"),
+        col("exact_match"))
+  }
+
+  /** DuckDB mirror of [[tokenF1]]. */
+  def tokenF1Sql(from: String = "documents"): String =
+    s"""WITH tf_ws AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM $from
+       |  WHERE text IS NOT NULL),
+       |tf_g AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side, md5(ws[i]) AS g
+       |  FROM tf_ws, unnest(generate_series(1, len(ws))) t(i)
+       |  UNION ALL
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2),
+       |         ((doc_id % 2) + 2) % 2, 'T' || md5(text)
+       |  FROM tf_ws),
+       |tf_pg AS (SELECT pair_id, g,
+       |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+       |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM tf_g GROUP BY 1, 2)
+       |SELECT pair_id,
+       |  CAST(SUM(CASE WHEN g NOT LIKE 'T%' THEN LEAST(c_cnt, r_cnt)
+       |           ELSE 0 END) AS BIGINT) AS clipped,
+       |  CAST(SUM(CASE WHEN g NOT LIKE 'T%' THEN c_cnt ELSE 0 END)
+       |       AS BIGINT) AS c_total,
+       |  CAST(SUM(CASE WHEN g NOT LIKE 'T%' THEN r_cnt ELSE 0 END)
+       |       AS BIGINT) AS r_total,
+       |  CAST((2::HUGEINT * SUM(CASE WHEN g NOT LIKE 'T%'
+       |         THEN LEAST(c_cnt, r_cnt) ELSE 0 END) * 1000000)
+       |       // SUM(CASE WHEN g NOT LIKE 'T%' THEN c_cnt + r_cnt ELSE 0 END)
+       |       AS BIGINT) AS token_f1_e6,
+       |  CAST(MAX(CASE WHEN g LIKE 'T%' AND c_cnt >= 1 AND r_cnt >= 1
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS exact_match
+       |FROM tf_pg GROUP BY 1
+       |HAVING SUM(CASE WHEN g NOT LIKE 'T%' THEN c_cnt ELSE 0 END) >= 1
+       |   AND SUM(CASE WHEN g NOT LIKE 'T%' THEN r_cnt ELSE 0 END) >= 1""".stripMargin
+
   /** chrF (Popović 2015) — character-n-gram F-β over the same
     * (even, odd) pairs, the third eval face: whitespace stripped,
     * char n-grams of orders 1..`maxN` counted WITH multiplicity and

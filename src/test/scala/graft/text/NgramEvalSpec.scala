@@ -321,6 +321,93 @@ class NgramEvalSpec extends AnyFunSuite {
     assert(gotDuck === gotSpark.map { case (k, v) => k -> v.toSeq })
   }
 
+  test("bleu4Corpus: micro average — corpus counts sum BEFORE the ratio") {
+    import spark.implicits._
+    import graft.util.FixedLog.log2fp
+    // two pairs; per-order corpus counts are the sums of the per-pair
+    // clipped/total counts, and the score composes from THOSE (not a
+    // mean of per-pair scores)
+    val docs = Seq(
+      0L -> "a b c d e", 1L -> "a b c x y z",
+      2L -> "p q r s", 3L -> "p q r s w",
+      4L -> "only candidate here ok", // no ref -> excluded entirely
+      7L -> "only reference")         // no cand -> excluded
+    val out = NgramEval.bleu4Corpus(docs.toDF("doc_id", "text")).head()
+    assert(out.getAs[Long]("n_pairs") === 2L)
+    // pair0: clipped (3,2,1,0), totals (5,4,3,2); pair2: (4,3,2,1)/(4,3,2,1)
+    assert(out.getAs[Long]("clipped_1") === 7L)
+    assert(out.getAs[Long]("clipped_4") === 1L)
+    assert(out.getAs[Long]("c_len") === 9L && out.getAs[Long]("r_len") === 11L)
+    val q = log2fp(7, 9) + log2fp(5, 7) + log2fp(3, 5) + log2fp(1, 3)
+    val bp = -((11L - 9L) * (1L << 20) * 1000000L / (9L * 693147L))
+    assert(out.getAs[Long]("bleu_log2fp_x4") === q + 4 * bp)
+    // identical corpus scores exactly 0 (BLEU = 1), raw counts
+    val t = "a b c d e f"
+    val same = NgramEval.bleu4Corpus(
+      Seq(0L -> t, 1L -> t).toDF("doc_id", "text")).head()
+    assert(same.getAs[Long]("bleu_log2fp_x4") === 0L)
+    // zero corpus-wide 4-gram overlap -> NULL (raw counts, no smoothing)
+    val nul = NgramEval.bleu4Corpus(Seq(
+      0L -> "a b c d e", 1L -> "a b c x d q e w").toDF("doc_id", "text"))
+      .head()
+    assert(nul.isNullAt(nul.fieldIndex("bleu_log2fp_x4")))
+  }
+
+  test("bleu4CorpusSql mirror matches the Spark side") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "a b c d e", 1L -> "a b c x y z",
+      2L -> "p q r s", 3L -> "p q r s w",
+      4L -> "one sided cand x")
+    val s = NgramEval.bleu4Corpus(docs.toDF("doc_id", "text")).head()
+    val gotSpark = (0 until s.length).map(i =>
+      if (s.isNullAt(i)) None else Some(s.getLong(i)))
+    val values = docs.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val duck = DuckBridgeTestUtil.duck(NgramEval.bleu4CorpusSql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")).head
+      .map(_.map(_.toLong))
+    assert(duck === gotSpark)
+  }
+
+  test("tokenF1: bag F1 with exact-match as a separate SEQUENCE-sensitive bit") {
+    import spark.implicits._
+    val out = NgramEval.tokenF1(Seq(
+      0L -> "a b c", 1L -> "a b c",    // identical: f1 1e6, em 1
+      2L -> "a b", 3L -> "b a",        // same bag, different order: f1 1e6, em 0
+      4L -> "a b c", 5L -> "a x",      // partial: clipped 1, f1 2/5
+      6L -> "the the x", 7L -> "the y z" // multiplicity: min(2,1)+0 = 1
+    ).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("token_f1_e6"), r.getAs[Long]("exact_match"),
+          r.getAs[Long]("clipped"))).toMap
+    assert(out(0L) === ((1000000L, 1L, 3L)))
+    assert(out(2L) === ((1000000L, 0L, 2L)))
+    assert(out(4L) === ((400000L, 0L, 1L)))
+    assert(out(6L) === ((2L * 1L * 1000000L / 6L, 0L, 1L)))
+  }
+
+  test("tokenF1Sql mirror matches the Spark side") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "a b c", 1L -> "a b c",
+      2L -> "a b", 3L -> "b a",
+      4L -> "the the cat", 5L -> "the dog",
+      6L -> "unpaired")
+    val gotSpark = NgramEval.tokenF1(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (1 until r.length).map(r.getLong)).toMap
+    val values = docs.map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    val gotDuck = DuckBridgeTestUtil.duck(NgramEval.tokenF1Sql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))"))
+      .map(r => r(0).get.toLong -> r.tail.map(_.get.toLong)).toMap
+    assert(gotSpark.keySet === Set(0L, 2L, 4L))
+    assert(gotDuck === gotSpark.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("pairCoverage: pairs_scored equals each gate's ACTUAL row count") {
     import spark.implicits._
     // one pair per drop regime: full-scoring, cand < 4 words, side
