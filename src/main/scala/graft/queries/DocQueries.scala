@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.text.{Bm25, ChunkDedup, Chunker, CorpusPipeline, DedupClusters,
-  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, NgramEval, RougeL,
+  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, NgramEval, RougeL, Wer,
   PreferencePairs, Shingles, SimHash, TextAnalysis, Tfidf}
 import graft.sim.{Knn, Pq}
 import QueryDsl._
@@ -219,6 +219,16 @@ object DocQueries {
     * cap that bounds the oracle's recursive-CTE DP replay). */
   private val evalRougeL: Q = (s, d) =>
     RougeL.rougeL(table(s, d, "documents"))
+
+  /** Word Error Rate: token-Levenshtein / r_len per pair (leading-40
+    * -token window; prefix-min recursive-CTE oracle). */
+  private val evalWer: Q = (s, d) =>
+    Wer.wer(table(s, d, "documents"))
+
+  /** Corpus diversity distinct-n: distinct/total word n-grams per
+    * order 1..4 — the standard generation-degeneracy signal. */
+  private val evalDistinctN: Q = (s, d) =>
+    Wer.distinctN(table(s, d, "documents"))
 
   /** Corpus-level BLEU-4 (the sacrebleu/WMT-reported micro average):
     * clipped/total gram counts sum across the corpus per order before
@@ -862,6 +872,8 @@ object DocQueries {
       Some(NgramEval.pairCoverageSql())),
     ("eval_bleu4_corpus", evalBleu4Corpus, Some(NgramEval.bleu4CorpusSql())),
     ("eval_token_f1", evalTokenF1, Some(NgramEval.tokenF1Sql())),
+    ("eval_wer", evalWer, Some(Wer.werSql())),
+    ("eval_distinct_n", evalDistinctN, Some(Wer.distinctNSql())),
     ("eval_bleu4_multiref", evalBleu4MultiRef, Some(NgramEval.bleu4MultiRefSql(
       candsFrom = "(SELECT doc_id AS cand_id, text FROM documents " +
         "WHERE ((doc_id % 4) + 4) % 4 = 0)",

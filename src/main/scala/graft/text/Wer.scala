@@ -1,0 +1,158 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Word Error Rate — the ASR/translation edit-distance eval: per
+  * (candidate, reference) pair the token-level Levenshtein distance
+  * over the reference length, `wer_e6 = edits·1e6 div r_len` (can
+  * exceed 1e6 — WER is not bounded by 1; identical texts score
+  * exactly 0). Completes the eval family's edit-based face next to
+  * [[RougeL]]'s LCS.
+  *
+  * Like LCS, the DP is inherently sequential per pair, so it runs as
+  * a typed two-row kernel on the one-row-per-pair frame (one scan,
+  * one pair shuffle, then embarrassingly parallel). The ORACLE
+  * replays it as a recursive CTE using the prefix-MIN identity
+  *   dp_new[j] = j + prefmin_{j'≤j}(a[j'] − j'),
+  *   a[j] = min(dp[j]+1, dp[j−1]+subst), a[0] = i+1
+  * (edit-distance rows satisfy dp_new[j] ≤ dp_new[j−1]+1, so the
+  * sequential insert-chain dependence unrolls into one window per
+  * candidate token — the ROUGE-L prefix-max trick with min and a
+  * slope term; validated cell-exact against the classic DP on random
+  * token lists in WerSpec). Gate contract: both sides truncate to the
+  * leading `cap` tokens (bounds the oracle); pairing and NULL/absent
+  * -side conventions are [[RougeL]]'s.
+  */
+object Wer {
+
+  /** Two-row token Levenshtein — O(a·b) time, two int rows. */
+  def levLen(a: Array[String], b: Array[String]): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      val ai = a(i - 1)
+      var j = 1
+      while (j <= b.length) {
+        val subst = prev(j - 1) + (if (ai == b(j - 1)) 0 else 1)
+        cur(j) = math.min(subst, math.min(prev(j), cur(j - 1)) + 1)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  def wer(docs: DataFrame, cap: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws =
+      if (cap > 0) expr(s"slice(split(text, ' '), 1, $cap)")
+      else split(col("text"), " ")
+    docs
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        ws.as("ws"))
+      .groupBy(col("pair_id"))
+      .agg(
+        first(when(col("side") === 0, col("ws")), ignoreNulls = true).as("c"),
+        first(when(col("side") === 1, col("ws")), ignoreNulls = true).as("r"))
+      .filter(col("c").isNotNull && col("r").isNotNull)
+      .as[(Long, Seq[String], Seq[String])]
+      .map { case (p, c, r) =>
+        val e = levLen(c.toArray, r.toArray).toLong
+        (p, c.length.toLong, r.length.toLong, e, e * 1000000L / r.length)
+      }
+      .toDF("pair_id", "c_len", "r_len", "edits", "wer_e6")
+  }
+
+  /** DuckDB mirror of [[wer]] (cap > 0 required): the same DP as a
+    * recursive CTE, one prefix-min window per candidate token. */
+  def werSql(cap: Int = 40, from: String = "documents"): String =
+    s"""WITH RECURSIVE
+       |we_ws AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side,
+       |         string_split(text, ' ')[1:$cap] AS ws
+       |  FROM $from WHERE text IS NOT NULL),
+       |we_pair AS (
+       |  SELECT pair_id,
+       |         MAX(CASE WHEN side = 0 THEN ws END) AS c,
+       |         MAX(CASE WHEN side = 1 THEN ws END) AS r
+       |  FROM we_ws GROUP BY 1
+       |  HAVING COUNT(DISTINCT side) = 2),
+       |we_dim AS (SELECT pair_id, c, r, len(c) AS cl, len(r) AS rl
+       |  FROM we_pair),
+       |we_rec(pair_id, i, dp) AS (
+       |  SELECT pair_id, 0, list_transform(generate_series(0, rl), x -> x)
+       |  FROM we_dim
+       |  UNION ALL
+       |  SELECT we_rec.pair_id, we_rec.i + 1,
+       |    (SELECT list(j + m ORDER BY j) FROM (
+       |       SELECT j, MIN(a - j) OVER (ORDER BY j) AS m FROM (
+       |         SELECT jj - 1 AS j,
+       |           CASE WHEN jj = 1 THEN we_rec.i + 1
+       |                ELSE LEAST(we_rec.dp[jj] + 1, we_rec.dp[jj - 1] +
+       |                  CASE WHEN d.c[we_rec.i + 1] = d.r[jj - 1]
+       |                       THEN 0 ELSE 1 END)
+       |           END AS a
+       |         FROM (SELECT generate_subscripts(we_rec.dp, 1) AS jj)
+       |       )
+       |    ))
+       |  FROM we_rec JOIN we_dim d ON d.pair_id = we_rec.pair_id
+       |  WHERE we_rec.i < d.cl
+       |)
+       |SELECT d.pair_id, CAST(d.cl AS BIGINT) AS c_len,
+       |  CAST(d.rl AS BIGINT) AS r_len,
+       |  CAST(we_rec.dp[d.rl + 1] AS BIGINT) AS edits,
+       |  CAST((we_rec.dp[d.rl + 1]::HUGEINT * 1000000) // d.rl AS BIGINT)
+       |    AS wer_e6
+       |FROM we_rec JOIN we_dim d ON d.pair_id = we_rec.pair_id
+       |WHERE we_rec.i = d.cl""".stripMargin
+
+  /** Corpus diversity — distinct-n (Li et al. 2016): per gram order
+    * 1..`maxN`, the number of DISTINCT word n-grams over the corpus
+    * divided by the total emitted, `distinct_ratio_e6` (low = heavy
+    * repetition, the standard degeneracy signal on model output).
+    * One scan, the rolling-hash gram currency, two map-side-combined
+    * shuffles — at 100 TB this is the [[NgramEval]] plan minus the
+    * pairing. */
+  def distinctN(docs: DataFrame, maxN: Int = 4): DataFrame = {
+    graft.functions.GramHashes.register(docs.sparkSession)
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(s"word_gram_hashes(ws, 1, $maxN)")).as("e"))
+      .select(expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
+      .groupBy(col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("distinct_grams"),
+        sum(col("cnt")).as("total_grams"))
+      .select(col("n"), col("distinct_grams"), col("total_grams"),
+        expr("CAST(distinct_grams * 1000000 div total_grams AS BIGINT)")
+          .as("distinct_ratio_e6"))
+  }
+
+  /** DuckDB mirror of [[distinctN]]. */
+  def distinctNSql(maxN: Int = 4, from: String = "documents"): String =
+    s"""WITH dn_ws AS (
+       |  SELECT string_split(text, ' ') AS ws FROM $from
+       |  WHERE text IS NOT NULL),
+       |dn_g AS (
+       |  SELECT tn.n AS n, md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
+       |  FROM dn_ws, unnest(generate_series(1, $maxN)) tn(n),
+       |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
+       |  WHERE len(ws) >= tn.n),
+       |dn_ng AS (SELECT n, g, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM dn_g GROUP BY 1, 2)
+       |SELECT CAST(n AS INT) AS n,
+       |  CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       |  CAST(SUM(cnt) AS BIGINT) AS total_grams,
+       |  CAST((CAST(COUNT(*) AS HUGEINT) * 1000000) // SUM(cnt) AS BIGINT)
+       |    AS distinct_ratio_e6
+       |FROM dn_ng GROUP BY 1""".stripMargin
+}
