@@ -98,11 +98,12 @@ object NgramEval {
     * per-(pair, n) log runs as a typed map over the aggregate frame —
     * a narrow distributed op, no collect, O(fbits) integer steps per
     * row. */
-  def bleu4(docs: DataFrame, fbits: Int = 20): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    graft.functions.GramHashes.register(spark)
-    val perN = docs
+  /** The ONE per-(pair, order) clipped-count frame shared by [[bleu4]]
+    * and [[bleu4Corpus]] — (pair_id, n, clipped, c_total, r_total)
+    * for word orders 1..4 off one scan and two combined shuffles. */
+  private def perPairWordCounts(docs: DataFrame): DataFrame = {
+    graft.functions.GramHashes.register(docs.sparkSession)
+    docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 1)
       .select(
@@ -118,7 +119,21 @@ object NgramEval {
       .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
         sum(col("c_cnt")).as("c_total"),
         sum(col("r_cnt")).as("r_total"))
-    val withQ = perN
+  }
+
+  /** The ONE brevity-penalty column (expects c_len/r_len), shared by
+    * all three BLEU faces — a truncation-rule change moves together. */
+  private def bpLog2fpCol(fbits: Int) =
+    when(col("c_len") >= col("r_len"), lit(0L))
+      .otherwise(expr(
+        s"-CAST(CAST(r_len - c_len AS DECIMAL(38,0)) * ${1L << fbits} " +
+          s"* 1000000 div (CAST(c_len AS DECIMAL(38,0)) * $Ln2E6) " +
+          "AS BIGINT)"))
+
+  def bleu4(docs: DataFrame, fbits: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withQ = perPairWordCounts(docs)
       .select(col("pair_id"), col("n").cast("int").as("n"),
         col("clipped"), col("c_total"), col("r_total"))
       .as[(Long, Int, Long, Long, Long)]
@@ -142,12 +157,7 @@ object NgramEval {
         sum(col("qln")).as("sum_qln"),
         count(col("qln")).as("n_qln"))
       .filter(col("n_c_orders") === 4 && col("r_len") >= 1)
-      .withColumn("bp_log2fp",
-        when(col("c_len") >= col("r_len"), lit(0L))
-          .otherwise(expr(
-            s"-CAST(CAST(r_len - c_len AS DECIMAL(38,0)) * ${1L << fbits} " +
-              s"* 1000000 div (CAST(c_len AS DECIMAL(38,0)) * $Ln2E6) " +
-              "AS BIGINT)")))
+      .withColumn("bp_log2fp", bpLog2fpCol(fbits))
       .select(col("pair_id"), col("c_len"), col("r_len"),
         col("clipped_1"), col("clipped_2"), col("clipped_3"), col("clipped_4"),
         col("bp_log2fp"),
@@ -249,12 +259,7 @@ object NgramEval {
         min(abs(col("r_len_i") - col("c_len")) * lit(1000000000L) +
           col("r_len_i")).as("r_enc"))
       .withColumn("r_len", pmod(col("r_enc"), lit(1000000000L)))
-      .withColumn("bp_log2fp",
-        when(col("c_len") >= col("r_len"), lit(0L))
-          .otherwise(expr(
-            s"-CAST(CAST(r_len - c_len AS DECIMAL(38,0)) * ${1L << fbits} " +
-              s"* 1000000 div (CAST(c_len AS DECIMAL(38,0)) * $Ln2E6) " +
-              "AS BIGINT)")))
+      .withColumn("bp_log2fp", bpLog2fpCol(fbits))
       .select(col("cand_id"), col("n_refs"), col("c_len"), col("r_len"),
         col("clipped_1"), col("clipped_2"), col("clipped_3"), col("clipped_4"),
         col("bp_log2fp"),
@@ -279,23 +284,7 @@ object NgramEval {
   def bleu4Corpus(docs: DataFrame, fbits: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.functions.GramHashes.register(spark)
-    val perPairN = docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 1)
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
-        pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
-      .select(col("pair_id"), col("side"),
-        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
-      .groupBy(col("pair_id"), col("n"), col("g"))
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(col("pair_id"), col("n"))
-      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
-        sum(col("c_cnt")).as("c_total"),
-        sum(col("r_cnt")).as("r_total"))
+    val perPairN = perPairWordCounts(docs)
     // keep only pairs with BOTH sides present — a pair-partitioned
     // window over the ≤4-rows-per-pair frame, so the expensive gram
     // pipeline stays single-consumer (a self-join here would run the
@@ -330,15 +319,9 @@ object NgramEval {
       max(when(col("n") === 2, col("clipped"))).as("clipped_2"),
       max(when(col("n") === 3, col("clipped"))).as("clipped_3"),
       max(when(col("n") === 4, col("clipped"))).as("clipped_4"),
-      max(when(col("n") === 4, col("c_total"))).as("total_4"),
       sum(col("qln")).as("sum_qln"),
       count(col("qln")).as("n_qln"))
-      .withColumn("bp_log2fp",
-        when(col("c_len") >= col("r_len"), lit(0L))
-          .otherwise(expr(
-            s"-CAST(CAST(r_len - c_len AS DECIMAL(38,0)) * ${1L << fbits} " +
-              s"* 1000000 div (CAST(c_len AS DECIMAL(38,0)) * $Ln2E6) " +
-              "AS BIGINT)")))
+      .withColumn("bp_log2fp", bpLog2fpCol(fbits))
       .select(col("n_pairs"), col("c_len"), col("r_len"),
         col("clipped_1"), col("clipped_2"), col("clipped_3"), col("clipped_4"),
         col("bp_log2fp"),
@@ -772,10 +755,15 @@ object NgramEval {
     val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "eval_ngram_overlap" -> (both && col("c_words") >= 2 && col("r_words") >= 2),
       "eval_bleu4" -> (both && col("c_words") >= 4),
+      // corpus BLEU has one output row; "scored" = the pairs whose
+      // counts enter the corpus sums (both sides present)
+      "eval_bleu4_corpus" -> both,
       "eval_chrf" -> (both && col("c_chars") >= maxN && col("r_chars") >= maxN),
       "eval_chrfpp" -> (both && col("c_chars") >= maxN && col("r_chars") >= maxN
         && col("c_words") >= 2 && col("r_words") >= 2),
-      "eval_rouge_l" -> both)
+      "eval_rouge_l" -> both,
+      "eval_token_f1" -> both,
+      "eval_wer" -> both)
     val wide = perPair.agg(
       count(lit(1)).as("pairs_total"),
       preds.map { case (m, p) =>
@@ -814,7 +802,7 @@ object NgramEval {
        |    CAST(SUM(CASE WHEN n_sides = 2 AND c_chars >= $maxN
        |             AND r_chars >= $maxN AND c_words >= 2 AND r_words >= 2
        |             THEN 1 ELSE 0 END) AS BIGINT) AS sc_chrfpp,
-       |    CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS sc_rouge
+       |    CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS sc_both
        |  FROM pc_pair)
        |SELECT m.metric, w.pairs_total,
        |  CASE m.metric
@@ -822,15 +810,16 @@ object NgramEval {
        |    WHEN 'eval_bleu4' THEN w.sc_bleu4
        |    WHEN 'eval_chrf' THEN w.sc_chrf
        |    WHEN 'eval_chrfpp' THEN w.sc_chrfpp
-       |    ELSE w.sc_rouge END AS pairs_scored,
+       |    ELSE w.sc_both END AS pairs_scored,
        |  w.pairs_total - (CASE m.metric
        |    WHEN 'eval_ngram_overlap' THEN w.sc_ngram
        |    WHEN 'eval_bleu4' THEN w.sc_bleu4
        |    WHEN 'eval_chrf' THEN w.sc_chrf
        |    WHEN 'eval_chrfpp' THEN w.sc_chrfpp
-       |    ELSE w.sc_rouge END) AS pairs_dropped
+       |    ELSE w.sc_both END) AS pairs_dropped
        |FROM pc_wide w, (VALUES ('eval_ngram_overlap'), ('eval_bleu4'),
-       |  ('eval_chrf'), ('eval_chrfpp'), ('eval_rouge_l')) m(metric)""".stripMargin
+       |  ('eval_bleu4_corpus'), ('eval_chrf'), ('eval_chrfpp'),
+       |  ('eval_rouge_l'), ('eval_token_f1'), ('eval_wer')) m(metric)""".stripMargin
 
   /** DuckDB mirror of [[bleu4MultiRef]]. `candsFrom` must select
     * (cand_id, text); `refsFrom` (cand_id, ref_id, text). */

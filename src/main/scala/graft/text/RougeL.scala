@@ -1,7 +1,54 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+/** The shared (even, odd) capped token-pair frame for the per-pair DP
+  * metrics ([[RougeL]], [[Wer]]) — ONE spelling of the pairing, the
+  * leading-`cap` truncation, the NULL-text-is-absent-side rule, and
+  * the both-sides drop, in both engines (a pairing or cap change must
+  * not be able to de-synchronize the two gates or their oracles). */
+private[text] object PairedText {
+
+  /** One row per complete pair: (pair_id, cand tokens, ref tokens).
+    * cap ≤ 0 disables truncation. */
+  def pairs(docs: DataFrame, cap: Int): Dataset[(Long, Seq[String], Seq[String])] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws =
+      if (cap > 0) expr(s"slice(split(text, ' '), 1, $cap)")
+      else split(col("text"), " ")
+    docs
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        ws.as("ws"))
+      .groupBy(col("pair_id"))
+      .agg(
+        first(when(col("side") === 0, col("ws")), ignoreNulls = true).as("c"),
+        first(when(col("side") === 1, col("ws")), ignoreNulls = true).as("r"))
+      .filter(col("c").isNotNull && col("r").isNotNull)
+      .as[(Long, Seq[String], Seq[String])]
+  }
+
+  /** The DuckDB twin: `<p>_ws` / `<p>_pair` / `<p>_dim` CTE prelude
+    * (no leading WITH, no trailing comma) exposing per pair the token
+    * lists `c`/`r` and lengths `cl`/`rl`. */
+  def pairCtes(cap: Int, from: String, p: String): String =
+    s"""${p}_ws AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side,
+       |         string_split(text, ' ')[1:$cap] AS ws
+       |  FROM $from WHERE text IS NOT NULL),
+       |${p}_pair AS (
+       |  SELECT pair_id,
+       |         MAX(CASE WHEN side = 0 THEN ws END) AS c,
+       |         MAX(CASE WHEN side = 1 THEN ws END) AS r
+       |  FROM ${p}_ws GROUP BY 1
+       |  HAVING COUNT(DISTINCT side) = 2),
+       |${p}_dim AS (SELECT pair_id, c, r, len(c) AS cl, len(r) AS rl
+       |  FROM ${p}_pair)""".stripMargin
+}
 
 /** ROUGE-L (Lin 2004) — the LCS-based generation-eval metric, closing
   * the standard set next to BLEU-n/ROUGE-n ([[NgramEval.clippedOverlap]]),
@@ -63,20 +110,7 @@ object RougeL {
   def rougeL(docs: DataFrame, cap: Int = 40): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ws =
-      if (cap > 0) expr(s"slice(split(text, ' '), 1, $cap)")
-      else split(col("text"), " ")
-    docs
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
-        pmod(col("doc_id"), lit(2)).as("side"),
-        ws.as("ws"))
-      .groupBy(col("pair_id"))
-      .agg(
-        first(when(col("side") === 0, col("ws")), ignoreNulls = true).as("c"),
-        first(when(col("side") === 1, col("ws")), ignoreNulls = true).as("r"))
-      .filter(col("c").isNotNull && col("r").isNotNull)
-      .as[(Long, Seq[String], Seq[String])]
+    PairedText.pairs(docs, cap)
       .map { case (p, c, r) =>
         val l = lcsLen(c.toArray, r.toArray).toLong
         (p, c.length.toLong, r.length.toLong, l,
@@ -92,19 +126,7 @@ object RougeL {
     * makes each step ONE prefix-max window. */
   def rougeLSql(cap: Int = 40, from: String = "documents"): String =
     s"""WITH RECURSIVE
-       |rl_ws AS (
-       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
-       |         ((doc_id % 2) + 2) % 2 AS side,
-       |         string_split(text, ' ')[1:$cap] AS ws
-       |  FROM $from WHERE text IS NOT NULL),
-       |rl_pair AS (
-       |  SELECT pair_id,
-       |         MAX(CASE WHEN side = 0 THEN ws END) AS c,
-       |         MAX(CASE WHEN side = 1 THEN ws END) AS r
-       |  FROM rl_ws GROUP BY 1
-       |  HAVING COUNT(DISTINCT side) = 2),
-       |rl_dim AS (SELECT pair_id, c, r, len(c) AS cl, len(r) AS rl
-       |  FROM rl_pair),
+       |${PairedText.pairCtes(cap, from, "rl")},
        |rl_rec(pair_id, i, dp) AS (
        |  SELECT pair_id, 0, list_transform(generate_series(0, rl), x -> 0)
        |  FROM rl_dim

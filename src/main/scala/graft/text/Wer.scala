@@ -49,20 +49,7 @@ object Wer {
   def wer(docs: DataFrame, cap: Int = 40): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val ws =
-      if (cap > 0) expr(s"slice(split(text, ' '), 1, $cap)")
-      else split(col("text"), " ")
-    docs
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
-        pmod(col("doc_id"), lit(2)).as("side"),
-        ws.as("ws"))
-      .groupBy(col("pair_id"))
-      .agg(
-        first(when(col("side") === 0, col("ws")), ignoreNulls = true).as("c"),
-        first(when(col("side") === 1, col("ws")), ignoreNulls = true).as("r"))
-      .filter(col("c").isNotNull && col("r").isNotNull)
-      .as[(Long, Seq[String], Seq[String])]
+    PairedText.pairs(docs, cap)
       .map { case (p, c, r) =>
         val e = levLen(c.toArray, r.toArray).toLong
         (p, c.length.toLong, r.length.toLong, e, e * 1000000L / r.length)
@@ -74,19 +61,7 @@ object Wer {
     * recursive CTE, one prefix-min window per candidate token. */
   def werSql(cap: Int = 40, from: String = "documents"): String =
     s"""WITH RECURSIVE
-       |we_ws AS (
-       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
-       |         ((doc_id % 2) + 2) % 2 AS side,
-       |         string_split(text, ' ')[1:$cap] AS ws
-       |  FROM $from WHERE text IS NOT NULL),
-       |we_pair AS (
-       |  SELECT pair_id,
-       |         MAX(CASE WHEN side = 0 THEN ws END) AS c,
-       |         MAX(CASE WHEN side = 1 THEN ws END) AS r
-       |  FROM we_ws GROUP BY 1
-       |  HAVING COUNT(DISTINCT side) = 2),
-       |we_dim AS (SELECT pair_id, c, r, len(c) AS cl, len(r) AS rl
-       |  FROM we_pair),
+       |${PairedText.pairCtes(cap, from, "we")},
        |we_rec(pair_id, i, dp) AS (
        |  SELECT pair_id, 0, list_transform(generate_series(0, rl), x -> x)
        |  FROM we_dim

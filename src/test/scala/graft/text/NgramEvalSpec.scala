@@ -425,13 +425,19 @@ class NgramEvalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(cov.keySet === Set("eval_ngram_overlap", "eval_bleu4",
-      "eval_chrf", "eval_chrfpp", "eval_rouge_l"))
+      "eval_bleu4_corpus", "eval_chrf", "eval_chrfpp", "eval_rouge_l",
+      "eval_token_f1", "eval_wer"))
     val actual = Map(
       "eval_ngram_overlap" -> NgramEval.clippedOverlap(docs).count(),
       "eval_bleu4" -> NgramEval.bleu4(docs).count(),
+      // corpus BLEU is one row; its own n_pairs column IS the scored count
+      "eval_bleu4_corpus" ->
+        NgramEval.bleu4Corpus(docs).head().getAs[Long]("n_pairs"),
       "eval_chrf" -> NgramEval.chrF(docs).count(),
       "eval_chrfpp" -> NgramEval.chrFpp(docs).count(),
-      "eval_rouge_l" -> RougeL.rougeL(docs).count())
+      "eval_rouge_l" -> RougeL.rougeL(docs).count(),
+      "eval_token_f1" -> NgramEval.tokenF1(docs).count(),
+      "eval_wer" -> Wer.wer(docs).count())
     actual.foreach { case (m, n) =>
       assert(cov(m)._2 === n, s"$m pairs_scored vs gate rows")
       assert(cov(m)._1 === 7L, s"$m pairs_total")
