@@ -79,6 +79,10 @@ object ScalingBench {
       "eval_chrfpp" -> "documents",
       "eval_rouge_l" -> "documents",
       "eval_bleu4_multiref" -> "documents",
+      "eval_bleu4_corpus" -> "documents",
+      "eval_token_f1" -> "documents",
+      "eval_wer" -> "documents",
+      "eval_distinct_n" -> "documents",
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
       "a_kmv_intersect" -> "events",
