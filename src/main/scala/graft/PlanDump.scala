@@ -59,7 +59,11 @@ object PlanDump {
     "eval_chrf" -> "chrF: rolling-hash kernel emits all 6 codepoint-gram orders inside the scan stage, zero per-gram alloc",
     "eval_chrfpp" -> "chrF++: char (tag 0) + word (tag 1) gram families concat into ONE Generate, no structs",
     "eval_bleu4_multiref" -> "multi-ref BLEU: join-free gram matching, single post-aggregation effective-length join",
-    "eval_rouge_l" -> "ROUGE-L: one pair shuffle into the typed LCS kernel, per-pair rows only")
+    "eval_rouge_l" -> "ROUGE-L: one pair shuffle into the typed LCS kernel, per-pair rows only",
+    "eval_bleu4_corpus" -> "corpus BLEU: pair-window keeps the gram frame single-consumer, 4-row rollup, one output row",
+    "eval_token_f1" -> "token F1 + EM: whole-text hash rides the gram explode as a tag-bit marker, zero joins",
+    "eval_wer" -> "WER: one pair shuffle into the typed Levenshtein kernel",
+    "eval_distinct_n" -> "distinct-n: one scan, two map-side-combined shuffles over the gram currency")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
