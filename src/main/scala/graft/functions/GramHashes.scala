@@ -64,10 +64,18 @@ object GramHash {
     val pref = new Array[Long](nSyms + 1)
     var j = 0
     while (j < nSyms) { pref(j + 1) = pref(j) * B + sym(j); j += 1 }
-    var total = 0
+    // element count in a Long: ~(maxN − minN + 1)·nSyms can pass
+    // Int.MaxValue for a single multi-hundred-MB string, and an Int
+    // accumulator would wrap to a NegativeArraySizeException — fail
+    // with the actual bound instead
+    var total = 0L
     var n = minN
     while (n <= hi) { total += nSyms - n + 1; n += 1 }
-    val out = new Array[Long](total)
+    if (total > Int.MaxValue) throw new IllegalArgumentException(
+      s"gram_hashes: one row would emit $total window hashes " +
+        s"(orders $minN..$hi over $nSyms symbols) — exceeds the " +
+        s"2^31-1 per-row array bound; split the document upstream")
+    val out = new Array[Long](total.toInt)
     var bn = 1L
     var k = 0
     while (k < minN - 1) { bn *= B; k += 1 }

@@ -232,7 +232,10 @@ object NgramEval {
     // the closest-to-c_len, ties-to-the-shorter argmin (packed
     // integer, both engines) runs AFTER the per-candidate rollup, on
     // a few-rows-per-candidate join
-    val refLens = refs.select(col("cand_id"),
+    // NULL-text refs are unusable (no grams, no length) — filter them
+    // HERE so n_refs counts only references that can score (the SQL
+    // mirror's bm_rlen filters identically; r14 ADVICE item 2)
+    val refLens = refs.filter(col("text").isNotNull).select(col("cand_id"),
       size(split(col("text"), " ")).cast("long").as("r_len_i"))
     val agg0 = withQ.groupBy(col("cand_id"))
       .agg(
@@ -867,7 +870,7 @@ object NgramEval {
        |  WHERE (CASE WHEN n = 1 THEN clipped ELSE clipped + 1 END) >= 1)$logCtes,
        |bm_rlen AS (SELECT cand_id,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS r_len_i
-       |  FROM $refsFrom),
+       |  FROM $refsFrom WHERE text IS NOT NULL),
        |bm_clen AS (SELECT cand_id, c_total AS c_len FROM bm_pn WHERE n = 1),
        |bm_reff AS (SELECT r.cand_id, CAST(COUNT(*) AS BIGINT) AS n_refs,
        |  CAST(MIN(ABS(r.r_len_i - c.c_len)::HUGEINT * 1000000000 + r.r_len_i)
