@@ -225,6 +225,12 @@ object DocQueries {
   private val evalWer: Q = (s, d) =>
     Wer.wer(table(s, d, "documents"))
 
+  /** Character Error Rate: codepoint Levenshtein / r_len per pair
+    * (leading-40-codepoint window; shares the WER recursion in both
+    * engines — one DP spelling, two symbol alphabets). */
+  private val evalCer: Q = (s, d) =>
+    Wer.cer(table(s, d, "documents"))
+
   /** Corpus diversity distinct-n: distinct/total word n-grams per
     * order 1..4 — the standard generation-degeneracy signal. */
   private val evalDistinctN: Q = (s, d) =>
@@ -873,6 +879,7 @@ object DocQueries {
     ("eval_bleu4_corpus", evalBleu4Corpus, Some(NgramEval.bleu4CorpusSql())),
     ("eval_token_f1", evalTokenF1, Some(NgramEval.tokenF1Sql())),
     ("eval_wer", evalWer, Some(Wer.werSql())),
+    ("eval_cer", evalCer, Some(Wer.cerSql())),
     ("eval_distinct_n", evalDistinctN, Some(Wer.distinctNSql())),
     ("eval_bleu4_multiref", evalBleu4MultiRef, Some(NgramEval.bleu4MultiRefSql(
       candsFrom = "(SELECT doc_id AS cand_id, text FROM documents " +

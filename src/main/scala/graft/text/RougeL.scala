@@ -31,6 +31,26 @@ private[text] object PairedText {
       .as[(Long, Seq[String], Seq[String])]
   }
 
+  /** Raw-TEXT face of the same pairing — (pair_id, cand text, ref
+    * text), same NULL-absent / both-sides rules, no tokenization (the
+    * CER kernel caps and splits by CODEPOINT itself, so truncation
+    * stays a kernel concern like [[Wer.cer]]'s oracle twin). */
+  def pairsText(docs: DataFrame): Dataset[(Long, String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+        pmod(col("doc_id"), lit(2)).as("side"),
+        col("text"))
+      .groupBy(col("pair_id"))
+      .agg(
+        first(when(col("side") === 0, col("text")), ignoreNulls = true).as("c"),
+        first(when(col("side") === 1, col("text")), ignoreNulls = true).as("r"))
+      .filter(col("c").isNotNull && col("r").isNotNull)
+      .as[(Long, String, String)]
+  }
+
   /** The DuckDB twin: `<p>_ws` / `<p>_pair` / `<p>_dim` CTE prelude
     * (no leading WITH, no trailing comma) exposing per pair the token
     * lists `c`/`r` and lengths `cl`/`rl`. */

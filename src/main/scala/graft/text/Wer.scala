@@ -57,37 +57,108 @@ object Wer {
       .toDF("pair_id", "c_len", "r_len", "edits", "wer_e6")
   }
 
-  /** DuckDB mirror of [[wer]] (cap > 0 required): the same DP as a
-    * recursive CTE, one prefix-min window per candidate token. */
-  def werSql(cap: Int = 40, from: String = "documents"): String =
+  /** The ONE Levenshtein recursive-CTE spelling, shared by [[werSql]]
+    * and [[cerSql]] — expects a `<p>_dim(pair_id, c, r, cl, rl)` CTE
+    * prelude (element lists + lengths) and differs only in the output
+    * rate-column name; a DP change cannot de-synchronize the two
+    * oracles. One prefix-min window per candidate element. */
+  private def levRecSql(dimCtes: String, p: String, outCol: String): String =
     s"""WITH RECURSIVE
-       |${PairedText.pairCtes(cap, from, "we")},
-       |we_rec(pair_id, i, dp) AS (
+       |$dimCtes,
+       |${p}_rec(pair_id, i, dp) AS (
        |  SELECT pair_id, 0, list_transform(generate_series(0, rl), x -> x)
-       |  FROM we_dim
+       |  FROM ${p}_dim
        |  UNION ALL
-       |  SELECT we_rec.pair_id, we_rec.i + 1,
+       |  SELECT ${p}_rec.pair_id, ${p}_rec.i + 1,
        |    (SELECT list(j + m ORDER BY j) FROM (
        |       SELECT j, MIN(a - j) OVER (ORDER BY j) AS m FROM (
        |         SELECT jj - 1 AS j,
-       |           CASE WHEN jj = 1 THEN we_rec.i + 1
-       |                ELSE LEAST(we_rec.dp[jj] + 1, we_rec.dp[jj - 1] +
-       |                  CASE WHEN d.c[we_rec.i + 1] = d.r[jj - 1]
+       |           CASE WHEN jj = 1 THEN ${p}_rec.i + 1
+       |                ELSE LEAST(${p}_rec.dp[jj] + 1, ${p}_rec.dp[jj - 1] +
+       |                  CASE WHEN d.c[${p}_rec.i + 1] = d.r[jj - 1]
        |                       THEN 0 ELSE 1 END)
        |           END AS a
-       |         FROM (SELECT generate_subscripts(we_rec.dp, 1) AS jj)
+       |         FROM (SELECT generate_subscripts(${p}_rec.dp, 1) AS jj)
        |       )
        |    ))
-       |  FROM we_rec JOIN we_dim d ON d.pair_id = we_rec.pair_id
-       |  WHERE we_rec.i < d.cl
+       |  FROM ${p}_rec JOIN ${p}_dim d ON d.pair_id = ${p}_rec.pair_id
+       |  WHERE ${p}_rec.i < d.cl
        |)
        |SELECT d.pair_id, CAST(d.cl AS BIGINT) AS c_len,
        |  CAST(d.rl AS BIGINT) AS r_len,
-       |  CAST(we_rec.dp[d.rl + 1] AS BIGINT) AS edits,
-       |  CAST((we_rec.dp[d.rl + 1]::HUGEINT * 1000000) // d.rl AS BIGINT)
-       |    AS wer_e6
-       |FROM we_rec JOIN we_dim d ON d.pair_id = we_rec.pair_id
-       |WHERE we_rec.i = d.cl""".stripMargin
+       |  CAST(${p}_rec.dp[d.rl + 1] AS BIGINT) AS edits,
+       |  CAST((${p}_rec.dp[d.rl + 1]::HUGEINT * 1000000) // d.rl AS BIGINT)
+       |    AS $outCol
+       |FROM ${p}_rec JOIN ${p}_dim d ON d.pair_id = ${p}_rec.pair_id
+       |WHERE ${p}_rec.i = d.cl""".stripMargin
+
+  /** DuckDB mirror of [[wer]] (cap > 0 required): the same DP as a
+    * recursive CTE, one prefix-min window per candidate token. */
+  def werSql(cap: Int = 40, from: String = "documents"): String =
+    levRecSql(PairedText.pairCtes(cap, from, "we"), "we", "wer_e6")
+
+  /** Character Error Rate — the CODEPOINT face of the same kernel
+    * (the metric ASR teams report next to WER): per pair the
+    * Levenshtein distance over the leading `cap` codepoints of the
+    * RAW text (spaces included — no tokenization) divided by the
+    * reference's codepoint count, `cer_e6 = edits·1e6 div r_len`.
+    * Symbols are full codepoints (an astral char is ONE symbol — the
+    * [[NgramEval.chrF]] boundary contract; DuckDB substr counts
+    * codepoints and the kernel steps codePointAt), so the two engines
+    * window identically on the full Unicode domain. Pairing and the
+    * NULL-absent rule are [[RougeL]]'s; EMPTY-string sides are
+    * additionally dropped (CER is edits/r_len — undefined at r_len 0;
+    * both engines filter length ≥ 1 pre-pairing). Identical texts
+    * score exactly 0. */
+  def cer(docs: DataFrame, cap: Int = 40): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    PairedText.pairsText(docs.filter(length(col("text")) >= 1))
+      .map { case (p, cs, rs) =>
+        val c = codepointSyms(cs, cap)
+        val r = codepointSyms(rs, cap)
+        val e = levLen(c, r).toLong
+        (p, c.length.toLong, r.length.toLong, e, e * 1000000L / r.length)
+      }
+      .toDF("pair_id", "c_len", "r_len", "edits", "cer_e6")
+  }
+
+  /** Leading-`cap` codepoints of `s` as single-codepoint strings
+    * (surrogate pairs collapse to one symbol). */
+  private def codepointSyms(s: String, cap: Int): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length && out.length < cap) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** DuckDB mirror of [[cer]] (cap > 0 required): the [[levRecSql]]
+    * recursion over per-codepoint substr lists of substr(text, 1, cap)
+    * — DuckDB substr/length count codepoints, matching the kernel. */
+  def cerSql(cap: Int = 40, from: String = "documents"): String = {
+    val dim =
+      s"""ce_src AS (
+         |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+         |         ((doc_id % 2) + 2) % 2 AS side,
+         |         substr(text, 1, $cap) AS s
+         |  FROM $from WHERE text IS NOT NULL AND length(text) >= 1),
+         |ce_pair AS (
+         |  SELECT pair_id,
+         |         MAX(CASE WHEN side = 0 THEN s END) AS cs,
+         |         MAX(CASE WHEN side = 1 THEN s END) AS rs
+         |  FROM ce_src GROUP BY 1
+         |  HAVING COUNT(DISTINCT side) = 2),
+         |ce_dim AS (SELECT pair_id,
+         |  list_transform(generate_series(1, length(cs)), i -> substr(cs, i, 1)) AS c,
+         |  list_transform(generate_series(1, length(rs)), i -> substr(rs, i, 1)) AS r,
+         |  length(cs) AS cl, length(rs) AS rl
+         |  FROM ce_pair)""".stripMargin
+    levRecSql(dim, "ce", "cer_e6")
+  }
 
   /** Corpus diversity — distinct-n (Li et al. 2016): per gram order
     * 1..`maxN`, the number of DISTINCT word n-grams over the corpus

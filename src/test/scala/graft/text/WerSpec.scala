@@ -66,6 +66,54 @@ class WerSpec extends AnyFunSuite {
     assert(gotSpark(2L)(2) === 0L)
   }
 
+  test("cer: identity 0; spaces count; astral codepoints are ONE symbol; empty sides drop") {
+    import spark.implicits._
+    val out = Wer.cer(Seq(
+      0L -> "abc", 1L -> "abc",            // identity -> 0
+      2L -> "a c", 3L -> "abc",            // space vs 'b': 1 subst / 3
+      4L -> "𝄞x", 5L -> "x",    // astral+x vs x: 1 del / 1 -> 1e6
+      6L -> "", 7L -> "nonempty",          // empty cand -> dropped
+      8L -> "lonely").toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("c_len"), r.getAs[Long]("r_len"),
+          r.getAs[Long]("edits"), r.getAs[Long]("cer_e6"))).toMap
+    assert(out.keySet === Set(0L, 2L, 4L))
+    assert(out(0L) === ((3L, 3L, 0L, 0L)))
+    assert(out(2L) === ((3L, 3L, 1L, 333333L)))
+    assert(out(4L) === ((2L, 1L, 1L, 1000000L))) // astral is one codepoint
+  }
+
+  test("cer caps at the leading `cap` CODEPOINTS (not code units)") {
+    import spark.implicits._
+    // 𝄞 repeated: 4 astral codepoints = 8 UTF-16 units; cap 3 keeps 3
+    val g = "𝄞"
+    val out = Wer.cer(Seq(
+      0L -> (g * 4), 1L -> (g * 3)).toDF("doc_id", "text"), cap = 3).head()
+    assert(out.getAs[Long]("c_len") === 3L && out.getAs[Long]("r_len") === 3L)
+    assert(out.getAs[Long]("edits") === 0L) // both capped to 𝄞𝄞𝄞
+  }
+
+  test("cerSql mirror matches the Spark side row-for-row (unicode + cap + NULL)") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "kitten sat", 1L -> "sitting sat",
+      2L -> "café 𝄞", 3L -> "cafe 𝄞!",
+      4L -> "abcdefghij", 5L -> "abXdefghiZ",
+      6L -> "cand with null ref", 7L -> null)
+    val gotSpark = Wer.cer(docs.toDF("doc_id", "text"), cap = 8)
+      .collect().map(r => r.getLong(0) ->
+        (1 until 5).map(r.getLong)).toMap
+    val values = docs.map { case (id, t) =>
+      if (t == null) s"($id, NULL)" else s"($id, '$t')" }.mkString(", ")
+    val gotDuck = DuckBridgeTestUtil.duck(Wer.cerSql(cap = 8,
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))"))
+      .map(r => r(0).get.toLong -> r.tail.map(_.get.toLong)).toMap
+    assert(gotSpark.keySet === Set(0L, 2L, 4L))
+    assert(gotDuck === gotSpark.map { case (k, v) => k -> v.toSeq })
+  }
+
   test("distinctN: hand-counted ratios; repetition drives the ratio down") {
     import spark.implicits._
     // corpus: 'a b a b' + 'a b': unigrams a×3 b×3 -> 2/6; bigrams
