@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.text.{Bm25, ChunkDedup, Chunker, CorpusPipeline, DedupClusters,
-  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, NgramEval, RougeL, Wer,
-  PreferencePairs, Shingles, SimHash, TextAnalysis, Tfidf}
+  FuzzyDedup, IncrementalDedup, LmScore, MinHashLsh, MultiRefEval, NgramEval,
+  RougeL, Wer, PreferencePairs, Shingles, SimHash, TextAnalysis, Tfidf}
 import graft.sim.{Knn, Pq}
 import QueryDsl._
 
@@ -257,19 +257,65 @@ object DocQueries {
   private val evalChrfpp: Q = (s, d) =>
     NgramEval.chrFpp(table(s, d, "documents"))
 
-  /** Multi-reference BLEU-4 through the explicit pair-table face:
-    * candidates (doc_id ≡ 0 mod 4) scored against THREE references
-    * each (doc_id+1..3) — max-per-gram clip, effective (closest,
-    * ties-shorter) brevity length. Two scans by design: the operator
-    * takes candidates and references as separate relations. */
-  private val evalBleu4MultiRef: Q = (s, d) => {
-    val docs = table(s, d, "documents")
-    val cands = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+  /** The ONE multi-reference gate pairing: candidates are doc_id ≡ 0
+    * (mod 4, Euclidean), scored against THREE references each
+    * (doc_id+1..3) — shared by eval_bleu4_multiref and the five keyed
+    * faces so a pairing change moves the whole family together. */
+  private def mod4Cands(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(pmod(col("doc_id"), lit(4)) === 0)
       .select(col("doc_id").as("cand_id"), col("text"))
-    val refs = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+
+  private def mod4Refs(docs: org.apache.spark.sql.DataFrame) =
+    docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
       .select((col("doc_id") - pmod(col("doc_id"), lit(4))).as("cand_id"),
         col("doc_id").as("ref_id"), col("text"))
-    NgramEval.bleu4MultiRef(cands, refs)
+
+  private val mod4CandsSql =
+    "(SELECT doc_id AS cand_id, text FROM documents " +
+      "WHERE ((doc_id % 4) + 4) % 4 = 0)"
+
+  private val mod4RefsSql =
+    "(SELECT doc_id - (((doc_id % 4) + 4) % 4) AS cand_id, " +
+      "doc_id AS ref_id, text FROM documents " +
+      "WHERE ((doc_id % 4) + 4) % 4 <> 0)"
+
+  /** Multi-reference BLEU-4 through the explicit pair-table face:
+    * max-per-gram clip, effective (closest, ties-shorter) brevity
+    * length. Two scans by design: the operator takes candidates and
+    * references as separate relations. */
+  private val evalBleu4MultiRef: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    NgramEval.bleu4MultiRef(mod4Cands(docs), mod4Refs(docs))
+  }
+
+  /** Multi-reference ROUGE-L: max LCS-F1 over 3 refs/candidate. */
+  private val evalRougeLMultiRef: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    MultiRefEval.rougeL(mod4Cands(docs), mod4Refs(docs))
+  }
+
+  /** Multi-reference WER: min error rate over 3 refs/candidate. */
+  private val evalWerMultiRef: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    MultiRefEval.wer(mod4Cands(docs), mod4Refs(docs))
+  }
+
+  /** Multi-reference chrF: max F-β over contract-satisfying refs. */
+  private val evalChrfMultiRef: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    MultiRefEval.chrF(mod4Cands(docs), mod4Refs(docs))
+  }
+
+  /** Multi-reference chrF++: max 8-component F-β over refs. */
+  private val evalChrfppMultiRef: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    MultiRefEval.chrFpp(mod4Cands(docs), mod4Refs(docs))
+  }
+
+  /** Multi-reference SQuAD token-F1: max F1 + max EM over refs. */
+  private val evalTokenF1MultiRef: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    MultiRefEval.tokenF1(mod4Cands(docs), mod4Refs(docs))
   }
 
   /** Concat-then-chunk packing offsets, sharded per language. */
@@ -882,11 +928,18 @@ object DocQueries {
     ("eval_cer", evalCer, Some(Wer.cerSql())),
     ("eval_distinct_n", evalDistinctN, Some(Wer.distinctNSql())),
     ("eval_bleu4_multiref", evalBleu4MultiRef, Some(NgramEval.bleu4MultiRefSql(
-      candsFrom = "(SELECT doc_id AS cand_id, text FROM documents " +
-        "WHERE ((doc_id % 4) + 4) % 4 = 0)",
-      refsFrom = "(SELECT doc_id - (((doc_id % 4) + 4) % 4) AS cand_id, " +
-        "doc_id AS ref_id, text FROM documents " +
-        "WHERE ((doc_id % 4) + 4) % 4 <> 0)"))),
+      candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
+    ("eval_rouge_l_multiref", evalRougeLMultiRef, Some(MultiRefEval.rougeLSql(
+      candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
+    ("eval_wer_multiref", evalWerMultiRef, Some(MultiRefEval.werSql(
+      candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
+    ("eval_chrf_multiref", evalChrfMultiRef, Some(MultiRefEval.chrFSql(
+      candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
+    ("eval_chrfpp_multiref", evalChrfppMultiRef, Some(MultiRefEval.chrFppSql(
+      candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
+    ("eval_token_f1_multiref", evalTokenF1MultiRef,
+      Some(MultiRefEval.tokenF1Sql(
+        candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
     ("text_bm25", textBm25, Some(Bm25.topDocsSql(bm25Terms))),
     ("retrieval_rrf", retrievalRrf,
       Some(graft.text.HybridRetrieval.rrfTopDocsSql(bm25Terms))),

@@ -401,19 +401,25 @@ object NgramEval {
     * any marker group have both sides". A NULL text contributes no
     * rows at all (absent side, the eval-family convention: the gram
     * array is NULL, so concat propagates NULL and explode drops). */
-  def tokenF1(docs: DataFrame): DataFrame = {
-    graft.functions.GramHashes.register(docs.sparkSession)
-    docs
+  def tokenF1(docs: DataFrame): DataFrame =
+    tokenF1PerKey(PairedText.sided(docs), Seq("pair_id"))
+
+  /** The keyed token-F1 core — see [[chrFPerKey]] for the key
+    * contract. */
+  private[text] def tokenF1PerKey(sided: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    graft.functions.GramHashes.register(sided.sparkSession)
+    val keys = keyCols.map(col)
+    sided
       .withColumn("ws", split(col("text"), " "))
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
-        pmod(col("doc_id"), lit(2)).as("side"),
+      .select(keys :+
         explode(expr("concat(word_gram_hashes(ws, 1, 1), " +
-          "array(shiftleft(xxhash64(text), 4) | 8L))")).as("g"))
-      .groupBy(col("pair_id"), col("g"))
+          "array(shiftleft(xxhash64(text), 4) | 8L))")).as("g") :+
+        col("side"): _*)
+      .groupBy(keys :+ col("g"): _*)
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(col("pair_id"))
+      .groupBy(keys: _*)
       .agg(
         sum(when(expr("g & 15") === 1, least(col("c_cnt"), col("r_cnt")))
           .otherwise(0L)).as("clipped"),
@@ -425,30 +431,35 @@ object NgramEval {
           && col("c_cnt") >= 1 && col("r_cnt") >= 1, 1L).otherwise(0L))
           .as("exact_match"))
       .filter(col("c_total") >= 1 && col("r_total") >= 1)
-      .select(col("pair_id"), col("clipped"), col("c_total"), col("r_total"),
+      .select(keys ++ Seq(col("clipped"), col("c_total"), col("r_total"),
         expr("CAST(2 * clipped * 1000000 div (c_total + r_total) AS BIGINT)")
           .as("token_f1_e6"),
-        col("exact_match"))
+        col("exact_match")): _*)
   }
 
   /** DuckDB mirror of [[tokenF1]]. */
   def tokenF1Sql(from: String = "documents"): String =
+    tokenF1PerKeySql(Seq("pair_id"), PairedText.sidedSql(from))
+
+  /** DuckDB mirror of [[tokenF1PerKey]] — `sidedFrom` must be a
+    * parenthesized relation exposing `keyCols` + (side, text). */
+  private[text] def tokenF1PerKeySql(keyCols: Seq[String],
+      sidedFrom: String): String = {
+    val ks = keyCols.mkString(", ")
     s"""WITH tf_ws AS (
-       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM $from
-       |  WHERE text IS NOT NULL),
+       |  SELECT $ks, side, text, string_split(text, ' ') AS ws
+       |  FROM $sidedFrom sd WHERE text IS NOT NULL),
        |tf_g AS (
-       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
-       |         ((doc_id % 2) + 2) % 2 AS side, md5(ws[i]) AS g
+       |  SELECT $ks, side, md5(ws[i]) AS g
        |  FROM tf_ws, unnest(generate_series(1, len(ws))) t(i)
        |  UNION ALL
-       |  SELECT doc_id - (((doc_id % 2) + 2) % 2),
-       |         ((doc_id % 2) + 2) % 2, 'T' || md5(text)
+       |  SELECT $ks, side, 'T' || md5(text)
        |  FROM tf_ws),
-       |tf_pg AS (SELECT pair_id, g,
+       |tf_pg AS (SELECT $ks, g,
        |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
        |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
-       |  FROM tf_g GROUP BY 1, 2)
-       |SELECT pair_id,
+       |  FROM tf_g GROUP BY $ks, g)
+       |SELECT $ks,
        |  CAST(SUM(CASE WHEN g NOT LIKE 'T%' THEN LEAST(c_cnt, r_cnt)
        |           ELSE 0 END) AS BIGINT) AS clipped,
        |  CAST(SUM(CASE WHEN g NOT LIKE 'T%' THEN c_cnt ELSE 0 END)
@@ -461,9 +472,10 @@ object NgramEval {
        |       AS BIGINT) AS token_f1_e6,
        |  CAST(MAX(CASE WHEN g LIKE 'T%' AND c_cnt >= 1 AND r_cnt >= 1
        |           THEN 1 ELSE 0 END) AS BIGINT) AS exact_match
-       |FROM tf_pg GROUP BY 1
+       |FROM tf_pg GROUP BY $ks
        |HAVING SUM(CASE WHEN g NOT LIKE 'T%' THEN c_cnt ELSE 0 END) >= 1
        |   AND SUM(CASE WHEN g NOT LIKE 'T%' THEN r_cnt ELSE 0 END) >= 1""".stripMargin
+  }
 
   /** chrF (Popović 2015) — character-n-gram F-β over the same
     * (even, odd) pairs, the third eval face: whitespace stripped,
@@ -489,21 +501,29 @@ object NgramEval {
     * with zero per-gram allocation (the r13.10 rolling-hash plan),
     * three combined key shuffles; the per-order F is a plain column
     * expression (no typed map needed). */
-  def chrF(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame = {
-    graft.functions.GramHashes.register(docs.sparkSession)
-    val perN = docs
+  def chrF(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame =
+    chrFPerKey(PairedText.sided(docs), Seq("pair_id"), beta2, maxN)
+
+  /** The keyed chrF core — `sided` carries `keyCols` + (side, text);
+    * one row per key satisfying the drop contract. The positional gate
+    * keys by pair_id; [[MultiRefEval.chrF]] keys by (cand_id, ref_id)
+    * so each reference scores independently before the per-candidate
+    * max-F reduction (the sacrebleu multi-ref convention). */
+  private[text] def chrFPerKey(sided: DataFrame, keyCols: Seq[String],
+      beta2: Int, maxN: Int): DataFrame = {
+    graft.functions.GramHashes.register(sided.sparkSession)
+    val keys = keyCols.map(col)
+    val perN = sided
       .withColumn("s", regexp_replace(col("text"), " ", ""))
       .filter(length(col("s")) >= 1)
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
-        pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr(s"cp_gram_hashes(s, 1, $maxN)")).as("e"))
-      .select(col("pair_id"), col("side"),
-        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
-      .groupBy(col("pair_id"), col("n"), col("g"))
+      .select(keys ++ Seq(col("side"),
+        explode(expr(s"cp_gram_hashes(s, 1, $maxN)")).as("e")): _*)
+      .select(keys ++ Seq(col("side"),
+        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g")): _*)
+      .groupBy(keys ++ Seq(col("n"), col("g")): _*)
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(col("pair_id"), col("n"))
+      .groupBy(keys :+ col("n"): _*)
       .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
         sum(col("c_cnt")).as("c_total"),
         sum(col("r_cnt")).as("r_total"))
@@ -514,7 +534,7 @@ object NgramEval {
         when(col("c_total") >= 1 && col("r_total") >= 1, expr(
           s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
             s"($beta2 * r_total + c_total)")))
-    perN.groupBy(col("pair_id"))
+    perN.groupBy(keys: _*)
       .agg(
         sum(when(col("c_total") >= 1 && col("r_total") >= 1, 1).otherwise(0))
           .as("n_orders"),
@@ -524,9 +544,9 @@ object NgramEval {
         max(when(col("n") === maxN, col("clipped"))).as(s"clipped_$maxN"),
         sum(col("f_e6")).as("sum_f_e6"))
       .filter(col("n_orders") === maxN)
-      .select(col("pair_id"), col("c_chars"), col("r_chars"),
+      .select(keys ++ Seq(col("c_chars"), col("r_chars"),
         col("clipped_1"), col(s"clipped_$maxN"),
-        expr(s"CAST(sum_f_e6 div $maxN AS BIGINT)").as("chrf_e6"))
+        expr(s"CAST(sum_f_e6 div $maxN AS BIGINT)").as("chrf_e6")): _*)
   }
 
   /** chrF++ (Popović 2017) — the WMT-reported chrF variant: the
@@ -542,25 +562,29 @@ object NgramEval {
     * populated on both sides — ≥ maxN chars AND ≥ wordN words per
     * side; identical texts score exactly 1e6. */
   def chrFpp(docs: DataFrame, beta2: Int = 4, maxN: Int = 6,
-      wordN: Int = 2): DataFrame = {
-    graft.functions.GramHashes.register(docs.sparkSession)
+      wordN: Int = 2): DataFrame =
+    chrFppPerKey(PairedText.sided(docs), Seq("pair_id"), beta2, maxN, wordN)
+
+  /** The keyed chrF++ core — see [[chrFPerKey]] for the key contract. */
+  private[text] def chrFppPerKey(sided: DataFrame, keyCols: Seq[String],
+      beta2: Int, maxN: Int, wordN: Int): DataFrame = {
+    graft.functions.GramHashes.register(sided.sparkSession)
+    val keys = keyCols.map(col)
     val nComp = maxN + wordN
-    val perN = docs
+    val perN = sided
       .withColumn("s", regexp_replace(col("text"), " ", ""))
       .filter(length(col("s")) >= 1)
       .withColumn("ws", split(col("text"), " "))
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
-        pmod(col("doc_id"), lit(2)).as("side"),
+      .select(keys ++ Seq(col("side"),
         explode(expr(
           s"concat(cp_gram_hashes(s, 1, $maxN), " +
-            s"word_gram_hashes(ws, 1, $wordN, 1))")).as("e"))
-      .select(col("pair_id"), col("side"),
-        expr("CAST(e & 15 AS INT)").as("n"), col("e").as("g"))
-      .groupBy(col("pair_id"), col("n"), col("g"))
+            s"word_gram_hashes(ws, 1, $wordN, 1))")).as("e")): _*)
+      .select(keys ++ Seq(col("side"),
+        expr("CAST(e & 15 AS INT)").as("n"), col("e").as("g")): _*)
+      .groupBy(keys ++ Seq(col("n"), col("g")): _*)
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(col("pair_id"), col("n"))
+      .groupBy(keys :+ col("n"): _*)
       .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
         sum(col("c_cnt")).as("c_total"),
         sum(col("r_cnt")).as("r_total"))
@@ -568,7 +592,7 @@ object NgramEval {
         when(col("c_total") >= 1 && col("r_total") >= 1, expr(
           s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
             s"($beta2 * r_total + c_total)")))
-    perN.groupBy(col("pair_id"))
+    perN.groupBy(keys: _*)
       .agg(
         sum(when(col("c_total") >= 1 && col("r_total") >= 1, 1).otherwise(0))
           .as("n_orders"),
@@ -580,48 +604,55 @@ object NgramEval {
         max(when(col("n") === 10, col("clipped"))).as("clipped_w2"),
         sum(col("f_e6")).as("sum_f_e6"))
       .filter(col("n_orders") === nComp)
-      .select(col("pair_id"), col("c_chars"), col("r_chars"),
+      .select(keys ++ Seq(col("c_chars"), col("r_chars"),
         col("c_words"), col("r_words"), col("clipped_c1"), col("clipped_w2"),
-        expr(s"CAST(sum_f_e6 div $nComp AS BIGINT)").as("chrfpp_e6"))
+        expr(s"CAST(sum_f_e6 div $nComp AS BIGINT)").as("chrfpp_e6")): _*)
   }
 
   /** DuckDB mirror of [[chrFpp]]. */
   def chrFppSql(beta2: Int = 4, maxN: Int = 6, wordN: Int = 2,
-      from: String = "documents"): String = {
+      from: String = "documents"): String =
+    chrFppPerKeySql(Seq("pair_id"), PairedText.sidedSql(from),
+      beta2, maxN, wordN)
+
+  /** DuckDB mirror of [[chrFppPerKey]] — `sidedFrom` must be a
+    * parenthesized relation exposing `keyCols` + (side, text). */
+  private[text] def chrFppPerKeySql(keyCols: Seq[String], sidedFrom: String,
+      beta2: Int = 4, maxN: Int = 6, wordN: Int = 2): String = {
     val nComp = maxN + wordN
+    val ks = keyCols.mkString(", ")
     s"""WITH cfp_src AS (
-       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
-       |         ((doc_id % 2) + 2) % 2 AS side,
+       |  SELECT $ks, side,
        |         replace(text, ' ', '') AS s,
        |         string_split(text, ' ') AS ws
-       |  FROM $from WHERE length(replace(text, ' ', '')) >= 1),
+       |  FROM $sidedFrom sd WHERE length(replace(text, ' ', '')) >= 1),
        |cfp_g AS (
-       |  SELECT pair_id, side, tn.n AS n, md5(substr(s, i, tn.n)) AS g
+       |  SELECT $ks, side, tn.n AS n, md5(substr(s, i, tn.n)) AS g
        |  FROM cfp_src, unnest(generate_series(1, $maxN)) tn(n),
        |       unnest(generate_series(1, length(s) - tn.n + 1)) t(i)
        |  WHERE length(s) >= tn.n
        |  UNION ALL
-       |  SELECT pair_id, side, tn.n + 100 AS n,
+       |  SELECT $ks, side, tn.n + 100 AS n,
        |         md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
        |  FROM cfp_src, unnest(generate_series(1, $wordN)) tn(n),
        |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
        |  WHERE len(ws) >= tn.n),
-       |cfp_pg AS (SELECT pair_id, n, g,
+       |cfp_pg AS (SELECT $ks, n, g,
        |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
        |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
-       |  FROM cfp_g GROUP BY 1, 2, 3),
-       |cfp_pn AS (SELECT pair_id, n,
+       |  FROM cfp_g GROUP BY $ks, n, g),
+       |cfp_pn AS (SELECT $ks, n,
        |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
        |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
        |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
-       |  FROM cfp_pg GROUP BY 1, 2),
-       |cfp_f AS (SELECT pair_id, n, clipped, c_total, r_total,
+       |  FROM cfp_pg GROUP BY $ks, n),
+       |cfp_f AS (SELECT $ks, n, clipped, c_total, r_total,
        |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
        |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
        |         ($beta2 * r_total + c_total) AS BIGINT)
        |  END AS f_e6
        |  FROM cfp_pn)
-       |SELECT pair_id,
+       |SELECT $ks,
        |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_chars,
        |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_chars,
        |  MAX(CASE WHEN n = 101 THEN c_total END) AS c_words,
@@ -629,7 +660,7 @@ object NgramEval {
        |  MAX(CASE WHEN n = 1 THEN clipped END) AS clipped_c1,
        |  MAX(CASE WHEN n = 102 THEN clipped END) AS clipped_w2,
        |  CAST(CAST(SUM(f_e6) AS HUGEINT) // $nComp AS BIGINT) AS chrfpp_e6
-       |FROM cfp_f GROUP BY 1
+       |FROM cfp_f GROUP BY $ks
        |HAVING SUM(CASE WHEN c_total >= 1 AND r_total >= 1 THEN 1 ELSE 0 END)
        |       = $nComp""".stripMargin
   }
@@ -637,40 +668,47 @@ object NgramEval {
   /** DuckDB mirror of [[chrF]]. */
   def chrFSql(beta2: Int = 4, maxN: Int = 6,
       from: String = "documents"): String =
+    chrFPerKeySql(Seq("pair_id"), PairedText.sidedSql(from), beta2, maxN)
+
+  /** DuckDB mirror of [[chrFPerKey]] — `sidedFrom` must be a
+    * parenthesized relation exposing `keyCols` + (side, text). */
+  private[text] def chrFPerKeySql(keyCols: Seq[String], sidedFrom: String,
+      beta2: Int = 4, maxN: Int = 6): String = {
+    val ks = keyCols.mkString(", ")
     s"""WITH cf_ws AS (
-       |  SELECT doc_id, replace(text, ' ', '') AS s FROM $from
-       |  WHERE length(replace(text, ' ', '')) >= 1),
+       |  SELECT $ks, side, replace(text, ' ', '') AS s
+       |  FROM $sidedFrom sd WHERE length(replace(text, ' ', '')) >= 1),
        |cf_g AS (
-       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
-       |         ((doc_id % 2) + 2) % 2 AS side, tn.n AS n,
+       |  SELECT $ks, side, tn.n AS n,
        |         md5(substr(s, i, tn.n)) AS g
        |  FROM cf_ws, unnest(generate_series(1, $maxN)) tn(n),
        |       unnest(generate_series(1, length(s) - tn.n + 1)) t(i)
        |  WHERE length(s) >= tn.n),
-       |cf_pg AS (SELECT pair_id, n, g,
+       |cf_pg AS (SELECT $ks, n, g,
        |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
        |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
-       |  FROM cf_g GROUP BY 1, 2, 3),
-       |cf_pn AS (SELECT pair_id, n,
+       |  FROM cf_g GROUP BY $ks, n, g),
+       |cf_pn AS (SELECT $ks, n,
        |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
        |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
        |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
-       |  FROM cf_pg GROUP BY 1, 2),
-       |cf_f AS (SELECT pair_id, n, clipped, c_total, r_total,
+       |  FROM cf_pg GROUP BY $ks, n),
+       |cf_f AS (SELECT $ks, n, clipped, c_total, r_total,
        |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
        |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
        |         ($beta2 * r_total + c_total) AS BIGINT)
        |  END AS f_e6
        |  FROM cf_pn)
-       |SELECT pair_id,
+       |SELECT $ks,
        |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_chars,
        |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_chars,
        |  MAX(CASE WHEN n = 1 THEN clipped END) AS clipped_1,
        |  MAX(CASE WHEN n = $maxN THEN clipped END) AS clipped_$maxN,
        |  CAST(CAST(SUM(f_e6) AS HUGEINT) // $maxN AS BIGINT) AS chrf_e6
-       |FROM cf_f GROUP BY 1
+       |FROM cf_f GROUP BY $ks
        |HAVING SUM(CASE WHEN c_total >= 1 AND r_total >= 1 THEN 1 ELSE 0 END)
        |       = $maxN""".stripMargin
+  }
 
   /** DuckDB mirror of [[bleu4]]. */
   def bleu4Sql(fbits: Int = 20, from: String = "documents"): String = {

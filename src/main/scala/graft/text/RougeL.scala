@@ -51,6 +51,21 @@ private[text] object PairedText {
       .as[(Long, String, String)]
   }
 
+  /** Sided face for the keyed gram cores — (pair_id, side, text), no
+    * tokenization, no drop (each metric core applies its own filters).
+    * The positional twin of [[MultiRefEval.sides]]. */
+  def sided(docs: DataFrame): DataFrame =
+    docs.select(
+      (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
+      pmod(col("doc_id"), lit(2)).as("side"),
+      col("text"))
+
+  /** DuckDB twin of [[sided]] — a parenthesized relation exposing
+    * (pair_id, side, text). */
+  def sidedSql(from: String): String =
+    s"""(SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |  ((doc_id % 2) + 2) % 2 AS side, text FROM $from)""".stripMargin
+
   /** The DuckDB twin: `<p>_ws` / `<p>_pair` / `<p>_dim` CTE prelude
     * (no leading WITH, no trailing comma) exposing per pair the token
     * lists `c`/`r` and lengths `cl`/`rl`. */
@@ -145,32 +160,45 @@ object RougeL {
     * the classic dp_new(j) = prefmax_j(max(dp(j), dp(j−1)+match)) form
     * makes each step ONE prefix-max window. */
   def rougeLSql(cap: Int = 40, from: String = "documents"): String =
+    lcsRecSql(PairedText.pairCtes(cap, from, "rl"), "rl")
+
+  /** The ONE LCS recursive-CTE spelling, shared by [[rougeLSql]] and
+    * [[MultiRefEval.rougeLSql]] — expects a `<p>_dim(keyCols..., c, r,
+    * cl, rl)` CTE prelude; one prefix-max window per candidate token
+    * (the [[Wer.levRecSql]] pattern with max and no slope term). */
+  private[text] def lcsRecSql(dimCtes: String, p: String,
+      keyCols: Seq[String] = Seq("pair_id")): String = {
+    val ks = keyCols.mkString(", ")
+    val recKs = keyCols.map(k => s"${p}_rec.$k").mkString(", ")
+    val dKs = keyCols.map(k => s"d.$k").mkString(", ")
+    val joinOn = keyCols.map(k => s"d.$k = ${p}_rec.$k").mkString(" AND ")
     s"""WITH RECURSIVE
-       |${PairedText.pairCtes(cap, from, "rl")},
-       |rl_rec(pair_id, i, dp) AS (
-       |  SELECT pair_id, 0, list_transform(generate_series(0, rl), x -> 0)
-       |  FROM rl_dim
+       |$dimCtes,
+       |${p}_rec($ks, i, dp) AS (
+       |  SELECT $ks, 0, list_transform(generate_series(0, rl), x -> 0)
+       |  FROM ${p}_dim
        |  UNION ALL
-       |  SELECT rl_rec.pair_id, rl_rec.i + 1,
+       |  SELECT $recKs, ${p}_rec.i + 1,
        |    (SELECT list(m ORDER BY j) FROM (
        |       SELECT j, MAX(q) OVER (ORDER BY j) AS m FROM (
        |         SELECT jj - 1 AS j,
        |           CASE WHEN jj = 1 THEN 0
-       |                ELSE GREATEST(rl_rec.dp[jj], rl_rec.dp[jj - 1] +
-       |                  CASE WHEN d.c[rl_rec.i + 1] = d.r[jj - 1]
+       |                ELSE GREATEST(${p}_rec.dp[jj], ${p}_rec.dp[jj - 1] +
+       |                  CASE WHEN d.c[${p}_rec.i + 1] = d.r[jj - 1]
        |                       THEN 1 ELSE 0 END)
        |           END AS q
-       |         FROM (SELECT generate_subscripts(rl_rec.dp, 1) AS jj)
+       |         FROM (SELECT generate_subscripts(${p}_rec.dp, 1) AS jj)
        |       )
        |    ))
-       |  FROM rl_rec JOIN rl_dim d ON d.pair_id = rl_rec.pair_id
-       |  WHERE rl_rec.i < d.cl
+       |  FROM ${p}_rec JOIN ${p}_dim d ON $joinOn
+       |  WHERE ${p}_rec.i < d.cl
        |)
-       |SELECT d.pair_id, CAST(d.cl AS BIGINT) AS c_len,
+       |SELECT $dKs, CAST(d.cl AS BIGINT) AS c_len,
        |  CAST(d.rl AS BIGINT) AS r_len,
-       |  CAST(rl_rec.dp[d.rl + 1] AS BIGINT) AS lcs,
-       |  CAST((2::HUGEINT * rl_rec.dp[d.rl + 1] * 1000000)
+       |  CAST(${p}_rec.dp[d.rl + 1] AS BIGINT) AS lcs,
+       |  CAST((2::HUGEINT * ${p}_rec.dp[d.rl + 1] * 1000000)
        |       // (d.cl + d.rl) AS BIGINT) AS rouge_l_f_e6
-       |FROM rl_rec JOIN rl_dim d ON d.pair_id = rl_rec.pair_id
-       |WHERE rl_rec.i = d.cl""".stripMargin
+       |FROM ${p}_rec JOIN ${p}_dim d ON $joinOn
+       |WHERE ${p}_rec.i = d.cl""".stripMargin
+  }
 }

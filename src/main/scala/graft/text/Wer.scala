@@ -57,19 +57,25 @@ object Wer {
       .toDF("pair_id", "c_len", "r_len", "edits", "wer_e6")
   }
 
-  /** The ONE Levenshtein recursive-CTE spelling, shared by [[werSql]]
-    * and [[cerSql]] — expects a `<p>_dim(pair_id, c, r, cl, rl)` CTE
-    * prelude (element lists + lengths) and differs only in the output
-    * rate-column name; a DP change cannot de-synchronize the two
-    * oracles. One prefix-min window per candidate element. */
-  private def levRecSql(dimCtes: String, p: String, outCol: String): String =
+  /** The ONE Levenshtein recursive-CTE spelling, shared by [[werSql]],
+    * [[cerSql]] and [[MultiRefEval.werSql]] — expects a
+    * `<p>_dim(keyCols..., c, r, cl, rl)` CTE prelude (element lists +
+    * lengths) and differs only in the key columns and the output
+    * rate-column name; a DP change cannot de-synchronize the oracles.
+    * One prefix-min window per candidate element. */
+  private[text] def levRecSql(dimCtes: String, p: String, outCol: String,
+      keyCols: Seq[String] = Seq("pair_id")): String = {
+    val ks = keyCols.mkString(", ")
+    val recKs = keyCols.map(k => s"${p}_rec.$k").mkString(", ")
+    val dKs = keyCols.map(k => s"d.$k").mkString(", ")
+    val joinOn = keyCols.map(k => s"d.$k = ${p}_rec.$k").mkString(" AND ")
     s"""WITH RECURSIVE
        |$dimCtes,
-       |${p}_rec(pair_id, i, dp) AS (
-       |  SELECT pair_id, 0, list_transform(generate_series(0, rl), x -> x)
+       |${p}_rec($ks, i, dp) AS (
+       |  SELECT $ks, 0, list_transform(generate_series(0, rl), x -> x)
        |  FROM ${p}_dim
        |  UNION ALL
-       |  SELECT ${p}_rec.pair_id, ${p}_rec.i + 1,
+       |  SELECT $recKs, ${p}_rec.i + 1,
        |    (SELECT list(j + m ORDER BY j) FROM (
        |       SELECT j, MIN(a - j) OVER (ORDER BY j) AS m FROM (
        |         SELECT jj - 1 AS j,
@@ -81,16 +87,17 @@ object Wer {
        |         FROM (SELECT generate_subscripts(${p}_rec.dp, 1) AS jj)
        |       )
        |    ))
-       |  FROM ${p}_rec JOIN ${p}_dim d ON d.pair_id = ${p}_rec.pair_id
+       |  FROM ${p}_rec JOIN ${p}_dim d ON $joinOn
        |  WHERE ${p}_rec.i < d.cl
        |)
-       |SELECT d.pair_id, CAST(d.cl AS BIGINT) AS c_len,
+       |SELECT $dKs, CAST(d.cl AS BIGINT) AS c_len,
        |  CAST(d.rl AS BIGINT) AS r_len,
        |  CAST(${p}_rec.dp[d.rl + 1] AS BIGINT) AS edits,
        |  CAST((${p}_rec.dp[d.rl + 1]::HUGEINT * 1000000) // d.rl AS BIGINT)
        |    AS $outCol
-       |FROM ${p}_rec JOIN ${p}_dim d ON d.pair_id = ${p}_rec.pair_id
+       |FROM ${p}_rec JOIN ${p}_dim d ON $joinOn
        |WHERE ${p}_rec.i = d.cl""".stripMargin
+  }
 
   /** DuckDB mirror of [[wer]] (cap > 0 required): the same DP as a
     * recursive CTE, one prefix-min window per candidate token. */
