@@ -38,8 +38,12 @@ object Bootstrap {
   private val CdfThresholds = Seq(367879L, 735759L, 919699L, 980998L, 996340L)
 
   /** Multiplicity column from the deterministic per-(row, replicate)
-    * uniform: inverse Poisson(1) CDF over the 10⁶ grid. */
-  private def multiplicity(idCol: String) = {
+    * uniform: inverse Poisson(1) CDF over the 10⁶ grid. Expects the
+    * replicate id in a column named `b`. private[graft]: the paired
+    * -bootstrap BLEU gate ([[graft.text.NgramEval.bleu4PairedBootstrap]])
+    * rides the SAME draw so the md5 replicate-hash convention has one
+    * spelling. */
+  private[graft] def multiplicity(idCol: String) = {
     val u = conv(substring(md5(concat_ws(":", col(idCol), col("b"))), 1, 6),
       16, 10).cast("long") % 1000000L
     CdfThresholds.zipWithIndex.foldRight(lit(CdfThresholds.size): org.apache.spark.sql.Column) {
@@ -62,7 +66,7 @@ object Bootstrap {
     }
   }
 
-  private def multiplicitySql(idSql: String): String = {
+  private[graft] def multiplicitySql(idSql: String): String = {
     val u = s"CAST(concat('0x', substring(md5(concat($idSql, ':', b)), 1, 6)) AS BIGINT) % 1000000"
     val cases = CdfThresholds.zipWithIndex
       .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }.mkString(" ")

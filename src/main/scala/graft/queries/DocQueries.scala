@@ -288,6 +288,13 @@ object DocQueries {
     NgramEval.bleu4MultiRef(mod4Cands(docs), mod4Refs(docs))
   }
 
+  /** Paired-bootstrap corpus-BLEU significance: system A (slot 0) vs
+    * system B (slot 2) against the shared reference (slot 1), 100
+    * paired Poisson replicates, win counts + exact-order-statistic
+    * delta CI — one row, all integers. */
+  private val evalBleu4PairedBs: Q = (s, d) =>
+    NgramEval.bleu4PairedBootstrap(table(s, d, "documents"))
+
   /** Multi-reference ROUGE-L: max LCS-F1 over 3 refs/candidate. */
   private val evalRougeLMultiRef: Q = (s, d) => {
     val docs = table(s, d, "documents")
@@ -929,6 +936,8 @@ object DocQueries {
     ("eval_distinct_n", evalDistinctN, Some(Wer.distinctNSql())),
     ("eval_bleu4_multiref", evalBleu4MultiRef, Some(NgramEval.bleu4MultiRefSql(
       candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
+    ("eval_bleu4_paired_bs", evalBleu4PairedBs,
+      Some(NgramEval.bleu4PairedBootstrapSql())),
     ("eval_rouge_l_multiref", evalRougeLMultiRef, Some(MultiRefEval.rougeLSql(
       candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
     ("eval_wer_multiref", evalWerMultiRef, Some(MultiRefEval.werSql(

@@ -388,6 +388,241 @@ object NgramEval {
        |FROM bc_agg""".stripMargin
   }
 
+  /** Paired-bootstrap significance for corpus BLEU-4 — sacrebleu's
+    * `paired-bs` test: TWO systems' candidates scored against SHARED
+    * references, Poisson-bootstrap resampled at the PAIR level (the
+    * same deterministic md5 draw as [[graft.ops.Bootstrap]] — one
+    * weight per (quad, replicate), applied to BOTH systems, so each
+    * replicate compares the systems on the same resampled test set),
+    * per-replicate corpus-BLEU deltas recomputed from the weighted
+    * per-pair gram sums. Entirely in integers (the [[bleu4Corpus]]
+    * log2fp spelling), so the whole test replays hash-exactly.
+    *
+    * Input convention (Euclidean mod 4 on doc_id): slot 0 = system A
+    * candidate, slot 1 = the shared reference, slot 2 = system B
+    * candidate, slot 3 unused. A quad enters the test when all three
+    * sides have ≥ 1 word (the corpus-BLEU both-sides rule, extended).
+    *
+    * Output is ONE row: `n_quads` scored pairs; full-corpus scores
+    * `score_a`/`score_b` and their delta `delta_full` (log2fp×4 units
+    * — monotone in BLEU, so sign and ordering carry over); `n_boot`
+    * surviving replicates (a replicate is dropped when either system's
+    * corpus score is NULL there — zero overlap at some order under raw
+    * counts, or total multiplicity 0); `wins_a`/`wins_b`/`ties`
+    * replicate-delta signs (the win rate is the bootstrap p-value's
+    * complement); `delta_lo`/`delta_hi` the exact order statistics at
+    * `loPct`/`hiPct` over surviving deltas (index ⌈p·n_boot⌉, the
+    * [[graft.ops.Bootstrap]] convention — a CI excluding 0 is the
+    * standard significance call).
+    *
+    * Scale shape: the [[bleu4Corpus]] gram pipeline with three
+    * conditional sums instead of two (one scan, two combined
+    * shuffles), a quad-partitioned window for the inclusion rule
+    * (single-consumer, the scan-ratchet lesson), then the replicate
+    * explode runs on the per-(quad, n) AGGREGATE frame — 8·(B+1) rows
+    * per quad of pure integer arithmetic, one (replicate, system,
+    * order) hash aggregation, and O(B) driver-free order statistics.
+    * The full-corpus score rides the same pipeline as the weight-1
+    * replicate b = −1. */
+  def bleu4PairedBootstrap(docs: DataFrame, b: Int = 100, fbits: Int = 20,
+      loPct: Double = 0.025, hiPct: Double = 0.975): DataFrame = {
+    require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GramHashes.register(spark)
+    val perQuadN = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 1 && pmod(col("doc_id"), lit(4)) < 3)
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(4))).as("quad_id"),
+        pmod(col("doc_id"), lit(4)).as("slot"),
+        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
+      .select(col("quad_id"), col("slot"),
+        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
+      .groupBy(col("quad_id"), col("n"), col("g"))
+      .agg(sum(when(col("slot") === 0, 1L).otherwise(0L)).as("a_cnt"),
+        sum(when(col("slot") === 2, 1L).otherwise(0L)).as("b_cnt"),
+        sum(when(col("slot") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .groupBy(col("quad_id"), col("n"))
+      .agg(sum(least(col("a_cnt"), col("r_cnt"))).as("clipped_a"),
+        sum(least(col("b_cnt"), col("r_cnt"))).as("clipped_b"),
+        sum(col("a_cnt")).as("a_total"),
+        sum(col("b_cnt")).as("b_total"),
+        sum(col("r_cnt")).as("r_total"))
+    // inclusion rule on the aggregate frame (quad-partitioned window —
+    // no second pass over the gram pipeline), then the two systems
+    // stack as side-tagged rows and the replicate ids explode with the
+    // PAIRED weight; b = -1 is the weight-1 full-corpus face
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("quad_id")
+    val perRep = perQuadN
+      .withColumn("a_len_q", max(when(col("n") === 1, col("a_total"))).over(w))
+      .withColumn("b_len_q", max(when(col("n") === 1, col("b_total"))).over(w))
+      .withColumn("r_len_q", max(when(col("n") === 1, col("r_total"))).over(w))
+      .filter(col("a_len_q") >= 1 && col("b_len_q") >= 1 && col("r_len_q") >= 1)
+      .select(col("quad_id"), col("n"), col("r_total"),
+        explode(array(
+          struct(lit(0).as("sys"), col("clipped_a").as("clipped"),
+            col("a_total").as("c_total")),
+          struct(lit(1).as("sys"), col("clipped_b").as("clipped"),
+            col("b_total").as("c_total")))).as("sc"))
+      .select(col("quad_id"), col("n"), col("r_total"),
+        col("sc.sys").as("sys"), col("sc.clipped").as("clipped"),
+        col("sc.c_total").as("c_total"))
+      .withColumn("b", explode(expr(s"sequence(-1, ${b - 1})")))
+      .withColumn("m", when(col("b") === -1, 1)
+        .otherwise(graft.ops.Bootstrap.multiplicity("quad_id")))
+      .groupBy(col("b"), col("sys"), col("n"))
+      .agg(sum(col("m") * col("clipped")).as("cl"),
+        sum(col("m") * col("c_total")).as("ct"),
+        sum(col("m") * col("r_total")).as("rt"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("nq"))
+    val withQ = perRep
+      .select(col("b").cast("int").as("b"), col("sys").cast("int").as("sys"),
+        col("n").cast("int").as("n"), col("cl"), col("ct"), col("rt"),
+        col("nq"))
+      .as[(Int, Int, Int, Long, Long, Long, Long)]
+      .map { case (bb, sys, n, cl, ct, rt, nq) =>
+        val q: Option[Long] =
+          if (ct >= 1 && cl >= 1) Some(FixedLog.log2fp(cl, ct, fbits))
+          else None
+        (bb, sys, n, cl, ct, rt, nq, q)
+      }
+      .toDF("b", "sys", "n", "cl", "ct", "rt", "nq", "qln")
+    val perSys = withQ.groupBy(col("b"), col("sys"))
+      .agg(
+        max(when(col("n") === 1, col("ct"))).as("c_len"),
+        max(when(col("n") === 1, col("rt"))).as("r_len"),
+        max(when(col("n") === 1, col("nq"))).as("nq"),
+        sum(col("qln")).as("sum_qln"),
+        count(col("qln")).as("n_qln"))
+      .withColumn("bp_log2fp", bpLog2fpCol(fbits))
+      .withColumn("score", when(col("n_qln") === 4,
+        col("sum_qln") + lit(4L) * col("bp_log2fp")))
+    val perB = perSys.groupBy(col("b"))
+      .agg(max(when(col("sys") === 0, col("score"))).as("score_a"),
+        max(when(col("sys") === 1, col("score"))).as("score_b"),
+        max(when(col("sys") === 0, col("nq"))).as("nq"))
+      .withColumn("delta", col("score_a") - col("score_b"))
+    val full = perB.filter(col("b") === -1)
+      .select(col("nq").as("n_quads"), col("score_a"), col("score_b"),
+        col("delta").as("delta_full"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("delta"), col("b"))
+    val boots = perB.filter(col("b") >= 0 && col("delta").isNotNull)
+      .withColumn("_r", row_number().over(wAll))
+      .withColumn("_cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .agg(
+        count(lit(1)).as("n_boot"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("delta") < 0, 1L).otherwise(0L)).as("wins_b"),
+        sum(when(col("delta") === 0, 1L).otherwise(0L)).as("ties"),
+        max(when(col("_r") === ceil(lit(loPct) * col("_cnt")), col("delta")))
+          .as("delta_lo"),
+        max(when(col("_r") === ceil(lit(hiPct) * col("_cnt")), col("delta")))
+          .as("delta_hi"))
+    full.crossJoin(boots)
+      .select(col("n_quads"), col("score_a"), col("score_b"),
+        col("delta_full"), col("n_boot"), col("wins_a"), col("wins_b"),
+        col("ties"), col("delta_lo"), col("delta_hi"))
+  }
+
+  /** DuckDB mirror of [[bleu4PairedBootstrap]]. */
+  def bleu4PairedBootstrapSql(b: Int = 100, fbits: Int = 20,
+      loPct: Double = 0.025, hiPct: Double = 0.975,
+      from: String = "documents"): String = {
+    val (logCtes, logLast) = DuckHash.log2fpRowCtes(
+      "pb_lsrc", Seq("b", "sys", "n"), "cl", "ct", "pblg", fbits)
+    val bp = s"CASE WHEN c_len >= r_len THEN 0 ELSE " +
+      s"-CAST(((r_len - c_len)::HUGEINT * ${1L << fbits} * 1000000) // " +
+      s"(c_len::HUGEINT * $Ln2E6) AS BIGINT) END"
+    s"""WITH pb_ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $from
+       |  WHERE text IS NOT NULL AND ((doc_id % 4) + 4) % 4 < 3),
+       |pb_g AS (
+       |  SELECT doc_id - (((doc_id % 4) + 4) % 4) AS quad_id,
+       |         ((doc_id % 4) + 4) % 4 AS slot, tn.n AS n,
+       |         md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
+       |  FROM pb_ws, unnest([1, 2, 3, 4]) tn(n),
+       |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
+       |  WHERE len(ws) >= tn.n),
+       |pb_qg AS (SELECT quad_id, n, g,
+       |  CAST(SUM(CASE WHEN slot = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+       |  CAST(SUM(CASE WHEN slot = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+       |  CAST(SUM(CASE WHEN slot = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM pb_g GROUP BY 1, 2, 3),
+       |pb_qn AS (SELECT quad_id, n,
+       |  CAST(SUM(LEAST(a_cnt, r_cnt)) AS BIGINT) AS clipped_a,
+       |  CAST(SUM(LEAST(b_cnt, r_cnt)) AS BIGINT) AS clipped_b,
+       |  CAST(SUM(a_cnt) AS BIGINT) AS a_total,
+       |  CAST(SUM(b_cnt) AS BIGINT) AS b_total,
+       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
+       |  FROM pb_qg GROUP BY 1, 2),
+       |pb_inc AS (SELECT quad_id FROM pb_qn GROUP BY 1
+       |  HAVING MAX(CASE WHEN n = 1 THEN a_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN b_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1),
+       |pb_sys AS (
+       |  SELECT p.quad_id, p.n, p.r_total, s.sys,
+       |    CASE WHEN s.sys = 0 THEN p.clipped_a ELSE p.clipped_b END AS clipped,
+       |    CASE WHEN s.sys = 0 THEN p.a_total ELSE p.b_total END AS c_total
+       |  FROM pb_qn p JOIN pb_inc q ON q.quad_id = p.quad_id,
+       |       (VALUES (0), (1)) s(sys)),
+       |pb_rep AS (
+       |  SELECT quad_id, n, r_total, sys, clipped, c_total, reps.b,
+       |    CASE WHEN reps.b = -1 THEN 1
+       |         ELSE ${graft.ops.Bootstrap.multiplicitySql("quad_id")} END AS m
+       |  FROM pb_sys,
+       |       (SELECT unnest(generate_series(-1, ${b - 1})) AS b) reps),
+       |pb_bn AS (SELECT b, sys, n,
+       |  CAST(SUM(m * clipped) AS BIGINT) AS cl,
+       |  CAST(SUM(m * c_total) AS BIGINT) AS ct,
+       |  CAST(SUM(m * r_total) AS BIGINT) AS rt,
+       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nq
+       |  FROM pb_rep GROUP BY 1, 2, 3),
+       |pb_lsrc AS (SELECT b, sys, n, cl, ct FROM pb_bn
+       |  WHERE ct >= 1 AND cl >= 1)$logCtes,
+       |pb_bs AS (SELECT p.b, p.sys,
+       |  MAX(CASE WHEN p.n = 1 THEN p.ct END) AS c_len,
+       |  MAX(CASE WHEN p.n = 1 THEN p.rt END) AS r_len,
+       |  MAX(CASE WHEN p.n = 1 THEN p.nq END) AS nq,
+       |  CAST(SUM(l.ql) AS BIGINT) AS sum_qln,
+       |  COUNT(l.ql) AS n_qln
+       |  FROM pb_bn p LEFT JOIN $logLast l
+       |    ON l.b = p.b AND l.sys = p.sys AND l.n = p.n
+       |  GROUP BY 1, 2),
+       |pb_sc AS (SELECT b, sys, nq,
+       |  CASE WHEN n_qln = 4 THEN CAST(sum_qln + 4 * ($bp) AS BIGINT)
+       |  END AS score
+       |  FROM pb_bs),
+       |pb_d AS (SELECT b,
+       |  MAX(CASE WHEN sys = 0 THEN score END) AS score_a,
+       |  MAX(CASE WHEN sys = 1 THEN score END) AS score_b,
+       |  MAX(CASE WHEN sys = 0 THEN nq END) AS nq,
+       |  MAX(CASE WHEN sys = 0 THEN score END)
+       |    - MAX(CASE WHEN sys = 1 THEN score END) AS delta
+       |  FROM pb_sc GROUP BY 1),
+       |pb_full AS (SELECT nq AS n_quads, score_a, score_b,
+       |  delta AS delta_full FROM pb_d WHERE b = -1),
+       |pb_rank AS (
+       |  SELECT *, row_number() OVER (ORDER BY delta, b) AS r,
+       |    COUNT(*) OVER () AS cnt
+       |  FROM pb_d WHERE b >= 0 AND delta IS NOT NULL),
+       |pb_ci AS (SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS n_boot,
+       |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+       |  CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins_b,
+       |  CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+       |  MAX(CASE WHEN r = CAST(ceil(CAST($loPct AS DOUBLE) * cnt) AS BIGINT)
+       |      THEN delta END) AS delta_lo,
+       |  MAX(CASE WHEN r = CAST(ceil(CAST($hiPct AS DOUBLE) * cnt) AS BIGINT)
+       |      THEN delta END) AS delta_hi
+       |  FROM pb_rank)
+       |SELECT f.n_quads, f.score_a, f.score_b, f.delta_full,
+       |  c.n_boot, c.wins_a, c.wins_b, c.ties, c.delta_lo, c.delta_hi
+       |FROM pb_full f, pb_ci c""".stripMargin
+  }
+
   /** SQuAD-style answer-eval pair: per (even, odd) doc pair the
     * token-bag F1 (2·Σ min(c(t), r(t)) / (c_len + r_len) — the chrF
     * rational-of-longs cancellation at word unigrams) and EXACT MATCH

@@ -451,4 +451,77 @@ class NgramEvalSpec extends AnyFunSuite {
     val out = run(Seq(0L -> "a b c", 1L -> "x y z"), 2)(0L)
     assert(out === ((0L, 2L, 2L, 0.0, 0.0)))
   }
+
+  test("bleu4PairedBootstrap: identical systems tie on every replicate") {
+    import spark.implicits._
+    // slot 0 = sys A cand, 1 = shared ref, 2 = sys B cand, 3 unused;
+    // A and B identical -> every replicate delta is exactly 0
+    val docs = (0 until 5).flatMap { q =>
+      val base = q * 4L
+      Seq(base -> s"the quick fox number $q jumps high",
+        (base + 1) -> s"the quick fox number $q jumped highest",
+        (base + 2) -> s"the quick fox number $q jumps high",
+        (base + 3) -> "unused slot")
+    }
+    val out = NgramEval.bleu4PairedBootstrap(
+      docs.toDF("doc_id", "text"), b = 50).head()
+    assert(out.getAs[Long]("n_quads") === 5L)
+    assert(out.getAs[Long]("delta_full") === 0L)
+    assert(out.getAs[Long]("wins_a") === 0L)
+    assert(out.getAs[Long]("wins_b") === 0L)
+    assert(out.getAs[Long]("ties") === out.getAs[Long]("n_boot"))
+    assert(out.getAs[Long]("delta_lo") === 0L)
+    assert(out.getAs[Long]("delta_hi") === 0L)
+  }
+
+  test("bleu4PairedBootstrap: the better system wins decisively") {
+    import spark.implicits._
+    // sys A copies the reference verbatim; sys B gets the last word
+    // wrong — scoreable at every order (corpus clipped_4 > 0) but
+    // strictly worse on every quad
+    val docs = (0 until 6).flatMap { q =>
+      val base = q * 4L
+      val ref = s"alpha bravo charlie delta echo foxtrot golf q$q"
+      Seq(base -> ref, (base + 1) -> ref,
+        (base + 2) -> s"alpha bravo charlie delta echo foxtrot golf wrong$q")
+    }
+    val out = NgramEval.bleu4PairedBootstrap(
+      docs.toDF("doc_id", "text"), b = 50).head()
+    assert(out.getAs[Long]("delta_full") > 0L)
+    assert(out.getAs[Long]("wins_a") === out.getAs[Long]("n_boot"))
+    assert(out.getAs[Long]("wins_b") === 0L)
+    // the whole CI sits above zero -> significant at the CI level
+    assert(out.getAs[Long]("delta_lo") > 0L)
+  }
+
+  test("bleu4PairedBootstrapSql mirror matches the Spark side") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    // mixed-quality systems so replicate deltas vary in sign; one
+    // incomplete quad (no sys B) and one NULL ref exercise inclusion
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> "the cat sat on the mat near the door",
+      1L -> "the cat sat on the mat by the door",
+      2L -> "a cat is sitting on the mat there now",
+      4L -> "pack my box with five dozen liquor jugs",
+      5L -> "pack my box with six dozen liquor jugs",
+      6L -> "pack my box with five dozen liquor jugs",
+      8L -> "quads need all three sides to count in",
+      12L -> "this quad has a null reference side xx",
+      13L -> null,
+      14L -> "so it is excluded from the test set yy")
+    val values = docs.map { case (id, t) =>
+      if (t == null) s"($id, NULL)" else s"($id, '$t')" }.mkString(", ")
+    val s = NgramEval.bleu4PairedBootstrap(
+      docs.toDF("doc_id", "text"), b = 30).head()
+    val d = DuckBridgeTestUtil.duck(NgramEval.bleu4PairedBootstrapSql(b = 30,
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")).head
+    assert(s.getAs[Long]("n_quads") === 2L) // quads 0 and 4 only
+    (0 until s.length).foreach { i =>
+      assert(d(i).map(_.toLong) ===
+        Option(s.get(i)).map(_.asInstanceOf[Long]),
+        s"column ${s.schema(i).name}")
+    }
+  }
 }
