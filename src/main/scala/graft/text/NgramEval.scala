@@ -1006,96 +1006,217 @@ object NgramEval {
     * only), and a downstream corpus aggregate that never sees those
     * rows can silently misrepresent short-text corpora. This gate
     * makes the drop ledger first-class: one row per metric with
-    * (pairs_total, pairs_scored, pairs_dropped), computed from the
-    * drop PREDICATES on one scan's per-pair side lengths — so
-    * `pairs_scored` equals each gate's row count by construction
-    * (spec-pinned against the actual gates). A NULL-text row behaves
-    * as an ABSENT side here because that is what every gate does with
-    * it (split/length of NULL propagates into each gate's filters). */
-  def pairCoverage(docs: DataFrame, maxN: Int = 6): DataFrame = {
-    val perPair = docs
+    * (pairs_total, pairs_scored, pairs_dropped, pairs_truncated),
+    * computed from the drop PREDICATES on one scan's per-slot side
+    * lengths — so `pairs_scored` equals each gate's row count by
+    * construction (spec-pinned against the actual gates; the corpus
+    * and paired-bs faces pin their own n_pairs/n_quads columns). Every
+    * face of the family is covered: positional (even, odd) gates,
+    * multiref (mod-4 cand × 3 refs) gates whose denominator is QUADS,
+    * and the paired-bs triple. `pairs_truncated` counts scored pairs
+    * whose score may differ from the uncapped metric because a side
+    * exceeded the DP gates' leading-`cap` window (r14 verdict item 3;
+    * a truncated multiref candidate is one with ANY truncated scored
+    * reference pair); gram metrics never truncate and report 0. A
+    * NULL-text row behaves as an ABSENT side here because that is
+    * what every gate does with it (split/length of NULL propagates
+    * into each gate's filters). */
+  def pairCoverage(docs: DataFrame, maxN: Int = 6,
+      cap: Int = 40): DataFrame = {
+    import org.apache.spark.sql.Column
+    // one scan, grouped by QUAD (doc_id mod 4) — the quad subsumes the
+    // (even, odd) pairs as sub-pairs (0,1)/(2,3), the multiref pairing
+    // as (cand 0; refs 1..3), and the paired-bs triple (0, 1, 2), so
+    // every metric's denominator comes off the same frame. Slot stats:
+    // words, space-stripped chars, raw codepoints (the CER alphabet).
+    val slotAggs = (0 to 3).flatMap { k => Seq(
+      first(when(col("slot") === k, col("n_words")), ignoreNulls = true)
+        .as(s"w$k"),
+      first(when(col("slot") === k, col("n_chars")), ignoreNulls = true)
+        .as(s"c$k"),
+      first(when(col("slot") === k, col("n_raw")), ignoreNulls = true)
+        .as(s"r$k")) }
+    val perQuad = docs
       .filter(col("text").isNotNull)
       .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
-        pmod(col("doc_id"), lit(2)).as("side"),
+        (col("doc_id") - pmod(col("doc_id"), lit(4))).as("quad_id"),
+        pmod(col("doc_id"), lit(4)).as("slot"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
-      .groupBy(col("pair_id"))
-      .agg(
-        count(lit(1)).as("n_sides"),
-        first(when(col("side") === 0, col("n_words")), ignoreNulls = true).as("c_words"),
-        first(when(col("side") === 1, col("n_words")), ignoreNulls = true).as("r_words"),
-        first(when(col("side") === 0, col("n_chars")), ignoreNulls = true).as("c_chars"),
-        first(when(col("side") === 1, col("n_chars")), ignoreNulls = true).as("r_chars"))
-    val both = col("n_sides") === 2
-    val preds: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-      "eval_ngram_overlap" -> (both && col("c_words") >= 2 && col("r_words") >= 2),
-      "eval_bleu4" -> (both && col("c_words") >= 4),
-      // corpus BLEU has one output row; "scored" = the pairs whose
-      // counts enter the corpus sums (both sides present)
-      "eval_bleu4_corpus" -> both,
-      "eval_chrf" -> (both && col("c_chars") >= maxN && col("r_chars") >= maxN),
-      "eval_chrfpp" -> (both && col("c_chars") >= maxN && col("r_chars") >= maxN
-        && col("c_words") >= 2 && col("r_words") >= 2),
-      "eval_rouge_l" -> both,
-      "eval_token_f1" -> both,
-      "eval_wer" -> both)
-    val wide = perPair.agg(
-      count(lit(1)).as("pairs_total"),
-      preds.map { case (m, p) =>
-        sum(when(p, 1L).otherwise(0L)).as(s"sc_$m") }: _*)
-    val stack = preds.map { case (m, _) => s"'$m', sc_$m" }.mkString(", ")
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"),
+        length(col("text")).cast("long").as("n_raw"))
+      .groupBy(col("quad_id"))
+      .agg(slotAggs.head, slotAggs.tail: _*)
+    def w(k: Int) = col(s"w$k"); def c(k: Int) = col(s"c$k")
+    def r(k: Int) = col(s"r$k")
+    def p(k: Int) = w(k).isNotNull
+    // per-quad counters. Mod-2 metrics sum their two sub-pairs (a, b);
+    // a NULL comparison means an absent side and when() reads it as
+    // false, which is exactly the absent-side drop.
+    def sub(f: (Int, Int) => Column): Column =
+      when(f(0, 1), 1L).otherwise(0L) + when(f(2, 3), 1L).otherwise(0L)
+    def both(a: Int, b: Int) = p(a) && p(b)
+    val anyRef = p(1) || p(2) || p(3)
+    def none: Column = lit(0L)
+    // (metric, pair-faced?, scored counter, truncated counter).
+    // pairs_total is the metric's own denominator: (even, odd) pairs
+    // with >= 1 side present for the positional gates, quads with
+    // >= 1 row present for the multiref / paired-bs gates.
+    // pairs_truncated counts SCORED pairs whose score may differ from
+    // the uncapped metric (either side past the cap-`cap` window of
+    // the DP gates; a multiref candidate counts when ANY scored
+    // reference pair is truncated). Gram metrics never truncate -> 0.
+    val metrics: Seq[(String, Boolean, Column, Column)] = Seq(
+      ("eval_ngram_overlap", true,
+        sub((a, b) => both(a, b) && w(a) >= 2 && w(b) >= 2), none),
+      ("eval_bleu4", true, sub((a, b) => both(a, b) && w(a) >= 4), none),
+      // corpus faces have one output row; "scored" = the pairs whose
+      // counts enter the corpus sums
+      ("eval_bleu4_corpus", true, sub(both), none),
+      ("eval_bleu4_multiref", false,
+        when(w(0) >= 4 && anyRef, 1L).otherwise(0L), none),
+      ("eval_bleu4_paired_bs", false,
+        when(p(0) && p(1) && p(2), 1L).otherwise(0L), none),
+      ("eval_cer", true, sub((a, b) => r(a) >= 1 && r(b) >= 1),
+        sub((a, b) => r(a) >= 1 && r(b) >= 1 && (r(a) > cap || r(b) > cap))),
+      ("eval_chrf", true,
+        sub((a, b) => both(a, b) && c(a) >= maxN && c(b) >= maxN), none),
+      ("eval_chrf_multiref", false,
+        when(c(0) >= maxN && (c(1) >= maxN || c(2) >= maxN || c(3) >= maxN),
+          1L).otherwise(0L), none),
+      ("eval_chrfpp", true,
+        sub((a, b) => both(a, b) && c(a) >= maxN && c(b) >= maxN
+          && w(a) >= 2 && w(b) >= 2), none),
+      ("eval_chrfpp_multiref", false, {
+        def ok(k: Int) = c(k) >= maxN && w(k) >= 2
+        when(ok(0) && (ok(1) || ok(2) || ok(3)), 1L).otherwise(0L) }, none),
+      ("eval_rouge_l", true, sub(both),
+        sub((a, b) => both(a, b) && (w(a) > cap || w(b) > cap))),
+      ("eval_rouge_l_multiref", false,
+        when(p(0) && anyRef, 1L).otherwise(0L),
+        when(p(0) && anyRef &&
+          (w(0) > cap || w(1) > cap || w(2) > cap || w(3) > cap), 1L)
+          .otherwise(0L)),
+      ("eval_token_f1", true, sub(both), none),
+      ("eval_token_f1_multiref", false,
+        when(p(0) && anyRef, 1L).otherwise(0L), none),
+      ("eval_wer", true, sub(both),
+        sub((a, b) => both(a, b) && (w(a) > cap || w(b) > cap))),
+      ("eval_wer_multiref", false,
+        when(p(0) && anyRef, 1L).otherwise(0L),
+        when(p(0) && anyRef &&
+          (w(0) > cap || w(1) > cap || w(2) > cap || w(3) > cap), 1L)
+          .otherwise(0L)))
+    val totals = Seq(
+      sum(when(p(0) || p(1), 1L).otherwise(0L)
+        + when(p(2) || p(3), 1L).otherwise(0L)).as("pt_pairs"),
+      sum(lit(1L)).as("pt_quads"))
+    val counters = metrics.flatMap { case (m, _, sc, tr) =>
+      Seq(sum(sc).as(s"sc_$m"), sum(tr).as(s"tr_$m")) }
+    val aggs = totals ++ counters
+    val wide = perQuad.agg(aggs.head, aggs.tail: _*)
+    val stack = metrics.map { case (m, pairFaced, _, _) =>
+      val pt = if (pairFaced) "pt_pairs" else "pt_quads"
+      s"'$m', $pt, sc_$m, tr_$m"
+    }.mkString(", ")
     wide
-      .select(col("pairs_total"),
-        expr(s"stack(${preds.size}, $stack) AS (metric, pairs_scored)"))
+      .select(expr(s"stack(${metrics.size}, $stack) " +
+        "AS (metric, pairs_total, pairs_scored, pairs_truncated)"))
       .select(col("metric"), col("pairs_total"), col("pairs_scored"),
-        (col("pairs_total") - col("pairs_scored")).as("pairs_dropped"))
+        (col("pairs_total") - col("pairs_scored")).as("pairs_dropped"),
+        col("pairs_truncated"))
   }
 
   /** DuckDB mirror of [[pairCoverage]]. */
-  def pairCoverageSql(maxN: Int = 6, from: String = "documents"): String =
+  def pairCoverageSql(maxN: Int = 6, cap: Int = 40,
+      from: String = "documents"): String = {
+    // the same quad frame; per-metric one-row selects unioned so the
+    // generator stays a literal transcription of the Spark counters
+    def sub(pred: (Int, Int) => String): String =
+      s"SUM((CASE WHEN ${pred(0, 1)} THEN 1 ELSE 0 END) + " +
+        s"(CASE WHEN ${pred(2, 3)} THEN 1 ELSE 0 END))"
+    def one(pred: String): String =
+      s"SUM(CASE WHEN $pred THEN 1 ELSE 0 END)"
+    def w(k: Int) = s"w$k"; def c(k: Int) = s"c$k"; def r(k: Int) = s"r$k"
+    def p(k: Int) = s"w$k IS NOT NULL"
+    def both(a: Int, b: Int) = s"${p(a)} AND ${p(b)}"
+    val anyRef = s"(${p(1)} OR ${p(2)} OR ${p(3)})"
+    def mrTrunc(base: String): String =
+      s"$base AND (w0 > $cap OR w1 > $cap OR w2 > $cap OR w3 > $cap)"
+    val none = "NULL IS NOT NULL" // constant false
+    val metrics: Seq[(String, Boolean, String, String)] = Seq(
+      ("eval_ngram_overlap", true,
+        sub((a, b) => s"${both(a, b)} AND ${w(a)} >= 2 AND ${w(b)} >= 2"),
+        sub((_, _) => none)),
+      ("eval_bleu4", true,
+        sub((a, b) => s"${both(a, b)} AND ${w(a)} >= 4"),
+        sub((_, _) => none)),
+      ("eval_bleu4_corpus", true, sub(both), sub((_, _) => none)),
+      ("eval_bleu4_multiref", false, one(s"w0 >= 4 AND $anyRef"), one(none)),
+      ("eval_bleu4_paired_bs", false,
+        one(s"${p(0)} AND ${p(1)} AND ${p(2)}"), one(none)),
+      ("eval_cer", true,
+        sub((a, b) => s"${r(a)} >= 1 AND ${r(b)} >= 1"),
+        sub((a, b) => s"${r(a)} >= 1 AND ${r(b)} >= 1 AND " +
+          s"(${r(a)} > $cap OR ${r(b)} > $cap)")),
+      ("eval_chrf", true,
+        sub((a, b) => s"${both(a, b)} AND ${c(a)} >= $maxN AND ${c(b)} >= $maxN"),
+        sub((_, _) => none)),
+      ("eval_chrf_multiref", false,
+        one(s"c0 >= $maxN AND (c1 >= $maxN OR c2 >= $maxN OR c3 >= $maxN)"),
+        one(none)),
+      ("eval_chrfpp", true,
+        sub((a, b) => s"${both(a, b)} AND ${c(a)} >= $maxN AND " +
+          s"${c(b)} >= $maxN AND ${w(a)} >= 2 AND ${w(b)} >= 2"),
+        sub((_, _) => none)),
+      ("eval_chrfpp_multiref", false, {
+        def ok(k: Int) = s"(c$k >= $maxN AND w$k >= 2)"
+        one(s"${ok(0)} AND (${ok(1)} OR ${ok(2)} OR ${ok(3)})") },
+        one(none)),
+      ("eval_rouge_l", true, sub(both),
+        sub((a, b) => s"${both(a, b)} AND (${w(a)} > $cap OR ${w(b)} > $cap)")),
+      ("eval_rouge_l_multiref", false, one(s"${p(0)} AND $anyRef"),
+        one(mrTrunc(s"${p(0)} AND $anyRef"))),
+      ("eval_token_f1", true, sub(both), sub((_, _) => none)),
+      ("eval_token_f1_multiref", false, one(s"${p(0)} AND $anyRef"),
+        one(none)),
+      ("eval_wer", true, sub(both),
+        sub((a, b) => s"${both(a, b)} AND (${w(a)} > $cap OR ${w(b)} > $cap)")),
+      ("eval_wer_multiref", false, one(s"${p(0)} AND $anyRef"),
+        one(mrTrunc(s"${p(0)} AND $anyRef"))))
+    val slotCols = (0 to 3).flatMap { k => Seq(
+      s"MAX(CASE WHEN slot = $k THEN n_words END) AS w$k",
+      s"MAX(CASE WHEN slot = $k THEN n_chars END) AS c$k",
+      s"MAX(CASE WHEN slot = $k THEN n_raw END) AS r$k") }.mkString(",\n    ")
+    val counterCols = metrics.map { case (m, _, sc, tr) =>
+      s"CAST($sc AS BIGINT) AS sc_$m,\n    CAST($tr AS BIGINT) AS tr_$m"
+    }.mkString(",\n    ")
+    val rows = metrics.map { case (m, pairFaced, _, _) =>
+      val pt = if (pairFaced) "pt_pairs" else "pt_quads"
+      s"SELECT '$m' AS metric, $pt AS pairs_total, sc_$m AS pairs_scored, " +
+        s"$pt - sc_$m AS pairs_dropped, tr_$m AS pairs_truncated FROM pc_wide"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH pc_side AS (
-       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
-       |         ((doc_id % 2) + 2) % 2 AS side,
+       |  SELECT doc_id - (((doc_id % 4) + 4) % 4) AS quad_id,
+       |         ((doc_id % 4) + 4) % 4 AS slot,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars,
+       |         CAST(length(text) AS BIGINT) AS n_raw
        |  FROM $from WHERE text IS NOT NULL),
-       |pc_pair AS (
-       |  SELECT pair_id, COUNT(*) AS n_sides,
-       |    MAX(CASE WHEN side = 0 THEN n_words END) AS c_words,
-       |    MAX(CASE WHEN side = 1 THEN n_words END) AS r_words,
-       |    MAX(CASE WHEN side = 0 THEN n_chars END) AS c_chars,
-       |    MAX(CASE WHEN side = 1 THEN n_chars END) AS r_chars
+       |pc_quad AS (
+       |  SELECT quad_id,
+       |    $slotCols
        |  FROM pc_side GROUP BY 1),
        |pc_wide AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS pairs_total,
-       |    CAST(SUM(CASE WHEN n_sides = 2 AND c_words >= 2 AND r_words >= 2
-       |             THEN 1 ELSE 0 END) AS BIGINT) AS sc_ngram,
-       |    CAST(SUM(CASE WHEN n_sides = 2 AND c_words >= 4
-       |             THEN 1 ELSE 0 END) AS BIGINT) AS sc_bleu4,
-       |    CAST(SUM(CASE WHEN n_sides = 2 AND c_chars >= $maxN
-       |             AND r_chars >= $maxN THEN 1 ELSE 0 END) AS BIGINT) AS sc_chrf,
-       |    CAST(SUM(CASE WHEN n_sides = 2 AND c_chars >= $maxN
-       |             AND r_chars >= $maxN AND c_words >= 2 AND r_words >= 2
-       |             THEN 1 ELSE 0 END) AS BIGINT) AS sc_chrfpp,
-       |    CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS sc_both
-       |  FROM pc_pair)
-       |SELECT m.metric, w.pairs_total,
-       |  CASE m.metric
-       |    WHEN 'eval_ngram_overlap' THEN w.sc_ngram
-       |    WHEN 'eval_bleu4' THEN w.sc_bleu4
-       |    WHEN 'eval_chrf' THEN w.sc_chrf
-       |    WHEN 'eval_chrfpp' THEN w.sc_chrfpp
-       |    ELSE w.sc_both END AS pairs_scored,
-       |  w.pairs_total - (CASE m.metric
-       |    WHEN 'eval_ngram_overlap' THEN w.sc_ngram
-       |    WHEN 'eval_bleu4' THEN w.sc_bleu4
-       |    WHEN 'eval_chrf' THEN w.sc_chrf
-       |    WHEN 'eval_chrfpp' THEN w.sc_chrfpp
-       |    ELSE w.sc_both END) AS pairs_dropped
-       |FROM pc_wide w, (VALUES ('eval_ngram_overlap'), ('eval_bleu4'),
-       |  ('eval_bleu4_corpus'), ('eval_chrf'), ('eval_chrfpp'),
-       |  ('eval_rouge_l'), ('eval_token_f1'), ('eval_wer')) m(metric)""".stripMargin
+       |  SELECT
+       |    CAST(SUM((CASE WHEN w0 IS NOT NULL OR w1 IS NOT NULL
+       |              THEN 1 ELSE 0 END) +
+       |             (CASE WHEN w2 IS NOT NULL OR w3 IS NOT NULL
+       |              THEN 1 ELSE 0 END)) AS BIGINT) AS pt_pairs,
+       |    CAST(COUNT(*) AS BIGINT) AS pt_quads,
+       |    $counterCols
+       |  FROM pc_quad)
+       |  $rows""".stripMargin
+  }
 
   /** DuckDB mirror of [[bleu4MultiRef]]. `candsFrom` must select
     * (cand_id, text); `refsFrom` (cand_id, ref_id, text). */

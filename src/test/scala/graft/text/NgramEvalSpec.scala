@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 
 class NgramEvalSpec extends AnyFunSuite {
@@ -411,7 +412,9 @@ class NgramEvalSpec extends AnyFunSuite {
   test("pairCoverage: pairs_scored equals each gate's ACTUAL row count") {
     import spark.implicits._
     // one pair per drop regime: full-scoring, cand < 4 words, side
-    // < 6 chars, 1-word side (word-bigram drop), one-sided, empty text
+    // < 6 chars, 1-word side (word-bigram drop), one-sided, empty
+    // text, NULL ref, plus a > 40-word / > 40-char pair so the DP
+    // gates' truncation column is exercised
     val docs = Seq(
       0L -> "the cat sat on the mat", 1L -> "a cat sat on a mat",
       2L -> "two words xx", 3L -> "reference side here is fine",
@@ -419,30 +422,64 @@ class NgramEvalSpec extends AnyFunSuite {
       6L -> "oneword123", 7L -> "wordone456",
       8L -> "unpaired text", // 9 missing
       10L -> "", 11L -> "x y z w q",
-      12L -> "valid candidate side here", 13L -> null // NULL ref = absent side
+      12L -> "valid candidate side here", 13L -> null, // NULL ref
+      14L -> (1 to 45).map(i => s"t$i").mkString(" "),
+      15L -> "short reference side"
     ).toDF("doc_id", "text")
     val cov = NgramEval.pairCoverage(docs)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(cov.keySet === Set("eval_ngram_overlap", "eval_bleu4",
-      "eval_bleu4_corpus", "eval_chrf", "eval_chrfpp", "eval_rouge_l",
-      "eval_token_f1", "eval_wer"))
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val pairGates = Set("eval_ngram_overlap", "eval_bleu4",
+      "eval_bleu4_corpus", "eval_cer", "eval_chrf", "eval_chrfpp",
+      "eval_rouge_l", "eval_token_f1", "eval_wer")
+    val quadGates = Set("eval_bleu4_multiref", "eval_bleu4_paired_bs",
+      "eval_chrf_multiref", "eval_chrfpp_multiref", "eval_rouge_l_multiref",
+      "eval_token_f1_multiref", "eval_wer_multiref")
+    assert(cov.keySet === pairGates ++ quadGates)
+    // the gate data shape: mod-4 cands and refs (DocQueries pairing)
+    val cands = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      .select(col("doc_id").as("cand_id"), col("text"))
+    val refs = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      .select((col("doc_id") - pmod(col("doc_id"), lit(4))).as("cand_id"),
+        col("doc_id").as("ref_id"), col("text"))
     val actual = Map(
       "eval_ngram_overlap" -> NgramEval.clippedOverlap(docs).count(),
       "eval_bleu4" -> NgramEval.bleu4(docs).count(),
-      // corpus BLEU is one row; its own n_pairs column IS the scored count
+      // corpus faces are one row; their own n_pairs/n_quads columns
+      // ARE the scored counts
       "eval_bleu4_corpus" ->
         NgramEval.bleu4Corpus(docs).head().getAs[Long]("n_pairs"),
+      "eval_bleu4_multiref" -> NgramEval.bleu4MultiRef(cands, refs).count(),
+      "eval_bleu4_paired_bs" -> NgramEval.bleu4PairedBootstrap(docs, b = 10)
+        .head().getAs[Long]("n_quads"),
+      "eval_cer" -> Wer.cer(docs).count(),
       "eval_chrf" -> NgramEval.chrF(docs).count(),
+      "eval_chrf_multiref" -> MultiRefEval.chrF(cands, refs).count(),
       "eval_chrfpp" -> NgramEval.chrFpp(docs).count(),
+      "eval_chrfpp_multiref" -> MultiRefEval.chrFpp(cands, refs).count(),
       "eval_rouge_l" -> RougeL.rougeL(docs).count(),
+      "eval_rouge_l_multiref" -> MultiRefEval.rougeL(cands, refs).count(),
       "eval_token_f1" -> NgramEval.tokenF1(docs).count(),
-      "eval_wer" -> Wer.wer(docs).count())
+      "eval_token_f1_multiref" -> MultiRefEval.tokenF1(cands, refs).count(),
+      "eval_wer" -> Wer.wer(docs).count(),
+      "eval_wer_multiref" -> MultiRefEval.wer(cands, refs).count())
     actual.foreach { case (m, n) =>
       assert(cov(m)._2 === n, s"$m pairs_scored vs gate rows")
-      assert(cov(m)._1 === 7L, s"$m pairs_total")
-      assert(cov(m)._3 === 7L - n, s"$m pairs_dropped")
+      val total = if (pairGates(m)) 8L else 4L // 8 pairs / 4 quads
+      assert(cov(m)._1 === total, s"$m pairs_total")
+      assert(cov(m)._3 === total - n, s"$m pairs_dropped")
+      assert(cov(m)._4 <= cov(m)._2, s"$m truncated <= scored")
     }
+    // truncation: exactly the 45-word (89-char) pair 14/15, which is
+    // also quad 12's reference side; gram metrics never truncate
+    assert(cov("eval_rouge_l")._4 === 1L)
+    assert(cov("eval_wer")._4 === 1L)
+    assert(cov("eval_cer")._4 === 1L)
+    assert(cov("eval_rouge_l_multiref")._4 === 1L)
+    assert(cov("eval_wer_multiref")._4 === 1L)
+    (pairGates ++ quadGates -- Set("eval_rouge_l", "eval_wer", "eval_cer",
+      "eval_rouge_l_multiref", "eval_wer_multiref")).foreach { m =>
+      assert(cov(m)._4 === 0L, s"$m must not truncate") }
     // the regimes genuinely differ (the ledger isn't vacuous)
     assert(actual.values.toSet.size >= 3)
   }
