@@ -83,6 +83,16 @@ object ScalingBench {
       "eval_token_f1" -> "documents",
       "eval_wer" -> "documents",
       "eval_distinct_n" -> "documents",
+      // r15: CER, the keyed multiref faces, the paired bootstrap and
+      // the widened drop ledger — all on the documents axis
+      "eval_cer" -> "documents",
+      "eval_rouge_l_multiref" -> "documents",
+      "eval_wer_multiref" -> "documents",
+      "eval_chrf_multiref" -> "documents",
+      "eval_chrfpp_multiref" -> "documents",
+      "eval_token_f1_multiref" -> "documents",
+      "eval_bleu4_paired_bs" -> "documents",
+      "eval_pair_coverage" -> "documents",
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
       "a_kmv_intersect" -> "events",
@@ -251,6 +261,34 @@ object ScalingBench {
         s""""exponent":${f3(slope)},"contract":"grams\\u221dchars",""" +
         s""""chars":{"sf0.1":$chars1,"x4":${chars1 * 4}}}"""
     }
+    // Cap-axis ×2 contract rows for the DP gates (r14 verdict item 7):
+    // ROUGE-L / WER / CER cost per pair grows with the leading-window
+    // cap² (two-row DP over cap×cap cells), a growth law none of the
+    // rows-axis sweeps above can see. Timing cap 40 vs cap 80 on the
+    // SAME sf0.1 corpus pins it: the exponent is log₂(t2/t1) against
+    // the cap ratio 2, bounded by 2.0 (scan + pairing overheads are
+    // cap-invariant, so the measured slope sits below the pure-DP
+    // bound — a future cap raise that breaks past it is a regression
+    // signal, not a vibe).
+    val capExtrap = {
+      def capRow(name: String,
+          mk: Int => () => org.apache.spark.sql.DataFrame): String = {
+        val t1 = timeDf(mk(40))
+        val t2 = timeDf(mk(80))
+        val slope = math.log(t2 / t1) / math.log(2.0)
+        s""""${name}_cap2":{"sec":{"cap40":${f3(t1)},"cap80":${f3(t2)}},""" +
+          s""""exponent":${f3(slope)},"contract":"cost\\u221dcap\\u00b2",""" +
+          s""""cap":{"base":40,"x2":80}}"""
+      }
+      val docsPath = s"${sfs.last}/documents.parquet"
+      Seq(
+        capRow("eval_rouge_l", cap => () =>
+          graft.text.RougeL.rougeL(spark.read.parquet(docsPath), cap)),
+        capRow("eval_wer", cap => () =>
+          graft.text.Wer.wer(spark.read.parquet(docsPath), cap)),
+        capRow("eval_cer", cap => () =>
+          graft.text.Wer.cer(spark.read.parquet(docsPath), cap)))
+    }
     val semExtrap = {
       def sem(dir: String, k: Int) = () =>
         graft.sim.SemDedup.dedup(
@@ -268,7 +306,8 @@ object ScalingBench {
         s""""k":{"sf0.1":8,"x4":32}}"""
     }
 
-    val json = (results ++ extrap ++ Seq(kmvMatrixExtrap, chrfExtrap, semExtrap))
+    val json = (results ++ extrap ++ Seq(kmvMatrixExtrap, chrfExtrap) ++
+      capExtrap ++ Seq(semExtrap))
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
       json.getBytes("UTF-8"))
