@@ -93,6 +93,7 @@ object ScalingBench {
       "eval_token_f1_multiref" -> "documents",
       "eval_bleu4_paired_bs" -> "documents",
       "eval_pair_coverage" -> "documents",
+      "eval_chrf_reduced" -> "documents",
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
       "a_kmv_intersect" -> "events",

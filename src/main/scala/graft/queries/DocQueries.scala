@@ -225,6 +225,13 @@ object DocQueries {
   private val evalWer: Q = (s, d) =>
     Wer.wer(table(s, d, "documents"))
 
+  /** chrF reduced-orders variant: F-β mean over the POPULATED orders
+    * (short-segment fallback — the shipped eval_chrf contract drops
+    * pairs under maxN chars; this one scores them on what exists and
+    * reports n_orders). */
+  private val evalChrfReduced: Q = (s, d) =>
+    NgramEval.chrFReduced(table(s, d, "documents"))
+
   /** Character Error Rate: codepoint Levenshtein / r_len per pair
     * (leading-40-codepoint window; shares the WER recursion in both
     * engines — one DP spelling, two symbol alphabets). */
@@ -925,6 +932,7 @@ object DocQueries {
       Some(NgramEval.clippedOverlapSql())),
     ("eval_bleu4", evalBleu4, Some(NgramEval.bleu4Sql())),
     ("eval_chrf", evalChrf, Some(NgramEval.chrFSql())),
+    ("eval_chrf_reduced", evalChrfReduced, Some(NgramEval.chrFReducedSql())),
     ("eval_rouge_l", evalRougeL, Some(RougeL.rougeLSql())),
     ("eval_chrfpp", evalChrfpp, Some(NgramEval.chrFppSql())),
     ("eval_pair_coverage", evalPairCoverage,

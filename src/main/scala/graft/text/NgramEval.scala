@@ -98,10 +98,12 @@ object NgramEval {
     * per-(pair, n) log runs as a typed map over the aggregate frame —
     * a narrow distributed op, no collect, O(fbits) integer steps per
     * row. */
-  /** The ONE per-(pair, order) clipped-count frame shared by [[bleu4]]
-    * and [[bleu4Corpus]] — (pair_id, n, clipped, c_total, r_total)
-    * for word orders 1..4 off one scan and two combined shuffles. */
-  private def perPairWordCounts(docs: DataFrame): DataFrame = {
+  /** The ONE per-(pair, order) clipped-count frame shared by [[bleu4]],
+    * [[bleu4Corpus]] and [[RougeL.rougeN]] — (pair_id, n, clipped,
+    * c_total, r_total) for word orders 1..`maxN` off one scan and two
+    * combined shuffles. */
+  private[text] def perPairWordCounts(docs: DataFrame,
+      maxN: Int = 4): DataFrame = {
     graft.functions.GramHashes.register(docs.sparkSession)
     docs
       .withColumn("ws", split(col("text"), " "))
@@ -109,7 +111,7 @@ object NgramEval {
       .select(
         (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
         pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
+        explode(expr(s"word_gram_hashes(ws, 1, $maxN)")).as("e"))
       .select(col("pair_id"), col("side"),
         expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
       .groupBy(col("pair_id"), col("n"), col("g"))
@@ -248,17 +250,20 @@ object NgramEval {
         sum(col("qln")).as("sum_qln"),
         count(col("qln")).as("n_qln"))
       .filter(col("n_c_orders") === 4)
+    // the joined columns are constant within each cand_id group
+    // (join-duplicated from the one agg0 row) — max() over a constant
+    // set, an order-independent reduction, not an ordering assumption
     agg0.join(refLens, Seq("cand_id"))
       .groupBy(col("cand_id"))
       .agg(
         count(lit(1)).as("n_refs"),
-        first(col("c_len")).as("c_len"),
-        first(col("clipped_1")).as("clipped_1"),
-        first(col("clipped_2")).as("clipped_2"),
-        first(col("clipped_3")).as("clipped_3"),
-        first(col("clipped_4")).as("clipped_4"),
-        first(col("sum_qln")).as("sum_qln"),
-        first(col("n_qln")).as("n_qln"),
+        max(col("c_len")).as("c_len"),
+        max(col("clipped_1")).as("clipped_1"),
+        max(col("clipped_2")).as("clipped_2"),
+        max(col("clipped_3")).as("clipped_3"),
+        max(col("clipped_4")).as("clipped_4"),
+        max(col("sum_qln")).as("sum_qln"),
+        max(col("n_qln")).as("n_qln"),
         min(abs(col("r_len_i") - col("c_len")) * lit(1000000000L) +
           col("r_len_i")).as("r_enc"))
       .withColumn("r_len", pmod(col("r_enc"), lit(1000000000L)))
@@ -739,13 +744,34 @@ object NgramEval {
   def chrF(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame =
     chrFPerKey(PairedText.sided(docs), Seq("pair_id"), beta2, maxN)
 
+  /** chrF with the REDUCED-orders fallback — the r14 verdict's option
+    * 8: instead of DROPPING pairs with a side under maxN chars (the
+    * shipped chrF contract, which WMT-style corpora with single-word
+    * segments would thin out), the F-β mean runs over the POPULATED
+    * orders only (sacrebleu's effective behavior of averaging the
+    * components that exist), exposed as `n_orders` + `chrf_e6` so a
+    * consumer can see how many components backed each score. Offered
+    * as a VARIANT gate; the shipped eval_chrf contract is unchanged.
+    * Only pairs with zero populated orders (an absent side) drop. */
+  def chrFReduced(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame =
+    chrFPerKey(PairedText.sided(docs), Seq("pair_id"), beta2, maxN,
+      reducedOrders = true)
+
+  /** DuckDB mirror of [[chrFReduced]]. */
+  def chrFReducedSql(beta2: Int = 4, maxN: Int = 6,
+      from: String = "documents"): String =
+    chrFPerKeySql(Seq("pair_id"), PairedText.sidedSql(from), beta2, maxN,
+      reducedOrders = true)
+
   /** The keyed chrF core — `sided` carries `keyCols` + (side, text);
     * one row per key satisfying the drop contract. The positional gate
     * keys by pair_id; [[MultiRefEval.chrF]] keys by (cand_id, ref_id)
     * so each reference scores independently before the per-candidate
-    * max-F reduction (the sacrebleu multi-ref convention). */
+    * max-F reduction (the sacrebleu multi-ref convention).
+    * `reducedOrders` switches the fixed-maxN drop contract to the
+    * populated-components mean (see [[chrFReduced]]). */
   private[text] def chrFPerKey(sided: DataFrame, keyCols: Seq[String],
-      beta2: Int, maxN: Int): DataFrame = {
+      beta2: Int, maxN: Int, reducedOrders: Boolean = false): DataFrame = {
     graft.functions.GramHashes.register(sided.sparkSession)
     val keys = keyCols.map(col)
     val perN = sided
@@ -769,7 +795,7 @@ object NgramEval {
         when(col("c_total") >= 1 && col("r_total") >= 1, expr(
           s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
             s"($beta2 * r_total + c_total)")))
-    perN.groupBy(keys: _*)
+    val agg = perN.groupBy(keys: _*)
       .agg(
         sum(when(col("c_total") >= 1 && col("r_total") >= 1, 1).otherwise(0))
           .as("n_orders"),
@@ -778,10 +804,16 @@ object NgramEval {
         max(when(col("n") === 1, col("clipped"))).as("clipped_1"),
         max(when(col("n") === maxN, col("clipped"))).as(s"clipped_$maxN"),
         sum(col("f_e6")).as("sum_f_e6"))
-      .filter(col("n_orders") === maxN)
-      .select(keys ++ Seq(col("c_chars"), col("r_chars"),
-        col("clipped_1"), col(s"clipped_$maxN"),
-        expr(s"CAST(sum_f_e6 div $maxN AS BIGINT)").as("chrf_e6")): _*)
+    if (reducedOrders)
+      agg.filter(col("n_orders") >= 1)
+        .select(keys ++ Seq(col("c_chars"), col("r_chars"),
+          col("n_orders").cast("long").as("n_orders"),
+          expr("CAST(sum_f_e6 div n_orders AS BIGINT)").as("chrf_e6")): _*)
+    else
+      agg.filter(col("n_orders") === maxN)
+        .select(keys ++ Seq(col("c_chars"), col("r_chars"),
+          col("clipped_1"), col(s"clipped_$maxN"),
+          expr(s"CAST(sum_f_e6 div $maxN AS BIGINT)").as("chrf_e6")): _*)
   }
 
   /** chrF++ (Popović 2017) — the WMT-reported chrF variant: the
@@ -908,8 +940,25 @@ object NgramEval {
   /** DuckDB mirror of [[chrFPerKey]] — `sidedFrom` must be a
     * parenthesized relation exposing `keyCols` + (side, text). */
   private[text] def chrFPerKeySql(keyCols: Seq[String], sidedFrom: String,
-      beta2: Int = 4, maxN: Int = 6): String = {
+      beta2: Int = 4, maxN: Int = 6, reducedOrders: Boolean = false): String = {
     val ks = keyCols.mkString(", ")
+    val out =
+      if (reducedOrders)
+        s"""|  CAST(SUM(CASE WHEN c_total >= 1 AND r_total >= 1
+            |       THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
+            |  CAST(CAST(SUM(f_e6) AS HUGEINT) //
+            |       SUM(CASE WHEN c_total >= 1 AND r_total >= 1
+            |           THEN 1 ELSE 0 END) AS BIGINT) AS chrf_e6
+            |FROM cf_f GROUP BY $ks
+            |HAVING SUM(CASE WHEN c_total >= 1 AND r_total >= 1
+            |       THEN 1 ELSE 0 END) >= 1""".stripMargin
+      else
+        s"""|  MAX(CASE WHEN n = 1 THEN clipped END) AS clipped_1,
+            |  MAX(CASE WHEN n = $maxN THEN clipped END) AS clipped_$maxN,
+            |  CAST(CAST(SUM(f_e6) AS HUGEINT) // $maxN AS BIGINT) AS chrf_e6
+            |FROM cf_f GROUP BY $ks
+            |HAVING SUM(CASE WHEN c_total >= 1 AND r_total >= 1 THEN 1 ELSE 0 END)
+            |       = $maxN""".stripMargin
     s"""WITH cf_ws AS (
        |  SELECT $ks, side, replace(text, ' ', '') AS s
        |  FROM $sidedFrom sd WHERE length(replace(text, ' ', '')) >= 1),
@@ -937,12 +986,7 @@ object NgramEval {
        |SELECT $ks,
        |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_chars,
        |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_chars,
-       |  MAX(CASE WHEN n = 1 THEN clipped END) AS clipped_1,
-       |  MAX(CASE WHEN n = $maxN THEN clipped END) AS clipped_$maxN,
-       |  CAST(CAST(SUM(f_e6) AS HUGEINT) // $maxN AS BIGINT) AS chrf_e6
-       |FROM cf_f GROUP BY $ks
-       |HAVING SUM(CASE WHEN c_total >= 1 AND r_total >= 1 THEN 1 ELSE 0 END)
-       |       = $maxN""".stripMargin
+       |$out""".stripMargin
   }
 
   /** DuckDB mirror of [[bleu4]]. */
@@ -1083,6 +1127,8 @@ object NgramEval {
       ("eval_chrf_multiref", false,
         when(c(0) >= maxN && (c(1) >= maxN || c(2) >= maxN || c(3) >= maxN),
           1L).otherwise(0L), none),
+      ("eval_chrf_reduced", true,
+        sub((a, b) => both(a, b) && c(a) >= 1 && c(b) >= 1), none),
       ("eval_chrfpp", true,
         sub((a, b) => both(a, b) && c(a) >= maxN && c(b) >= maxN
           && w(a) >= 2 && w(b) >= 2), none),
@@ -1164,6 +1210,9 @@ object NgramEval {
       ("eval_chrf_multiref", false,
         one(s"c0 >= $maxN AND (c1 >= $maxN OR c2 >= $maxN OR c3 >= $maxN)"),
         one(none)),
+      ("eval_chrf_reduced", true,
+        sub((a, b) => s"${both(a, b)} AND ${c(a)} >= 1 AND ${c(b)} >= 1"),
+        sub((_, _) => none)),
       ("eval_chrfpp", true,
         sub((a, b) => s"${both(a, b)} AND ${c(a)} >= $maxN AND " +
           s"${c(b)} >= $maxN AND ${w(a)} >= 2 AND ${w(b)} >= 2"),

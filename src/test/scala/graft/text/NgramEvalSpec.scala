@@ -430,8 +430,8 @@ class NgramEvalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val pairGates = Set("eval_ngram_overlap", "eval_bleu4",
-      "eval_bleu4_corpus", "eval_cer", "eval_chrf", "eval_chrfpp",
-      "eval_rouge_l", "eval_token_f1", "eval_wer")
+      "eval_bleu4_corpus", "eval_cer", "eval_chrf", "eval_chrf_reduced",
+      "eval_chrfpp", "eval_rouge_l", "eval_token_f1", "eval_wer")
     val quadGates = Set("eval_bleu4_multiref", "eval_bleu4_paired_bs",
       "eval_chrf_multiref", "eval_chrfpp_multiref", "eval_rouge_l_multiref",
       "eval_token_f1_multiref", "eval_wer_multiref")
@@ -455,6 +455,7 @@ class NgramEvalSpec extends AnyFunSuite {
       "eval_cer" -> Wer.cer(docs).count(),
       "eval_chrf" -> NgramEval.chrF(docs).count(),
       "eval_chrf_multiref" -> MultiRefEval.chrF(cands, refs).count(),
+      "eval_chrf_reduced" -> NgramEval.chrFReduced(docs).count(),
       "eval_chrfpp" -> NgramEval.chrFpp(docs).count(),
       "eval_chrfpp_multiref" -> MultiRefEval.chrFpp(cands, refs).count(),
       "eval_rouge_l" -> RougeL.rougeL(docs).count(),
@@ -487,6 +488,37 @@ class NgramEvalSpec extends AnyFunSuite {
   test("disjoint texts score zero with exact totals") {
     val out = run(Seq(0L -> "a b c", 1L -> "x y z"), 2)(0L)
     assert(out === ((0L, 2L, 2L, 0.0, 0.0)))
+  }
+
+  test("chrFReduced: populated-orders mean; full-length pairs equal eval_chrf") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "abcdefgh stuv", 1L -> "abcdefgh wxyz",  // >= 6 chars: both gates
+      2L -> "abc", 3L -> "abd",                      // 3 chars: reduced only
+      4L -> "only one side").toDF("doc_id", "text")
+    val red = NgramEval.chrFReduced(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("chrf_e6"))).toMap
+    // the short pair scores on its 3 populated orders instead of dropping
+    assert(red.keySet === Set(0L, 2L))
+    assert(red(2L)._1 === 3L)
+    // 'abc' vs 'abd': order 1 clipped 2 -> F = 5*2e6/(4*3+3) = 666666;
+    // order 2 clipped 1 ('ab') -> 5*1e6/10 = 500000; order 3 -> 0;
+    // mean over the 3 populated orders = 1166666 div 3 = 388888
+    assert(red(2L)._2 === 388888L)
+    // a pair satisfying the FULL contract scores identically in both
+    val full = NgramEval.chrF(docs).head()
+    assert(red(0L)._1 === 6L && red(0L)._2 === full.getAs[Long]("chrf_e6"))
+
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    val values = "(0, 'abcdefgh stuv'), (1, 'abcdefgh wxyz'), " +
+      "(2, 'abc'), (3, 'abd'), (4, 'only one side')"
+    val duck = DuckBridgeTestUtil.duck(NgramEval.chrFReducedSql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))"))
+      .map(r => r(0).get.toLong ->
+        (r(3).get.toLong, r(4).get.toLong)).toMap
+    assert(duck === red)
   }
 
   test("bleu4PairedBootstrap: identical systems tie on every replicate") {
