@@ -94,6 +94,9 @@ object ScalingBench {
       "eval_bleu4_paired_bs" -> "documents",
       "eval_pair_coverage" -> "documents",
       "eval_chrf_reduced" -> "documents",
+      "eval_rouge_n" -> "documents",
+      "eval_chrf_corpus" -> "documents",
+      "eval_wer_corpus" -> "documents",
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
       "a_kmv_intersect" -> "events",

@@ -238,6 +238,22 @@ object DocQueries {
   private val evalCer: Q = (s, d) =>
     Wer.cer(table(s, d, "documents"))
 
+  /** ROUGE-1/ROUGE-2 per pair (rouge-score's n-gram siblings of
+    * ROUGE-L): clipped-count P/R/F1 as exact rationals, both orders
+    * side by side, no cap. */
+  private val evalRougeN: Q = (s, d) =>
+    RougeL.rougeN(table(s, d, "documents"))
+
+  /** Corpus-level chrF (sacrebleu corpus_chrf micro average): per-order
+    * counts sum across pairs before the F ratio; one output row. */
+  private val evalChrfCorpus: Q = (s, d) =>
+    NgramEval.chrFCorpus(table(s, d, "documents"))
+
+  /** Corpus-level WER: total edits over total reference tokens (micro
+    * average) off the unchanged per-pair DP frame; one output row. */
+  private val evalWerCorpus: Q = (s, d) =>
+    Wer.werCorpus(table(s, d, "documents"))
+
   /** Corpus diversity distinct-n: distinct/total word n-grams per
     * order 1..4 — the standard generation-degeneracy signal. */
   private val evalDistinctN: Q = (s, d) =>
@@ -934,6 +950,9 @@ object DocQueries {
     ("eval_chrf", evalChrf, Some(NgramEval.chrFSql())),
     ("eval_chrf_reduced", evalChrfReduced, Some(NgramEval.chrFReducedSql())),
     ("eval_rouge_l", evalRougeL, Some(RougeL.rougeLSql())),
+    ("eval_rouge_n", evalRougeN, Some(RougeL.rougeNSql())),
+    ("eval_chrf_corpus", evalChrfCorpus, Some(NgramEval.chrFCorpusSql())),
+    ("eval_wer_corpus", evalWerCorpus, Some(Wer.werCorpusSql())),
     ("eval_chrfpp", evalChrfpp, Some(NgramEval.chrFppSql())),
     ("eval_pair_coverage", evalPairCoverage,
       Some(NgramEval.pairCoverageSql())),

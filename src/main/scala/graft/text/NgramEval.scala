@@ -763,6 +763,83 @@ object NgramEval {
     chrFPerKeySql(Seq("pair_id"), PairedText.sidedSql(from), beta2, maxN,
       reducedOrders = true)
 
+  /** CORPUS-level chrF over the (even, odd) pairs — sacrebleu's
+    * `corpus_chrf`: per gram order the clipped/candidate/reference
+    * counts SUM across the corpus BEFORE the F_β ratio (micro
+    * average — a mean of segment chrF scores is the macro statistic,
+    * a different number), then the same F-mean over orders. The
+    * [[bleu4Corpus]] twin on the char-gram pipeline. Pairs with both
+    * sides present (≥ 1 char after space-stripping) contribute; a
+    * short side's missing orders add 0 grams (the sacrebleu
+    * convention — no per-pair minimum-length drop at corpus level);
+    * orders with an empty corpus-wide side drop from the mean
+    * (`n_orders` reported). Output is ONE row. Scale shape: the
+    * [[chrFPerKey]] gram plan, a pair-partitioned window for the
+    * both-sides filter (keeps the gram frame single-consumer — the
+    * scan-ratchet lesson), then a ≤maxN-row corpus rollup. */
+  def chrFCorpus(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame = {
+    val perN = chrFCounts(PairedText.sided(docs), Seq("pair_id"), maxN)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pair_id")
+    val byN = perN
+      .withColumn("c_chars_p",
+        max(when(col("n") === 1, col("c_total"))).over(w))
+      .withColumn("r_chars_p",
+        max(when(col("n") === 1, col("r_total"))).over(w))
+      .filter(col("c_chars_p") >= 1 && col("r_chars_p") >= 1)
+      .groupBy(col("n"))
+      .agg(sum(col("clipped")).as("clipped"),
+        sum(col("c_total")).as("c_total"),
+        sum(col("r_total")).as("r_total"),
+        count(lit(1)).as("n_pairs_n"))
+      .withColumn("f_e6",
+        when(col("c_total") >= 1 && col("r_total") >= 1, expr(
+          s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
+            s"($beta2 * r_total + c_total)")))
+    byN.agg(
+      max(when(col("n") === 1, col("n_pairs_n"))).as("n_pairs"),
+      max(when(col("n") === 1, col("c_total"))).as("c_chars"),
+      max(when(col("n") === 1, col("r_total"))).as("r_chars"),
+      sum(when(col("f_e6").isNotNull, 1L).otherwise(0L)).as("n_orders"),
+      sum(col("f_e6")).as("sum_f"))
+      .select(col("n_pairs"), col("c_chars"), col("r_chars"),
+        col("n_orders"),
+        expr("CAST(sum_f div n_orders AS BIGINT)").as("chrf_e6"))
+  }
+
+  /** DuckDB mirror of [[chrFCorpus]]. */
+  def chrFCorpusSql(beta2: Int = 4, maxN: Int = 6,
+      from: String = "documents"): String = {
+    val counts = chrFCountCtes(Seq("pair_id"),
+      PairedText.sidedSql(from), maxN)
+    s"""WITH $counts,
+       |cc_paired AS (SELECT pair_id FROM cf_pn GROUP BY 1
+       |  HAVING MAX(CASE WHEN n = 1 THEN c_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1),
+       |cc_n AS (SELECT p.n,
+       |  CAST(SUM(p.clipped) AS BIGINT) AS clipped,
+       |  CAST(SUM(p.c_total) AS BIGINT) AS c_total,
+       |  CAST(SUM(p.r_total) AS BIGINT) AS r_total,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs_n
+       |  FROM cf_pn p JOIN cc_paired q ON q.pair_id = p.pair_id
+       |  GROUP BY 1),
+       |cc_f AS (SELECT n, clipped, c_total, r_total, n_pairs_n,
+       |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
+       |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
+       |         ($beta2 * r_total + c_total) AS BIGINT)
+       |  END AS f_e6
+       |  FROM cc_n)
+       |SELECT
+       |  MAX(CASE WHEN n = 1 THEN n_pairs_n END) AS n_pairs,
+       |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_chars,
+       |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_chars,
+       |  CAST(SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_orders,
+       |  CAST(CAST(SUM(f_e6) AS HUGEINT) //
+       |       SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS chrf_e6
+       |FROM cc_f""".stripMargin
+  }
+
   /** The keyed chrF core — `sided` carries `keyCols` + (side, text);
     * one row per key satisfying the drop contract. The positional gate
     * keys by pair_id; [[MultiRefEval.chrF]] keys by (cand_id, ref_id)
@@ -770,11 +847,15 @@ object NgramEval {
     * max-F reduction (the sacrebleu multi-ref convention).
     * `reducedOrders` switches the fixed-maxN drop contract to the
     * populated-components mean (see [[chrFReduced]]). */
-  private[text] def chrFPerKey(sided: DataFrame, keyCols: Seq[String],
-      beta2: Int, maxN: Int, reducedOrders: Boolean = false): DataFrame = {
+  /** The keyed per-(key, order) char-gram count frame shared by
+    * [[chrFPerKey]] and [[chrFCorpus]] — (keyCols..., n, clipped,
+    * c_total, r_total) for char orders 1..`maxN` off one scan and two
+    * map-side-combined shuffles. */
+  private def chrFCounts(sided: DataFrame, keyCols: Seq[String],
+      maxN: Int): DataFrame = {
     graft.functions.GramHashes.register(sided.sparkSession)
     val keys = keyCols.map(col)
-    val perN = sided
+    sided
       .withColumn("s", regexp_replace(col("text"), " ", ""))
       .filter(length(col("s")) >= 1)
       .select(keys ++ Seq(col("side"),
@@ -788,6 +869,12 @@ object NgramEval {
       .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
         sum(col("c_cnt")).as("c_total"),
         sum(col("r_cnt")).as("r_total"))
+  }
+
+  private[text] def chrFPerKey(sided: DataFrame, keyCols: Seq[String],
+      beta2: Int, maxN: Int, reducedOrders: Boolean = false): DataFrame = {
+    val keys = keyCols.map(col)
+    val perN = chrFCounts(sided, keyCols, maxN)
       // per-order F_β in e6, one rational of longs (decimal width for
       // the clipped·1e6 intermediate); orders missing a side yield
       // NULL here and the pair is dropped below
@@ -937,6 +1024,33 @@ object NgramEval {
       from: String = "documents"): String =
     chrFPerKeySql(Seq("pair_id"), PairedText.sidedSql(from), beta2, maxN)
 
+  /** The shared `cf_ws`/`cf_g`/`cf_pg`/`cf_pn` CTE prelude (no leading
+    * WITH, no trailing comma) — the DuckDB twin of [[chrFCounts]],
+    * used by [[chrFPerKeySql]] and [[chrFCorpusSql]] so a gram or
+    * count change cannot de-synchronize the mirrors. */
+  private def chrFCountCtes(keyCols: Seq[String], sidedFrom: String,
+      maxN: Int): String = {
+    val ks = keyCols.mkString(", ")
+    s"""cf_ws AS (
+       |  SELECT $ks, side, replace(text, ' ', '') AS s
+       |  FROM $sidedFrom sd WHERE length(replace(text, ' ', '')) >= 1),
+       |cf_g AS (
+       |  SELECT $ks, side, tn.n AS n,
+       |         md5(substr(s, i, tn.n)) AS g
+       |  FROM cf_ws, unnest(generate_series(1, $maxN)) tn(n),
+       |       unnest(generate_series(1, length(s) - tn.n + 1)) t(i)
+       |  WHERE length(s) >= tn.n),
+       |cf_pg AS (SELECT $ks, n, g,
+       |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+       |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM cf_g GROUP BY $ks, n, g),
+       |cf_pn AS (SELECT $ks, n,
+       |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
+       |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
+       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
+       |  FROM cf_pg GROUP BY $ks, n)""".stripMargin
+  }
+
   /** DuckDB mirror of [[chrFPerKey]] — `sidedFrom` must be a
     * parenthesized relation exposing `keyCols` + (side, text). */
   private[text] def chrFPerKeySql(keyCols: Seq[String], sidedFrom: String,
@@ -959,24 +1073,7 @@ object NgramEval {
             |FROM cf_f GROUP BY $ks
             |HAVING SUM(CASE WHEN c_total >= 1 AND r_total >= 1 THEN 1 ELSE 0 END)
             |       = $maxN""".stripMargin
-    s"""WITH cf_ws AS (
-       |  SELECT $ks, side, replace(text, ' ', '') AS s
-       |  FROM $sidedFrom sd WHERE length(replace(text, ' ', '')) >= 1),
-       |cf_g AS (
-       |  SELECT $ks, side, tn.n AS n,
-       |         md5(substr(s, i, tn.n)) AS g
-       |  FROM cf_ws, unnest(generate_series(1, $maxN)) tn(n),
-       |       unnest(generate_series(1, length(s) - tn.n + 1)) t(i)
-       |  WHERE length(s) >= tn.n),
-       |cf_pg AS (SELECT $ks, n, g,
-       |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
-       |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
-       |  FROM cf_g GROUP BY $ks, n, g),
-       |cf_pn AS (SELECT $ks, n,
-       |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
-       |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
-       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
-       |  FROM cf_pg GROUP BY $ks, n),
+    s"""WITH ${chrFCountCtes(keyCols, sidedFrom, maxN)},
        |cf_f AS (SELECT $ks, n, clipped, c_total, r_total,
        |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
        |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
@@ -1137,6 +1234,12 @@ object NgramEval {
         when(ok(0) && (ok(1) || ok(2) || ok(3)), 1L).otherwise(0L) }, none),
       ("eval_rouge_l", true, sub(both),
         sub((a, b) => both(a, b) && (w(a) > cap || w(b) > cap))),
+      ("eval_rouge_n", true, sub(both), none),
+      // corpus faces: "scored" = the pairs whose counts enter the sums
+      ("eval_chrf_corpus", true,
+        sub((a, b) => both(a, b) && c(a) >= 1 && c(b) >= 1), none),
+      ("eval_wer_corpus", true, sub(both),
+        sub((a, b) => both(a, b) && (w(a) > cap || w(b) > cap))),
       ("eval_rouge_l_multiref", false,
         when(p(0) && anyRef, 1L).otherwise(0L),
         when(p(0) && anyRef &&
@@ -1222,6 +1325,12 @@ object NgramEval {
         one(s"${ok(0)} AND (${ok(1)} OR ${ok(2)} OR ${ok(3)})") },
         one(none)),
       ("eval_rouge_l", true, sub(both),
+        sub((a, b) => s"${both(a, b)} AND (${w(a)} > $cap OR ${w(b)} > $cap)")),
+      ("eval_rouge_n", true, sub(both), sub((_, _) => none)),
+      ("eval_chrf_corpus", true,
+        sub((a, b) => s"${both(a, b)} AND ${c(a)} >= 1 AND ${c(b)} >= 1"),
+        sub((_, _) => none)),
+      ("eval_wer_corpus", true, sub(both),
         sub((a, b) => s"${both(a, b)} AND (${w(a)} > $cap OR ${w(b)} > $cap)")),
       ("eval_rouge_l_multiref", false, one(s"${p(0)} AND $anyRef"),
         one(mrTrunc(s"${p(0)} AND $anyRef"))),

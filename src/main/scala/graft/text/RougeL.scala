@@ -154,6 +154,97 @@ object RougeL {
       .toDF("pair_id", "c_len", "r_len", "lcs", "rouge_l_f_e6")
   }
 
+  /** ROUGE-1 / ROUGE-2 (Lin 2004) — the n-gram recall family the
+    * rouge-score reference reports NEXT TO ROUGE-L: per pair and gram
+    * order, overlap = Σ_g min(cnt_c(g), cnt_r(g)) (the clipped count),
+    * P = overlap/c_grams, R = overlap/r_grams, and the same P/R
+    * cancellation as [[rougeL]] makes F1 one rational of longs:
+    * `rougeN_f_e6 = 2·overlap·1e6 div (c_grams + r_grams)`. Output is
+    * ONE row per pair with both orders side by side (the rouge-score
+    * reporting shape; `pairs_scored` in the drop ledger = row count):
+    * order-2 columns are NULL when either side has no bigram (a
+    * 1-word side — P or R undefined), spelled identically in the
+    * oracle. Pairing/NULL rules are [[rougeL]]'s; like it there is no
+    * minimum-length drop. No cap — the clipped-count kernel is exact
+    * at any length (only the DP metrics truncate). Scale shape: the
+    * [[NgramEval.perPairWordCounts]] plan at orders 1..2 (one scan,
+    * two map-side-combined shuffles, gram text never shuffles) plus a
+    * per-pair pivot — no joins, no DP, no collect. Intermediates ride
+    * DECIMAL(38,0)/HUGEINT so corpus-scale counts cannot overflow. */
+  def rougeN(docs: DataFrame): DataFrame = {
+    val pn = NgramEval.perPairWordCounts(docs, maxN = 2)
+    def e6(num: String, den: String) =
+      expr(s"CAST(CAST($num AS DECIMAL(38,0)) * 1000000 div ($den) AS BIGINT)")
+    def f2(num: String, den: String) =
+      expr(s"CAST(CAST($num AS DECIMAL(38,0)) * 2000000 div ($den) AS BIGINT)")
+    val has2 = col("c2") >= 1 && col("r2") >= 1
+    pn.groupBy(col("pair_id"))
+      .agg(
+        max(when(col("n") === 1, col("c_total"))).as("c_words"),
+        max(when(col("n") === 1, col("r_total"))).as("r_words"),
+        max(when(col("n") === 1, col("clipped"))).as("r1_clipped"),
+        max(when(col("n") === 2, col("c_total"))).as("c2"),
+        max(when(col("n") === 2, col("r_total"))).as("r2"),
+        max(when(col("n") === 2, col("clipped"))).as("cl2"))
+      .filter(col("c_words") >= 1 && col("r_words") >= 1)
+      .select(col("pair_id"), col("c_words"), col("r_words"),
+        col("r1_clipped"),
+        e6("r1_clipped", "c_words").as("rouge1_p_e6"),
+        e6("r1_clipped", "r_words").as("rouge1_r_e6"),
+        f2("r1_clipped", "c_words + r_words").as("rouge1_f_e6"),
+        when(has2, col("cl2")).as("r2_clipped"),
+        when(has2, e6("cl2", "c2")).as("rouge2_p_e6"),
+        when(has2, e6("cl2", "r2")).as("rouge2_r_e6"),
+        when(has2, f2("cl2", "c2 + r2")).as("rouge2_f_e6"))
+  }
+
+  /** DuckDB mirror of [[rougeN]]. */
+  def rougeNSql(from: String = "documents"): String = {
+    def e6(num: String, den: String) =
+      s"CAST(($num::HUGEINT * 1000000) // ($den) AS BIGINT)"
+    def f2(num: String, den: String) =
+      s"CAST(($num::HUGEINT * 2000000) // ($den) AS BIGINT)"
+    val has2 = "c2 >= 1 AND r2 >= 1"
+    s"""WITH rn_ws AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $from
+       |  WHERE text IS NOT NULL),
+       |rn_g AS (
+       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
+       |         ((doc_id % 2) + 2) % 2 AS side, tn.n AS n,
+       |         md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
+       |  FROM rn_ws, unnest([1, 2]) tn(n),
+       |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
+       |  WHERE len(ws) >= tn.n),
+       |rn_pg AS (SELECT pair_id, n, g,
+       |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
+       |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM rn_g GROUP BY 1, 2, 3),
+       |rn_pn AS (SELECT pair_id, n,
+       |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
+       |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
+       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
+       |  FROM rn_pg GROUP BY 1, 2),
+       |rn_p AS (SELECT pair_id,
+       |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_words,
+       |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_words,
+       |  MAX(CASE WHEN n = 1 THEN clipped END) AS r1c,
+       |  MAX(CASE WHEN n = 2 THEN c_total END) AS c2,
+       |  MAX(CASE WHEN n = 2 THEN r_total END) AS r2,
+       |  MAX(CASE WHEN n = 2 THEN clipped END) AS cl2
+       |  FROM rn_pn GROUP BY 1
+       |  HAVING MAX(CASE WHEN n = 1 THEN c_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1)
+       |SELECT pair_id, c_words, r_words, r1c AS r1_clipped,
+       |  ${e6("r1c", "c_words")} AS rouge1_p_e6,
+       |  ${e6("r1c", "r_words")} AS rouge1_r_e6,
+       |  ${f2("r1c", "c_words + r_words")} AS rouge1_f_e6,
+       |  CASE WHEN $has2 THEN cl2 END AS r2_clipped,
+       |  CASE WHEN $has2 THEN ${e6("cl2", "c2")} END AS rouge2_p_e6,
+       |  CASE WHEN $has2 THEN ${e6("cl2", "r2")} END AS rouge2_r_e6,
+       |  CASE WHEN $has2 THEN ${f2("cl2", "c2 + r2")} END AS rouge2_f_e6
+       |FROM rn_p""".stripMargin
+  }
+
   /** DuckDB mirror of [[rougeL]] (cap > 0 required — the oracle's cost
     * is bounded by it): the SAME two-row DP, iterated as a recursive
     * CTE over candidate positions with the dp row carried as a list;

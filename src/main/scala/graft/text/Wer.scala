@@ -57,6 +57,42 @@ object Wer {
       .toDF("pair_id", "c_len", "r_len", "edits", "wer_e6")
   }
 
+  /** CORPUS-level WER over the (even, odd) pairs — the number ASR
+    * benchmarks actually report: total edits over total reference
+    * tokens (micro average — `Σedits·1e6 div Σr_len`; a mean of
+    * per-pair WERs overweights short references). Rides the
+    * UNCHANGED [[wer]] per-pair frame (same cap-40 gate contract,
+    * same pairing), then a 5-column global rollup — nothing new
+    * shuffles, and at 100 TB the plan is still one scan + one pair
+    * shuffle + embarrassingly parallel DP + one partial-aggregated
+    * reduction to a single row. The edits·1e6 intermediate rides
+    * DECIMAL(38,0)/HUGEINT (corpus edit counts at scale exceed
+    * long·1e6). Output is ONE row. */
+  def werCorpus(docs: DataFrame, cap: Int = 40): DataFrame =
+    wer(docs, cap)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("c_len")).as("c_tokens"),
+        sum(col("r_len")).as("r_tokens"),
+        sum(col("edits")).as("edits"))
+      .select(col("n_pairs"), col("c_tokens"), col("r_tokens"),
+        col("edits"),
+        expr("CAST(CAST(edits AS DECIMAL(38,0)) * 1000000 div r_tokens " +
+          "AS BIGINT)").as("wer_e6"))
+
+  /** DuckDB mirror of [[werCorpus]] — the [[werSql]] recursion as a
+    * derived table under the corpus rollup. */
+  def werCorpusSql(cap: Int = 40, from: String = "documents"): String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(c_len) AS BIGINT) AS c_tokens,
+       |  CAST(SUM(r_len) AS BIGINT) AS r_tokens,
+       |  CAST(SUM(edits) AS BIGINT) AS edits,
+       |  CAST((SUM(edits)::HUGEINT * 1000000) // SUM(r_len) AS BIGINT)
+       |    AS wer_e6
+       |FROM (
+       |${werSql(cap, from)}
+       |) wc""".stripMargin
+
   /** The ONE Levenshtein recursive-CTE spelling, shared by [[werSql]],
     * [[cerSql]] and [[MultiRefEval.werSql]] — expects a
     * `<p>_dim(keyCols..., c, r, cl, rl)` CTE prelude (element lists +

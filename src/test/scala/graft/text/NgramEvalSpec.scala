@@ -430,8 +430,9 @@ class NgramEvalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val pairGates = Set("eval_ngram_overlap", "eval_bleu4",
-      "eval_bleu4_corpus", "eval_cer", "eval_chrf", "eval_chrf_reduced",
-      "eval_chrfpp", "eval_rouge_l", "eval_token_f1", "eval_wer")
+      "eval_bleu4_corpus", "eval_cer", "eval_chrf", "eval_chrf_corpus",
+      "eval_chrf_reduced", "eval_chrfpp", "eval_rouge_l", "eval_rouge_n",
+      "eval_token_f1", "eval_wer", "eval_wer_corpus")
     val quadGates = Set("eval_bleu4_multiref", "eval_bleu4_paired_bs",
       "eval_chrf_multiref", "eval_chrfpp_multiref", "eval_rouge_l_multiref",
       "eval_token_f1_multiref", "eval_wer_multiref")
@@ -455,15 +456,20 @@ class NgramEvalSpec extends AnyFunSuite {
       "eval_cer" -> Wer.cer(docs).count(),
       "eval_chrf" -> NgramEval.chrF(docs).count(),
       "eval_chrf_multiref" -> MultiRefEval.chrF(cands, refs).count(),
+      "eval_chrf_corpus" ->
+        NgramEval.chrFCorpus(docs).head().getAs[Long]("n_pairs"),
       "eval_chrf_reduced" -> NgramEval.chrFReduced(docs).count(),
       "eval_chrfpp" -> NgramEval.chrFpp(docs).count(),
       "eval_chrfpp_multiref" -> MultiRefEval.chrFpp(cands, refs).count(),
       "eval_rouge_l" -> RougeL.rougeL(docs).count(),
       "eval_rouge_l_multiref" -> MultiRefEval.rougeL(cands, refs).count(),
+      "eval_rouge_n" -> RougeL.rougeN(docs).count(),
       "eval_token_f1" -> NgramEval.tokenF1(docs).count(),
       "eval_token_f1_multiref" -> MultiRefEval.tokenF1(cands, refs).count(),
       "eval_wer" -> Wer.wer(docs).count(),
-      "eval_wer_multiref" -> MultiRefEval.wer(cands, refs).count())
+      "eval_wer_multiref" -> MultiRefEval.wer(cands, refs).count(),
+      "eval_wer_corpus" ->
+        Wer.werCorpus(docs).head().getAs[Long]("n_pairs"))
     actual.foreach { case (m, n) =>
       assert(cov(m)._2 === n, s"$m pairs_scored vs gate rows")
       val total = if (pairGates(m)) 8L else 4L // 8 pairs / 4 quads
@@ -475,10 +481,12 @@ class NgramEvalSpec extends AnyFunSuite {
     // also quad 12's reference side; gram metrics never truncate
     assert(cov("eval_rouge_l")._4 === 1L)
     assert(cov("eval_wer")._4 === 1L)
+    assert(cov("eval_wer_corpus")._4 === 1L)
     assert(cov("eval_cer")._4 === 1L)
     assert(cov("eval_rouge_l_multiref")._4 === 1L)
     assert(cov("eval_wer_multiref")._4 === 1L)
-    (pairGates ++ quadGates -- Set("eval_rouge_l", "eval_wer", "eval_cer",
+    (pairGates ++ quadGates -- Set("eval_rouge_l", "eval_wer",
+      "eval_wer_corpus", "eval_cer",
       "eval_rouge_l_multiref", "eval_wer_multiref")).foreach { m =>
       assert(cov(m)._4 === 0L, s"$m must not truncate") }
     // the regimes genuinely differ (the ledger isn't vacuous)
@@ -519,6 +527,47 @@ class NgramEvalSpec extends AnyFunSuite {
       .map(r => r(0).get.toLong ->
         (r(3).get.toLong, r(4).get.toLong)).toMap
     assert(duck === red)
+  }
+
+  test("chrFCorpus: counts sum across pairs BEFORE the ratio (micro, not macro)") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "abcdefgh", 1L -> "abcdefgh",  // identity, all 6 orders
+      2L -> "abc", 3L -> "abd",            // 3 chars: orders 1-3 only
+      4L -> "lonely").toDF("doc_id", "text")
+    val row = NgramEval.chrFCorpus(docs).head()
+    assert(row.getAs[Long]("n_pairs") === 2L)
+    assert(row.getAs[Long]("c_chars") === 11L)
+    assert(row.getAs[Long]("r_chars") === 11L)
+    assert(row.getAs[Long]("n_orders") === 6L)
+    // corpus sums per order: n1 (10,11,11) F=50e6/55=909090; n2 (8,9,9)
+    // F=40e6/45=888888; n3 (6,7,7) F=30e6/35=857142; n4-6 from the
+    // identity pair alone F=1e6 -> mean = 5655120/6 = 942520.
+    // The short pair RAISED nothing it shouldn't: a macro mean of
+    // per-pair chrF could not even score pair (2,3).
+    assert(row.getAs[Long]("chrf_e6") === 942520L)
+    // a single full-contract pair: corpus micro == the per-pair gate
+    val solo = docs.filter(col("doc_id") < 2)
+    assert(NgramEval.chrFCorpus(solo).head().getAs[Long]("chrf_e6") ===
+      NgramEval.chrF(solo).head().getAs[Long]("chrf_e6"))
+  }
+
+  test("chrFCorpusSql mirror matches the Spark side") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "abcdefgh stuv", 1L -> "abcdefgh wxyz",
+      2L -> "abc", 3L -> "abd",
+      4L -> "", 5L -> "empty cand side",
+      6L -> "cand with null ref", 7L -> null)
+    val sp = NgramEval.chrFCorpus(docs.toDF("doc_id", "text")).head()
+    val values = docs.map { case (id, t) =>
+      if (t == null) s"($id, NULL)" else s"($id, '$t')" }.mkString(", ")
+    val du = DuckBridgeTestUtil.duck(NgramEval.chrFCorpusSql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")).head
+    assert(du.map(_.get.toLong) === (0 until 5).map(sp.getLong))
+    assert(sp.getAs[Long]("n_pairs") === 2L) // empty/NULL sides dropped
   }
 
   test("bleu4PairedBootstrap: identical systems tie on every replicate") {

@@ -92,4 +92,66 @@ class RougeLSpec extends AnyFunSuite {
     assert(gotSpark(2L)(3) === 1000000L) // identity through the mirror
     assert(gotSpark(4L)(3) === 0L)       // disjoint -> 0
   }
+
+  test("rougeN: hand case pins ROUGE-1/2 P/R/F; 1-word sides NULL order 2") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "the cat sat on the mat", 1L -> "the cat on the mat",
+      2L -> "one", 3L -> "one two",
+      4L -> "same text here", 5L -> "same text here",
+      6L -> "cand only").toDF("doc_id", "text")
+    val got = RougeL.rougeN(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(0L, 2L, 4L))
+    // pair 0 unigrams: cand {the:2, cat, sat, on, mat} (6 words), ref
+    // {the:2, cat, on, mat} (5) -> clipped 2+1+1+1 = 5
+    val p0 = got(0L)
+    assert(p0.getAs[Long]("c_words") === 6L)
+    assert(p0.getAs[Long]("r_words") === 5L)
+    assert(p0.getAs[Long]("r1_clipped") === 5L)
+    assert(p0.getAs[Long]("rouge1_p_e6") === 833333L) // 5/6
+    assert(p0.getAs[Long]("rouge1_r_e6") === 1000000L)
+    assert(p0.getAs[Long]("rouge1_f_e6") === 909090L) // 2*5/11
+    // bigrams: cand 5 (the-cat cat-sat sat-on on-the the-mat), ref 4
+    // (the-cat cat-on on-the the-mat) -> overlap the-cat/on-the/the-mat
+    assert(p0.getAs[Long]("r2_clipped") === 3L)
+    assert(p0.getAs[Long]("rouge2_p_e6") === 600000L)
+    assert(p0.getAs[Long]("rouge2_r_e6") === 750000L)
+    assert(p0.getAs[Long]("rouge2_f_e6") === 666666L) // 2*3/9
+    // 1-word candidate: order 1 scores, order 2 columns are NULL
+    val p2 = got(2L)
+    assert(p2.getAs[Long]("r1_clipped") === 1L)
+    assert(p2.getAs[Long]("rouge1_f_e6") === 666666L) // 2*1/3
+    assert(p2.isNullAt(p2.fieldIndex("r2_clipped")))
+    assert(p2.isNullAt(p2.fieldIndex("rouge2_f_e6")))
+    // identity pair scores exactly 1e6 on both orders
+    val p4 = got(4L)
+    assert(p4.getAs[Long]("rouge1_f_e6") === 1000000L)
+    assert(p4.getAs[Long]("rouge2_f_e6") === 1000000L)
+  }
+
+  test("rougeNSql mirror matches the Spark side row-for-row") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "the cat sat on the mat", 1L -> "the cat on the mat",
+      2L -> "one", 3L -> "one two",
+      4L -> "same text here", 5L -> "same text here",
+      6L -> "x y z", 7L -> "p q",
+      8L -> "one sided",
+      10L -> "cand with null ref", 11L -> null)
+    val gotSpark = RougeL.rougeN(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (1 until 11).map(i => Option(r.get(i)).map(_.toString.toLong))).toMap
+    val values = docs.map { case (id, t) =>
+      if (t == null) s"($id, NULL)" else s"($id, '$t')" }.mkString(", ")
+    val gotDuck = DuckBridgeTestUtil.duck(RougeL.rougeNSql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))"))
+      .map(r => r(0).get.toLong -> r.tail.map(_.map(_.toLong)).toIndexedSeq)
+      .toMap
+    assert(gotSpark.keySet === Set(0L, 2L, 4L, 6L))
+    assert(gotDuck === gotSpark)
+    // disjoint pair: zero overlap, present (not dropped)
+    assert(gotDuck(6L)(2) === Some(0L)) // r1_clipped
+  }
 }

@@ -147,4 +147,38 @@ class WerSpec extends AnyFunSuite {
       .map(r => r(0).get.toInt -> r.tail.map(_.get.toLong)).toMap
     assert(gotDuck === gotSpark.map { case (k, v) => k -> v.toSeq })
   }
+
+  test("werCorpus: micro average (not the per-pair mean), exact totals") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "a x", 1L -> "a b",                              // 1 edit / 2
+      2L -> "p q r s t u v w", 3L -> "p q r s t u v z",      // 1 edit / 8
+      4L -> "unpaired", 5L -> null).toDF("doc_id", "text")
+    val row = Wer.werCorpus(docs).head()
+    assert(row.getAs[Long]("n_pairs") === 2L)
+    assert(row.getAs[Long]("c_tokens") === 10L)
+    assert(row.getAs[Long]("r_tokens") === 10L)
+    assert(row.getAs[Long]("edits") === 2L)
+    // micro 2/10 = 200000; the per-pair (macro) mean would be
+    // (500000 + 125000) / 2 = 312500 — a different statistic
+    assert(row.getAs[Long]("wer_e6") === 200000L)
+  }
+
+  test("werCorpusSql mirror matches the Spark side (cap + NULL side)") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "a x", 1L -> "a b",
+      2L -> "p q r s t u v w", 3L -> "p q r s t u v z",
+      4L -> "same here", 5L -> "same here",
+      6L -> "cand with null ref", 7L -> null)
+    val sp = Wer.werCorpus(docs.toDF("doc_id", "text"), cap = 6).head()
+    val values = docs.map { case (id, t) =>
+      if (t == null) s"($id, NULL)" else s"($id, '$t')" }.mkString(", ")
+    val du = DuckBridgeTestUtil.duck(Wer.werCorpusSql(cap = 6,
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")).head
+    assert(du.map(_.get.toLong) ===
+      (0 until 5).map(sp.getLong))
+  }
 }
