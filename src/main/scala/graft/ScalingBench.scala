@@ -95,6 +95,7 @@ object ScalingBench {
       "eval_pair_coverage" -> "documents",
       "eval_chrf_reduced" -> "documents",
       "eval_rouge_n" -> "documents",
+      "eval_rouge_n_multiref" -> "documents",
       "eval_chrf_corpus" -> "documents",
       "eval_wer_corpus" -> "documents",
       "a_hll_kernel" -> "events",

@@ -330,6 +330,12 @@ object DocQueries {
     MultiRefEval.wer(mod4Cands(docs), mod4Refs(docs))
   }
 
+  /** Multi-reference ROUGE-1/2: max F1 per order over refs. */
+  private val evalRougeNMultiRef: Q = (s, d) => {
+    val docs = table(s, d, "documents")
+    MultiRefEval.rougeN(mod4Cands(docs), mod4Refs(docs))
+  }
+
   /** Multi-reference chrF: max F-β over contract-satisfying refs. */
   private val evalChrfMultiRef: Q = (s, d) => {
     val docs = table(s, d, "documents")
@@ -966,6 +972,8 @@ object DocQueries {
     ("eval_bleu4_paired_bs", evalBleu4PairedBs,
       Some(NgramEval.bleu4PairedBootstrapSql())),
     ("eval_rouge_l_multiref", evalRougeLMultiRef, Some(MultiRefEval.rougeLSql(
+      candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
+    ("eval_rouge_n_multiref", evalRougeNMultiRef, Some(MultiRefEval.rougeNSql(
       candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
     ("eval_wer_multiref", evalWerMultiRef, Some(MultiRefEval.werSql(
       candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),

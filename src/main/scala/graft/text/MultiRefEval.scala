@@ -191,6 +191,29 @@ object MultiRefEval {
         sidesSql(candsFrom, refsFrom), beta2, maxN, wordN)}
        |) q GROUP BY 1""".stripMargin
 
+  /** Multi-reference ROUGE-1/2: max F1 PER ORDER over the references
+    * (the rouge-score convention — like token-F1's two maxima, the
+    * best-matching reference for unigrams and for bigrams may
+    * differ). `n_refs` counts references scored at order 1 (both
+    * sides ≥ 1 word); rouge2 is NULL when NO scored reference has
+    * bigrams on both sides. */
+  def rougeN(cands: DataFrame, refs: DataFrame): DataFrame =
+    RougeL.rougeNPerKey(sides(cands, refs), Seq("cand_id", "ref_id"))
+      .groupBy(col("cand_id"))
+      .agg(count(lit(1)).as("n_refs"),
+        max(col("rouge1_f_e6")).as("rouge1_f_e6"),
+        max(col("rouge2_f_e6")).as("rouge2_f_e6"))
+
+  /** DuckDB mirror of [[rougeN]]. */
+  def rougeNSql(candsFrom: String, refsFrom: String): String =
+    s"""SELECT cand_id, CAST(COUNT(*) AS BIGINT) AS n_refs,
+       |  MAX(rouge1_f_e6) AS rouge1_f_e6,
+       |  MAX(rouge2_f_e6) AS rouge2_f_e6
+       |FROM (
+       |${RougeL.rougeNPerKeySql(Seq("cand_id", "ref_id"),
+        sidesSql(candsFrom, refsFrom))}
+       |) q GROUP BY 1""".stripMargin
+
   /** Multi-reference SQuAD token-F1: max token-bag F1 AND max exact
     * match over the references (the SQuAD gold-answer convention —
     * the two maxima may come from different references). */

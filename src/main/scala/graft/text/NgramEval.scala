@@ -98,12 +98,11 @@ object NgramEval {
     * per-(pair, n) log runs as a typed map over the aggregate frame —
     * a narrow distributed op, no collect, O(fbits) integer steps per
     * row. */
-  /** The ONE per-(pair, order) clipped-count frame shared by [[bleu4]],
-    * [[bleu4Corpus]] and [[RougeL.rougeN]] — (pair_id, n, clipped,
-    * c_total, r_total) for word orders 1..`maxN` off one scan and two
-    * combined shuffles. */
-  private[text] def perPairWordCounts(docs: DataFrame,
-      maxN: Int = 4): DataFrame = {
+  /** The ONE per-(pair, order) clipped-count frame shared by [[bleu4]]
+    * and [[bleu4Corpus]] — (pair_id, n, clipped, c_total, r_total)
+    * for word orders 1..4 off one scan and two combined shuffles.
+    * ([[RougeL.rougeNPerKey]] is the keyed orders-1..2 sibling.) */
+  private def perPairWordCounts(docs: DataFrame): DataFrame = {
     graft.functions.GramHashes.register(docs.sparkSession)
     docs
       .withColumn("ws", split(col("text"), " "))
@@ -111,7 +110,7 @@ object NgramEval {
       .select(
         (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
         pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr(s"word_gram_hashes(ws, 1, $maxN)")).as("e"))
+        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
       .select(col("pair_id"), col("side"),
         expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
       .groupBy(col("pair_id"), col("n"), col("g"))
@@ -1235,6 +1234,8 @@ object NgramEval {
       ("eval_rouge_l", true, sub(both),
         sub((a, b) => both(a, b) && (w(a) > cap || w(b) > cap))),
       ("eval_rouge_n", true, sub(both), none),
+      ("eval_rouge_n_multiref", false,
+        when(p(0) && anyRef, 1L).otherwise(0L), none),
       // corpus faces: "scored" = the pairs whose counts enter the sums
       ("eval_chrf_corpus", true,
         sub((a, b) => both(a, b) && c(a) >= 1 && c(b) >= 1), none),
@@ -1327,6 +1328,8 @@ object NgramEval {
       ("eval_rouge_l", true, sub(both),
         sub((a, b) => s"${both(a, b)} AND (${w(a)} > $cap OR ${w(b)} > $cap)")),
       ("eval_rouge_n", true, sub(both), sub((_, _) => none)),
+      ("eval_rouge_n_multiref", false, one(s"${p(0)} AND $anyRef"),
+        one(none)),
       ("eval_chrf_corpus", true,
         sub((a, b) => s"${both(a, b)} AND ${c(a)} >= 1 AND ${c(b)} >= 1"),
         sub((_, _) => none)),

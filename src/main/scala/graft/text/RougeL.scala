@@ -171,14 +171,38 @@ object RougeL {
     * two map-side-combined shuffles, gram text never shuffles) plus a
     * per-pair pivot — no joins, no DP, no collect. Intermediates ride
     * DECIMAL(38,0)/HUGEINT so corpus-scale counts cannot overflow. */
-  def rougeN(docs: DataFrame): DataFrame = {
-    val pn = NgramEval.perPairWordCounts(docs, maxN = 2)
+  def rougeN(docs: DataFrame): DataFrame =
+    rougeNPerKey(PairedText.sided(docs), Seq("pair_id"))
+
+  /** The keyed ROUGE-N core — `sided` carries `keyCols` + (side,
+    * text); the positional gate keys by pair_id, [[MultiRefEval
+    * .rougeN]] by (cand_id, ref_id) so each reference scores
+    * independently before the per-candidate max-F reduction (the
+    * rouge-score multi-ref convention). */
+  private[text] def rougeNPerKey(sided: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    graft.functions.GramHashes.register(sided.sparkSession)
+    val keys = keyCols.map(col)
+    val pn = sided
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 1)
+      .select(keys ++ Seq(col("side"),
+        explode(expr("word_gram_hashes(ws, 1, 2)")).as("e")): _*)
+      .select(keys ++ Seq(col("side"),
+        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g")): _*)
+      .groupBy(keys ++ Seq(col("n"), col("g")): _*)
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .groupBy(keys :+ col("n"): _*)
+      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
+        sum(col("c_cnt")).as("c_total"),
+        sum(col("r_cnt")).as("r_total"))
     def e6(num: String, den: String) =
       expr(s"CAST(CAST($num AS DECIMAL(38,0)) * 1000000 div ($den) AS BIGINT)")
     def f2(num: String, den: String) =
       expr(s"CAST(CAST($num AS DECIMAL(38,0)) * 2000000 div ($den) AS BIGINT)")
     val has2 = col("c2") >= 1 && col("r2") >= 1
-    pn.groupBy(col("pair_id"))
+    pn.groupBy(keys: _*)
       .agg(
         max(when(col("n") === 1, col("c_total"))).as("c_words"),
         max(when(col("n") === 1, col("r_total"))).as("r_words"),
@@ -187,7 +211,7 @@ object RougeL {
         max(when(col("n") === 2, col("r_total"))).as("r2"),
         max(when(col("n") === 2, col("clipped"))).as("cl2"))
       .filter(col("c_words") >= 1 && col("r_words") >= 1)
-      .select(col("pair_id"), col("c_words"), col("r_words"),
+      .select(keys ++ Seq(col("c_words"), col("r_words"),
         col("r1_clipped"),
         e6("r1_clipped", "c_words").as("rouge1_p_e6"),
         e6("r1_clipped", "r_words").as("rouge1_r_e6"),
@@ -195,46 +219,52 @@ object RougeL {
         when(has2, col("cl2")).as("r2_clipped"),
         when(has2, e6("cl2", "c2")).as("rouge2_p_e6"),
         when(has2, e6("cl2", "r2")).as("rouge2_r_e6"),
-        when(has2, f2("cl2", "c2 + r2")).as("rouge2_f_e6"))
+        when(has2, f2("cl2", "c2 + r2")).as("rouge2_f_e6")): _*)
   }
 
   /** DuckDB mirror of [[rougeN]]. */
-  def rougeNSql(from: String = "documents"): String = {
+  def rougeNSql(from: String = "documents"): String =
+    rougeNPerKeySql(Seq("pair_id"), PairedText.sidedSql(from))
+
+  /** DuckDB mirror of [[rougeNPerKey]] — `sidedFrom` must be a
+    * parenthesized relation exposing `keyCols` + (side, text). */
+  private[text] def rougeNPerKeySql(keyCols: Seq[String],
+      sidedFrom: String): String = {
+    val ks = keyCols.mkString(", ")
     def e6(num: String, den: String) =
       s"CAST(($num::HUGEINT * 1000000) // ($den) AS BIGINT)"
     def f2(num: String, den: String) =
       s"CAST(($num::HUGEINT * 2000000) // ($den) AS BIGINT)"
     val has2 = "c2 >= 1 AND r2 >= 1"
     s"""WITH rn_ws AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $from
-       |  WHERE text IS NOT NULL),
+       |  SELECT $ks, side, string_split(text, ' ') AS ws
+       |  FROM $sidedFrom sd WHERE text IS NOT NULL),
        |rn_g AS (
-       |  SELECT doc_id - (((doc_id % 2) + 2) % 2) AS pair_id,
-       |         ((doc_id % 2) + 2) % 2 AS side, tn.n AS n,
+       |  SELECT $ks, side, tn.n AS n,
        |         md5(array_to_string(ws[i:i+tn.n-1], ' ')) AS g
        |  FROM rn_ws, unnest([1, 2]) tn(n),
        |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
        |  WHERE len(ws) >= tn.n),
-       |rn_pg AS (SELECT pair_id, n, g,
+       |rn_pg AS (SELECT $ks, n, g,
        |  CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt,
        |  CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
-       |  FROM rn_g GROUP BY 1, 2, 3),
-       |rn_pn AS (SELECT pair_id, n,
+       |  FROM rn_g GROUP BY $ks, n, g),
+       |rn_pn AS (SELECT $ks, n,
        |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
        |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
        |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
-       |  FROM rn_pg GROUP BY 1, 2),
-       |rn_p AS (SELECT pair_id,
+       |  FROM rn_pg GROUP BY $ks, n),
+       |rn_p AS (SELECT $ks,
        |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_words,
        |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_words,
        |  MAX(CASE WHEN n = 1 THEN clipped END) AS r1c,
        |  MAX(CASE WHEN n = 2 THEN c_total END) AS c2,
        |  MAX(CASE WHEN n = 2 THEN r_total END) AS r2,
        |  MAX(CASE WHEN n = 2 THEN clipped END) AS cl2
-       |  FROM rn_pn GROUP BY 1
+       |  FROM rn_pn GROUP BY $ks
        |  HAVING MAX(CASE WHEN n = 1 THEN c_total END) >= 1
        |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1)
-       |SELECT pair_id, c_words, r_words, r1c AS r1_clipped,
+       |SELECT $ks, c_words, r_words, r1c AS r1_clipped,
        |  ${e6("r1c", "c_words")} AS rouge1_p_e6,
        |  ${e6("r1c", "r_words")} AS rouge1_r_e6,
        |  ${f2("r1c", "c_words + r_words")} AS rouge1_f_e6,

@@ -58,6 +58,13 @@ class MultiRefEvalSpec extends AnyFunSuite {
     val tfMr = byPair(MultiRefEval.tokenF1(cands, refs), "token_f1_e6")
     assert(tfMr === tfPos)
 
+    val rnPos1 = byPair(RougeL.rougeN(docs), "rouge1_f_e6")
+    val rnMr1 = byPair(MultiRefEval.rougeN(cands, refs), "rouge1_f_e6")
+    assert(rnMr1 === rnPos1)
+    val rnPos2 = byPair(RougeL.rougeN(docs), "rouge2_f_e6")
+    val rnMr2 = byPair(MultiRefEval.rougeN(cands, refs), "rouge2_f_e6")
+    assert(rnMr2 === rnPos2)
+
     // and every candidate reports exactly one scored reference
     assert(MultiRefEval.rougeL(cands, refs).select("n_refs").collect()
       .forall(_.getLong(0) === 1L))
@@ -93,6 +100,19 @@ class MultiRefEvalSpec extends AnyFunSuite {
       0L -> "abcdefgh stuv", 1L -> "abcdefgh wxyz").toDF("doc_id", "text"))
       .head().getAs[Long]("chrf_e6")
     assert(out.getAs[Long]("chrf_e6") === pos)
+  }
+
+  test("rougeN multiref: per-order maxima may come from DIFFERENT references") {
+    import spark.implicits._
+    val cands = Seq((0L, "a b c d")).toDF("cand_id", "text")
+    val refs = Seq(
+      (0L, 1L, "x a b y"),   // rouge1 2/4 -> 500000, rouge2 {ab} -> 333333
+      (0L, 2L, "a c b d"))   // rouge1 4/4 -> 1e6,    rouge2 none -> 0
+      .toDF("cand_id", "ref_id", "text")
+    val out = MultiRefEval.rougeN(cands, refs).head()
+    assert(out.getAs[Long]("n_refs") === 2L)
+    assert(out.getAs[Long]("rouge1_f_e6") === 1000000L) // ref 2 wins order 1
+    assert(out.getAs[Long]("rouge2_f_e6") === 333333L)  // ref 1 wins order 2
   }
 
   test("token-F1 multiref: max F1 and max EM may come from DIFFERENT references") {
@@ -154,7 +174,9 @@ class MultiRefEvalSpec extends AnyFunSuite {
       MultiRefEval.chrFpp(cdf, rdf) ->
         MultiRefEval.chrFppSql(candsFrom = cFrom, refsFrom = rFrom),
       MultiRefEval.tokenF1(cdf, rdf) ->
-        MultiRefEval.tokenF1Sql(candsFrom = cFrom, refsFrom = rFrom))
+        MultiRefEval.tokenF1Sql(candsFrom = cFrom, refsFrom = rFrom),
+      MultiRefEval.rougeN(cdf, rdf) ->
+        MultiRefEval.rougeNSql(candsFrom = cFrom, refsFrom = rFrom))
     pairsChecks.zipWithIndex.foreach { case ((df, sql), i) =>
       val s = sparkMap(df)
       assert(s.nonEmpty, s"metric #$i produced no rows")

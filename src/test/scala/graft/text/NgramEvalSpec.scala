@@ -435,7 +435,8 @@ class NgramEvalSpec extends AnyFunSuite {
       "eval_token_f1", "eval_wer", "eval_wer_corpus")
     val quadGates = Set("eval_bleu4_multiref", "eval_bleu4_paired_bs",
       "eval_chrf_multiref", "eval_chrfpp_multiref", "eval_rouge_l_multiref",
-      "eval_token_f1_multiref", "eval_wer_multiref")
+      "eval_rouge_n_multiref", "eval_token_f1_multiref",
+      "eval_wer_multiref")
     assert(cov.keySet === pairGates ++ quadGates)
     // the gate data shape: mod-4 cands and refs (DocQueries pairing)
     val cands = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
@@ -464,6 +465,7 @@ class NgramEvalSpec extends AnyFunSuite {
       "eval_rouge_l" -> RougeL.rougeL(docs).count(),
       "eval_rouge_l_multiref" -> MultiRefEval.rougeL(cands, refs).count(),
       "eval_rouge_n" -> RougeL.rougeN(docs).count(),
+      "eval_rouge_n_multiref" -> MultiRefEval.rougeN(cands, refs).count(),
       "eval_token_f1" -> NgramEval.tokenF1(docs).count(),
       "eval_token_f1_multiref" -> MultiRefEval.tokenF1(cands, refs).count(),
       "eval_wer" -> Wer.wer(docs).count(),
