@@ -97,7 +97,9 @@ object ScalingBench {
       "eval_rouge_n" -> "documents",
       "eval_rouge_n_multiref" -> "documents",
       "eval_chrf_corpus" -> "documents",
+      "eval_chrfpp_corpus" -> "documents",
       "eval_wer_corpus" -> "documents",
+      "eval_cer_corpus" -> "documents",
       "a_hll_kernel" -> "events",
       "a_hdr_quantiles" -> "lineitem",
       "a_kmv_intersect" -> "events",

@@ -254,6 +254,16 @@ object DocQueries {
   private val evalWerCorpus: Q = (s, d) =>
     Wer.werCorpus(table(s, d, "documents"))
 
+  /** Corpus-level CER: total codepoint edits over total reference
+    * codepoints (micro), the werCorpus twin; one output row. */
+  private val evalCerCorpus: Q = (s, d) =>
+    Wer.cerCorpus(table(s, d, "documents"))
+
+  /** Corpus-level chrF++ (sacrebleu/WMT): all 8 component counts sum
+    * across pairs before the F ratios; one output row. */
+  private val evalChrfppCorpus: Q = (s, d) =>
+    NgramEval.chrFppCorpus(table(s, d, "documents"))
+
   /** Corpus diversity distinct-n: distinct/total word n-grams per
     * order 1..4 — the standard generation-degeneracy signal. */
   private val evalDistinctN: Q = (s, d) =>
@@ -959,6 +969,9 @@ object DocQueries {
     ("eval_rouge_n", evalRougeN, Some(RougeL.rougeNSql())),
     ("eval_chrf_corpus", evalChrfCorpus, Some(NgramEval.chrFCorpusSql())),
     ("eval_wer_corpus", evalWerCorpus, Some(Wer.werCorpusSql())),
+    ("eval_cer_corpus", evalCerCorpus, Some(Wer.cerCorpusSql())),
+    ("eval_chrfpp_corpus", evalChrfppCorpus,
+      Some(NgramEval.chrFppCorpusSql())),
     ("eval_chrfpp", evalChrfpp, Some(NgramEval.chrFppSql())),
     ("eval_pair_coverage", evalPairCoverage,
       Some(NgramEval.pairCoverageSql())),

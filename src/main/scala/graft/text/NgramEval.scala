@@ -839,6 +839,84 @@ object NgramEval {
        |FROM cc_f""".stripMargin
   }
 
+  /** CORPUS-level chrF++ — the number WMT system tables actually
+    * carry (sacrebleu corpus chrF++, word_order 2): all 8 component
+    * counts (6 char + 2 word orders) SUM across the corpus before
+    * their F_β ratios, then the component mean. The [[chrFCorpus]]
+    * plan on the [[chrFppCounts]] frame — same pair-window filter
+    * (both sides ≥ 1 char), same populated-orders mean (a single-word
+    * corpus still scores its word-unigram component; `n_orders`
+    * reports the backing count). One scan, one Generate, ONE row. */
+  def chrFppCorpus(docs: DataFrame, beta2: Int = 4, maxN: Int = 6,
+      wordN: Int = 2): DataFrame = {
+    val perN = chrFppCounts(PairedText.sided(docs), Seq("pair_id"),
+      maxN, wordN)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pair_id")
+    val byN = perN
+      .withColumn("c_chars_p",
+        max(when(col("n") === 1, col("c_total"))).over(w))
+      .withColumn("r_chars_p",
+        max(when(col("n") === 1, col("r_total"))).over(w))
+      .filter(col("c_chars_p") >= 1 && col("r_chars_p") >= 1)
+      .groupBy(col("n"))
+      .agg(sum(col("clipped")).as("clipped"),
+        sum(col("c_total")).as("c_total"),
+        sum(col("r_total")).as("r_total"),
+        count(lit(1)).as("n_pairs_n"))
+      .withColumn("f_e6",
+        when(col("c_total") >= 1 && col("r_total") >= 1, expr(
+          s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
+            s"($beta2 * r_total + c_total)")))
+    byN.agg(
+      max(when(col("n") === 1, col("n_pairs_n"))).as("n_pairs"),
+      max(when(col("n") === 1, col("c_total"))).as("c_chars"),
+      max(when(col("n") === 1, col("r_total"))).as("r_chars"),
+      max(when(col("n") === 9, col("c_total"))).as("c_words"),
+      max(when(col("n") === 9, col("r_total"))).as("r_words"),
+      sum(when(col("f_e6").isNotNull, 1L).otherwise(0L)).as("n_orders"),
+      sum(col("f_e6")).as("sum_f"))
+      .select(col("n_pairs"), col("c_chars"), col("r_chars"),
+        col("c_words"), col("r_words"), col("n_orders"),
+        expr("CAST(sum_f div n_orders AS BIGINT)").as("chrfpp_e6"))
+  }
+
+  /** DuckDB mirror of [[chrFppCorpus]] (word orders tag as n+100 in
+    * the SQL counts, the [[chrFppPerKeySql]] spelling). */
+  def chrFppCorpusSql(beta2: Int = 4, maxN: Int = 6, wordN: Int = 2,
+      from: String = "documents"): String = {
+    val counts = chrFppCountCtes(Seq("pair_id"),
+      PairedText.sidedSql(from), maxN, wordN)
+    s"""WITH $counts,
+       |cpc_paired AS (SELECT pair_id FROM cfp_pn GROUP BY 1
+       |  HAVING MAX(CASE WHEN n = 1 THEN c_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1),
+       |cpc_n AS (SELECT p.n,
+       |  CAST(SUM(p.clipped) AS BIGINT) AS clipped,
+       |  CAST(SUM(p.c_total) AS BIGINT) AS c_total,
+       |  CAST(SUM(p.r_total) AS BIGINT) AS r_total,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs_n
+       |  FROM cfp_pn p JOIN cpc_paired q ON q.pair_id = p.pair_id
+       |  GROUP BY 1),
+       |cpc_f AS (SELECT n, clipped, c_total, r_total, n_pairs_n,
+       |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
+       |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
+       |         ($beta2 * r_total + c_total) AS BIGINT)
+       |  END AS f_e6
+       |  FROM cpc_n)
+       |SELECT
+       |  MAX(CASE WHEN n = 1 THEN n_pairs_n END) AS n_pairs,
+       |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_chars,
+       |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_chars,
+       |  MAX(CASE WHEN n = 101 THEN c_total END) AS c_words,
+       |  MAX(CASE WHEN n = 101 THEN r_total END) AS r_words,
+       |  CAST(SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_orders,
+       |  CAST(CAST(SUM(f_e6) AS HUGEINT) //
+       |       SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS chrfpp_e6
+       |FROM cpc_f""".stripMargin
+  }
+
   /** The keyed chrF core — `sided` carries `keyCols` + (side, text);
     * one row per key satisfying the drop contract. The positional gate
     * keys by pair_id; [[MultiRefEval.chrF]] keys by (cand_id, ref_id)
@@ -919,12 +997,15 @@ object NgramEval {
     chrFppPerKey(PairedText.sided(docs), Seq("pair_id"), beta2, maxN, wordN)
 
   /** The keyed chrF++ core — see [[chrFPerKey]] for the key contract. */
-  private[text] def chrFppPerKey(sided: DataFrame, keyCols: Seq[String],
-      beta2: Int, maxN: Int, wordN: Int): DataFrame = {
+  /** The keyed per-(key, order) count frame shared by [[chrFppPerKey]]
+    * and [[chrFppCorpus]] — char orders tag as n = 1..maxN, word
+    * orders as n = 8+1..8+wordN (the kernel's tag bit), one exploded
+    * long array, one scan. */
+  private def chrFppCounts(sided: DataFrame, keyCols: Seq[String],
+      maxN: Int, wordN: Int): DataFrame = {
     graft.functions.GramHashes.register(sided.sparkSession)
     val keys = keyCols.map(col)
-    val nComp = maxN + wordN
-    val perN = sided
+    sided
       .withColumn("s", regexp_replace(col("text"), " ", ""))
       .filter(length(col("s")) >= 1)
       .withColumn("ws", split(col("text"), " "))
@@ -941,6 +1022,13 @@ object NgramEval {
       .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
         sum(col("c_cnt")).as("c_total"),
         sum(col("r_cnt")).as("r_total"))
+  }
+
+  private[text] def chrFppPerKey(sided: DataFrame, keyCols: Seq[String],
+      beta2: Int, maxN: Int, wordN: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val nComp = maxN + wordN
+    val perN = chrFppCounts(sided, keyCols, maxN, wordN)
       .withColumn("f_e6",
         when(col("c_total") >= 1 && col("r_total") >= 1, expr(
           s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
@@ -970,11 +1058,13 @@ object NgramEval {
 
   /** DuckDB mirror of [[chrFppPerKey]] — `sidedFrom` must be a
     * parenthesized relation exposing `keyCols` + (side, text). */
-  private[text] def chrFppPerKeySql(keyCols: Seq[String], sidedFrom: String,
-      beta2: Int = 4, maxN: Int = 6, wordN: Int = 2): String = {
-    val nComp = maxN + wordN
+  /** The shared `cfp_src`/`cfp_g`/`cfp_pg`/`cfp_pn` CTE prelude — the
+    * DuckDB twin of [[chrFppCounts]] (word orders as n+100), used by
+    * [[chrFppPerKeySql]] and [[chrFppCorpusSql]]. */
+  private def chrFppCountCtes(keyCols: Seq[String], sidedFrom: String,
+      maxN: Int, wordN: Int): String = {
     val ks = keyCols.mkString(", ")
-    s"""WITH cfp_src AS (
+    s"""cfp_src AS (
        |  SELECT $ks, side,
        |         replace(text, ' ', '') AS s,
        |         string_split(text, ' ') AS ws
@@ -998,7 +1088,14 @@ object NgramEval {
        |  CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS clipped,
        |  CAST(SUM(c_cnt) AS BIGINT) AS c_total,
        |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
-       |  FROM cfp_pg GROUP BY $ks, n),
+       |  FROM cfp_pg GROUP BY $ks, n)""".stripMargin
+  }
+
+  private[text] def chrFppPerKeySql(keyCols: Seq[String], sidedFrom: String,
+      beta2: Int = 4, maxN: Int = 6, wordN: Int = 2): String = {
+    val nComp = maxN + wordN
+    val ks = keyCols.mkString(", ")
+    s"""WITH ${chrFppCountCtes(keyCols, sidedFrom, maxN, wordN)},
        |cfp_f AS (SELECT $ks, n, clipped, c_total, r_total,
        |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
        |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
@@ -1218,6 +1315,8 @@ object NgramEval {
         when(p(0) && p(1) && p(2), 1L).otherwise(0L), none),
       ("eval_cer", true, sub((a, b) => r(a) >= 1 && r(b) >= 1),
         sub((a, b) => r(a) >= 1 && r(b) >= 1 && (r(a) > cap || r(b) > cap))),
+      ("eval_cer_corpus", true, sub((a, b) => r(a) >= 1 && r(b) >= 1),
+        sub((a, b) => r(a) >= 1 && r(b) >= 1 && (r(a) > cap || r(b) > cap))),
       ("eval_chrf", true,
         sub((a, b) => both(a, b) && c(a) >= maxN && c(b) >= maxN), none),
       ("eval_chrf_multiref", false,
@@ -1228,6 +1327,8 @@ object NgramEval {
       ("eval_chrfpp", true,
         sub((a, b) => both(a, b) && c(a) >= maxN && c(b) >= maxN
           && w(a) >= 2 && w(b) >= 2), none),
+      ("eval_chrfpp_corpus", true,
+        sub((a, b) => both(a, b) && c(a) >= 1 && c(b) >= 1), none),
       ("eval_chrfpp_multiref", false, {
         def ok(k: Int) = c(k) >= maxN && w(k) >= 2
         when(ok(0) && (ok(1) || ok(2) || ok(3)), 1L).otherwise(0L) }, none),
@@ -1308,6 +1409,10 @@ object NgramEval {
         sub((a, b) => s"${r(a)} >= 1 AND ${r(b)} >= 1"),
         sub((a, b) => s"${r(a)} >= 1 AND ${r(b)} >= 1 AND " +
           s"(${r(a)} > $cap OR ${r(b)} > $cap)")),
+      ("eval_cer_corpus", true,
+        sub((a, b) => s"${r(a)} >= 1 AND ${r(b)} >= 1"),
+        sub((a, b) => s"${r(a)} >= 1 AND ${r(b)} >= 1 AND " +
+          s"(${r(a)} > $cap OR ${r(b)} > $cap)")),
       ("eval_chrf", true,
         sub((a, b) => s"${both(a, b)} AND ${c(a)} >= $maxN AND ${c(b)} >= $maxN"),
         sub((_, _) => none)),
@@ -1320,6 +1425,9 @@ object NgramEval {
       ("eval_chrfpp", true,
         sub((a, b) => s"${both(a, b)} AND ${c(a)} >= $maxN AND " +
           s"${c(b)} >= $maxN AND ${w(a)} >= 2 AND ${w(b)} >= 2"),
+        sub((_, _) => none)),
+      ("eval_chrfpp_corpus", true,
+        sub((a, b) => s"${both(a, b)} AND ${c(a)} >= 1 AND ${c(b)} >= 1"),
         sub((_, _) => none)),
       ("eval_chrfpp_multiref", false, {
         def ok(k: Int) = s"(c$k >= $maxN AND w$k >= 2)"

@@ -166,6 +166,35 @@ object Wer {
       .toDF("pair_id", "c_len", "r_len", "edits", "cer_e6")
   }
 
+  /** CORPUS-level CER — the [[werCorpus]] twin on the codepoint
+    * alphabet: total codepoint edits over total reference codepoints
+    * (micro average), off the UNCHANGED [[cer]] per-pair frame (same
+    * cap-40-codepoint gate contract, same empty-side drop). ONE row;
+    * the same DECIMAL(38,0)/HUGEINT rate spelling. */
+  def cerCorpus(docs: DataFrame, cap: Int = 40): DataFrame =
+    cer(docs, cap)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("c_len")).as("c_cps"),
+        sum(col("r_len")).as("r_cps"),
+        sum(col("edits")).as("edits"))
+      .select(col("n_pairs"), col("c_cps"), col("r_cps"),
+        col("edits"),
+        expr("CAST(CAST(edits AS DECIMAL(38,0)) * 1000000 div r_cps " +
+          "AS BIGINT)").as("cer_e6"))
+
+  /** DuckDB mirror of [[cerCorpus]]. */
+  def cerCorpusSql(cap: Int = 40, from: String = "documents"): String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(c_len) AS BIGINT) AS c_cps,
+       |  CAST(SUM(r_len) AS BIGINT) AS r_cps,
+       |  CAST(SUM(edits) AS BIGINT) AS edits,
+       |  CAST((SUM(edits)::HUGEINT * 1000000) // SUM(r_len) AS BIGINT)
+       |    AS cer_e6
+       |FROM (
+       |${cerSql(cap, from)}
+       |) cc""".stripMargin
+
   /** Leading-`cap` codepoints of `s` as single-codepoint strings
     * (surrogate pairs collapse to one symbol). */
   private def codepointSyms(s: String, cap: Int): Array[String] = {

@@ -430,8 +430,9 @@ class NgramEvalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val pairGates = Set("eval_ngram_overlap", "eval_bleu4",
-      "eval_bleu4_corpus", "eval_cer", "eval_chrf", "eval_chrf_corpus",
-      "eval_chrf_reduced", "eval_chrfpp", "eval_rouge_l", "eval_rouge_n",
+      "eval_bleu4_corpus", "eval_cer", "eval_cer_corpus", "eval_chrf",
+      "eval_chrf_corpus", "eval_chrf_reduced", "eval_chrfpp",
+      "eval_chrfpp_corpus", "eval_rouge_l", "eval_rouge_n",
       "eval_token_f1", "eval_wer", "eval_wer_corpus")
     val quadGates = Set("eval_bleu4_multiref", "eval_bleu4_paired_bs",
       "eval_chrf_multiref", "eval_chrfpp_multiref", "eval_rouge_l_multiref",
@@ -455,12 +456,16 @@ class NgramEvalSpec extends AnyFunSuite {
       "eval_bleu4_paired_bs" -> NgramEval.bleu4PairedBootstrap(docs, b = 10)
         .head().getAs[Long]("n_quads"),
       "eval_cer" -> Wer.cer(docs).count(),
+      "eval_cer_corpus" ->
+        Wer.cerCorpus(docs).head().getAs[Long]("n_pairs"),
       "eval_chrf" -> NgramEval.chrF(docs).count(),
       "eval_chrf_multiref" -> MultiRefEval.chrF(cands, refs).count(),
       "eval_chrf_corpus" ->
         NgramEval.chrFCorpus(docs).head().getAs[Long]("n_pairs"),
       "eval_chrf_reduced" -> NgramEval.chrFReduced(docs).count(),
       "eval_chrfpp" -> NgramEval.chrFpp(docs).count(),
+      "eval_chrfpp_corpus" ->
+        NgramEval.chrFppCorpus(docs).head().getAs[Long]("n_pairs"),
       "eval_chrfpp_multiref" -> MultiRefEval.chrFpp(cands, refs).count(),
       "eval_rouge_l" -> RougeL.rougeL(docs).count(),
       "eval_rouge_l_multiref" -> MultiRefEval.rougeL(cands, refs).count(),
@@ -485,10 +490,11 @@ class NgramEvalSpec extends AnyFunSuite {
     assert(cov("eval_wer")._4 === 1L)
     assert(cov("eval_wer_corpus")._4 === 1L)
     assert(cov("eval_cer")._4 === 1L)
+    assert(cov("eval_cer_corpus")._4 === 1L)
     assert(cov("eval_rouge_l_multiref")._4 === 1L)
     assert(cov("eval_wer_multiref")._4 === 1L)
     (pairGates ++ quadGates -- Set("eval_rouge_l", "eval_wer",
-      "eval_wer_corpus", "eval_cer",
+      "eval_wer_corpus", "eval_cer", "eval_cer_corpus",
       "eval_rouge_l_multiref", "eval_wer_multiref")).foreach { m =>
       assert(cov(m)._4 === 0L, s"$m must not truncate") }
     // the regimes genuinely differ (the ledger isn't vacuous)
@@ -570,6 +576,42 @@ class NgramEvalSpec extends AnyFunSuite {
       from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")).head
     assert(du.map(_.get.toLong) === (0 until 5).map(sp.getLong))
     assert(sp.getAs[Long]("n_pairs") === 2L) // empty/NULL sides dropped
+  }
+
+  test("chrFppCorpus: micro over 8 components; solo full pair equals chrFpp") {
+    import spark.implicits._
+    val full = Seq(
+      0L -> "the quick brown fox jumps", 1L -> "the quick brown dog jumps")
+    val docs = (full ++ Seq(2L -> "ab cd", 3L -> "ab ce"))
+      .toDF("doc_id", "text")
+    val row = NgramEval.chrFppCorpus(docs).head()
+    assert(row.getAs[Long]("n_pairs") === 2L)
+    // char totals strip spaces: 21 + 4 per side; word unigrams 5 + 2
+    assert(row.getAs[Long]("c_chars") === 25L)
+    assert(row.getAs[Long]("r_chars") === 25L)
+    assert(row.getAs[Long]("c_words") === 7L)
+    assert(row.getAs[Long]("r_words") === 7L)
+    assert(row.getAs[Long]("n_orders") === 8L)
+    // a single full-contract pair: corpus micro == the per-pair gate
+    val solo = full.toDF("doc_id", "text")
+    assert(NgramEval.chrFppCorpus(solo).head().getAs[Long]("chrfpp_e6") ===
+      NgramEval.chrFpp(solo).head().getAs[Long]("chrfpp_e6"))
+  }
+
+  test("chrFppCorpusSql mirror matches the Spark side") {
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "the quick brown fox jumps", 1L -> "the quick brown dog jumps",
+      2L -> "ab cd", 3L -> "ab ce",
+      4L -> "one side only", 5L -> null)
+    val sp = NgramEval.chrFppCorpus(docs.toDF("doc_id", "text")).head()
+    val values = docs.map { case (id, t) =>
+      if (t == null) s"($id, NULL)" else s"($id, '$t')" }.mkString(", ")
+    val du = DuckBridgeTestUtil.duck(NgramEval.chrFppCorpusSql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")).head
+    assert(du.map(_.get.toLong) === (0 until 7).map(sp.getLong))
   }
 
   test("bleu4PairedBootstrap: identical systems tie on every replicate") {

@@ -181,4 +181,25 @@ class WerSpec extends AnyFunSuite {
     assert(du.map(_.get.toLong) ===
       (0 until 5).map(sp.getLong))
   }
+
+  test("cerCorpus: micro codepoint rate; mirror matches (unicode + NULL)") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "ab", 1L -> "ax",                  // 1 edit / 2 cps
+      2L -> "abcdefgh", 3L -> "abcdefgz",      // 1 edit / 8 cps
+      4L -> "unpaired", 5L -> null)
+    val row = Wer.cerCorpus(docs.toDF("doc_id", "text")).head()
+    assert(row.getAs[Long]("n_pairs") === 2L)
+    assert(row.getAs[Long]("r_cps") === 10L)
+    assert(row.getAs[Long]("edits") === 2L)
+    // micro 2/10 = 200000; macro would be (500000 + 125000)/2 = 312500
+    assert(row.getAs[Long]("cer_e6") === 200000L)
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    val values = docs.map { case (id, t) =>
+      if (t == null) s"($id, NULL)" else s"($id, '$t')" }.mkString(", ")
+    val du = DuckBridgeTestUtil.duck(Wer.cerCorpusSql(
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")).head
+    assert(du.map(_.get.toLong) === (0 until 5).map(row.getLong))
+  }
 }
