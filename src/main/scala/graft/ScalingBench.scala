@@ -92,6 +92,7 @@ object ScalingBench {
       "eval_chrfpp_multiref" -> "documents",
       "eval_token_f1_multiref" -> "documents",
       "eval_bleu4_paired_bs" -> "documents",
+      "eval_chrf_paired_bs" -> "documents",
       "eval_pair_coverage" -> "documents",
       "eval_chrf_reduced" -> "documents",
       "eval_rouge_n" -> "documents",

@@ -340,6 +340,13 @@ object DocQueries {
     MultiRefEval.wer(mod4Cands(docs), mod4Refs(docs))
   }
 
+  /** Paired-bootstrap corpus-chrF significance: same quad layout and
+    * paired Poisson weights as the BLEU face, replicate score =
+    * corpus chrF (weighted per-order F, populated-components mean);
+    * one row, all integers. */
+  private val evalChrfPairedBs: Q = (s, d) =>
+    NgramEval.chrFPairedBootstrap(table(s, d, "documents"))
+
   /** Multi-reference ROUGE-1/2: max F1 per order over refs. */
   private val evalRougeNMultiRef: Q = (s, d) => {
     val docs = table(s, d, "documents")
@@ -984,6 +991,8 @@ object DocQueries {
       candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
     ("eval_bleu4_paired_bs", evalBleu4PairedBs,
       Some(NgramEval.bleu4PairedBootstrapSql())),
+    ("eval_chrf_paired_bs", evalChrfPairedBs,
+      Some(NgramEval.chrFPairedBootstrapSql())),
     ("eval_rouge_l_multiref", evalRougeLMultiRef, Some(MultiRefEval.rougeLSql(
       candsFrom = mod4CandsSql, refsFrom = mod4RefsSql))),
     ("eval_rouge_n_multiref", evalRougeNMultiRef, Some(MultiRefEval.rougeNSql(

@@ -627,6 +627,198 @@ object NgramEval {
        |FROM pb_full f, pb_ci c""".stripMargin
   }
 
+  /** Paired-bootstrap significance for corpus chrF — sacrebleu's
+    * `paired-bs` applied to its second headline metric: the same quad
+    * layout and ONE-weight-per-(quad, replicate) Poisson draw as
+    * [[bleu4PairedBootstrap]] (identical inclusion/window/explode
+    * skeleton), but the replicate score is corpus chrF — per-order
+    * F_β from the weighted corpus sums, populated-components mean
+    * (the [[chrFCorpus]] statistic) — so there is no log/brevity
+    * machinery at all: the whole test is rationals of longs and the
+    * gate replays hash-exactly. b = −1 is the weight-1 full-corpus
+    * face; quads need ≥ 1 stripped char in ALL of slots 0/1/2.
+    * Output: ONE row — full scores + delta, win/tie counts, exact
+    * -order-statistic delta CI. */
+  def chrFPairedBootstrap(docs: DataFrame, b: Int = 100, beta2: Int = 4,
+      maxN: Int = 6, loPct: Double = 0.025,
+      hiPct: Double = 0.975): DataFrame = {
+    require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
+    graft.functions.GramHashes.register(docs.sparkSession)
+    val perQuadN = docs
+      .withColumn("s", regexp_replace(col("text"), " ", ""))
+      .filter(length(col("s")) >= 1 && pmod(col("doc_id"), lit(4)) < 3)
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(4))).as("quad_id"),
+        pmod(col("doc_id"), lit(4)).as("slot"),
+        explode(expr(s"cp_gram_hashes(s, 1, $maxN)")).as("e"))
+      .select(col("quad_id"), col("slot"),
+        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
+      .groupBy(col("quad_id"), col("n"), col("g"))
+      .agg(sum(when(col("slot") === 0, 1L).otherwise(0L)).as("a_cnt"),
+        sum(when(col("slot") === 2, 1L).otherwise(0L)).as("b_cnt"),
+        sum(when(col("slot") === 1, 1L).otherwise(0L)).as("r_cnt"))
+      .groupBy(col("quad_id"), col("n"))
+      .agg(sum(least(col("a_cnt"), col("r_cnt"))).as("clipped_a"),
+        sum(least(col("b_cnt"), col("r_cnt"))).as("clipped_b"),
+        sum(col("a_cnt")).as("a_total"),
+        sum(col("b_cnt")).as("b_total"),
+        sum(col("r_cnt")).as("r_total"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("quad_id")
+    val perRep = perQuadN
+      .withColumn("a_len_q", max(when(col("n") === 1, col("a_total"))).over(w))
+      .withColumn("b_len_q", max(when(col("n") === 1, col("b_total"))).over(w))
+      .withColumn("r_len_q", max(when(col("n") === 1, col("r_total"))).over(w))
+      .filter(col("a_len_q") >= 1 && col("b_len_q") >= 1 &&
+        col("r_len_q") >= 1)
+      .select(col("quad_id"), col("n"), col("r_total"),
+        explode(array(
+          struct(lit(0).as("sys"), col("clipped_a").as("clipped"),
+            col("a_total").as("c_total")),
+          struct(lit(1).as("sys"), col("clipped_b").as("clipped"),
+            col("b_total").as("c_total")))).as("sc"))
+      .select(col("quad_id"), col("n"), col("r_total"),
+        col("sc.sys").as("sys"), col("sc.clipped").as("clipped"),
+        col("sc.c_total").as("c_total"))
+      .withColumn("b", explode(expr(s"sequence(-1, ${b - 1})")))
+      .withColumn("m", when(col("b") === -1, 1)
+        .otherwise(graft.ops.Bootstrap.multiplicity("quad_id")))
+      .groupBy(col("b"), col("sys"), col("n"))
+      .agg(sum(col("m") * col("clipped")).as("cl"),
+        sum(col("m") * col("c_total")).as("ct"),
+        sum(col("m") * col("r_total")).as("rt"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("nq"))
+      .withColumn("f_e6",
+        when(col("ct") >= 1 && col("rt") >= 1, expr(
+          s"CAST(${1 + beta2} AS DECIMAL(38,0)) * cl * 1000000 div " +
+            s"($beta2 * rt + ct)")))
+    val perSys = perRep.groupBy(col("b"), col("sys"))
+      .agg(
+        max(when(col("n") === 1, col("nq"))).as("nq"),
+        sum(when(col("f_e6").isNotNull, 1L).otherwise(0L)).as("n_orders"),
+        sum(col("f_e6")).as("sum_f"))
+      .withColumn("score",
+        when(col("n_orders") >= 1,
+          expr("CAST(sum_f div n_orders AS BIGINT)")))
+    val perB = perSys.groupBy(col("b"))
+      .agg(max(when(col("sys") === 0, col("score"))).as("chrf_a"),
+        max(when(col("sys") === 1, col("score"))).as("chrf_b"),
+        max(when(col("sys") === 0, col("nq"))).as("nq"))
+      .withColumn("delta", col("chrf_a") - col("chrf_b"))
+    val full = perB.filter(col("b") === -1)
+      .select(col("nq").as("n_quads"), col("chrf_a"), col("chrf_b"),
+        col("delta").as("delta_full"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("delta"), col("b"))
+    val boots = perB.filter(col("b") >= 0 && col("delta").isNotNull)
+      .withColumn("_r", row_number().over(wAll))
+      .withColumn("_cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .agg(
+        count(lit(1)).as("n_boot"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("delta") < 0, 1L).otherwise(0L)).as("wins_b"),
+        sum(when(col("delta") === 0, 1L).otherwise(0L)).as("ties"),
+        max(when(col("_r") === ceil(lit(loPct) * col("_cnt")), col("delta")))
+          .as("delta_lo"),
+        max(when(col("_r") === ceil(lit(hiPct) * col("_cnt")), col("delta")))
+          .as("delta_hi"))
+    full.crossJoin(boots)
+      .select(col("n_quads"), col("chrf_a"), col("chrf_b"),
+        col("delta_full"), col("n_boot"), col("wins_a"), col("wins_b"),
+        col("ties"), col("delta_lo"), col("delta_hi"))
+  }
+
+  /** DuckDB mirror of [[chrFPairedBootstrap]]. */
+  def chrFPairedBootstrapSql(b: Int = 100, beta2: Int = 4, maxN: Int = 6,
+      loPct: Double = 0.025, hiPct: Double = 0.975,
+      from: String = "documents"): String = {
+    s"""WITH cb_ws AS (
+       |  SELECT doc_id, replace(text, ' ', '') AS s FROM $from
+       |  WHERE text IS NOT NULL AND length(replace(text, ' ', '')) >= 1
+       |    AND ((doc_id % 4) + 4) % 4 < 3),
+       |cb_g AS (
+       |  SELECT doc_id - (((doc_id % 4) + 4) % 4) AS quad_id,
+       |         ((doc_id % 4) + 4) % 4 AS slot, tn.n AS n,
+       |         md5(substr(s, i, tn.n)) AS g
+       |  FROM cb_ws, unnest(generate_series(1, $maxN)) tn(n),
+       |       unnest(generate_series(1, length(s) - tn.n + 1)) t(i)
+       |  WHERE length(s) >= tn.n),
+       |cb_qg AS (SELECT quad_id, n, g,
+       |  CAST(SUM(CASE WHEN slot = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+       |  CAST(SUM(CASE WHEN slot = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+       |  CAST(SUM(CASE WHEN slot = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM cb_g GROUP BY 1, 2, 3),
+       |cb_qn AS (SELECT quad_id, n,
+       |  CAST(SUM(LEAST(a_cnt, r_cnt)) AS BIGINT) AS clipped_a,
+       |  CAST(SUM(LEAST(b_cnt, r_cnt)) AS BIGINT) AS clipped_b,
+       |  CAST(SUM(a_cnt) AS BIGINT) AS a_total,
+       |  CAST(SUM(b_cnt) AS BIGINT) AS b_total,
+       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
+       |  FROM cb_qg GROUP BY 1, 2),
+       |cb_inc AS (SELECT quad_id FROM cb_qn GROUP BY 1
+       |  HAVING MAX(CASE WHEN n = 1 THEN a_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN b_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1),
+       |cb_sys AS (
+       |  SELECT p.quad_id, p.n, p.r_total, s.sys,
+       |    CASE WHEN s.sys = 0 THEN p.clipped_a ELSE p.clipped_b END AS clipped,
+       |    CASE WHEN s.sys = 0 THEN p.a_total ELSE p.b_total END AS c_total
+       |  FROM cb_qn p JOIN cb_inc q ON q.quad_id = p.quad_id,
+       |       (VALUES (0), (1)) s(sys)),
+       |cb_rep AS (
+       |  SELECT quad_id, n, r_total, sys, clipped, c_total, reps.b,
+       |    CASE WHEN reps.b = -1 THEN 1
+       |         ELSE ${graft.ops.Bootstrap.multiplicitySql("quad_id")} END AS m
+       |  FROM cb_sys,
+       |       (SELECT unnest(generate_series(-1, ${b - 1})) AS b) reps),
+       |cb_bn AS (SELECT b, sys, n,
+       |  CAST(SUM(m * clipped) AS BIGINT) AS cl,
+       |  CAST(SUM(m * c_total) AS BIGINT) AS ct,
+       |  CAST(SUM(m * r_total) AS BIGINT) AS rt,
+       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nq
+       |  FROM cb_rep GROUP BY 1, 2, 3),
+       |cb_f AS (SELECT b, sys, n, nq,
+       |  CASE WHEN ct >= 1 AND rt >= 1 THEN
+       |    CAST((${1 + beta2}::HUGEINT * cl * 1000000) //
+       |         ($beta2 * rt + ct) AS BIGINT)
+       |  END AS f_e6
+       |  FROM cb_bn),
+       |cb_sc AS (SELECT b, sys,
+       |  MAX(CASE WHEN n = 1 THEN nq END) AS nq,
+       |  CASE WHEN SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END) >= 1
+       |       THEN CAST(CAST(SUM(f_e6) AS HUGEINT) //
+       |            SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT)
+       |  END AS score
+       |  FROM cb_f GROUP BY 1, 2),
+       |cb_d AS (SELECT b,
+       |  MAX(CASE WHEN sys = 0 THEN score END) AS chrf_a,
+       |  MAX(CASE WHEN sys = 1 THEN score END) AS chrf_b,
+       |  MAX(CASE WHEN sys = 0 THEN nq END) AS nq,
+       |  MAX(CASE WHEN sys = 0 THEN score END)
+       |    - MAX(CASE WHEN sys = 1 THEN score END) AS delta
+       |  FROM cb_sc GROUP BY 1),
+       |cb_full AS (SELECT nq AS n_quads, chrf_a, chrf_b,
+       |  delta AS delta_full FROM cb_d WHERE b = -1),
+       |cb_rank AS (
+       |  SELECT *, row_number() OVER (ORDER BY delta, b) AS r,
+       |    COUNT(*) OVER () AS cnt
+       |  FROM cb_d WHERE b >= 0 AND delta IS NOT NULL),
+       |cb_ci AS (SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS n_boot,
+       |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins_a,
+       |  CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS wins_b,
+       |  CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+       |  MAX(CASE WHEN r = CAST(ceil(CAST($loPct AS DOUBLE) * cnt) AS BIGINT)
+       |      THEN delta END) AS delta_lo,
+       |  MAX(CASE WHEN r = CAST(ceil(CAST($hiPct AS DOUBLE) * cnt) AS BIGINT)
+       |      THEN delta END) AS delta_hi
+       |  FROM cb_rank)
+       |SELECT f.n_quads, f.chrf_a, f.chrf_b, f.delta_full,
+       |  c.n_boot, c.wins_a, c.wins_b, c.ties, c.delta_lo, c.delta_hi
+       |FROM cb_full f, cb_ci c""".stripMargin
+  }
+
   /** SQuAD-style answer-eval pair: per (even, odd) doc pair the
     * token-bag F1 (2·Σ min(c(t), r(t)) / (c_len + r_len) — the chrF
     * rational-of-longs cancellation at word unigrams) and EXACT MATCH
@@ -1322,6 +1514,8 @@ object NgramEval {
       ("eval_chrf_multiref", false,
         when(c(0) >= maxN && (c(1) >= maxN || c(2) >= maxN || c(3) >= maxN),
           1L).otherwise(0L), none),
+      ("eval_chrf_paired_bs", false,
+        when(c(0) >= 1 && c(1) >= 1 && c(2) >= 1, 1L).otherwise(0L), none),
       ("eval_chrf_reduced", true,
         sub((a, b) => both(a, b) && c(a) >= 1 && c(b) >= 1), none),
       ("eval_chrfpp", true,
@@ -1419,6 +1613,8 @@ object NgramEval {
       ("eval_chrf_multiref", false,
         one(s"c0 >= $maxN AND (c1 >= $maxN OR c2 >= $maxN OR c3 >= $maxN)"),
         one(none)),
+      ("eval_chrf_paired_bs", false,
+        one("c0 >= 1 AND c1 >= 1 AND c2 >= 1"), one(none)),
       ("eval_chrf_reduced", true,
         sub((a, b) => s"${both(a, b)} AND ${c(a)} >= 1 AND ${c(b)} >= 1"),
         sub((_, _) => none)),

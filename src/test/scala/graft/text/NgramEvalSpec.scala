@@ -435,9 +435,9 @@ class NgramEvalSpec extends AnyFunSuite {
       "eval_chrfpp_corpus", "eval_rouge_l", "eval_rouge_n",
       "eval_token_f1", "eval_wer", "eval_wer_corpus")
     val quadGates = Set("eval_bleu4_multiref", "eval_bleu4_paired_bs",
-      "eval_chrf_multiref", "eval_chrfpp_multiref", "eval_rouge_l_multiref",
-      "eval_rouge_n_multiref", "eval_token_f1_multiref",
-      "eval_wer_multiref")
+      "eval_chrf_multiref", "eval_chrf_paired_bs", "eval_chrfpp_multiref",
+      "eval_rouge_l_multiref", "eval_rouge_n_multiref",
+      "eval_token_f1_multiref", "eval_wer_multiref")
     assert(cov.keySet === pairGates ++ quadGates)
     // the gate data shape: mod-4 cands and refs (DocQueries pairing)
     val cands = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
@@ -460,6 +460,8 @@ class NgramEvalSpec extends AnyFunSuite {
         Wer.cerCorpus(docs).head().getAs[Long]("n_pairs"),
       "eval_chrf" -> NgramEval.chrF(docs).count(),
       "eval_chrf_multiref" -> MultiRefEval.chrF(cands, refs).count(),
+      "eval_chrf_paired_bs" -> NgramEval.chrFPairedBootstrap(docs, b = 10)
+        .head().getAs[Long]("n_quads"),
       "eval_chrf_corpus" ->
         NgramEval.chrFCorpus(docs).head().getAs[Long]("n_pairs"),
       "eval_chrf_reduced" -> NgramEval.chrFReduced(docs).count(),
@@ -612,6 +614,63 @@ class NgramEvalSpec extends AnyFunSuite {
     val du = DuckBridgeTestUtil.duck(NgramEval.chrFppCorpusSql(
       from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")).head
     assert(du.map(_.get.toLong) === (0 until 7).map(sp.getLong))
+  }
+
+  test("chrFPairedBootstrap: ties on identical systems; better system wins; mirror") {
+    import spark.implicits._
+    // identical systems -> every replicate delta exactly 0
+    val tied = (0 until 5).flatMap { q =>
+      val base = q * 4L
+      Seq(base -> s"the quick fox number $q jumps high",
+        (base + 1) -> s"the quick fox number $q jumped highest",
+        (base + 2) -> s"the quick fox number $q jumps high",
+        (base + 3) -> "unused slot")
+    }
+    val t = NgramEval.chrFPairedBootstrap(
+      tied.toDF("doc_id", "text"), b = 50).head()
+    assert(t.getAs[Long]("n_quads") === 5L)
+    assert(t.getAs[Long]("delta_full") === 0L)
+    assert(t.getAs[Long]("wins_a") === 0L && t.getAs[Long]("wins_b") === 0L)
+    assert(t.getAs[Long]("ties") === t.getAs[Long]("n_boot"))
+    // sys A verbatim, sys B one word wrong -> A wins every replicate
+    val skew = (0 until 6).flatMap { q =>
+      val base = q * 4L
+      val ref = s"alpha bravo charlie delta echo foxtrot golf q$q"
+      Seq(base -> ref, (base + 1) -> ref,
+        (base + 2) -> s"alpha bravo charlie delta echo foxtrot golf wrong$q")
+    }
+    val k = NgramEval.chrFPairedBootstrap(
+      skew.toDF("doc_id", "text"), b = 50).head()
+    assert(k.getAs[Long]("chrf_a") === 1000000L) // verbatim -> exact 1
+    assert(k.getAs[Long]("delta_full") > 0L)
+    assert(k.getAs[Long]("wins_a") === k.getAs[Long]("n_boot"))
+    assert(k.getAs[Long]("delta_lo") > 0L)
+    // mirror on a mixed fixture (incomplete quad + NULL ref excluded)
+    import graft.util.DuckBridgeTestUtil
+    assume(DuckBridgeTestUtil.duckAvailable)
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> "the cat sat on the mat near the door",
+      1L -> "the cat sat on the mat by the door",
+      2L -> "a cat is sitting on the mat there now",
+      4L -> "pack my box with five dozen liquor jugs",
+      5L -> "pack my box with six dozen liquor jugs",
+      6L -> "pack my box with five dozen liquor jugs",
+      8L -> "quads need all three sides to count in",
+      12L -> "this quad has a null reference side xx",
+      13L -> null,
+      14L -> "so it is excluded from the test set yy")
+    val values = docs.map { case (id, tx) =>
+      if (tx == null) s"($id, NULL)" else s"($id, '$tx')" }.mkString(", ")
+    val s = NgramEval.chrFPairedBootstrap(
+      docs.toDF("doc_id", "text"), b = 30).head()
+    val d = DuckBridgeTestUtil.duck(NgramEval.chrFPairedBootstrapSql(b = 30,
+      from = s"(SELECT * FROM (VALUES $values) t(doc_id, text))")).head
+    assert(s.getAs[Long]("n_quads") === 2L)
+    (0 until s.length).foreach { i =>
+      assert(d(i).map(_.toLong) ===
+        Option(s.get(i)).map(_.asInstanceOf[Long]),
+        s"column ${s.schema(i).name}")
+    }
   }
 
   test("bleu4PairedBootstrap: identical systems tie on every replicate") {
