@@ -507,28 +507,57 @@ object NgramEval {
         max(when(col("sys") === 1, col("score"))).as("score_b"),
         max(when(col("sys") === 0, col("nq"))).as("nq"))
       .withColumn("delta", col("score_a") - col("score_b"))
-    val full = perB.filter(col("b") === -1)
-      .select(col("nq").as("n_quads"), col("score_a"), col("score_b"),
-        col("delta").as("delta_full"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .orderBy(col("delta"), col("b"))
-    val boots = perB.filter(col("b") >= 0 && col("delta").isNotNull)
-      .withColumn("_r", row_number().over(wAll))
-      .withColumn("_cnt", count(lit(1)).over(
+    pairedBsRollup(perB, "score_a", "score_b", loPct, hiPct)
+  }
+
+  /** The ONE full-face + CI rollup shared by [[bleu4PairedBootstrap]]
+    * and [[chrFPairedBootstrap]] — a SINGLE pass over the
+    * (b+2)-row per-replicate frame: the b = −1 full-corpus row pivots
+    * out with conditional maxes and the bootstrap rows rank inside a
+    * partitioned window, all in one aggregation. (The first spelling
+    * cross-joined a full branch with a CI branch, which re-executed
+    * the whole gram pipeline per branch — 2 scans and a
+    * BroadcastNestedLoopJoin for nothing; the DuckDB mirrors keep the
+    * two-CTE cross join, where the CTE is materialized once.) */
+  private def pairedBsRollup(perB: DataFrame, aName: String, bName: String,
+      loPct: Double, hiPct: Double): DataFrame = {
+    val isB = col("b") >= 0 && col("delta").isNotNull
+    val ranked = perB
+      .withColumn("_isb", isB)
+      .withColumn("_r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("_isb").orderBy(col("delta"), col("b"))))
+      .withColumn("_cnt", sum(when(col("_isb"), 1L).otherwise(0L)).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
-      .agg(
-        count(lit(1)).as("n_boot"),
-        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("wins_a"),
-        sum(when(col("delta") < 0, 1L).otherwise(0L)).as("wins_b"),
-        sum(when(col("delta") === 0, 1L).otherwise(0L)).as("ties"),
-        max(when(col("_r") === ceil(lit(loPct) * col("_cnt")), col("delta")))
-          .as("delta_lo"),
-        max(when(col("_r") === ceil(lit(hiPct) * col("_cnt")), col("delta")))
-          .as("delta_hi"))
-    full.crossJoin(boots)
-      .select(col("n_quads"), col("score_a"), col("score_b"),
-        col("delta_full"), col("n_boot"), col("wins_a"), col("wins_b"),
-        col("ties"), col("delta_lo"), col("delta_hi"))
+    ranked.agg(
+      max(when(col("b") === -1, col("nq"))).as("n_quads"),
+      max(when(col("b") === -1, col(aName))).as(aName),
+      max(when(col("b") === -1, col(bName))).as(bName),
+      max(when(col("b") === -1, col("delta"))).as("delta_full"),
+      sum(when(col("_isb"), 1L).otherwise(0L)).as("n_boot"),
+      sum(when(col("_isb") && col("delta") > 0, 1L).otherwise(0L))
+        .as("wins_a"),
+      sum(when(col("_isb") && col("delta") < 0, 1L).otherwise(0L))
+        .as("wins_b"),
+      sum(when(col("_isb") && col("delta") === 0, 1L).otherwise(0L))
+        .as("ties"),
+      max(when(col("_isb") &&
+        col("_r") === ceil(lit(loPct) * col("_cnt")), col("delta")))
+        .as("delta_lo"),
+      max(when(col("_isb") &&
+        col("_r") === ceil(lit(hiPct) * col("_cnt")), col("delta")))
+        .as("delta_hi"))
+      // an all-excluded corpus has no b = -1 row: emit ZERO rows, the
+      // SQL mirrors' empty-full-CTE behavior; and when NO replicate
+      // scored (n_boot = 0) the win/tie counters are NULL — the
+      // mirrors' SUM-over-empty — not 0
+      .filter(col("n_quads").isNotNull)
+      .select(col("n_quads"), col(aName), col(bName), col("delta_full"),
+        col("n_boot"),
+        when(col("n_boot") > 0, col("wins_a")).as("wins_a"),
+        when(col("n_boot") > 0, col("wins_b")).as("wins_b"),
+        when(col("n_boot") > 0, col("ties")).as("ties"),
+        col("delta_lo"), col("delta_hi"))
   }
 
   /** DuckDB mirror of [[bleu4PairedBootstrap]]. */
@@ -704,28 +733,7 @@ object NgramEval {
         max(when(col("sys") === 1, col("score"))).as("chrf_b"),
         max(when(col("sys") === 0, col("nq"))).as("nq"))
       .withColumn("delta", col("chrf_a") - col("chrf_b"))
-    val full = perB.filter(col("b") === -1)
-      .select(col("nq").as("n_quads"), col("chrf_a"), col("chrf_b"),
-        col("delta").as("delta_full"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .orderBy(col("delta"), col("b"))
-    val boots = perB.filter(col("b") >= 0 && col("delta").isNotNull)
-      .withColumn("_r", row_number().over(wAll))
-      .withColumn("_cnt", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .agg(
-        count(lit(1)).as("n_boot"),
-        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("wins_a"),
-        sum(when(col("delta") < 0, 1L).otherwise(0L)).as("wins_b"),
-        sum(when(col("delta") === 0, 1L).otherwise(0L)).as("ties"),
-        max(when(col("_r") === ceil(lit(loPct) * col("_cnt")), col("delta")))
-          .as("delta_lo"),
-        max(when(col("_r") === ceil(lit(hiPct) * col("_cnt")), col("delta")))
-          .as("delta_hi"))
-    full.crossJoin(boots)
-      .select(col("n_quads"), col("chrf_a"), col("chrf_b"),
-        col("delta_full"), col("n_boot"), col("wins_a"), col("wins_b"),
-        col("ties"), col("delta_lo"), col("delta_hi"))
+    pairedBsRollup(perB, "chrf_a", "chrf_b", loPct, hiPct)
   }
 
   /** DuckDB mirror of [[chrFPairedBootstrap]]. */

@@ -53,12 +53,6 @@ class PlanLintSpec extends AnyFunSuite {
                               // branches (basics × distincts) — the
                               // split that avoids the Expand-carried
                               // min/max trap (see Profile scaladoc)
-    "eval_bleu4_paired_bs" -> 4L,   // cross of the 1-row full-corpus
-                              // score (replicate b = -1) with the
-                              // 1-row bootstrap win/CI aggregate —
-                              // the quality_profile pattern
-    "eval_chrf_paired_bs" -> 4L,    // the same full × CI 1-row cross on
-                              // the chrF face of the paired test
     "knn_kmeans_step" -> 16L,        // k=8-row broadcast centroid table
                               // fanned against the corpus scan — the
                               // definition of Lloyd assignment (same
