@@ -428,21 +428,22 @@ object NgramEval {
     * order) hash aggregation, and O(B) driver-free order statistics.
     * The full-corpus score rides the same pipeline as the weight-1
     * replicate b = −1. */
-  def bleu4PairedBootstrap(docs: DataFrame, b: Int = 100, fbits: Int = 20,
-      loPct: Double = 0.025, hiPct: Double = 0.975): DataFrame = {
-    require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    graft.functions.GramHashes.register(spark)
-    val perQuadN = docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 1 && pmod(col("doc_id"), lit(4)) < 3)
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(4))).as("quad_id"),
-        pmod(col("doc_id"), lit(4)).as("slot"),
-        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
-      .select(col("quad_id"), col("slot"),
-        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
+  /** The shared paired-bootstrap quad skeleton — from a side-tagged
+    * gram frame (quad_id, slot ∈ {0 = sys A, 1 = ref, 2 = sys B}, n,
+    * g) to the per-(replicate, system, order) weighted corpus sums:
+    * per-quad clipped counts, the all-three-slots inclusion rule as a
+    * quad-partitioned window on the AGGREGATE frame (no second pass
+    * over the gram pipeline), the two systems stacked as side-tagged
+    * rows, the replicate explode with ONE paired Poisson weight per
+    * (quad, replicate) — [[graft.ops.Bootstrap]]'s md5 draw, applied
+    * to BOTH systems so each replicate compares them on the same
+    * resampled test set; b = −1 is the weight-1 full-corpus face —
+    * and the map-side-combined (b, sys, n) aggregation. ONE spelling
+    * for [[bleu4PairedBootstrap]] and [[chrFPairedBootstrap]]
+    * (pairedBsCtes is the DuckDB twin). Output: (b, sys, n, cl, ct,
+    * rt, nq). */
+  private def pairedBsWeightedSums(grams: DataFrame, b: Int): DataFrame = {
+    val perQuadN = grams
       .groupBy(col("quad_id"), col("n"), col("g"))
       .agg(sum(when(col("slot") === 0, 1L).otherwise(0L)).as("a_cnt"),
         sum(when(col("slot") === 2, 1L).otherwise(0L)).as("b_cnt"),
@@ -453,12 +454,8 @@ object NgramEval {
         sum(col("a_cnt")).as("a_total"),
         sum(col("b_cnt")).as("b_total"),
         sum(col("r_cnt")).as("r_total"))
-    // inclusion rule on the aggregate frame (quad-partitioned window —
-    // no second pass over the gram pipeline), then the two systems
-    // stack as side-tagged rows and the replicate ids explode with the
-    // PAIRED weight; b = -1 is the weight-1 full-corpus face
     val w = org.apache.spark.sql.expressions.Window.partitionBy("quad_id")
-    val perRep = perQuadN
+    perQuadN
       .withColumn("a_len_q", max(when(col("n") === 1, col("a_total"))).over(w))
       .withColumn("b_len_q", max(when(col("n") === 1, col("b_total"))).over(w))
       .withColumn("r_len_q", max(when(col("n") === 1, col("r_total"))).over(w))
@@ -480,7 +477,24 @@ object NgramEval {
         sum(col("m") * col("c_total")).as("ct"),
         sum(col("m") * col("r_total")).as("rt"),
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("nq"))
-    val withQ = perRep
+  }
+
+  def bleu4PairedBootstrap(docs: DataFrame, b: Int = 100, fbits: Int = 20,
+      loPct: Double = 0.025, hiPct: Double = 0.975): DataFrame = {
+    require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GramHashes.register(spark)
+    val grams = docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 1 && pmod(col("doc_id"), lit(4)) < 3)
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(4))).as("quad_id"),
+        pmod(col("doc_id"), lit(4)).as("slot"),
+        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
+      .select(col("quad_id"), col("slot"),
+        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
+    val withQ = pairedBsWeightedSums(grams, b)
       .select(col("b").cast("int").as("b"), col("sys").cast("int").as("sys"),
         col("n").cast("int").as("n"), col("cl"), col("ct"), col("rt"),
         col("nq"))
@@ -560,6 +574,45 @@ object NgramEval {
         col("delta_lo"), col("delta_hi"))
   }
 
+  /** DuckDB twin of [[pairedBsWeightedSums]] — the `<p>_qg` … `<p>_bn`
+    * CTE chain over a gram CTE named `<p>_g` exposing (quad_id, slot,
+    * n, g); no leading WITH, no trailing comma. */
+  private def pairedBsCtes(p: String, b: Int): String =
+    s"""${p}_qg AS (SELECT quad_id, n, g,
+       |  CAST(SUM(CASE WHEN slot = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+       |  CAST(SUM(CASE WHEN slot = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+       |  CAST(SUM(CASE WHEN slot = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
+       |  FROM ${p}_g GROUP BY 1, 2, 3),
+       |${p}_qn AS (SELECT quad_id, n,
+       |  CAST(SUM(LEAST(a_cnt, r_cnt)) AS BIGINT) AS clipped_a,
+       |  CAST(SUM(LEAST(b_cnt, r_cnt)) AS BIGINT) AS clipped_b,
+       |  CAST(SUM(a_cnt) AS BIGINT) AS a_total,
+       |  CAST(SUM(b_cnt) AS BIGINT) AS b_total,
+       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
+       |  FROM ${p}_qg GROUP BY 1, 2),
+       |${p}_inc AS (SELECT quad_id FROM ${p}_qn GROUP BY 1
+       |  HAVING MAX(CASE WHEN n = 1 THEN a_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN b_total END) >= 1
+       |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1),
+       |${p}_sys AS (
+       |  SELECT p.quad_id, p.n, p.r_total, s.sys,
+       |    CASE WHEN s.sys = 0 THEN p.clipped_a ELSE p.clipped_b END AS clipped,
+       |    CASE WHEN s.sys = 0 THEN p.a_total ELSE p.b_total END AS c_total
+       |  FROM ${p}_qn p JOIN ${p}_inc q ON q.quad_id = p.quad_id,
+       |       (VALUES (0), (1)) s(sys)),
+       |${p}_rep AS (
+       |  SELECT quad_id, n, r_total, sys, clipped, c_total, reps.b,
+       |    CASE WHEN reps.b = -1 THEN 1
+       |         ELSE ${graft.ops.Bootstrap.multiplicitySql("quad_id")} END AS m
+       |  FROM ${p}_sys,
+       |       (SELECT unnest(generate_series(-1, ${b - 1})) AS b) reps),
+       |${p}_bn AS (SELECT b, sys, n,
+       |  CAST(SUM(m * clipped) AS BIGINT) AS cl,
+       |  CAST(SUM(m * c_total) AS BIGINT) AS ct,
+       |  CAST(SUM(m * r_total) AS BIGINT) AS rt,
+       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nq
+       |  FROM ${p}_rep GROUP BY 1, 2, 3)""".stripMargin
+
   /** DuckDB mirror of [[bleu4PairedBootstrap]]. */
   def bleu4PairedBootstrapSql(b: Int = 100, fbits: Int = 20,
       loPct: Double = 0.025, hiPct: Double = 0.975,
@@ -579,40 +632,7 @@ object NgramEval {
        |  FROM pb_ws, unnest([1, 2, 3, 4]) tn(n),
        |       unnest(generate_series(1, len(ws) - tn.n + 1)) t(i)
        |  WHERE len(ws) >= tn.n),
-       |pb_qg AS (SELECT quad_id, n, g,
-       |  CAST(SUM(CASE WHEN slot = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
-       |  CAST(SUM(CASE WHEN slot = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
-       |  CAST(SUM(CASE WHEN slot = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
-       |  FROM pb_g GROUP BY 1, 2, 3),
-       |pb_qn AS (SELECT quad_id, n,
-       |  CAST(SUM(LEAST(a_cnt, r_cnt)) AS BIGINT) AS clipped_a,
-       |  CAST(SUM(LEAST(b_cnt, r_cnt)) AS BIGINT) AS clipped_b,
-       |  CAST(SUM(a_cnt) AS BIGINT) AS a_total,
-       |  CAST(SUM(b_cnt) AS BIGINT) AS b_total,
-       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
-       |  FROM pb_qg GROUP BY 1, 2),
-       |pb_inc AS (SELECT quad_id FROM pb_qn GROUP BY 1
-       |  HAVING MAX(CASE WHEN n = 1 THEN a_total END) >= 1
-       |     AND MAX(CASE WHEN n = 1 THEN b_total END) >= 1
-       |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1),
-       |pb_sys AS (
-       |  SELECT p.quad_id, p.n, p.r_total, s.sys,
-       |    CASE WHEN s.sys = 0 THEN p.clipped_a ELSE p.clipped_b END AS clipped,
-       |    CASE WHEN s.sys = 0 THEN p.a_total ELSE p.b_total END AS c_total
-       |  FROM pb_qn p JOIN pb_inc q ON q.quad_id = p.quad_id,
-       |       (VALUES (0), (1)) s(sys)),
-       |pb_rep AS (
-       |  SELECT quad_id, n, r_total, sys, clipped, c_total, reps.b,
-       |    CASE WHEN reps.b = -1 THEN 1
-       |         ELSE ${graft.ops.Bootstrap.multiplicitySql("quad_id")} END AS m
-       |  FROM pb_sys,
-       |       (SELECT unnest(generate_series(-1, ${b - 1})) AS b) reps),
-       |pb_bn AS (SELECT b, sys, n,
-       |  CAST(SUM(m * clipped) AS BIGINT) AS cl,
-       |  CAST(SUM(m * c_total) AS BIGINT) AS ct,
-       |  CAST(SUM(m * r_total) AS BIGINT) AS rt,
-       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nq
-       |  FROM pb_rep GROUP BY 1, 2, 3),
+       |${pairedBsCtes("pb", b)},
        |pb_lsrc AS (SELECT b, sys, n, cl, ct FROM pb_bn
        |  WHERE ct >= 1 AND cl >= 1)$logCtes,
        |pb_bs AS (SELECT p.b, p.sys,
@@ -673,7 +693,7 @@ object NgramEval {
       hiPct: Double = 0.975): DataFrame = {
     require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
     graft.functions.GramHashes.register(docs.sparkSession)
-    val perQuadN = docs
+    val grams = docs
       .withColumn("s", regexp_replace(col("text"), " ", ""))
       .filter(length(col("s")) >= 1 && pmod(col("doc_id"), lit(4)) < 3)
       .select(
@@ -682,40 +702,7 @@ object NgramEval {
         explode(expr(s"cp_gram_hashes(s, 1, $maxN)")).as("e"))
       .select(col("quad_id"), col("slot"),
         expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
-      .groupBy(col("quad_id"), col("n"), col("g"))
-      .agg(sum(when(col("slot") === 0, 1L).otherwise(0L)).as("a_cnt"),
-        sum(when(col("slot") === 2, 1L).otherwise(0L)).as("b_cnt"),
-        sum(when(col("slot") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(col("quad_id"), col("n"))
-      .agg(sum(least(col("a_cnt"), col("r_cnt"))).as("clipped_a"),
-        sum(least(col("b_cnt"), col("r_cnt"))).as("clipped_b"),
-        sum(col("a_cnt")).as("a_total"),
-        sum(col("b_cnt")).as("b_total"),
-        sum(col("r_cnt")).as("r_total"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("quad_id")
-    val perRep = perQuadN
-      .withColumn("a_len_q", max(when(col("n") === 1, col("a_total"))).over(w))
-      .withColumn("b_len_q", max(when(col("n") === 1, col("b_total"))).over(w))
-      .withColumn("r_len_q", max(when(col("n") === 1, col("r_total"))).over(w))
-      .filter(col("a_len_q") >= 1 && col("b_len_q") >= 1 &&
-        col("r_len_q") >= 1)
-      .select(col("quad_id"), col("n"), col("r_total"),
-        explode(array(
-          struct(lit(0).as("sys"), col("clipped_a").as("clipped"),
-            col("a_total").as("c_total")),
-          struct(lit(1).as("sys"), col("clipped_b").as("clipped"),
-            col("b_total").as("c_total")))).as("sc"))
-      .select(col("quad_id"), col("n"), col("r_total"),
-        col("sc.sys").as("sys"), col("sc.clipped").as("clipped"),
-        col("sc.c_total").as("c_total"))
-      .withColumn("b", explode(expr(s"sequence(-1, ${b - 1})")))
-      .withColumn("m", when(col("b") === -1, 1)
-        .otherwise(graft.ops.Bootstrap.multiplicity("quad_id")))
-      .groupBy(col("b"), col("sys"), col("n"))
-      .agg(sum(col("m") * col("clipped")).as("cl"),
-        sum(col("m") * col("c_total")).as("ct"),
-        sum(col("m") * col("r_total")).as("rt"),
-        sum(when(col("n") === 1, 1L).otherwise(0L)).as("nq"))
+    val perRep = pairedBsWeightedSums(grams, b)
       .withColumn("f_e6",
         when(col("ct") >= 1 && col("rt") >= 1, expr(
           s"CAST(${1 + beta2} AS DECIMAL(38,0)) * cl * 1000000 div " +
@@ -751,40 +738,7 @@ object NgramEval {
        |  FROM cb_ws, unnest(generate_series(1, $maxN)) tn(n),
        |       unnest(generate_series(1, length(s) - tn.n + 1)) t(i)
        |  WHERE length(s) >= tn.n),
-       |cb_qg AS (SELECT quad_id, n, g,
-       |  CAST(SUM(CASE WHEN slot = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
-       |  CAST(SUM(CASE WHEN slot = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
-       |  CAST(SUM(CASE WHEN slot = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
-       |  FROM cb_g GROUP BY 1, 2, 3),
-       |cb_qn AS (SELECT quad_id, n,
-       |  CAST(SUM(LEAST(a_cnt, r_cnt)) AS BIGINT) AS clipped_a,
-       |  CAST(SUM(LEAST(b_cnt, r_cnt)) AS BIGINT) AS clipped_b,
-       |  CAST(SUM(a_cnt) AS BIGINT) AS a_total,
-       |  CAST(SUM(b_cnt) AS BIGINT) AS b_total,
-       |  CAST(SUM(r_cnt) AS BIGINT) AS r_total
-       |  FROM cb_qg GROUP BY 1, 2),
-       |cb_inc AS (SELECT quad_id FROM cb_qn GROUP BY 1
-       |  HAVING MAX(CASE WHEN n = 1 THEN a_total END) >= 1
-       |     AND MAX(CASE WHEN n = 1 THEN b_total END) >= 1
-       |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1),
-       |cb_sys AS (
-       |  SELECT p.quad_id, p.n, p.r_total, s.sys,
-       |    CASE WHEN s.sys = 0 THEN p.clipped_a ELSE p.clipped_b END AS clipped,
-       |    CASE WHEN s.sys = 0 THEN p.a_total ELSE p.b_total END AS c_total
-       |  FROM cb_qn p JOIN cb_inc q ON q.quad_id = p.quad_id,
-       |       (VALUES (0), (1)) s(sys)),
-       |cb_rep AS (
-       |  SELECT quad_id, n, r_total, sys, clipped, c_total, reps.b,
-       |    CASE WHEN reps.b = -1 THEN 1
-       |         ELSE ${graft.ops.Bootstrap.multiplicitySql("quad_id")} END AS m
-       |  FROM cb_sys,
-       |       (SELECT unnest(generate_series(-1, ${b - 1})) AS b) reps),
-       |cb_bn AS (SELECT b, sys, n,
-       |  CAST(SUM(m * clipped) AS BIGINT) AS cl,
-       |  CAST(SUM(m * c_total) AS BIGINT) AS ct,
-       |  CAST(SUM(m * r_total) AS BIGINT) AS rt,
-       |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nq
-       |  FROM cb_rep GROUP BY 1, 2, 3),
+       |${pairedBsCtes("cb", b)},
        |cb_f AS (SELECT b, sys, n, nq,
        |  CASE WHEN ct >= 1 AND rt >= 1 THEN
        |    CAST((${1 + beta2}::HUGEINT * cl * 1000000) //
@@ -976,10 +930,20 @@ object NgramEval {
     * [[chrFPerKey]] gram plan, a pair-partitioned window for the
     * both-sides filter (keeps the gram frame single-consumer — the
     * scan-ratchet lesson), then a ≤maxN-row corpus rollup. */
-  def chrFCorpus(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame = {
-    val perN = chrFCounts(PairedText.sided(docs), Seq("pair_id"), maxN)
+  def chrFCorpus(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame =
+    chrFCorpusRollup(chrFCounts(PairedText.sided(docs), Seq("pair_id"), maxN),
+      beta2, wordCols = false, "chrf_e6")
+
+  /** The ONE corpus micro rollup shared by [[chrFCorpus]] and
+    * [[chrFppCorpus]]: the both-sides-present filter as a
+    * pair-partitioned window over the counts frame (the gram frame
+    * stays single-consumer), per-order corpus sums, F_β per populated
+    * order, component mean. `wordCols` adds the chrF++ word-unigram
+    * length columns (kernel tag n = 9). */
+  private def chrFCorpusRollup(counts: DataFrame, beta2: Int,
+      wordCols: Boolean, outName: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("pair_id")
-    val byN = perN
+    val byN = counts
       .withColumn("c_chars_p",
         max(when(col("n") === 1, col("c_total"))).over(w))
       .withColumn("r_chars_p",
@@ -994,50 +958,70 @@ object NgramEval {
         when(col("c_total") >= 1 && col("r_total") >= 1, expr(
           s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
             s"($beta2 * r_total + c_total)")))
-    byN.agg(
+    val base = Seq(
       max(when(col("n") === 1, col("n_pairs_n"))).as("n_pairs"),
       max(when(col("n") === 1, col("c_total"))).as("c_chars"),
-      max(when(col("n") === 1, col("r_total"))).as("r_chars"),
+      max(when(col("n") === 1, col("r_total"))).as("r_chars"))
+    val words =
+      if (wordCols) Seq(
+        max(when(col("n") === 9, col("c_total"))).as("c_words"),
+        max(when(col("n") === 9, col("r_total"))).as("r_words"))
+      else Nil
+    val aggs = base ++ words ++ Seq(
       sum(when(col("f_e6").isNotNull, 1L).otherwise(0L)).as("n_orders"),
       sum(col("f_e6")).as("sum_f"))
-      .select(col("n_pairs"), col("c_chars"), col("r_chars"),
-        col("n_orders"),
-        expr("CAST(sum_f div n_orders AS BIGINT)").as("chrf_e6"))
+    val outs = Seq(col("n_pairs"), col("c_chars"), col("r_chars")) ++
+      (if (wordCols) Seq(col("c_words"), col("r_words")) else Nil) ++
+      Seq(col("n_orders"),
+        expr("CAST(sum_f div n_orders AS BIGINT)").as(outName))
+    byN.agg(aggs.head, aggs.tail: _*).select(outs: _*)
   }
 
-  /** DuckDB mirror of [[chrFCorpus]]. */
-  def chrFCorpusSql(beta2: Int = 4, maxN: Int = 6,
-      from: String = "documents"): String = {
-    val counts = chrFCountCtes(Seq("pair_id"),
-      PairedText.sidedSql(from), maxN)
-    s"""WITH $counts,
-       |cc_paired AS (SELECT pair_id FROM cf_pn GROUP BY 1
+  /** DuckDB twin of [[chrFCorpusRollup]] — the paired/per-order/final
+    * CTE chain over a counts CTE named `<cnt>` exposing (pair_id, n,
+    * clipped, c_total, r_total); word orders tag as n = 101 in SQL. */
+  private def chrFCorpusRollupSql(cnt: String, p: String, beta2: Int,
+      wordCols: Boolean, outName: String): String = {
+    val words =
+      if (wordCols)
+        s"""|  MAX(CASE WHEN n = 101 THEN c_total END) AS c_words,
+            |  MAX(CASE WHEN n = 101 THEN r_total END) AS r_words,""".stripMargin
+      else ""
+    s"""${p}_paired AS (SELECT pair_id FROM $cnt GROUP BY 1
        |  HAVING MAX(CASE WHEN n = 1 THEN c_total END) >= 1
        |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1),
-       |cc_n AS (SELECT p.n,
+       |${p}_n AS (SELECT p.n,
        |  CAST(SUM(p.clipped) AS BIGINT) AS clipped,
        |  CAST(SUM(p.c_total) AS BIGINT) AS c_total,
        |  CAST(SUM(p.r_total) AS BIGINT) AS r_total,
        |  CAST(COUNT(*) AS BIGINT) AS n_pairs_n
-       |  FROM cf_pn p JOIN cc_paired q ON q.pair_id = p.pair_id
+       |  FROM $cnt p JOIN ${p}_paired q ON q.pair_id = p.pair_id
        |  GROUP BY 1),
-       |cc_f AS (SELECT n, clipped, c_total, r_total, n_pairs_n,
+       |${p}_f AS (SELECT n, clipped, c_total, r_total, n_pairs_n,
        |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
        |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
        |         ($beta2 * r_total + c_total) AS BIGINT)
        |  END AS f_e6
-       |  FROM cc_n)
+       |  FROM ${p}_n)
        |SELECT
        |  MAX(CASE WHEN n = 1 THEN n_pairs_n END) AS n_pairs,
        |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_chars,
        |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_chars,
+       |$words
        |  CAST(SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_orders,
        |  CAST(CAST(SUM(f_e6) AS HUGEINT) //
        |       SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS chrf_e6
-       |FROM cc_f""".stripMargin
+       |    AS $outName
+       |FROM ${p}_f""".stripMargin
   }
+
+  /** DuckDB mirror of [[chrFCorpus]]. */
+  def chrFCorpusSql(beta2: Int = 4, maxN: Int = 6,
+      from: String = "documents"): String =
+    s"""WITH ${chrFCountCtes(Seq("pair_id"), PairedText.sidedSql(from), maxN)},
+       |${chrFCorpusRollupSql("cf_pn", "cc", beta2,
+          wordCols = false, "chrf_e6")}""".stripMargin
 
   /** CORPUS-level chrF++ — the number WMT system tables actually
     * carry (sacrebleu corpus chrF++, word_order 2): all 8 component
@@ -1048,82 +1032,20 @@ object NgramEval {
     * corpus still scores its word-unigram component; `n_orders`
     * reports the backing count). One scan, one Generate, ONE row. */
   def chrFppCorpus(docs: DataFrame, beta2: Int = 4, maxN: Int = 6,
-      wordN: Int = 2): DataFrame = {
-    val perN = chrFppCounts(PairedText.sided(docs), Seq("pair_id"),
-      maxN, wordN)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("pair_id")
-    val byN = perN
-      .withColumn("c_chars_p",
-        max(when(col("n") === 1, col("c_total"))).over(w))
-      .withColumn("r_chars_p",
-        max(when(col("n") === 1, col("r_total"))).over(w))
-      .filter(col("c_chars_p") >= 1 && col("r_chars_p") >= 1)
-      .groupBy(col("n"))
-      .agg(sum(col("clipped")).as("clipped"),
-        sum(col("c_total")).as("c_total"),
-        sum(col("r_total")).as("r_total"),
-        count(lit(1)).as("n_pairs_n"))
-      .withColumn("f_e6",
-        when(col("c_total") >= 1 && col("r_total") >= 1, expr(
-          s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +
-            s"($beta2 * r_total + c_total)")))
-    byN.agg(
-      max(when(col("n") === 1, col("n_pairs_n"))).as("n_pairs"),
-      max(when(col("n") === 1, col("c_total"))).as("c_chars"),
-      max(when(col("n") === 1, col("r_total"))).as("r_chars"),
-      max(when(col("n") === 9, col("c_total"))).as("c_words"),
-      max(when(col("n") === 9, col("r_total"))).as("r_words"),
-      sum(when(col("f_e6").isNotNull, 1L).otherwise(0L)).as("n_orders"),
-      sum(col("f_e6")).as("sum_f"))
-      .select(col("n_pairs"), col("c_chars"), col("r_chars"),
-        col("c_words"), col("r_words"), col("n_orders"),
-        expr("CAST(sum_f div n_orders AS BIGINT)").as("chrfpp_e6"))
-  }
+      wordN: Int = 2): DataFrame =
+    chrFCorpusRollup(
+      chrFppCounts(PairedText.sided(docs), Seq("pair_id"), maxN, wordN),
+      beta2, wordCols = true, "chrfpp_e6")
 
   /** DuckDB mirror of [[chrFppCorpus]] (word orders tag as n+100 in
     * the SQL counts, the [[chrFppPerKeySql]] spelling). */
   def chrFppCorpusSql(beta2: Int = 4, maxN: Int = 6, wordN: Int = 2,
-      from: String = "documents"): String = {
-    val counts = chrFppCountCtes(Seq("pair_id"),
-      PairedText.sidedSql(from), maxN, wordN)
-    s"""WITH $counts,
-       |cpc_paired AS (SELECT pair_id FROM cfp_pn GROUP BY 1
-       |  HAVING MAX(CASE WHEN n = 1 THEN c_total END) >= 1
-       |     AND MAX(CASE WHEN n = 1 THEN r_total END) >= 1),
-       |cpc_n AS (SELECT p.n,
-       |  CAST(SUM(p.clipped) AS BIGINT) AS clipped,
-       |  CAST(SUM(p.c_total) AS BIGINT) AS c_total,
-       |  CAST(SUM(p.r_total) AS BIGINT) AS r_total,
-       |  CAST(COUNT(*) AS BIGINT) AS n_pairs_n
-       |  FROM cfp_pn p JOIN cpc_paired q ON q.pair_id = p.pair_id
-       |  GROUP BY 1),
-       |cpc_f AS (SELECT n, clipped, c_total, r_total, n_pairs_n,
-       |  CASE WHEN c_total >= 1 AND r_total >= 1 THEN
-       |    CAST((${1 + beta2}::HUGEINT * clipped * 1000000) //
-       |         ($beta2 * r_total + c_total) AS BIGINT)
-       |  END AS f_e6
-       |  FROM cpc_n)
-       |SELECT
-       |  MAX(CASE WHEN n = 1 THEN n_pairs_n END) AS n_pairs,
-       |  MAX(CASE WHEN n = 1 THEN c_total END) AS c_chars,
-       |  MAX(CASE WHEN n = 1 THEN r_total END) AS r_chars,
-       |  MAX(CASE WHEN n = 101 THEN c_total END) AS c_words,
-       |  MAX(CASE WHEN n = 101 THEN r_total END) AS r_words,
-       |  CAST(SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_orders,
-       |  CAST(CAST(SUM(f_e6) AS HUGEINT) //
-       |       SUM(CASE WHEN f_e6 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS chrfpp_e6
-       |FROM cpc_f""".stripMargin
-  }
+      from: String = "documents"): String =
+    s"""WITH ${chrFppCountCtes(Seq("pair_id"), PairedText.sidedSql(from),
+          maxN, wordN)},
+       |${chrFCorpusRollupSql("cfp_pn", "cpc", beta2,
+          wordCols = true, "chrfpp_e6")}""".stripMargin
 
-  /** The keyed chrF core — `sided` carries `keyCols` + (side, text);
-    * one row per key satisfying the drop contract. The positional gate
-    * keys by pair_id; [[MultiRefEval.chrF]] keys by (cand_id, ref_id)
-    * so each reference scores independently before the per-candidate
-    * max-F reduction (the sacrebleu multi-ref convention).
-    * `reducedOrders` switches the fixed-maxN drop contract to the
-    * populated-components mean (see [[chrFReduced]]). */
   /** The keyed per-(key, order) char-gram count frame shared by
     * [[chrFPerKey]] and [[chrFCorpus]] — (keyCols..., n, clipped,
     * c_total, r_total) for char orders 1..`maxN` off one scan and two
@@ -1148,6 +1070,13 @@ object NgramEval {
         sum(col("r_cnt")).as("r_total"))
   }
 
+  /** The keyed chrF core — `sided` carries `keyCols` + (side, text);
+    * one row per key satisfying the drop contract. The positional gate
+    * keys by pair_id; [[MultiRefEval.chrF]] keys by (cand_id, ref_id)
+    * so each reference scores independently before the per-candidate
+    * max-F reduction (the sacrebleu multi-ref convention).
+    * `reducedOrders` switches the fixed-maxN drop contract to the
+    * populated-components mean (see [[chrFReduced]]). */
   private[text] def chrFPerKey(sided: DataFrame, keyCols: Seq[String],
       beta2: Int, maxN: Int, reducedOrders: Boolean = false): DataFrame = {
     val keys = keyCols.map(col)
@@ -1196,7 +1125,6 @@ object NgramEval {
       wordN: Int = 2): DataFrame =
     chrFppPerKey(PairedText.sided(docs), Seq("pair_id"), beta2, maxN, wordN)
 
-  /** The keyed chrF++ core — see [[chrFPerKey]] for the key contract. */
   /** The keyed per-(key, order) count frame shared by [[chrFppPerKey]]
     * and [[chrFppCorpus]] — char orders tag as n = 1..maxN, word
     * orders as n = 8+1..8+wordN (the kernel's tag bit), one exploded
@@ -1224,6 +1152,7 @@ object NgramEval {
         sum(col("r_cnt")).as("r_total"))
   }
 
+  /** The keyed chrF++ core — see [[chrFPerKey]] for the key contract. */
   private[text] def chrFppPerKey(sided: DataFrame, keyCols: Seq[String],
       beta2: Int, maxN: Int, wordN: Int): DataFrame = {
     val keys = keyCols.map(col)
@@ -1256,8 +1185,6 @@ object NgramEval {
     chrFppPerKeySql(Seq("pair_id"), PairedText.sidedSql(from),
       beta2, maxN, wordN)
 
-  /** DuckDB mirror of [[chrFppPerKey]] — `sidedFrom` must be a
-    * parenthesized relation exposing `keyCols` + (side, text). */
   /** The shared `cfp_src`/`cfp_g`/`cfp_pg`/`cfp_pn` CTE prelude — the
     * DuckDB twin of [[chrFppCounts]] (word orders as n+100), used by
     * [[chrFppPerKeySql]] and [[chrFppCorpusSql]]. */
@@ -1291,6 +1218,8 @@ object NgramEval {
        |  FROM cfp_pg GROUP BY $ks, n)""".stripMargin
   }
 
+  /** DuckDB mirror of [[chrFppPerKey]] — `sidedFrom` must be a
+    * parenthesized relation exposing `keyCols` + (side, text). */
   private[text] def chrFppPerKeySql(keyCols: Seq[String], sidedFrom: String,
       beta2: Int = 4, maxN: Int = 6, wordN: Int = 2): String = {
     val nComp = maxN + wordN
@@ -1562,7 +1491,9 @@ object NgramEval {
     val totals = Seq(
       sum(when(p(0) || p(1), 1L).otherwise(0L)
         + when(p(2) || p(3), 1L).otherwise(0L)).as("pt_pairs"),
-      sum(lit(1L)).as("pt_quads"))
+      // count, not sum(lit(1)): COUNT is 0 over an empty/all-NULL-text
+      // frame like the mirror's COUNT(*), sum would be NULL
+      count(lit(1)).as("pt_quads"))
     val counters = metrics.flatMap { case (m, _, sc, tr) =>
       Seq(sum(sc).as(s"sc_$m"), sum(tr).as(s"tr_$m")) }
     val aggs = totals ++ counters
