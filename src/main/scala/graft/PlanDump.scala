@@ -55,13 +55,13 @@ object PlanDump {
     "pipeline_quality_classifier" -> "quality filter: GD weight row broadcast per iteration, scoring is a stateless map",
     "pipeline_wordpiece_encode" -> "WordPiece: greedy fold fully inside codegen, vocab is one broadcast array row",
     "a_kmv_overlap_matrix" -> "KMV overlap matrix: sketch-sized frames after one scan, in-row pair expansion witness",
-    "eval_bleu4" -> "BLEU-4: all four gram orders off ONE scan, three combined key shuffles, narrow fixed-point-log map",
-    "eval_chrf" -> "chrF: rolling-hash kernel emits all 6 codepoint-gram orders inside the scan stage, zero per-gram alloc",
-    "eval_chrfpp" -> "chrF++: char (tag 0) + word (tag 1) gram families concat into ONE Generate, no structs",
-    "eval_bleu4_multiref" -> "multi-ref BLEU: join-free gram matching, single post-aggregation effective-length join",
+    "eval_bleu4" -> "BLEU-4: one pair-pivot text shuffle, local gram-count kernel, narrow fixed-point-log map",
+    "eval_chrf" -> "chrF: one pair-pivot text shuffle, all 6 codepoint-gram orders counted in the local kernel map",
+    "eval_chrfpp" -> "chrF++: char (tag 0) + word (tag 1) families counted in one local kernel pass per pair",
+    "eval_bleu4_multiref" -> "multi-ref BLEU: one cand_id join + ref collect, Papineni clip and brevity argmin in the kernel",
     "eval_rouge_l" -> "ROUGE-L: one pair shuffle into the typed LCS kernel, per-pair rows only",
-    "eval_bleu4_corpus" -> "corpus BLEU: pair-window keeps the gram frame single-consumer, 4-row rollup, one output row",
-    "eval_token_f1" -> "token F1 + EM: whole-text hash rides the gram explode as a tag-bit marker, zero joins",
+    "eval_bleu4_corpus" -> "corpus BLEU: kernel pair counts, pair-window inclusion, 4-row rollup, one output row",
+    "eval_token_f1" -> "token F1 + EM: whole-text marker rides the kernel gram array, one pair-pivot shuffle",
     "eval_wer" -> "WER: one pair shuffle into the typed Levenshtein kernel",
     "eval_distinct_n" -> "distinct-n: one scan, two map-side-combined shuffles over the gram currency")
 

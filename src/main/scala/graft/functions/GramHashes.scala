@@ -58,9 +58,9 @@ object GramHash {
   /** Shared windowing: packed (fmix64(window)<<4)|(tag<<3)|n for all
     * orders minN..min(maxN, #syms) over the symbol-hash array. */
   private def windows(sym: Array[Long], nSyms: Int,
-      minN: Int, maxN: Int, tag: Int): GenericArrayData = {
+      minN: Int, maxN: Int, tag: Int): Array[Long] = {
     val hi = math.min(maxN, nSyms)
-    if (hi < minN) return new GenericArrayData(Array.emptyLongArray)
+    if (hi < minN) return Array.emptyLongArray
     val pref = new Array[Long](nSyms + 1)
     var j = 0
     while (j < nSyms) { pref(j + 1) = pref(j) * B + sym(j); j += 1 }
@@ -91,13 +91,16 @@ object GramHash {
       }
       n += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
-  /** Codepoint-gram face: symbols are Unicode CODEPOINTS (+1, so
-    * U+0000 is non-degenerate). Called from generated code. */
-  def codepointGrams(s: UTF8String, minN: Int, maxN: Int, tag: Int): ArrayData = {
-    val str = s.toString
+  /** Array core of the codepoint face — the SAME symbol construction
+    * and windowing as the expression path (which wraps this), exposed
+    * for the per-pair typed counting kernels so the gram currency is
+    * bit-identical whether it flows through a Generate or a local
+    * count map. */
+  def codepointGramArray(str: String, minN: Int, maxN: Int,
+      tag: Int): Array[Long] = {
     val len = str.length
     val cps = new Array[Long](len)
     var nSyms = 0
@@ -111,19 +114,17 @@ object GramHash {
     windows(cps, nSyms, minN, maxN, tag)
   }
 
-  /** Word-gram face: symbols are per-word hashes (char polynomial
-    * seeded 1 through fmix64 — "" hashes to fmix64(1), never 0, so an
-    * empty split token is a real symbol). Null array slots hash like
-    * "" (split() never emits nulls; belt-and-braces for hand-built
-    * arrays). Called from generated code. */
-  def wordGrams(arr: ArrayData, minN: Int, maxN: Int, tag: Int): ArrayData = {
-    val nw = arr.numElements()
+  /** Array core of the word face over already-split words (null words
+    * hash like "", mirroring the ArrayData face). */
+  def wordGramArray(ws: Array[String], minN: Int, maxN: Int,
+      tag: Int): Array[Long] = {
+    val nw = ws.length
     val wh = new Array[Long](nw)
     var i = 0
     while (i < nw) {
       var h = 1L
-      if (!arr.isNullAt(i)) {
-        val w = arr.getUTF8String(i).toString
+      val w = ws(i)
+      if (w != null) {
         var j = 0
         while (j < w.length) { h = h * B2 + w.charAt(j); j += 1 }
       }
@@ -131,6 +132,27 @@ object GramHash {
       i += 1
     }
     windows(wh, nw, minN, maxN, tag)
+  }
+
+  /** Codepoint-gram face: symbols are Unicode CODEPOINTS (+1, so
+    * U+0000 is non-degenerate). Called from generated code. */
+  def codepointGrams(s: UTF8String, minN: Int, maxN: Int, tag: Int): ArrayData =
+    new GenericArrayData(codepointGramArray(s.toString, minN, maxN, tag))
+
+  /** Word-gram face: symbols are per-word hashes (char polynomial
+    * seeded 1 through fmix64 — "" hashes to fmix64(1), never 0, so an
+    * empty split token is a real symbol). Null array slots hash like
+    * "" (split() never emits nulls; belt-and-braces for hand-built
+    * arrays). Called from generated code. */
+  def wordGrams(arr: ArrayData, minN: Int, maxN: Int, tag: Int): ArrayData = {
+    val nw = arr.numElements()
+    val ws = new Array[String](nw)
+    var i = 0
+    while (i < nw) {
+      if (!arr.isNullAt(i)) ws(i) = arr.getUTF8String(i).toString
+      i += 1
+    }
+    new GenericArrayData(wordGramArray(ws, minN, maxN, tag))
   }
 }
 

@@ -43,24 +43,21 @@ import org.apache.spark.sql.functions._
   */
 object MultiRefEval {
 
-  /** Keyed sided frame for the gram cores — (cand_id, ref_id, side,
-    * text) with the candidate text replicated per reference via one
-    * cand_id hash join + a 2-struct inline explode (no second scan of
-    * either input). NULL texts pass through; each metric core drops
-    * one-sided keys itself. */
-  private[text] def sides(cands: DataFrame, refs: DataFrame): DataFrame =
+  /** Keyed pair frame for the gram-count KERNELS — (cand_id, ref_id,
+    * c_text, r_text) straight off ONE cand_id hash join (the join IS
+    * the pivot; no sided explode, no re-grouping). NULL texts pass
+    * through; each metric kernel applies its own presence rules. */
+  private[text] def pairedKeyed(cands: DataFrame, refs: DataFrame): DataFrame =
     cands.select(col("cand_id"), col("text").as("c_text"))
       .join(refs.select(col("cand_id"),
         col("ref_id").cast("long").as("ref_id"),
         col("text").as("r_text")), Seq("cand_id"))
-      .select(col("cand_id"), col("ref_id"),
-        explode(array(
-          struct(lit(0).as("side"), col("c_text").as("text")),
-          struct(lit(1).as("side"), col("r_text").as("text")))).as("sd"))
-      .select(col("cand_id"), col("ref_id"),
-        col("sd.side").as("side"), col("sd.text").as("text"))
+      .select(col("cand_id"), col("ref_id"), col("c_text"), col("r_text"))
 
-  /** DuckDB twin of [[sides]]. */
+  /** DuckDB sided frame for the keyed gram-core SQL mirrors — the
+    * oracle spelling is unchanged (the kernel only moved where the
+    * SPARK side counts; the SQL twins still aggregate the exploded
+    * (key, n, gram) stream). */
   private def sidesSql(candsFrom: String, refsFrom: String): String =
     s"""(SELECT rr.cand_id, rr.ref_id, 0 AS side, cc.text
        |  FROM $candsFrom cc JOIN $refsFrom rr ON rr.cand_id = cc.cand_id
@@ -156,7 +153,7 @@ object MultiRefEval {
     * exactly those). */
   def chrF(cands: DataFrame, refs: DataFrame, beta2: Int = 4,
       maxN: Int = 6): DataFrame =
-    NgramEval.chrFPerKey(sides(cands, refs), Seq("cand_id", "ref_id"),
+    NgramEval.chrFPerKey(pairedKeyed(cands, refs), Seq("cand_id", "ref_id"),
       beta2, maxN)
       .groupBy(col("cand_id"))
       .agg(count(lit(1)).as("n_refs"), max(col("chrf_e6")).as("chrf_e6"))
@@ -176,7 +173,7 @@ object MultiRefEval {
     * side). */
   def chrFpp(cands: DataFrame, refs: DataFrame, beta2: Int = 4,
       maxN: Int = 6, wordN: Int = 2): DataFrame =
-    NgramEval.chrFppPerKey(sides(cands, refs), Seq("cand_id", "ref_id"),
+    NgramEval.chrFppPerKey(pairedKeyed(cands, refs), Seq("cand_id", "ref_id"),
       beta2, maxN, wordN)
       .groupBy(col("cand_id"))
       .agg(count(lit(1)).as("n_refs"), max(col("chrfpp_e6")).as("chrfpp_e6"))
@@ -198,7 +195,7 @@ object MultiRefEval {
     * sides ≥ 1 word); rouge2 is NULL when NO scored reference has
     * bigrams on both sides. */
   def rougeN(cands: DataFrame, refs: DataFrame): DataFrame =
-    RougeL.rougeNPerKey(sides(cands, refs), Seq("cand_id", "ref_id"))
+    RougeL.rougeNPerKey(pairedKeyed(cands, refs), Seq("cand_id", "ref_id"))
       .groupBy(col("cand_id"))
       .agg(count(lit(1)).as("n_refs"),
         max(col("rouge1_f_e6")).as("rouge1_f_e6"),
@@ -218,7 +215,7 @@ object MultiRefEval {
     * match over the references (the SQuAD gold-answer convention —
     * the two maxima may come from different references). */
   def tokenF1(cands: DataFrame, refs: DataFrame): DataFrame =
-    NgramEval.tokenF1PerKey(sides(cands, refs), Seq("cand_id", "ref_id"))
+    NgramEval.tokenF1PerKey(pairedKeyed(cands, refs), Seq("cand_id", "ref_id"))
       .groupBy(col("cand_id"))
       .agg(count(lit(1)).as("n_refs"),
         max(col("token_f1_e6")).as("token_f1_e6"),

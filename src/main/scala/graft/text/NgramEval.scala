@@ -40,34 +40,87 @@ import graft.util.{DuckHash, FixedLog}
   */
 object NgramEval {
 
-  def clippedOverlap(docs: DataFrame, n: Int = 2): DataFrame = {
-    graft.functions.GramHashes.register(docs.sparkSession)
-    val perGram = docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= n)
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
-        pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr(s"word_gram_hashes(ws, $n, $n)")).as("g"))
-      .groupBy(col("pair_id"), col("g"))
-      .agg(
-        sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
-    perGram
+  def clippedOverlap(docs: DataFrame, n: Int = 2): DataFrame =
+    pairKernelCounts(PairedText.paired(docs), Seq("pair_id"),
+      PairGramKernel.wordGrams(_, n, n, 0))
       .groupBy(col("pair_id"))
       .agg(
-        sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
-        sum(col("c_cnt")).as("c_total"),
-        sum(col("r_cnt")).as("r_total"))
+        sum(col("clipped")).as("clipped"),
+        sum(col("c_total")).as("c_total"),
+        sum(col("r_total")).as("r_total"))
       .filter(col("c_total") > 0 && col("r_total") > 0)
       .select(col("pair_id"), col("clipped"), col("c_total"), col("r_total"),
         (col("clipped").cast("double") / col("c_total")).as("precision_n"),
         (col("clipped").cast("double") / col("r_total")).as("recall_n"))
-  }
 
   /** The ONE pinned integer ln2 — [[graft.ops.HllKernel.Ln2E6]]; a
     * retune there must move the BLEU brevity penalty with it. */
   private def Ln2E6: Long = graft.ops.HllKernel.Ln2E6
+
+  /** The shared kernel-counts builder (r15 optimization): from a
+    * pivoted pair frame (`keyCols`..., c_text, r_text — one row per
+    * key, NULL = absent side) to the (keyCols..., n, clipped, c_total,
+    * r_total) frame every gram metric consumes, via the local
+    * [[PairGramKernel]] count map instead of the exploded
+    * (key, n, gram) hash aggregation. `gramsOf` produces the SAME
+    * packed [[graft.functions.GramHash]] currency the exploded
+    * spelling shuffled (empty array = absent side), so every count —
+    * collision behavior included — is identical by construction; what
+    * changes is the bytes moved: one text-sized key shuffle instead of
+    * 6-9 hash rows per symbol (guide §2.3 "shuffle keys and metadata
+    * instead of payloads", §8's decide-small/move-once rule). */
+  private[text] def pairKernelCounts(paired: DataFrame, keyCols: Seq[String],
+      gramsOf: String => Array[Long]): DataFrame = {
+    val spark = paired.sparkSession
+    import spark.implicits._
+    val k2 = if (keyCols.size >= 2) col(keyCols(1)) else lit(0L)
+    val rows = paired
+      .select(col(keyCols.head).cast("long"), k2.cast("long"),
+        col("c_text"), col("r_text"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions { it =>
+        val m = new GramCountMap
+        it.flatMap { case (key1, key2, c, r) =>
+          PairGramKernel.pairCounts(m, gramsOf(c), gramsOf(r))
+            .map { case (n, cl, ct, rt) => (key1, key2, n, cl, ct, rt) }
+        }
+      }
+      .toDF("_k1", "_k2", "n", "clipped", "c_total", "r_total")
+    if (keyCols.size >= 2)
+      rows.select(col("_k1").as(keyCols.head), col("_k2").as(keyCols(1)),
+        col("n"), col("clipped"), col("c_total"), col("r_total"))
+    else
+      rows.select(col("_k1").as(keyCols.head),
+        col("n"), col("clipped"), col("c_total"), col("r_total"))
+  }
+
+  /** Quad sibling of [[pairKernelCounts]] for the paired-bootstrap
+    * gates: (quad_id, a_text, r_text, b_text) → (quad_id, n,
+    * clipped_a, clipped_b, a_total, b_total, r_total), quads included
+    * only when ALL THREE sides produce grams (exactly the
+    * every-slot-unigram window rule of the exploded spelling — a
+    * side's 1-gram count is ≥ 1 iff its gram array is non-empty). */
+  private def quadKernelCounts(quads: DataFrame,
+      gramsOf: String => Array[Long]): DataFrame = {
+    val spark = quads.sparkSession
+    import spark.implicits._
+    quads
+      .select(col("quad_id").cast("long"),
+        col("a_text"), col("r_text"), col("b_text"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        val m = new GramCountMap
+        it.flatMap { case (q, a, r, bTxt) =>
+          val ag = gramsOf(a); val rg = gramsOf(r); val bg = gramsOf(bTxt)
+          if (ag.isEmpty || rg.isEmpty || bg.isEmpty) Nil
+          else PairGramKernel.quadCounts(m, ag, bg, rg).map {
+            case (n, clA, clB, aT, bT, rT) => (q, n, clA, clB, aT, bT, rT)
+          }
+        }
+      }
+      .toDF("quad_id", "n", "clipped_a", "clipped_b",
+        "a_total", "b_total", "r_total")
+  }
 
   /** Composite BLEU-4 over the same (even, odd) pairs — geometric
     * mean of the four clipped precisions plus the brevity penalty,
@@ -102,25 +155,9 @@ object NgramEval {
     * and [[bleu4Corpus]] — (pair_id, n, clipped, c_total, r_total)
     * for word orders 1..4 off one scan and two combined shuffles.
     * ([[RougeL.rougeNPerKey]] is the keyed orders-1..2 sibling.) */
-  private def perPairWordCounts(docs: DataFrame): DataFrame = {
-    graft.functions.GramHashes.register(docs.sparkSession)
-    docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 1)
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(2))).as("pair_id"),
-        pmod(col("doc_id"), lit(2)).as("side"),
-        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
-      .select(col("pair_id"), col("side"),
-        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
-      .groupBy(col("pair_id"), col("n"), col("g"))
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(col("pair_id"), col("n"))
-      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
-        sum(col("c_cnt")).as("c_total"),
-        sum(col("r_cnt")).as("r_total"))
-  }
+  private def perPairWordCounts(docs: DataFrame): DataFrame =
+    pairKernelCounts(PairedText.paired(docs), Seq("pair_id"),
+      PairGramKernel.wordGrams(_, 1, 4, 0))
 
   /** The ONE brevity-penalty column (expects c_len/r_len), shared by
     * all three BLEU faces — a truncation-rule change moves together. */
@@ -194,78 +231,68 @@ object NgramEval {
       fbits: Int = 20): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
-    graft.functions.GramHashes.register(spark)
-    def grams(df: DataFrame, side: Int, refId: org.apache.spark.sql.Column) = df
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("cand_id"), lit(side).as("side"), refId.as("ref_id"),
-        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
-      .select(col("cand_id"), col("side"), col("ref_id"),
-        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
-    val cnt = grams(cands, 0, lit(-1L))
-      .unionByName(grams(refs, 1, col("ref_id").cast("long")))
-      .groupBy(col("cand_id"), col("n"), col("g"), col("side"), col("ref_id"))
-      .agg(count(lit(1)).as("cnt"))
-    val perN = cnt
-      .groupBy(col("cand_id"), col("n"), col("g"))
-      .agg(max(when(col("side") === 0, col("cnt"))).as("c_cnt"),
-        max(when(col("side") === 1, col("cnt"))).as("r_maxcnt"))
-      .groupBy(col("cand_id"), col("n"))
-      .agg(
-        sum(when(col("c_cnt").isNotNull && col("r_maxcnt").isNotNull,
-          least(col("c_cnt"), col("r_maxcnt"))).otherwise(0L)).as("clipped"),
-        sum(coalesce(col("c_cnt"), lit(0L))).as("c_total"))
-      .filter(col("c_total") >= 1)
-    val withQ = perN
-      .select(col("cand_id"), col("n").cast("int").as("n"),
-        col("clipped"), col("c_total"))
-      .as[(Long, Int, Long, Long)]
-      .map { case (p, n, cl, ct) =>
-        val (cs, ts) = if (n == 1) (cl, ct) else (cl + 1L, ct + 1L)
-        val q: Option[Long] =
-          if (cs >= 1) Some(FixedLog.log2fp(cs, ts, fbits)) else None
-        (p, n, cl, ct, q)
-      }
-      .toDF("cand_id", "n", "clipped", "c_total", "qln")
-    // effective reference length: per-ref token counts need NO gram
-    // pipeline (they are just len(split)) — reading them straight off
-    // the refs relation keeps the expensive (cand, n, gram) frame
-    // single-consumer (no duplicated gram aggregation in the DAG);
-    // the closest-to-c_len, ties-to-the-shorter argmin (packed
-    // integer, both engines) runs AFTER the per-candidate rollup, on
-    // a few-rows-per-candidate join
-    // NULL-text refs are unusable (no grams, no length) — filter them
-    // HERE so n_refs counts only references that can score (the SQL
-    // mirror's bm_rlen filters identically; r14 ADVICE item 2)
-    val refLens = refs.filter(col("text").isNotNull).select(col("cand_id"),
-      size(split(col("text"), " ")).cast("long").as("r_len_i"))
-    val agg0 = withQ.groupBy(col("cand_id"))
-      .agg(
-        count(lit(1)).as("n_c_orders"),
-        max(when(col("n") === 1, col("c_total"))).as("c_len"),
-        max(when(col("n") === 1, col("clipped"))).as("clipped_1"),
-        max(when(col("n") === 2, col("clipped"))).as("clipped_2"),
-        max(when(col("n") === 3, col("clipped"))).as("clipped_3"),
-        max(when(col("n") === 4, col("clipped"))).as("clipped_4"),
-        sum(col("qln")).as("sum_qln"),
-        count(col("qln")).as("n_qln"))
-      .filter(col("n_c_orders") === 4)
-    // the joined columns are constant within each cand_id group
-    // (join-duplicated from the one agg0 row) — max() over a constant
-    // set, an order-independent reduction, not an ordering assumption
-    agg0.join(refLens, Seq("cand_id"))
+    // r15 kernel spelling: ONE cand_id hash join + a per-candidate
+    // collect of the (few) references replaces the exploded
+    // (cand, n, gram, side, ref) aggregation chain AND the separate
+    // ref-length scan + post-aggregation join — the Papineni
+    // max-per-gram clip, the usable-ref count and the effective
+    // (closest, ties-shorter) brevity length all run in the local
+    // [[PairGramKernel]] over the SAME packed gram hashes, so every
+    // count is identical by construction. collect_list skips
+    // NULL-text refs, exactly the refLens filter of the exploded
+    // spelling (r14 ADVICE item 2): n_refs counts only references
+    // that can score.
+    val perCand = cands
+      .select(col("cand_id").cast("long").as("cand_id"),
+        col("text").as("c_text"))
+      .join(refs.select(col("cand_id").cast("long").as("cand_id"),
+        col("text").as("r_text")), Seq("cand_id"))
       .groupBy(col("cand_id"))
-      .agg(
-        count(lit(1)).as("n_refs"),
-        max(col("c_len")).as("c_len"),
-        max(col("clipped_1")).as("clipped_1"),
-        max(col("clipped_2")).as("clipped_2"),
-        max(col("clipped_3")).as("clipped_3"),
-        max(col("clipped_4")).as("clipped_4"),
-        max(col("sum_qln")).as("sum_qln"),
-        max(col("n_qln")).as("n_qln"),
-        min(abs(col("r_len_i") - col("c_len")) * lit(1000000000L) +
-          col("r_len_i")).as("r_enc"))
-      .withColumn("r_len", pmod(col("r_enc"), lit(1000000000L)))
+      .agg(first(col("c_text")).as("c_text"),
+        collect_list(col("r_text")).as("r_texts"))
+      .as[(Long, String, Seq[String])]
+      .mapPartitions { it =>
+        val m = new GramCountMap
+        val refM = new GramCountMap
+        it.flatMap { case (cid, cTxt, rTxts) =>
+          if (cTxt == null || rTxts.isEmpty) Nil
+          else {
+            val cWs = PairGramKernel.splitWs(cTxt)
+            // the exploded spelling's n_c_orders === 4 drop: orders
+            // 1..4 all candidate-populated ⟺ ≥ 4 words
+            if (cWs.length < 4) Nil
+            else {
+              val cLen = cWs.length.toLong
+              val counts = PairGramKernel.multiRefClippedCounts(m, refM,
+                graft.functions.GramHash.wordGramArray(cWs, 1, 4, 0),
+                rTxts.iterator.map(PairGramKernel.wordGrams(_, 1, 4, 0)))
+              val cl = new Array[Long](5)
+              counts.foreach { case (n, c, _) => cl(n) = c }
+              var sumQ = 0L
+              var nQ = 0L
+              counts.foreach { case (n, c, t) =>
+                val (cs, ts) = if (n == 1) (c, t) else (c + 1L, t + 1L)
+                if (cs >= 1) { sumQ += FixedLog.log2fp(cs, ts, fbits); nQ += 1 }
+              }
+              var nRefs = 0L
+              var rEnc = Long.MaxValue
+              rTxts.foreach { r =>
+                nRefs += 1
+                val rl = PairGramKernel.splitWs(r).length.toLong
+                val e = math.abs(rl - cLen) * 1000000000L + rl
+                if (e < rEnc) rEnc = e
+              }
+              List((cid, nRefs, cLen, rEnc % 1000000000L,
+                cl(1), cl(2), cl(3), cl(4),
+                if (nQ >= 1) Some(sumQ) else None, nQ))
+            }
+          }
+        }
+      }
+      .toDF("cand_id", "n_refs", "c_len", "r_len",
+        "clipped_1", "clipped_2", "clipped_3", "clipped_4",
+        "sum_qln", "n_qln")
+    perCand
       .withColumn("bp_log2fp", bpLog2fpCol(fbits))
       .select(col("cand_id"), col("n_refs"), col("c_len"), col("r_len"),
         col("clipped_1"), col("clipped_2"), col("clipped_3"), col("clipped_4"),
@@ -442,36 +469,27 @@ object NgramEval {
     * for [[bleu4PairedBootstrap]] and [[chrFPairedBootstrap]]
     * (pairedBsCtes is the DuckDB twin). Output: (b, sys, n, cl, ct,
     * rt, nq). */
-  private def pairedBsWeightedSums(grams: DataFrame, b: Int): DataFrame = {
-    val perQuadN = grams
-      .groupBy(col("quad_id"), col("n"), col("g"))
-      .agg(sum(when(col("slot") === 0, 1L).otherwise(0L)).as("a_cnt"),
-        sum(when(col("slot") === 2, 1L).otherwise(0L)).as("b_cnt"),
-        sum(when(col("slot") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(col("quad_id"), col("n"))
-      .agg(sum(least(col("a_cnt"), col("r_cnt"))).as("clipped_a"),
-        sum(least(col("b_cnt"), col("r_cnt"))).as("clipped_b"),
-        sum(col("a_cnt")).as("a_total"),
-        sum(col("b_cnt")).as("b_total"),
-        sum(col("r_cnt")).as("r_total"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("quad_id")
+  private def pairedBsWeightedSums(perQuadN: DataFrame, b: Int): DataFrame = {
+    // the quad kernel already applied the all-three-slots inclusion
+    // rule (a slot's 1-gram count is ≥ 1 iff its gram array was
+    // non-empty), so the quad-partitioned window of the exploded
+    // spelling — a whole extra shuffle — is gone
     perQuadN
-      .withColumn("a_len_q", max(when(col("n") === 1, col("a_total"))).over(w))
-      .withColumn("b_len_q", max(when(col("n") === 1, col("b_total"))).over(w))
-      .withColumn("r_len_q", max(when(col("n") === 1, col("r_total"))).over(w))
-      .filter(col("a_len_q") >= 1 && col("b_len_q") >= 1 && col("r_len_q") >= 1)
-      .select(col("quad_id"), col("n"), col("r_total"),
+      // replicate explode FIRST, system explode second: the md5 draw
+      // depends only on (quad, b), so evaluating it before the 2-way
+      // system fan-out halves the digest count (same value per sys)
+      .withColumn("b", explode(expr(s"sequence(-1, ${b - 1})")))
+      .withColumn("m", when(col("b") === -1, 1)
+        .otherwise(graft.ops.Bootstrap.multiplicity("quad_id")))
+      .select(col("quad_id"), col("n"), col("r_total"), col("b"), col("m"),
         explode(array(
           struct(lit(0).as("sys"), col("clipped_a").as("clipped"),
             col("a_total").as("c_total")),
           struct(lit(1).as("sys"), col("clipped_b").as("clipped"),
             col("b_total").as("c_total")))).as("sc"))
-      .select(col("quad_id"), col("n"), col("r_total"),
+      .select(col("quad_id"), col("n"), col("r_total"), col("b"), col("m"),
         col("sc.sys").as("sys"), col("sc.clipped").as("clipped"),
         col("sc.c_total").as("c_total"))
-      .withColumn("b", explode(expr(s"sequence(-1, ${b - 1})")))
-      .withColumn("m", when(col("b") === -1, 1)
-        .otherwise(graft.ops.Bootstrap.multiplicity("quad_id")))
       .groupBy(col("b"), col("sys"), col("n"))
       .agg(sum(col("m") * col("clipped")).as("cl"),
         sum(col("m") * col("c_total")).as("ct"),
@@ -484,17 +502,9 @@ object NgramEval {
     require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.functions.GramHashes.register(spark)
-    val grams = docs
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 1 && pmod(col("doc_id"), lit(4)) < 3)
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(4))).as("quad_id"),
-        pmod(col("doc_id"), lit(4)).as("slot"),
-        explode(expr("word_gram_hashes(ws, 1, 4)")).as("e"))
-      .select(col("quad_id"), col("slot"),
-        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
-    val withQ = pairedBsWeightedSums(grams, b)
+    val perQuadN = quadKernelCounts(PairedText.quadTexts(docs),
+      PairGramKernel.wordGrams(_, 1, 4, 0))
+    val withQ = pairedBsWeightedSums(perQuadN, b)
       .select(col("b").cast("int").as("b"), col("sys").cast("int").as("sys"),
         col("n").cast("int").as("n"), col("cl"), col("ct"), col("rt"),
         col("nq"))
@@ -692,17 +702,9 @@ object NgramEval {
       maxN: Int = 6, loPct: Double = 0.025,
       hiPct: Double = 0.975): DataFrame = {
     require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
-    graft.functions.GramHashes.register(docs.sparkSession)
-    val grams = docs
-      .withColumn("s", regexp_replace(col("text"), " ", ""))
-      .filter(length(col("s")) >= 1 && pmod(col("doc_id"), lit(4)) < 3)
-      .select(
-        (col("doc_id") - pmod(col("doc_id"), lit(4))).as("quad_id"),
-        pmod(col("doc_id"), lit(4)).as("slot"),
-        explode(expr(s"cp_gram_hashes(s, 1, $maxN)")).as("e"))
-      .select(col("quad_id"), col("slot"),
-        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g"))
-    val perRep = pairedBsWeightedSums(grams, b)
+    val perQuadN = quadKernelCounts(PairedText.quadTexts(docs),
+      PairGramKernel.charGrams(_, maxN))
+    val perRep = pairedBsWeightedSums(perQuadN, b)
       .withColumn("f_e6",
         when(col("ct") >= 1 && col("rt") >= 1, expr(
           s"CAST(${1 + beta2} AS DECIMAL(38,0)) * cl * 1000000 div " +
@@ -795,33 +797,23 @@ object NgramEval {
     * rows at all (absent side, the eval-family convention: the gram
     * array is NULL, so concat propagates NULL and explode drops). */
   def tokenF1(docs: DataFrame): DataFrame =
-    tokenF1PerKey(PairedText.sided(docs), Seq("pair_id"))
+    tokenF1PerKey(PairedText.paired(docs), Seq("pair_id"))
 
   /** The keyed token-F1 core — see [[chrFPerKey]] for the key
-    * contract. */
-  private[text] def tokenF1PerKey(sided: DataFrame,
+    * contract. The whole-text marker rides the kernel's gram array as
+    * the same tagged element (xxhash64 << 4 | 8) the exploded
+    * spelling used, so exact_match keeps hash-equality semantics: the
+    * marker's clipped count is ≥ 1 iff both sides' hashes collide. */
+  private[text] def tokenF1PerKey(paired: DataFrame,
       keyCols: Seq[String]): DataFrame = {
-    graft.functions.GramHashes.register(sided.sparkSession)
     val keys = keyCols.map(col)
-    sided
-      .withColumn("ws", split(col("text"), " "))
-      .select(keys :+
-        explode(expr("concat(word_gram_hashes(ws, 1, 1), " +
-          "array(shiftleft(xxhash64(text), 4) | 8L))")).as("g") :+
-        col("side"): _*)
-      .groupBy(keys :+ col("g"): _*)
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
+    pairKernelCounts(paired, keyCols, PairGramKernel.tokenF1Grams)
       .groupBy(keys: _*)
       .agg(
-        sum(when(expr("g & 15") === 1, least(col("c_cnt"), col("r_cnt")))
-          .otherwise(0L)).as("clipped"),
-        sum(when(expr("g & 15") === 1, col("c_cnt")).otherwise(0L))
-          .as("c_total"),
-        sum(when(expr("g & 15") === 1, col("r_cnt")).otherwise(0L))
-          .as("r_total"),
-        max(when(expr("g & 15") === 8
-          && col("c_cnt") >= 1 && col("r_cnt") >= 1, 1L).otherwise(0L))
+        sum(when(col("n") === 1, col("clipped")).otherwise(0L)).as("clipped"),
+        sum(when(col("n") === 1, col("c_total")).otherwise(0L)).as("c_total"),
+        sum(when(col("n") === 1, col("r_total")).otherwise(0L)).as("r_total"),
+        max(when(col("n") === 8 && col("clipped") >= 1, 1L).otherwise(0L))
           .as("exact_match"))
       .filter(col("c_total") >= 1 && col("r_total") >= 1)
       .select(keys ++ Seq(col("clipped"), col("c_total"), col("r_total"),
@@ -895,7 +887,7 @@ object NgramEval {
     * three combined key shuffles; the per-order F is a plain column
     * expression (no typed map needed). */
   def chrF(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame =
-    chrFPerKey(PairedText.sided(docs), Seq("pair_id"), beta2, maxN)
+    chrFPerKey(PairedText.paired(docs), Seq("pair_id"), beta2, maxN)
 
   /** chrF with the REDUCED-orders fallback — the r14 verdict's option
     * 8: instead of DROPPING pairs with a side under maxN chars (the
@@ -907,7 +899,7 @@ object NgramEval {
     * as a VARIANT gate; the shipped eval_chrf contract is unchanged.
     * Only pairs with zero populated orders (an absent side) drop. */
   def chrFReduced(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame =
-    chrFPerKey(PairedText.sided(docs), Seq("pair_id"), beta2, maxN,
+    chrFPerKey(PairedText.paired(docs), Seq("pair_id"), beta2, maxN,
       reducedOrders = true)
 
   /** DuckDB mirror of [[chrFReduced]]. */
@@ -931,7 +923,7 @@ object NgramEval {
     * both-sides filter (keeps the gram frame single-consumer — the
     * scan-ratchet lesson), then a ≤maxN-row corpus rollup. */
   def chrFCorpus(docs: DataFrame, beta2: Int = 4, maxN: Int = 6): DataFrame =
-    chrFCorpusRollup(chrFCounts(PairedText.sided(docs), Seq("pair_id"), maxN),
+    chrFCorpusRollup(chrFCounts(PairedText.paired(docs), Seq("pair_id"), maxN),
       beta2, wordCols = false, "chrf_e6")
 
   /** The ONE corpus micro rollup shared by [[chrFCorpus]] and
@@ -1034,7 +1026,7 @@ object NgramEval {
   def chrFppCorpus(docs: DataFrame, beta2: Int = 4, maxN: Int = 6,
       wordN: Int = 2): DataFrame =
     chrFCorpusRollup(
-      chrFppCounts(PairedText.sided(docs), Seq("pair_id"), maxN, wordN),
+      chrFppCounts(PairedText.paired(docs), Seq("pair_id"), maxN, wordN),
       beta2, wordCols = true, "chrfpp_e6")
 
   /** DuckDB mirror of [[chrFppCorpus]] (word orders tag as n+100 in
@@ -1050,25 +1042,9 @@ object NgramEval {
     * [[chrFPerKey]] and [[chrFCorpus]] — (keyCols..., n, clipped,
     * c_total, r_total) for char orders 1..`maxN` off one scan and two
     * map-side-combined shuffles. */
-  private def chrFCounts(sided: DataFrame, keyCols: Seq[String],
-      maxN: Int): DataFrame = {
-    graft.functions.GramHashes.register(sided.sparkSession)
-    val keys = keyCols.map(col)
-    sided
-      .withColumn("s", regexp_replace(col("text"), " ", ""))
-      .filter(length(col("s")) >= 1)
-      .select(keys ++ Seq(col("side"),
-        explode(expr(s"cp_gram_hashes(s, 1, $maxN)")).as("e")): _*)
-      .select(keys ++ Seq(col("side"),
-        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g")): _*)
-      .groupBy(keys ++ Seq(col("n"), col("g")): _*)
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(keys :+ col("n"): _*)
-      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
-        sum(col("c_cnt")).as("c_total"),
-        sum(col("r_cnt")).as("r_total"))
-  }
+  private def chrFCounts(paired: DataFrame, keyCols: Seq[String],
+      maxN: Int): DataFrame =
+    pairKernelCounts(paired, keyCols, PairGramKernel.charGrams(_, maxN))
 
   /** The keyed chrF core — `sided` carries `keyCols` + (side, text);
     * one row per key satisfying the drop contract. The positional gate
@@ -1077,10 +1053,10 @@ object NgramEval {
     * max-F reduction (the sacrebleu multi-ref convention).
     * `reducedOrders` switches the fixed-maxN drop contract to the
     * populated-components mean (see [[chrFReduced]]). */
-  private[text] def chrFPerKey(sided: DataFrame, keyCols: Seq[String],
+  private[text] def chrFPerKey(paired: DataFrame, keyCols: Seq[String],
       beta2: Int, maxN: Int, reducedOrders: Boolean = false): DataFrame = {
     val keys = keyCols.map(col)
-    val perN = chrFCounts(sided, keyCols, maxN)
+    val perN = chrFCounts(paired, keyCols, maxN)
       // per-order F_β in e6, one rational of longs (decimal width for
       // the clipped·1e6 intermediate); orders missing a side yield
       // NULL here and the pair is dropped below
@@ -1123,41 +1099,23 @@ object NgramEval {
     * side; identical texts score exactly 1e6. */
   def chrFpp(docs: DataFrame, beta2: Int = 4, maxN: Int = 6,
       wordN: Int = 2): DataFrame =
-    chrFppPerKey(PairedText.sided(docs), Seq("pair_id"), beta2, maxN, wordN)
+    chrFppPerKey(PairedText.paired(docs), Seq("pair_id"), beta2, maxN, wordN)
 
   /** The keyed per-(key, order) count frame shared by [[chrFppPerKey]]
     * and [[chrFppCorpus]] — char orders tag as n = 1..maxN, word
     * orders as n = 8+1..8+wordN (the kernel's tag bit), one exploded
     * long array, one scan. */
-  private def chrFppCounts(sided: DataFrame, keyCols: Seq[String],
-      maxN: Int, wordN: Int): DataFrame = {
-    graft.functions.GramHashes.register(sided.sparkSession)
-    val keys = keyCols.map(col)
-    sided
-      .withColumn("s", regexp_replace(col("text"), " ", ""))
-      .filter(length(col("s")) >= 1)
-      .withColumn("ws", split(col("text"), " "))
-      .select(keys ++ Seq(col("side"),
-        explode(expr(
-          s"concat(cp_gram_hashes(s, 1, $maxN), " +
-            s"word_gram_hashes(ws, 1, $wordN, 1))")).as("e")): _*)
-      .select(keys ++ Seq(col("side"),
-        expr("CAST(e & 15 AS INT)").as("n"), col("e").as("g")): _*)
-      .groupBy(keys ++ Seq(col("n"), col("g")): _*)
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(keys :+ col("n"): _*)
-      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
-        sum(col("c_cnt")).as("c_total"),
-        sum(col("r_cnt")).as("r_total"))
-  }
+  private def chrFppCounts(paired: DataFrame, keyCols: Seq[String],
+      maxN: Int, wordN: Int): DataFrame =
+    pairKernelCounts(paired, keyCols,
+      PairGramKernel.chrFppGrams(_, maxN, wordN))
 
   /** The keyed chrF++ core — see [[chrFPerKey]] for the key contract. */
-  private[text] def chrFppPerKey(sided: DataFrame, keyCols: Seq[String],
+  private[text] def chrFppPerKey(paired: DataFrame, keyCols: Seq[String],
       beta2: Int, maxN: Int, wordN: Int): DataFrame = {
     val keys = keyCols.map(col)
     val nComp = maxN + wordN
-    val perN = chrFppCounts(sided, keyCols, maxN, wordN)
+    val perN = chrFppCounts(paired, keyCols, maxN, wordN)
       .withColumn("f_e6",
         when(col("c_total") >= 1 && col("r_total") >= 1, expr(
           s"CAST(${1 + beta2} AS DECIMAL(38,0)) * clipped * 1000000 div " +

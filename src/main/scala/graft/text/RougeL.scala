@@ -60,6 +60,38 @@ private[text] object PairedText {
       pmod(col("doc_id"), lit(2)).as("side"),
       col("text"))
 
+  /** Pivoted raw-text face for the gram-count KERNELS (r15
+    * optimization) — one row per pair_id with both texts side by side
+    * (NULL = absent side; no drop, each kernel applies its own
+    * presence rules). ONE text-sized shuffle replaces the 6-9×-wider
+    * gram-stream aggregation the exploded spelling paid. */
+  def paired(docs: DataFrame): DataFrame =
+    sided(docs)
+      .groupBy(col("pair_id"))
+      .agg(
+        first(when(col("side") === 0, col("text")), ignoreNulls = true)
+          .as("c_text"),
+        first(when(col("side") === 1, col("text")), ignoreNulls = true)
+          .as("r_text"))
+
+  /** The paired-bootstrap quad layout, pivoted: one row per quad_id
+    * with slots 0 (system A), 1 (shared reference), 2 (system B) side
+    * by side; slot 3 unused. */
+  def quadTexts(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(4)) < 3)
+      .select(
+        (col("doc_id") - pmod(col("doc_id"), lit(4))).as("quad_id"),
+        pmod(col("doc_id"), lit(4)).as("slot"),
+        col("text"))
+      .groupBy(col("quad_id"))
+      .agg(
+        first(when(col("slot") === 0, col("text")), ignoreNulls = true)
+          .as("a_text"),
+        first(when(col("slot") === 1, col("text")), ignoreNulls = true)
+          .as("r_text"),
+        first(when(col("slot") === 2, col("text")), ignoreNulls = true)
+          .as("b_text"))
+
   /** DuckDB twin of [[sided]] — a parenthesized relation exposing
     * (pair_id, side, text). */
   def sidedSql(from: String): String =
@@ -172,31 +204,21 @@ object RougeL {
     * per-pair pivot — no joins, no DP, no collect. Intermediates ride
     * DECIMAL(38,0)/HUGEINT so corpus-scale counts cannot overflow. */
   def rougeN(docs: DataFrame): DataFrame =
-    rougeNPerKey(PairedText.sided(docs), Seq("pair_id"))
+    rougeNPerKey(PairedText.paired(docs), Seq("pair_id"))
 
-  /** The keyed ROUGE-N core — `sided` carries `keyCols` + (side,
-    * text); the positional gate keys by pair_id, [[MultiRefEval
+  /** The keyed ROUGE-N core — `paired` carries `keyCols` + (c_text,
+    * r_text); the positional gate keys by pair_id, [[MultiRefEval
     * .rougeN]] by (cand_id, ref_id) so each reference scores
     * independently before the per-candidate max-F reduction (the
-    * rouge-score multi-ref convention). */
-  private[text] def rougeNPerKey(sided: DataFrame,
+    * rouge-score multi-ref convention). Since r15 the (key, n, gram)
+    * aggregation runs as the local [[PairGramKernel]] count map over
+    * the pivoted pair (same packed hashes, identical counts) — one
+    * text-sized shuffle instead of the exploded gram stream. */
+  private[text] def rougeNPerKey(paired: DataFrame,
       keyCols: Seq[String]): DataFrame = {
-    graft.functions.GramHashes.register(sided.sparkSession)
     val keys = keyCols.map(col)
-    val pn = sided
-      .withColumn("ws", split(col("text"), " "))
-      .filter(size(col("ws")) >= 1)
-      .select(keys ++ Seq(col("side"),
-        explode(expr("word_gram_hashes(ws, 1, 2)")).as("e")): _*)
-      .select(keys ++ Seq(col("side"),
-        expr("CAST(e & 7 AS INT)").as("n"), col("e").as("g")): _*)
-      .groupBy(keys ++ Seq(col("n"), col("g")): _*)
-      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_cnt"),
-        sum(when(col("side") === 1, 1L).otherwise(0L)).as("r_cnt"))
-      .groupBy(keys :+ col("n"): _*)
-      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("clipped"),
-        sum(col("c_cnt")).as("c_total"),
-        sum(col("r_cnt")).as("r_total"))
+    val pn = NgramEval.pairKernelCounts(paired, keyCols,
+      PairGramKernel.wordGrams(_, 1, 2, 0))
     def e6(num: String, den: String) =
       expr(s"CAST(CAST($num AS DECIMAL(38,0)) * 1000000 div ($den) AS BIGINT)")
     def f2(num: String, den: String) =
