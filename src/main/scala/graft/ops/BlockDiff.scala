@@ -30,9 +30,8 @@ object BlockDiff {
 
   /** 60-bit md5 content hash of the '|'-joined key + content columns. */
   private def rowHash(keyCol: String, contentCols: Seq[String]) =
-    conv(substring(md5(
-      concat_ws("|", (keyCol +: contentCols).map(col): _*).cast("binary")),
-      1, 15), 16, 10).cast("long")
+    graft.functions.Md5PrefixLong(
+      concat_ws("|", (keyCol +: contentCols).map(col): _*).cast("binary"), 15)
 
   /** Per-bucket summary of one snapshot: (bucket, n, xor_h). */
   def summarize(df: DataFrame, keyCol: String, contentCols: Seq[String],

@@ -44,8 +44,8 @@ object Bootstrap {
     * rides the SAME draw so the md5 replicate-hash convention has one
     * spelling. */
   private[graft] def multiplicity(idCol: String) = {
-    val u = conv(substring(md5(concat_ws(":", col(idCol), col("b"))), 1, 6),
-      16, 10).cast("long") % 1000000L
+    val u = graft.functions.Md5PrefixLong(
+      concat_ws(":", col(idCol), col("b")), 6) % 1000000L
     CdfThresholds.zipWithIndex.foldRight(lit(CdfThresholds.size): org.apache.spark.sql.Column) {
       case ((thr, k), acc) => when(u < thr, k).otherwise(acc)
     }

@@ -59,8 +59,7 @@ object Sampling {
     * selection boundary. */
   def weightedSample(df: DataFrame, k: Int, idCol: String,
       weight: Column): DataFrame = {
-    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val h = graft.functions.Md5PrefixLong(col(idCol).cast("string"), 8)
     val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
     df.withColumn("_es_w", weight.cast("double"))
       .filter(col("_es_w") > 0)

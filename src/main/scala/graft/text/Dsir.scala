@@ -64,8 +64,8 @@ object Dsir {
             .otherwise(array().cast("array<string>")))).as("gram"))
       .select(col("doc_id"), col("_t"),
         (if (fastHash) pmod(xxhash64(col("gram")), lit(buckets.toLong))
-         else conv(substring(md5(col("gram").cast("binary")), 1, 6), 16, 10)
-           .cast("long") % buckets).as("b"))
+         else graft.functions.Md5PrefixLong(col("gram").cast("binary"), 6)
+           % buckets).as("b"))
     // Collapse the gram stream to per-doc bucket counts FIRST: the
     // explode + md5 lineage (the expensive pass) then feeds exactly ONE
     // aggregation, and both the bucket marginals and the per-doc
@@ -125,8 +125,8 @@ object Dsir {
       if (fastHash)
         pmod(xxhash64(concat_ws(":", lit(seed), col("doc_id"))),
           lit(16777216L)).cast("double")
-      else conv(substring(md5(
-          concat_ws(":", lit(seed), col("doc_id")).cast("binary")), 1, 6), 16, 10)
+      else graft.functions.Md5PrefixLong(
+          concat_ws(":", lit(seed), col("doc_id")).cast("binary"), 6)
         .cast("double")
     val u = (draw + 0.5) / 16777216.0
     weights(docs, targetPred, buckets, fastHash)

@@ -41,7 +41,7 @@ object IncrementalDedup {
     * currency only (the sketch API wants a long; routing collisions
     * are verified away, never dropped). */
   def contentHash60: Column =
-    conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5PrefixLong(col("text").cast("binary"), 15)
 
   /** Docs of `newDocs` whose text content does not occur in `refDocs`.
     * Output: (doc_id, content_h). `expectedRef` sizes the filter (pass

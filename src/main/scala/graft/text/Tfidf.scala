@@ -72,8 +72,8 @@ object Tfidf {
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"),
-        pmod(conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
-          .cast("long"), lit(dim.toLong)).as("bucket"))
+        pmod(graft.functions.Md5PrefixLong(col("w").cast("binary"), 15),
+          lit(dim.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket")
       .agg(count(lit(1)).as("n"))
 
