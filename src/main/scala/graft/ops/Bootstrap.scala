@@ -35,7 +35,7 @@ import graft.queries.QueryDsl.{dsum, dsumSql}
   * @return (group, n, mean, ci_lo, ci_hi, b) one row per group */
 object Bootstrap {
 
-  private val CdfThresholds = Seq(367879L, 735759L, 919699L, 980998L, 996340L)
+  private[graft] val CdfThresholds = Seq(367879L, 735759L, 919699L, 980998L, 996340L)
 
   /** Multiplicity column from the deterministic per-(row, replicate)
     * uniform: inverse Poisson(1) CDF over the 10⁶ grid. Expects the
@@ -109,26 +109,74 @@ object Bootstrap {
       hiPct: Double = 0.975, integerValued: Boolean = false,
       fastHash: Boolean = false): DataFrame = {
     require(b >= 2 && loPct > 0 && hiPct < 1 && loPct < hiPct)
-    val exploded = df
-      .select(col(groupCol).as("grp"), col(valueCol).as("v"), col(idCol).as("_id"))
-      .withColumn("b", explode(expr(s"sequence(0, ${b - 1})")))
-      .withColumn("m",
-        if (fastHash) multiplicityFast("_id") else multiplicity("_id"))
-    val repSum =
-      if (integerValued) sum(col("v").cast("long") * col("m")).cast("double")
-      else dsum(col("v") * col("m"))
-    val perReplicate = exploded
-      .groupBy(col("grp"), col("b"))
-      // the when() guard keeps ANSI mode from raising DIVIDE_BY_ZERO on
-      // a degenerate replicate — its est is NULL, dropped just below
-      .agg(when(sum(col("m")) > 0L, repSum / sum(col("m"))).as("est"))
-      // a replicate whose total multiplicity is 0 (probability e^-n per
-      // replicate — real for 1-row groups) yields est = sum/0 = NULL;
-      // Spark ranks NULLs first while DuckDB ranks them last, so NULLs
-      // must never reach the ranking. Drop them and index off the
-      // per-group NON-NULL count (== b when no replicate degenerates,
-      // so large-group results are unchanged).
-      .filter(col("est").isNotNull)
+    // r15 optimization, integer-valued path: draw all B multiplicities
+    // per row in ONE array expression ([[graft.functions.PoissonDraws]]
+    // — bit-identical md5/xxh64 draws, id hashed once per row instead
+    // of once per replicate). Two aggregation spellings, picked by the
+    // draw cost (both measured, see OPTIMIZATION_r15.md §4):
+    //  - md5 mode (draw-dominated: 50 digests/row): 2B plain sum()
+    //    columns over the ORIGINAL row count — no Generate at all, the
+    //    replicate dimension re-expands from groups×1 rows after
+    //    aggregation. (A typed array-buffer Aggregator was measured
+    //    SLOWER — per-row Seq[Long] deserialization; and the 2B-column
+    //    spelling was measured slower than posexplode at the fast
+    //    gate's 10× volume — the 101-agg update loop beats codegen's
+    //    fast hashmap.)
+    //  - xxh64 mode (cheap draw, full volume): the classic exploded
+    //    (grp, b) hash agg with the inline xxhash64(id, b) draw —
+    //    measured FASTER than both vector spellings here (2.09 s vs
+    //    3.06 wide / 3.35 posexplode-of-drawn-array at sf0.1): the
+    //    draw is ~free in codegen, so the per-row 50-long array
+    //    allocation only adds overhead.
+    // Sums are order-independent longs, so every estimate is identical
+    // to the exploded spelling's (BootstrapSpec pins vector ≡ exploded
+    // on both hash modes). The double-valued path keeps the exploded
+    // dsum spelling (decimal sums don't fit a long-vector buffer).
+    val perReplicate = if (integerValued && !fastHash) {
+      val aggs =
+        (0 until b).map(i => sum(expr(s"ms[$i] * vl")).as(s"_smv$i")) ++
+          (0 until b).map(i => sum(expr(s"ms[$i]")).as(s"_sm$i")) :+
+          count(col("vl")).as("_nn")
+      df.select(col(groupCol).as("grp"),
+          col(valueCol).cast("long").as("vl"),
+          graft.functions.PoissonDraws(col(idCol).cast("string"), b)
+            .as("ms"))
+        .groupBy(col("grp"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("grp"), col("_nn"),
+          array((0 until b).map(i => col(s"_smv$i")): _*).as("smv"),
+          array((0 until b).map(i => col(s"_sm$i")): _*).as("sm"))
+        .select(col("grp"), col("_nn"), col("smv"), col("sm"),
+          explode(expr(s"sequence(0, ${b - 1})")).as("b"))
+        // NULL-over-empty parity with sum(): a group with no non-NULL
+        // v yields NULL estimates, dropped like the exploded spelling
+        .select(col("grp"), col("b"),
+          when(col("_nn") > 0L && expr("sm[b]") > 0L,
+            expr("CAST(smv[b] AS DOUBLE)") / expr("sm[b]")).as("est"))
+        .filter(col("est").isNotNull)
+    } else {
+      val exploded = df
+        .select(col(groupCol).as("grp"), col(valueCol).as("v"),
+          col(idCol).as("_id"))
+        .withColumn("b", explode(expr(s"sequence(0, ${b - 1})")))
+        .withColumn("m",
+          if (fastHash) multiplicityFast("_id") else multiplicity("_id"))
+      val repSum =
+        if (integerValued) sum(col("v").cast("long") * col("m")).cast("double")
+        else dsum(col("v") * col("m"))
+      exploded
+        .groupBy(col("grp"), col("b"))
+        // the when() guard keeps ANSI mode from raising DIVIDE_BY_ZERO
+        // on a degenerate replicate — its est is NULL, dropped below
+        .agg(when(sum(col("m")) > 0L, repSum / sum(col("m"))).as("est"))
+        // a replicate whose total multiplicity is 0 (probability e^-n
+        // per replicate — real for 1-row groups) yields est = sum/0 =
+        // NULL; Spark ranks NULLs first while DuckDB ranks them last,
+        // so NULLs must never reach the ranking. Drop them and index
+        // off the per-group NON-NULL count (== b when no replicate
+        // degenerates, so large-group results are unchanged).
+        .filter(col("est").isNotNull)
+    }
     // exact order statistics over the surviving replicate estimates
     // (bounded by B, small — the window partitions by group)
     val w = Window.partitionBy(col("grp")).orderBy(col("est"), col("b"))

@@ -62,6 +62,25 @@ class BootstrapSpec extends AnyFunSuite {
     assert(rows("big").getLong(5) == 100, "large group keeps all replicates")
   }
 
+  test("integer-valued vector path ≡ exploded path, both hash modes") {
+    // integerValued=true rides the r15 PoissonDraws/WeightedVecSumAgg
+    // vector spelling; on integer data the dsum exploded spelling
+    // computes the SAME estimates (exact sums, same draws), so
+    // equality here pins the vector path row-for-row — including the
+    // 1-row-group degenerate-replicate drops.
+    val df = (mk(400, "a", 20, 6).map { case (g, i, v) => (g, i, v.floor) } ++
+      Seq(("tiny", "tiny-1", 42.0))).toDF("g", "id", "v")
+    for (fast <- Seq(false, true)) {
+      val vecPath = Bootstrap.meanCi(df, "g", "v", "id", b = 60,
+        integerValued = true, fastHash = fast)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      val explodedPath = Bootstrap.meanCi(df, "g", "v", "id", b = 60,
+        integerValued = false, fastHash = fast)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(vecPath.toSeq == explodedPath.toSeq, s"fast=$fast")
+    }
+  }
+
   test("fast xxhash64 path: same n/mean, valid intervals, partition-invariant") {
     val df = (mk(500, "a", 20, 6) ++ mk(900, "b", -3, 2)).toDF("g", "id", "v")
     val slow = Bootstrap.meanCi(df, "g", "v", "id", b = 60)
