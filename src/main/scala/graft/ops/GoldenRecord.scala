@@ -47,16 +47,23 @@ object GoldenRecord {
         col(numAttr).as("num"), col(catAttr).as("cat"),
         lit(false).as("is_ref"))
     val members = refMembers.unionByName(probeMembers)
-    val base = members.groupBy(col("entity"))
-      .agg(count(lit(1)).as("n_members"),
-        max(when(col("is_ref"), col("name"))).as("golden_name"),
-        max(col("num")).as(s"golden_$numAttr"))
-    val mode = members.groupBy(col("entity"), col("cat"))
-      .agg(count(lit(1)).as("c"))
+    // ONE pass over members (r15): the base stats stack on top of the
+    // mode's (entity, cat) level — count/max are associative, so
+    // n_members = Σ per-cat counts and the maxes fold through — where
+    // the old base ⨝ mode spelling re-executed the whole member-
+    // building lineage once per aggregate branch (different grouping
+    // keys, so no exchange reuse).
+    members.groupBy(col("entity"), col("cat"))
+      .agg(count(lit(1)).as("c"),
+        max(when(col("is_ref"), col("name"))).as("_nm"),
+        max(col("num")).as("_nx"))
       .groupBy(col("entity"))
-      .agg(min(struct((-col("c")).as("nc"), col("cat").as("v"))).as("m"))
-      .select(col("entity"), col("m.v").as(s"golden_$catAttr"))
-    base.join(mode, "entity")
+      .agg(sum(col("c")).as("n_members"),
+        max(col("_nm")).as("golden_name"),
+        max(col("_nx")).as(s"golden_$numAttr"),
+        min(struct((-col("c")).as("nc"), col("cat").as("v"))).as("m"))
+      .select(col("entity"), col("n_members"), col("golden_name"),
+        col(s"golden_$numAttr"), col("m.v").as(s"golden_$catAttr"))
   }
 
   /** DuckDB mirror. `pairsSql` must yield (probe_key, ref_key);

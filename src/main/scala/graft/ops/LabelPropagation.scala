@@ -30,10 +30,19 @@ object LabelPropagation {
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
-    // identity init; every vertex of the symmetric list has >= 1 edge
-    var labels = sym.select(col("u").as("vertex")).distinct()
-      .withColumn("label", col("vertex"))
-    for (_ <- 1 to iters) {
+    // Round 1 folded into the init (r15, the DedupClusters move): with
+    // identity starting labels, joining the label table is a no-op —
+    // neighbor v's label IS v — so round 1 is the (u, v) multiplicity
+    // count + mode tiebreak straight off the edge list: one join and
+    // the init-distinct shuffle gone. Every vertex of the symmetric
+    // list appears as u, so coverage is identical.
+    var labels = sym
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("u"))
+      .agg(min(struct((-col("c")).as("nc"), col("v").as("l"))).as("m"))
+      .select(col("u").as("vertex"), col("m.l").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 2 to iters) {
       labels = sym
         .join(labels.select(col("vertex").as("v"), col("label").as("nl")), "v")
         .groupBy(col("u"), col("nl")).agg(count(lit(1)).as("c"))

@@ -25,8 +25,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object NegativeSampling {
 
+  // fused md5-prefix draw (r15): same value as
+  // conv(substring(md5(x), 1, 15), 16, 10) without the hex/conv chain
   private def md5_60(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5PrefixLong(c.cast("string"), 15)
 
   /** (anchor_id, neg_rank, neg_id): k negatives per anchor (anchors =
     * doc_id % anchorMod == 0), near-dups excluded. */

@@ -61,40 +61,52 @@ object Shingles {
     * bound that converges to exact as the cap rises; with cap 0 the
     * result is exact Jaccard. */
   def exactJaccardPairs(docs: DataFrame, threshold: Double,
-      maxShingleDF: Long = 0L): DataFrame = {
-    val sets = shingleSets(docs).cache()
-    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val candidates0 =
-      if (maxShingleDF > 0) {
-        val rare = sh.groupBy("shingle").count()
-          .filter(col("count") <= maxShingleDF).select("shingle")
-        sh.join(broadcast(rare), Seq("shingle"))
-      } else sh
-    val a = candidates0.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = candidates0.select(col("doc_id").as("doc_b"), col("shingle"))
-    // Both small derivations of the cached shingle pass are pinned
-    // eagerly (pairs sharing a shingle; one size row per doc), then
-    // the big cache is dropped — a cached-and-never-unpersisted
-    // shingle table would leak executor storage memory for the rest
-    // of the session on every call.
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .localCheckpoint(true)
-    // set sizes come straight off the cached arrays — no extra shuffle
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
-      .localCheckpoint(true)
-    sets.unpersist(false)
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      maxShingleDF: Long = 0L): DataFrame =
+    sizedCommonPairs(docs, maxShingleDF)
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"),
         col("size_b"), col("jaccard"))
+
+  /** Shared candidate join for the exact Jaccard/containment faces
+    * (r15 optimization): the per-doc set size rides each exploded
+    * shingle row (+8 bytes) into the pair aggregation, so the pair
+    * table never joins back to a sizes frame — the old spelling's
+    * second eager localCheckpoint and two pair-table joins are gone
+    * (2 fewer pair-table shuffles at scale; sizes are constant within
+    * a (doc_a, doc_b) group, max() reads them back). With the DF cap,
+    * sizes stay EXACT (computed before the cap filter). The shingle
+    * pass stays cached exactly once and the bounded pair table is
+    * pinned eagerly before the cache drops (the scan-ratchet
+    * contract: one documents scan per gate — letting each join side
+    * recompute the shingling was measured as 2–4 extra corpus scans
+    * per gate, 10 on pipeline_negative_sampling). */
+  private def sizedCommonPairs(docs: DataFrame,
+      maxShingleDF: Long): DataFrame = {
+    val sets = shingleSets(docs).cache()
+    val sh = sets.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("sz"),
+      explode(col("shingles")).as("shingle"))
+    val candidates0 =
+      if (maxShingleDF > 0) {
+        val rare = sh.groupBy("shingle").count()
+          .filter(col("count") <= maxShingleDF).select("shingle")
+        sh.join(broadcast(rare), Seq("shingle"))
+      } else sh
+    val a = candidates0.select(col("shingle"), col("doc_id").as("doc_a"),
+      col("sz").as("sza"))
+    val b = candidates0.select(col("shingle"), col("doc_id").as("doc_b"),
+      col("sz").as("szb"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"), max(col("sza")).as("size_a"),
+        max(col("szb")).as("size_b"))
+      .localCheckpoint(true)
+    sets.unpersist(false)
+    common
   }
 
   /** Exact Jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin family,
@@ -151,6 +163,10 @@ object Shingles {
     //    the safe side of float wobble (under-pruning, never over).
     val alpha = ceil(lit(threshold / (1.0 + threshold)) *
       (col("_sza") + col("_szb")) - lit(1e-9))
+    // candidate pairs CARRY the exact sizes (sz is the per-doc total
+    // computed above, before the prefix cut) so the verify tail needs
+    // no sizes frame — the r15 carried-size restructure, see
+    // sizedCommonPairs
     val cands = prefix.select(col("doc_id").as("doc_a"),
         col("shingle"), col("sz").as("_sza"), col("rn").as("_rna"))
       .join(prefix.select(col("doc_id").as("doc_b"),
@@ -160,7 +176,8 @@ object Shingles {
           lit(threshold) * greatest(col("_sza"), col("_szb")).cast("double") &&
         lit(1) + least(col("_sza") - col("_rna"), col("_szb") - col("_rnb"))
           >= alpha)
-      .select("doc_a", "doc_b").distinct()
+      .select(col("doc_a"), col("doc_b"), col("_sza"), col("_szb"))
+      .distinct()
     // exact verify on candidates only — same tail as exactJaccardPairs
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -168,14 +185,11 @@ object Shingles {
       .join(a, Seq("doc_a"))
       .join(b, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .localCheckpoint(true)
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+      .agg(count(lit(1)).as("common"), max(col("_sza")).as("size_a"),
+        max(col("_szb")).as("size_b"))
       .localCheckpoint(true)
     sets.unpersist(false)
     common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"))
@@ -194,35 +208,14 @@ object Shingles {
     * exactly as in the Jaccard path (common becomes a lower bound,
     * sizes stay exact). */
   def exactContainmentPairs(docs: DataFrame, threshold: Double,
-      maxShingleDF: Long = 0L): DataFrame = {
-    val sets = shingleSets(docs).cache()
-    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val candidates0 =
-      if (maxShingleDF > 0) {
-        val rare = sh.groupBy("shingle").count()
-          .filter(col("count") <= maxShingleDF).select("shingle")
-        sh.join(broadcast(rare), Seq("shingle"))
-      } else sh
-    val a = candidates0.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = candidates0.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .localCheckpoint(true)
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
-      .localCheckpoint(true)
-    sets.unpersist(false)
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      maxShingleDF: Long = 0L): DataFrame =
+    sizedCommonPairs(docs, maxShingleDF)
       .withColumn("containment",
         col("common").cast("double") /
           least(col("size_a"), col("size_b")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"),
         col("size_b"), col("containment"))
-  }
 
   private def shingleCte: String =
     """WITH sh AS (
